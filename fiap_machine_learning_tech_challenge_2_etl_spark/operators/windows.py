@@ -1,0 +1,164 @@
+"""Window analytics (SURVEY.md section 2.9, W1-W6) — the reference's
+analytical core.
+
+Exchange-reuse layout (SURVEY.md section 4): the reference interleaves
+windows keyed on different columns (etl/etl.py:70-83 ping-pongs between
+``(codigo_acao)`` and ``(data_pregao, setor)``), forcing Catalyst to plan an
+exchange per key change. Our ``rolling_stats`` computes ALL same-key rolling
+aggregates in one projection over one Window spec (one exchange + one sort),
+and callers should group same-key window stages adjacently so Catalyst's
+ReuseExchange kicks in.
+
+Scale notes: a window partitioned by a high-cardinality key (stock code,
+user_id) scales linearly — each key's rows land in one task. Whole-partition
+windows (group_total) on low-cardinality keys can skew; for pure aggregates
+prefer groupBy + broadcast join back when the per-group row count is huge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
+
+
+def _rolling_window(keys: Sequence[str], order_by: Sequence[str], n: int) -> WindowSpec:
+    """Frame ``rowsBetween(-(n-1), 0)`` — trailing n rows including current
+    (reference etl/transform_1.py:93; short partitions use available rows)."""
+    return (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_by])
+        .rowsBetween(-(n - 1), 0)
+    )
+
+
+def rolling_stats(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    n: int = 7,
+    stats: Sequence[str] = ("mean", "median", "std", "max", "min"),
+    suffix: str | None = None,
+    exact_median: bool = True,
+) -> DataFrame:
+    """W1/W5 — trailing-n-row stats bundle per key.
+
+    Reference computes mean/median/stddev/max/min over
+    ``rowsBetween(-(window_days-1), 0)`` partitioned by stock code
+    (etl/transform_1.py:93-99) and a 7-row moving average
+    (etl/etl.py:70-76). All requested stats share ONE WindowSpec, so the
+    plan has a single exchange+sort regardless of how many are computed.
+
+    ``exact_median=True`` computes the exact interpolated median (the
+    reference's ``percentile_approx(part, 0.5)`` at etl/transform_1.py:96 is
+    approximate — fine at scale, wrong for oracle diffing; both variants are
+    exposed). Spark's ``median`` aggregate rejects window frames, so the
+    exact rolling median is a sorted frame snapshot (``array_sort`` over
+    ``collect_list`` of the <=n frame rows) with midpoint interpolation —
+    all built-in expressions, O(n log n) per row for the tiny frame, still
+    whole-stage-codegen-friendly and fully distributed.
+    """
+    w = _rolling_window(keys, order_by, n)
+    sfx = suffix if suffix is not None else f"_{value}_{n}"
+    col = F.col(value)
+
+    def exact_median_expr():
+        arr = F.array_sort(F.collect_list(col).over(w))
+        sz = F.size(arr)
+        lo = F.element_at(arr, ((sz + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (sz / 2 + 1).cast("int"))
+        return (lo + hi) / 2.0
+
+    exprs = {
+        "mean": lambda: F.avg(col).over(w),
+        "median": (
+            exact_median_expr
+            if exact_median
+            else lambda: F.expr(f"percentile_approx({value}, 0.5)").over(w)
+        ),
+        "std": lambda: F.stddev(col).over(w),
+        "max": lambda: F.max(col).over(w),
+        "min": lambda: F.min(col).over(w),
+        "sum": lambda: F.sum(col).over(w),
+        "count": lambda: F.count(col).over(w),
+    }
+    additions = {f"{s}{sfx}": exprs[s]() for s in stats}
+    return df.withColumns(additions)
+
+
+def moving_average(
+    df: DataFrame,
+    value: str,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    n: int = 7,
+    output: str | None = None,
+) -> DataFrame:
+    """W1 — n-row trailing moving average (reference etl/etl.py:70-76)."""
+    w = _rolling_window(keys, order_by, n)
+    return df.withColumn(output or f"avg_{value}_{n}", F.avg(F.col(value)).over(w))
+
+
+def group_total(
+    df: DataFrame, value: str, keys: Sequence[str], output: str | None = None
+) -> DataFrame:
+    """W2 — whole-partition sum attached to every detail row
+    (reference etl/etl.py:78-83: total per (data_pregao, setor)).
+
+    Window with no frame/order = whole-partition aggregate; keeps detail
+    rows, unlike groupBy. One exchange on ``keys``.
+    """
+    w = Window.partitionBy(*keys)
+    return df.withColumn(output or f"total_{value}", F.sum(F.col(value)).over(w))
+
+
+def group_min(
+    df: DataFrame, value: str, keys: Sequence[str], output: str | None = None
+) -> DataFrame:
+    """W4 — per-key min attached to rows (reference etl/transform_1.py:87-90:
+    ``initial_date`` = min(reference_date) over (code))."""
+    w = Window.partitionBy(*keys)
+    return df.withColumn(output or f"min_{value}", F.min(F.col(value)).over(w))
+
+
+def rank_in_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    output: str = "rn",
+    method: str = "row_number",
+) -> DataFrame:
+    """W3 — ranking within key groups (reference etl/transform_1.py:82-84).
+
+    ``order_by`` must be deterministic (see cleaning.dedup_keep_first for the
+    monotonically_increasing_id caveat).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    return df.withColumn(output, fn().over(w))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence,
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group (extension; SURVEY.md section 2.13).
+
+    row_number + filter: Spark plans this as a partial top-k per input
+    partition before the shuffle when the filter bounds the rank
+    (WindowGroupLimit in the physical plan) — scales to huge groups.
+    ``order_by`` may contain column names or Column expressions
+    (e.g. F.col("v").desc()).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

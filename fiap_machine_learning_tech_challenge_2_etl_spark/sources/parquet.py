@@ -1,0 +1,102 @@
+"""Parquet scan operators (SURVEY.md section 2.1, S1-S4).
+
+The reference reads parquet three ways: a recursive directory scan
+(etl/transform.py:20-28), a single-file incremental scan (etl/etl.py:25-33),
+and a catalog-table scan (etl/transform_1.py:43-46). All three collapse to
+``spark.read.parquet`` / ``spark.table`` here — Catalyst handles partition
+discovery, column pruning, and predicate pushdown on the scan.
+
+Scale notes (100 TB): pass explicit ``schema`` to skip footer-sampling schema
+inference over millions of files; partition-directory layouts get pruned by
+Catalyst when filters hit the partition columns; ``read_parquet_files`` is the
+incremental path — reading only the newly-landed files is the single biggest
+lever at scale (the reference does the same via its Lambda-supplied URI).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.schemas import NS_TIMESTAMP_COLUMNS, SCHEMAS
+
+
+def read_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """S1 — recursive directory scan over (possibly Hive-partitioned) parquet.
+
+    Mirrors reference etl/transform.py:20-28 (connection_options recurse=True).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "false")
+        # Hive-partitioned dirs are recursed by default with partition
+        # discovery; recursiveFileLookup=true would DISABLE partition
+        # inference, so keep it off for partitioned layouts.
+    return reader.parquet(path)
+
+
+def read_parquet_files(
+    spark: SparkSession,
+    paths: Sequence[str],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S2 — explicit file-list scan (incremental unit of processing).
+
+    Mirrors reference etl/etl.py:25-33 (single newly-landed file passed from
+    the event trigger, lambda/handler_last_date.py:26-35).
+    """
+    if not paths:
+        raise ValueError("read_parquet_files requires at least one path")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*paths)
+
+
+def read_table(spark: SparkSession, table: str, database: str | None = None) -> DataFrame:
+    """S3 — catalog table scan, resolving partitions via the metastore.
+
+    Mirrors reference etl/transform_1.py:43-46 (from_catalog). Partition
+    pruning on catalog partition columns is a Catalyst built-in.
+    """
+    qualified = f"{database}.{table}" if database else table
+    return spark.table(qualified)
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] | None = None
+) -> dict[str, DataFrame]:
+    """Load the driver's synthetic tables from an sf directory.
+
+    Uses the schema registry (no inference) — at 100 TB you never want
+    schema-merge over the footer of every file.
+    """
+    names = names or list(SCHEMAS)
+    # The engine's date semantics are UTC-pinned (reference etl/transform_1.py:41);
+    # enforce even on externally-created sessions (e.g. the driver's).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if any(NS_TIMESTAMP_COLUMNS.get(n) for n in names):
+        # testdata writes nanosecond parquet timestamps, which Spark can only
+        # surface as raw longs; normalized to micros TimestampType below.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        df = spark.read.schema(SCHEMAS[name]).parquet(path)
+        for col in NS_TIMESTAMP_COLUMNS.get(name, ()):
+            # integer nanos -> micros (DIV keeps long arithmetic; truncation
+            # matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast)
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        out[name] = df
+    return out

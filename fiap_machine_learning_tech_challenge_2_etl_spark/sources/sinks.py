@@ -1,0 +1,80 @@
+"""Partitioned parquet sinks (SURVEY.md section 2.2, K1-K4).
+
+The reference writes refined data two ways: a Glue sink with catalog
+auto-update (etl/etl.py:94-107) and a plain partitioned DataFrame write
+(etl/transform_1.py:108-115), both snappy parquet with dynamic partition
+overwrite (etl/transform_1.py:40). Here both collapse to native Spark:
+``write.partitionBy(...).parquet`` for path-based output and
+``saveAsTable`` for catalog-managed output.
+
+Scale notes (100 TB): dynamic partition overwrite rewrites ONLY the
+partitions present in the incoming batch — the incremental write pattern.
+``target_file_partitions`` optionally repartitions by the partition columns
+before the write so each output partition is produced by few tasks (avoids
+the tiny-files explosion: tasks x partitions output files). AQE coalescing
+keeps post-shuffle partitions sane.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    coalesce_output: bool = True,
+) -> None:
+    """K1/K2/K3 — partitioned snappy parquet write with dynamic overwrite.
+
+    Mirrors reference etl/transform_1.py:108-115 (write.partitionBy mode
+    overwrite|append) under the session conf
+    spark.sql.sources.partitionOverwriteMode=dynamic (etl/transform_1.py:40,
+    set by our session factory), so ``overwrite`` touches only partitions
+    present in ``df`` — K3's per-partition "upsert".
+    """
+    out = df
+    if coalesce_output and partition_by:
+        # One shuffle keyed on the partition columns => each output dir is
+        # written by a small number of tasks instead of every task writing a
+        # sliver into every partition (file-count = O(partitions), not
+        # O(tasks * partitions)).
+        out = df.repartition(*partition_by)
+    (
+        out.write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    table: str,
+    partition_by: Sequence[str],
+    path: str | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """K1 — partitioned write registered in the session catalog.
+
+    The native equivalent of the reference's Glue sink with
+    enableUpdateCatalog/UPDATE_IN_DATABASE (etl/etl.py:94-107): the table is
+    created on first write and partitions are upserted on subsequent dynamic
+    overwrites.
+    """
+    writer = (
+        df.repartition(*partition_by)
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .format("parquet")
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -1,0 +1,300 @@
+"""Deduplication operators for LLM training-data pipelines (extension
+surface; north star): exact hash dedup, MinHash + LSH near-dup, SimHash,
+n-gram Jaccard. All hashing derives from md5 (available and identical in
+Spark and DuckDB), so every signature is deterministic and oracle-checkable
+— no engine-specific hash functions in semantics-bearing positions.
+
+Scale design
+------------
+* exact dedup — one hash-agg shuffle on the content fingerprint (never on
+  the raw text: shuffle keys stay 16 bytes at 100 TB).
+* MinHash/LSH — explode shingles -> per-doc signature via groupBy(min),
+  band-hash -> bucket self-join. Only docs sharing a band bucket are
+  compared; the cross product never materializes. Bucket skew (a viral
+  boilerplate shingle set) is bounded by AQE skew-join plus the candidate
+  distinct step.
+* SimHash — explode token hashes x 60 bit positions is avoided: the
+  per-bit majority vote is computed with 60 columnar sums in ONE groupBy
+  pass (no bit-dimension explosion).
+* n-gram Jaccard — inverted-index join on shingle hash; common-shingle
+  counts via groupBy, set sizes joined back — the classic
+  document-similarity-at-scale plan (one shuffle per stage, all equi-joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+    normalize_text,
+    ws_tokens,
+)
+
+# MinHash universal-hash parameters: h_i(x) = (A_i * x + B_i) mod P.
+# P is a 31-bit prime so A*x stays far inside int64; A/B are fixed odd
+# constants derived from the golden-ratio multiplier (public Knuth idiom).
+MINHASH_P = 1_000_000_007
+_GOLDEN = 2_654_435_761
+
+
+def _minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    return [
+        (((_GOLDEN * (i + 1)) % MINHASH_P) | 1, (_GOLDEN * _GOLDEN * (i + 7)) % MINHASH_P)
+        for i in range(num_perm)
+    ]
+
+
+def token_hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string: first 15 hex chars of
+    md5 (replicable in DuckDB as CAST(concat('0x', substring(md5(x),1,15)) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles over normalized text (array of strings).
+    Docs shorter than n words yield their single full-text shingle."""
+    toks = ws_tokens(col)
+    sz = F.array_size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, column: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact near-identity dedup: group by md5(normalized text), keep the
+    smallest id. The groupBy runs partial (map-side) aggregation, and the
+    shuffle key is the 32-char digest, not the document body."""
+    h = F.md5(normalize_text(column))
+    return (
+        df.withColumn("fingerprint", h)
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: explode distinct shingles, hash each
+    to 60 bits, apply ``num_perm`` universal hashes, take per-doc minima in
+    one groupBy pass. Output: (id, mh_0 .. mh_{num_perm-1})."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
+    )
+    h = token_hash60(F.col("shingle")) % MINHASH_P
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_perm))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_perm/bands`` rows, bucket-join docs agreeing on any full band.
+    Returns distinct candidate (a, b) pairs with a < b. The self-join is on
+    (band_id, band_hash) — only same-bucket docs meet."""
+    rows = num_perm // bands
+    band_cols = [
+        F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.band_hash")
+    left = melted.alias("l")
+    right = melted.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: signatures -> banded candidates -> exact
+    Jaccard verification of candidates only. Output: (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, column, id_col, num_perm, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
+    jac = ngram_jaccard_pairs(df, column, id_col, shingle_n, min_jaccard=0.0)
+    return (
+        cands.join(
+            jac,
+            on=[cands.id_a == jac.id_a, cands.id_b == jac.id_b],
+            how="inner",
+        )
+        .select(jac.id_a, jac.id_b, "jaccard")
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, inverted-index join)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard via inverted index: explode distinct
+    shingle hashes, self-join on shingle, count commons, join back set
+    sizes. Only pairs sharing >=1 shingle appear. ``max_shingle_freq``
+    drops boilerplate shingles (document-frequency cap) — the standard
+    guard against quadratic hot-shingle blowup at scale."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(column, shingle_n))).alias("s")
+    ).withColumn("sh", token_hash60(F.col("s"))).drop("s")
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("sh"), "sh", "left_semi")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard) if min_jaccard > 0 else out
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits a signed 64-bit long with headroom
+
+
+def simhash(
+    df: DataFrame, column: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """60-bit SimHash: per-token 60-bit md5 hash, per-bit majority vote over
+    the document's tokens. Computed as 60 conditional sums in a single
+    groupBy (no token x bit explosion). Output: (id, simhash)."""
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(column)).alias("tok")
+    ).withColumn("th", token_hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0))
+        term = bit.cast("long") * F.lit(1 << i).cast("long")
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 60-bit hash into ``bands`` 15-bit chunks;
+    by pigeonhole, hamming<=bands-1 pairs agree on >=1 chunk, so the
+    bucket-join on (chunk_id, chunk_value) finds all such pairs without a
+    cross product; verify candidates with an exact popcount."""
+    width = SIMHASH_BITS // bands
+    sh = simhash(df, column, id_col)
+    chunks = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("chunk_id"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("chunk_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.chunk_id") == F.col("b.chunk_id"),
+                      F.col("a.chunk_val") == F.col("b.chunk_val"),
+                      F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

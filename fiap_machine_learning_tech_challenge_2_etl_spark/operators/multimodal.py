@@ -1,0 +1,150 @@
+"""Multimodal column plumbing (extension surface; north star).
+
+Images / audio / video are opaque ``binary`` columns with typed metadata.
+The Spark-side machinery — schema, partitioning, Arrow-batched
+``mapInPandas`` operators, batch shaping — is real and tested; the actual
+media decoding is STUBBED (this container has no image/audio libraries):
+``decode_image`` raises ``NotImplementedError`` unless
+``fake_decoder=True``, which substitutes a deterministic fake (byte-level
+stats standing in for pixel features) so the distributed plumbing can be
+exercised end-to-end.
+
+Scale notes: media blobs dominate row size, so operators (a) select the
+binary column as late as possible (column pruning keeps scans cheap when
+only metadata is touched), (b) process via ``mapInPandas`` with bounded
+Arrow batches (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps
+per-batch memory for multi-MB payloads), and (c) emit compact features,
+never re-emit payload bytes unless asked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# canonical multimodal asset schema
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("media_type", T.StringType()),  # e.g. image/png
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_mean", T.DoubleType()),
+        T.StructField("byte_entropy", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter: wrap the documents table as fake binary assets (UTF-8 bytes
+    as payload) so multimodal plumbing is testable on driver fixtures."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def decode_image(payload: bytes, fake_decoder: bool = False):
+    """STUB: real decoding needs an image library not present in this
+    environment. ``fake_decoder`` returns deterministic byte-level pseudo
+    pixels so the distributed pipeline around the decode is testable."""
+    if not fake_decoder:
+        raise NotImplementedError(
+            "image decoding requires an image library (e.g. Pillow); "
+            "not available in this environment — pass fake_decoder=True "
+            "for the deterministic test double"
+        )
+    return list(payload[:64])  # first bytes stand in for pixel values
+
+
+def extract_features(
+    assets: DataFrame, fake_decoder: bool = True, feature_dim: int = 8
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas``: per-batch pandas processing, compact numeric output,
+    payload never re-emitted. The decode step delegates to ``decode_image``
+    (stubbed; see module docstring)."""
+
+    def op(batches: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                pixels = decode_image(payload, fake_decoder=fake_decoder)
+                n = len(payload)
+                mean = sum(payload) / n if n else 0.0
+                # byte-histogram entropy (deterministic, no libs)
+                counts: dict[int, int] = {}
+                for by in payload:
+                    counts[by] = counts.get(by, 0) + 1
+                ent = -sum(
+                    (c / n) * math.log2(c / n) for c in counts.values()
+                ) if n else 0.0
+                # fixed-dim feature: bucketed means of the fake pixels
+                feat = []
+                if pixels:
+                    step = max(1, len(pixels) // feature_dim)
+                    for i in range(feature_dim):
+                        seg = pixels[i * step : (i + 1) * step] or [0]
+                        feat.append(float(sum(seg)) / len(seg))
+                else:
+                    feat = [0.0] * feature_dim
+                rows.append(
+                    {
+                        "asset_id": r["asset_id"],
+                        "modality": r["modality"],
+                        "n_bytes": n,
+                        "byte_mean": round(mean, 6),
+                        "byte_entropy": round(ent, 6),
+                        "feature": feat,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    # prune to the columns the operator needs BEFORE the Arrow transfer
+    pruned = assets.select("asset_id", "modality", "payload")
+    return pruned.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing (video stand-in): emit up to ``max_frames``
+    byte-offset "frames" per asset. Pure built-in exprs (sequence + slice on
+    the binary length); the real frame decode would slot into
+    ``extract_features``' mapInPandas."""
+    n = F.length("payload").cast("long")
+    offsets = F.slice(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes)),
+        1,
+        max_frames,
+    )
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )

@@ -1,0 +1,129 @@
+"""Text analysis operators for LLM training-data pipelines (extension
+surface; north star). All hot-path logic is built-in JVM expressions —
+splits, regexes, array lambdas, md5 — no Python UDFs, so the whole stage
+stays inside whole-stage codegen and scales linearly with no shuffle.
+
+Operators: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword ratios), language ID (stopword-overlap heuristic),
+document fingerprinting (md5 content hash, full + 60-bit numeric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pretokenizer: word pieces or single non-space punctuation — the
+# shape GPT-2-style byte-pair pretokenization produces (public regex idiom).
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+# Tiny public stopword lists (top function words per language) for the
+# language-ID heuristic. Deliberately small: the heuristic is a ratio
+# argmax, not a classifier.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
+    "fr": ("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "von", "mit"),
+    "pt": ("o", "a", "de", "que", "e", "em", "um", "uma", "para", "com"),
+}
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Lowercase + whitespace-collapse + trim — the canonical form used by
+    fingerprinting and exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def ws_tokens(col: str | Column) -> Column:
+    """Whitespace tokenization."""
+    return F.split(normalize_text(col), " ")
+
+
+def add_token_stats(df: DataFrame, column: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + char len."""
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(F.col(column)).cast("long"),
+            "n_ws_tokens": F.array_size(ws_tokens(column)).cast("long"),
+            "n_bpe_tokens": F.array_size(
+                F.regexp_extract_all(F.col(column), F.lit(BPE_TOKEN_RE), 0)
+            ).cast("long"),
+        }
+    )
+
+
+def add_quality_score(df: DataFrame, column: str = "text") -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    length, and a composite [0,1] score. Heuristics follow the public
+    Gopher/C4-style quality-filter recipes (doc length bounds, symbol ratio,
+    stop-word presence)."""
+    toks = ws_tokens(column)
+    n_tok = F.array_size(toks)
+    n_chars = F.length(F.col(column))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(column), r"[^\w\s]", ""))
+    sw = F.lit(list(STOPWORDS["en"]))
+    n_stop = F.array_size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    mean_wl = (
+        F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_tok, F.lit(1))
+    )
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    # composite: reward moderate length + some stopwords, punish symbol soup
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+    )
+    return df.withColumns(
+        {
+            "punct_ratio": F.round(punct_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "mean_word_len": F.round(mean_wl, 6),
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def add_language_id(df: DataFrame, column: str = "text") -> DataFrame:
+    """Language ID: stopword-overlap ratio per language, argmax with
+    deterministic (alphabetical) tiebreak. N-gram-free heuristic that is
+    exactly replicable in the SQL oracle."""
+    toks = ws_tokens(column)
+    n_tok = F.greatest(F.array_size(toks), F.lit(1))
+
+    def _membership(sw_lit):
+        # single-arg lambda via closure: a 2-arg lambda would make Spark
+        # pass the array index as the second argument
+        return lambda t: F.array_contains(sw_lit, t)
+
+    scores = {
+        lang: F.array_size(F.filter(toks, _membership(F.lit(list(sw))))) / n_tok
+        for lang, sw in STOPWORDS.items()
+    }
+    # argmax via greatest + case chain (alphabetical order = tiebreak)
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    out = df.withColumns(
+        {f"score_{lang}": F.round(scores[lang], 6) for lang in STOPWORDS}
+    )
+    return out.withColumn(
+        "lang_pred", F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    )
+
+
+def add_fingerprint(df: DataFrame, column: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of normalized text (exact-dedup key) plus a
+    60-bit numeric fingerprint (15 hex chars -> bigint) for compact
+    join keys / partitioning at scale."""
+    h = F.md5(normalize_text(column))
+    return df.withColumns(
+        {
+            "fingerprint": h,
+            "fingerprint60": F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+        }
+    )

@@ -347,3 +347,586 @@ def q_null_col_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     ghost = e.withColumn("ghost", F.lit(None).cast("string"))
     return C.drop_all_null_columns(ghost, essential=("event_id",))
+
+
+# ==========================================================================
+# Extension surface (SURVEY.md section 2.13 / build plan M7): joins, grouped
+# aggregation, set ops, top-k, rollup, JSON extraction
+# ==========================================================================
+
+
+@_register(
+    "tpch_q1_agg",
+    sql="""
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity) AS sum_qty,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+    AS sum_disc_price_cents,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(avg(l_discount), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation (TPC-H Q1 shape): hash aggregate with map-side
+    partial agg; price sums as integer cents for cross-engine exactness
+    (summation order is engine-dependent for doubles)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_cents"),
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "sum_disc_price_cents"
+        ),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "star_join_agg",
+    sql="""
+SELECT r.r_name, n.n_name,
+  count(*) AS n_customers,
+  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact (customer) against broadcast dims (nation,
+    region) — zero fact-side shuffles for the lookups; one agg exchange."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import join_dims
+
+    t = load_testdata(spark, sf_dir, ["customer", "nation", "region"])
+    joined = join_dims(
+        t["customer"],
+        [(t["nation"], t["customer"].c_nationkey == t["nation"].n_nationkey)],
+    )
+    joined = join_dims(
+        joined, [(t["region"], F.col("n_regionkey") == F.col("r_regionkey"))]
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("acctbal_cents"),
+    )
+
+
+@_register(
+    "join_topk_revenue",
+    sql="""
+SELECT o.o_orderkey, strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, o.o_orderkey
+LIMIT 10
+""",
+)
+def q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join (shuffle on orderkey, AQE-planned) + grouped
+    revenue + deterministic global top-k (TakeOrderedAndProject)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import top_k
+
+    t = load_testdata(spark, sf_dir, ["lineitem", "orders"])
+    joined = t["lineitem"].join(
+        t["orders"].filter(F.col("o_orderstatus") != "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    rev = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                "long"
+            )
+        ).alias("revenue_cents")
+    )
+    out = rev.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "revenue_cents",
+    )
+    return top_k(out, [F.col("revenue_cents").desc(), F.col("o_orderkey")], 10)
+
+
+@_register(
+    "semi_join_customers",
+    sql="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one order."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import semi_join
+
+    t = load_testdata(spark, sf_dir, ["customer", "orders"])
+    return semi_join(
+        t["customer"],
+        t["orders"].select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "anti_join_customers",
+    sql="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+""",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no order since 2001."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import anti_join
+
+    t = load_testdata(spark, sf_dir, ["customer", "orders"])
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    )
+    return anti_join(
+        t["customer"],
+        recent.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+    ).select("c_custkey", "c_name")
+
+
+@_register(
+    "set_ops",
+    sql="""
+SELECT 'union' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+UNION ALL
+SELECT 'intersect' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+UNION ALL
+SELECT 'except' AS op, c_custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+)
+""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: union(distinct) / intersect / except, tagged."""
+    c = load_testdata(spark, sf_dir, ["customer"])["customer"]
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "c_custkey")  # noqa: E731
+    return (
+        tag(a.union(b).distinct(), "union")
+        .unionAll(tag(a.intersect(b), "intersect"))
+        .unionAll(tag(a.exceptAll(b).distinct(), "except"))
+    )
+
+
+@_register(
+    "top_k_orders",
+    sql="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+""",
+)
+def q_top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject (per-task heaps, no full sort)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import top_k
+
+    o = load_testdata(spark, sf_dir, ["orders"])["orders"]
+    return top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        20,
+    )
+
+
+@_register(
+    "rollup_agg",
+    sql="""
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation (hierarchical subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@_register(
+    "cube_agg",
+    sql="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube aggregation (all grouping-set combinations)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "json_extract_agg",
+    sql="""
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+  count(*) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (events.props) + grouped agg."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.functions.json_props import json_get
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", json_get("props", "k").cast("int"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+# ==========================================================================
+# LLM-data-pipeline extension: text analysis, dedup family, similarity
+# search (north star). Oracle SQL for hash-based operators replicates the
+# md5-derived arithmetic exactly (both engines share md5).
+# ==========================================================================
+
+# DuckDB SQL fragments mirroring operators.text/dedup internals
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_H60 = "CAST(concat('0x', substring(md5({x}), 1, 15)) AS BIGINT)"
+_SQL_SHINGLES3 = (
+    "list_transform(generate_series(1, greatest(len(toks) - 2, 1)),"
+    " i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+
+@_register(
+    "text_stats",
+    sql=f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_calc,
+  CAST(len({_SQL_TOKS}) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokens + char length."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_token_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return add_token_stats(d).select(
+        "doc_id", "n_chars_calc", "n_ws_tokens", "n_bpe_tokens"
+    )
+
+
+_SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id, len(toks) AS n_tok, n_chars, n_punct,
+    len(list_filter(toks, t -> list_contains(
+      ['the','a','of','and','to','in','is','it','that','for'], t))) AS n_stop,
+    list_sum(list_transform(toks, t -> length(t))) AS sum_wl
+  FROM base
+)
+SELECT doc_id,
+  round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+  round(n_stop / greatest(n_tok, 1), 6) AS stopword_ratio,
+  round(sum_wl / greatest(n_tok, 1), 6) AS mean_word_len,
+  round(least(n_tok / 100.0, 1.0) * 0.4
+      + least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0) * 0.4
+      + (1.0 - least((n_punct / greatest(n_chars, 1)) * 4.0, 1.0)) * 0.2, 6)
+    AS quality_score
+FROM r
+"""
+
+
+@_register("text_quality", sql=_SQL_QUALITY)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation/stopword ratios, mean word length,
+    composite score (Gopher/C4-style heuristics)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return add_quality_score(d).select(
+        "doc_id", "punct_ratio", "stopword_ratio", "mean_word_len", "quality_score"
+    )
+
+
+def _langid_sql() -> str:
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import STOPWORDS
+
+    score_exprs = []
+    for lang, sw in STOPWORDS.items():
+        lst = "[" + ",".join(f"'{w}'" for w in sw) + "]"
+        score_exprs.append(
+            f"len(list_filter(toks, t -> list_contains({lst}, t)))"
+            f" / greatest(len(toks), 1) AS s_{lang}"
+        )
+    case = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    rounded = ", ".join(f"round(s_{lang}, 6) AS score_{lang}" for lang in STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {', '.join(score_exprs)} FROM t),
+b AS (SELECT *, greatest(s_en, s_es, s_fr, s_de, s_pt) AS best FROM s)
+SELECT doc_id, {rounded},
+  CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'unknown' END AS lang_pred
+FROM b
+"""
+
+
+@_register("language_id", sql=_langid_sql())
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: stopword-overlap ratio argmax (deterministic tiebreak)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return add_language_id(d).select(
+        "doc_id", "score_en", "score_es", "score_fr", "score_de", "score_pt", "lang_pred"
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    sql=f"""
+SELECT doc_id, md5({_SQL_NORM}) AS fingerprint,
+  {_SQL_H60.format(x=_SQL_NORM)} AS fingerprint60
+FROM documents
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash + 60-bit numeric key."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return add_fingerprint(d).select("doc_id", "fingerprint", "fingerprint60")
+
+
+@_register(
+    "exact_dedup_docs",
+    sql=f"""
+SELECT md5({_SQL_NORM}) AS fingerprint, min(doc_id) AS doc_id,
+  count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep smallest id."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "ngram_jaccard_topk",
+    sql=f"""
+WITH sh0 AS (
+  SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), sh AS (
+  SELECT doc_id, {_SQL_H60.format(x='s')} AS sh
+  FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh0)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+  round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity, top-20 pairs (inverted-index join —
+    no cross product; the scale guard max_shingle_freq is exercised in
+    tests)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import top_k
+
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+    return top_k(
+        pairs, [F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")], 20
+    )
+
+
+def _minhash_sql(num_perm: int = 16) -> str:
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        MINHASH_P,
+        _minhash_params,
+    )
+
+    mins = ", ".join(
+        f"min((h % {MINHASH_P} * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_minhash_params(num_perm))
+    )
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), h AS (
+  SELECT doc_id, {_SQL_H60.format(x='s')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh0)
+)
+SELECT doc_id, {mins} FROM h GROUP BY doc_id
+"""
+
+
+@_register("minhash_signatures", sql=_minhash_sql())
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (16 universal hashes over 3-gram shingles) —
+    value-level oracle check of the signature math itself."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(bits: int = 60) -> str:
+    bsums = ", ".join(f"sum((th >> {i}) & 1) AS b{i}" for i in range(bits))
+    terms = " + ".join(
+        f"(CASE WHEN b{i} * 2 > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {_SQL_H60.format(x='tok')} AS th FROM toks
+), agg AS (
+  SELECT doc_id, count(*) AS n, {bsums} FROM h GROUP BY doc_id
+)
+SELECT doc_id, {terms} AS simhash FROM agg
+"""
+
+
+@_register("simhash_docs", sql=_simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (60-bit, per-bit token majority) — value-level oracle check."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# LSH-based near-dup / ANN: approximate by construction -> rows-only checks
+# (the driver records the weaker check); exactness of the underlying
+# signatures is oracle-verified above, and recall is pytest-verified against
+# brute force.
+
+
+@_register("minhash_lsh_near_dup")
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (banded candidates, exact-Jaccard verify)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+    )
+
+    return minhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, num_perm=16, bands=8
+    )
+
+
+@_register("simhash_near_dup")
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (banded hamming<=3)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "embedding_cosine_topk",
+    sql="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+c AS (
+  SELECT vec_id,
+    round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM embeddings, q
+)
+SELECT vec_id, cos FROM c ORDER BY cos DESC, vec_id LIMIT 10
+""",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k against the vec_id=0 query vector
+    (broadcast literal; TakeOrderedAndProject top-k)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return cosine_topk(emb, list(qv), k=10)
+
+
+@_register(
+    "embedding_topk_pairs",
+    sql=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+    AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+ORDER BY cos DESC, id_a, id_b LIMIT 20
+""",
+)
+def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine top-20 — the small-sf correctness oracle for
+    near-dup detection (the scale path is the LSH variant below; all-pairs
+    is O(n^2) and only run at oracle scale)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        all_pairs_cosine_topk,
+    )
+
+    return all_pairs_cosine_topk(_t(spark, sf_dir, "embeddings"), k=20)
+
+
+@_register("embedding_ann_lsh")
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH multi-probe (scale path;
+    recall vs brute force is pytest-verified)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        lsh_bucket_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return lsh_bucket_topk(emb, list(qv), k=10)

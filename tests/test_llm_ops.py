@@ -1,0 +1,201 @@
+"""Tests for the LLM-pipeline extension operators: dedup family recall,
+similarity-search recall vs brute force, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators import dedup as D
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators import similarity as S
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    """Corpus with planted near-duplicates: 1<->2 near-identical,
+    3<->4 identical, the rest distinct."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "the bird in the tall green tree near the old red barn"
+    )
+    rows = [
+        (1, base),
+        (2, base.replace("red barn", "blue barn")),  # 1-word change
+        (3, "completely different text about spark query engines and joins"),
+        (4, "completely different text about spark query engines and joins"),
+        (5, "unrelated short document"),
+        (6, "numbers and symbols only 123 456 789 xyz abc def ghi jkl mno"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_identical(spark, near_dup_docs):
+    out = D.exact_dedup(near_dup_docs)
+    rows = {r["doc_id"]: r["n_copies"] for r in out.collect()}
+    assert rows[3] == 2  # 3 and 4 identical -> kept min id with 2 copies
+    assert 4 not in rows
+    assert out.count() == 5
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark, near_dup_docs):
+    pairs = D.minhash_near_dup_pairs(
+        near_dup_docs, threshold=0.5, num_perm=16, bands=8
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # near-identical pair recalled
+    assert (3, 4) in found  # identical pair recalled
+    assert all(r["jaccard"] >= 0.5 for r in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, near_dup_docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(near_dup_docs).collect()
+    }
+    assert pairs[(3, 4)] == 1.0  # identical docs
+    assert pairs[(1, 2)] > 0.5  # near-identical
+    assert (1, 3) not in pairs  # disjoint shingles never meet (no cross join)
+
+
+def test_ngram_jaccard_shingle_freq_cap(spark, near_dup_docs):
+    # cap of 1 removes every shared shingle -> no pairs survive
+    out = D.ngram_jaccard_pairs(near_dup_docs, max_shingle_freq=1)
+    assert out.count() == 0
+
+
+def test_simhash_near_dup(spark, near_dup_docs):
+    sims = {r["doc_id"]: r["simhash"] for r in D.simhash(near_dup_docs).collect()}
+    assert sims[3] == sims[4]  # identical text -> identical simhash
+    pairs = D.simhash_near_dup_pairs(near_dup_docs, max_hamming=3).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(3, 4)] == 0
+
+
+def test_simhash_deterministic_across_partitionings(spark, near_dup_docs):
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash(near_dup_docs).collect()}
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash(near_dup_docs.repartition(5)).collect()
+    }
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+
+def _embeddings(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    return load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qv, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in S.lsh_bucket_topk(emb, qv, k=10, max_probe_hamming=6).collect()
+    ]
+    # multi-probe LSH at hamming<=6/16 must recall most of the true top-10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+    assert approx[0] == 0  # the query vector itself is its own nearest
+
+
+def test_cosine_topk_self_similarity(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    qv = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    top = S.cosine_topk(emb, qv, k=3).collect()
+    assert top[0]["vec_id"] == 7
+    assert top[0]["cos"] == 1.0
+
+
+def test_embedding_near_dup_pairs_finds_planted(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.95, n_planes=16, bands=8)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert (1, 3) not in found
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick, brown fox!"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TX.add_token_stats(df).collect()}
+    assert out[1]["n_ws_tokens"] == 4
+    assert out[1]["n_bpe_tokens"] == 6  # 4 words + ',' + '!'
+    q = {r["doc_id"]: r for r in TX.add_quality_score(df).collect()}
+    assert 0.0 <= q[1]["quality_score"] <= 1.0
+    assert q[1]["punct_ratio"] > 0
+
+
+def test_language_id_picks_stopword_language(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog in the house of it"),
+            (2, "el gato y la casa de que en un dia"),
+            (3, "zzz qqq www"),  # no stopwords at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in TX.add_language_id(df).collect()}
+    assert out[1] == "en"
+    assert out[2] == "es"
+    assert out[3] == "unknown"
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators import multimodal as MM
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"].limit(20)
+    assets = MM.documents_as_assets(docs)
+    assert [f.name for f in assets.schema.fields] == [
+        f.name for f in MM.ASSET_SCHEMA.fields
+    ]
+    feats = MM.extract_features(assets, fake_decoder=True)
+    rows = feats.collect()
+    assert len(rows) == 20
+    r0 = rows[0]
+    assert r0["n_bytes"] > 0
+    assert len(r0["feature"]) == 8
+    assert 0 <= r0["byte_entropy"] <= 8
+
+
+def test_multimodal_decode_stub_raises(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake_decoder=False)
+
+
+def test_multimodal_frame_sampling(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators import multimodal as MM
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"].limit(5)
+    frames = MM.sample_frames(MM.documents_as_assets(docs), every_n_bytes=50)
+    rows = frames.collect()
+    assert all(r["frame_idx"] < 8 for r in rows)
+    assert all(r["byte_offset"] % 50 == 0 for r in rows)

@@ -1,0 +1,155 @@
+"""Structured Streaming incrementality (SURVEY.md M6, section 2.12 O1/O6).
+
+The reference's incremental unit is "one file landed on S3": an S3 event
+fires a Lambda which starts a Glue job with the file's URI
+(lambda/handler_last_date.py:23-42 -> etl/etl.py:14,29). The Spark-native
+replacement is the Structured Streaming file source: the checkpoint
+replaces Glue job bookmarks (job.init/commit, etl/etl.py:18-19,110), the
+``availableNow`` trigger replaces the event hop (process everything new,
+then stop — re-run on a schedule or keep running), and ``foreachBatch``
+runs the SAME batch transform stages against each micro-batch with a
+dynamic-partition-overwrite sink — one code path for batch and streaming.
+
+Beyond reference parity (which has no in-engine streaming), the windowed/
+sessionized aggregations and the custom stateful operator below are the
+streaming extension surface: watermarks bound state for late data; the
+session window is Spark-native; the running-stats operator shows
+``applyInPandasWithState`` for semantics the built-ins don't cover.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def run_incremental_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    transform: Callable[[DataFrame], DataFrame],
+    output_dir: str,
+    checkpoint_dir: str,
+    partition_by: Sequence[str],
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """EP1 re-expressed: watch a directory of parquet files, run the batch
+    transform on each micro-batch, write with per-partition overwrite.
+
+    ``availableNow`` drains everything not yet checkpointed and stops —
+    exactly-once per file, like the reference's per-file Glue runs but
+    without the Lambda/StepFn control plane. ``max_files_per_trigger``
+    bounds micro-batch size for backfills (10^6 landed files won't be
+    one giant batch).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df)
+        (
+            out.write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy(*partition_by)
+            .parquet(output_dir)
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling/sliding windowed aggregation with a watermark for late data:
+    counts + value sums per (window, event_type). Works on both batch and
+    streaming DataFrames (same plan; watermark is a no-op in batch)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows (dynamic-length, gap-based) per user — Spark-native
+    ``session_window``; state is bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- custom stateful operator: running per-key stats across micro-batches ---
+
+RUNNING_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+RUNNING_OUTPUT_SCHEMA = (
+    "user_id BIGINT, batch_n BIGINT, running_n BIGINT, running_total DOUBLE"
+)
+
+
+def _running_stats_fn(key, pdfs, state: GroupState):
+    """Accumulate (count, sum) per user across micro-batches — the
+    applyInPandasWithState shape for operators the built-ins can't express
+    (e.g. custom decay, model state)."""
+    import pandas as pd
+
+    n, total = state.get if state.exists else (0, 0.0)
+    batch_n = 0
+    for pdf in pdfs:
+        batch_n += len(pdf)
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "batch_n": [batch_n],
+            "running_n": [n],
+            "running_total": [total],
+        }
+    )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, sum) surviving across micro-batches."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_stats_fn,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,255 @@
+"""Tests for the catalog DDL layer (G1-G7) and Structured Streaming
+incrementality (M6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources import catalog as G
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("date", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture()
+def ext_table(spark, tmp_path):
+    """A partitioned parquet layout on disk + a registered external table."""
+    loc = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [("a", 1.0, "2024-01-01"), ("b", 2.0, "2024-01-02")], schema=SCHEMA
+    )
+    df.write.partitionBy("date").parquet(loc)
+    G.ensure_database(spark, "testdb")
+    G.ensure_external_table(
+        spark, "testdb", "t1", SCHEMA, partition_by=["date"], location=loc
+    )
+    yield "testdb", "t1", loc
+    spark.sql("DROP TABLE IF EXISTS testdb.t1")
+    spark.sql("DROP DATABASE IF EXISTS testdb")
+
+
+def test_ensure_idempotent(spark, ext_table):
+    db, tbl, loc = ext_table
+    # G1/G2 — repeat creation must not raise (reference swallows AlreadyExists)
+    G.ensure_database(spark, db)
+    G.ensure_external_table(spark, db, tbl, SCHEMA, ["date"], loc)
+
+
+def test_repair_and_list_partitions(spark, ext_table):
+    db, tbl, _ = ext_table
+    assert G.list_partitions(spark, db, tbl) == []  # nothing registered yet
+    G.repair_table(spark, db, tbl)  # G4 — discover from storage layout
+    parts = sorted(p["date"] for p in G.list_partitions(spark, db, tbl))
+    assert parts == ["2024-01-01", "2024-01-02"]
+    # table scan resolves rows through the registered partitions
+    assert spark.table(f"{db}.{tbl}").count() == 2
+
+
+def test_add_partitions_set_difference(spark, ext_table, tmp_path):
+    db, tbl, loc = ext_table
+    G.repair_table(spark, db, tbl)
+    # write a new partition directly to storage (not yet registered)
+    spark.createDataFrame([("c", 3.0, "2024-01-03")], schema=SCHEMA).write.mode(
+        "append"
+    ).partitionBy("date").parquet(loc)
+    # G6/G7 — only the missing spec registers; existing ones are diffed away
+    n = G.add_partitions(
+        spark, db, tbl, [{"date": "2024-01-01"}, {"date": "2024-01-03"}]
+    )
+    assert n == 1
+    assert spark.table(f"{db}.{tbl}").count() == 3
+    # idempotent re-add
+    assert G.add_partitions(spark, db, tbl, [{"date": "2024-01-03"}]) == 0
+
+
+def test_infer_partition_from_uri():
+    # G5 — reference regexes: date=... (extract) and code=.../reference_date=... (load)
+    assert G.infer_partition_from_uri(
+        "s3://b/raw/date=2024-01-02/part-0.parquet", ["date"]
+    ) == {"date": "2024-01-02"}
+    assert G.infer_partition_from_uri(
+        "s3://b/refined/code=PETR4/reference_date=2024-01-02/x.parquet",
+        ["code", "reference_date"],
+    ) == {"code": "PETR4", "reference_date": "2024-01-02"}
+    assert G.infer_partition_from_uri("s3://b/raw/nodate/x.parquet", ["date"]) is None
+
+
+def test_register_incremental(spark, ext_table, tmp_path):
+    db, tbl, loc = ext_table
+    G.repair_table(spark, db, tbl)
+    spark.createDataFrame([("d", 4.0, "2024-01-04")], schema=SCHEMA).write.mode(
+        "append"
+    ).partitionBy("date").parquet(loc)
+    n = G.register_incremental(
+        spark, db, tbl, f"{loc}/date=2024-01-04/part-0.parquet", ["date"]
+    )
+    assert n == 1
+    assert "2024-01-04" in {p["date"] for p in G.list_partitions(spark, db, tbl)}
+
+
+# --------------------------------------------------------------------------
+# streaming
+# --------------------------------------------------------------------------
+
+
+def _write_events_batch(spark, path, start_id, n, day):
+    rows = [(start_id + i, f"2024-01-0{day} 0{i % 10}:00:00", i % 3, "click", 1.0 * i)
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, value double"
+    ).select(
+        "event_id",
+        F.unix_micros(F.col("ts_s").cast("timestamp")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    ).select(
+        "event_id",
+        (F.col("ts_us") * 1000).alias("ts"),  # ns longs, like the testdata
+        "user_id",
+        "event_type",
+        F.col("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_pipeline_exactly_once(spark, tmp_path):
+    """Files landed before a run are processed once; a re-run with no new
+    files writes nothing new; late files are picked up on the next drain
+    (checkpoint = the reference's job bookmark)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.schemas import EVENTS
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        run_incremental_pipeline,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    _write_events_batch(spark, src, 0, 5, day=1)
+
+    def transform(df):
+        return df.withColumn(
+            "event_date", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    run_incremental_pipeline(
+        spark, src, EVENTS, transform, out, ck, partition_by=["event_date"]
+    )
+    assert spark.read.parquet(out).count() == 5
+    # second drain with nothing new: no duplicates
+    run_incremental_pipeline(
+        spark, src, EVENTS, transform, out, ck, partition_by=["event_date"]
+    )
+    assert spark.read.parquet(out).count() == 5
+    # late file -> only it is processed; dynamic overwrite keeps day 1 intact
+    _write_events_batch(spark, src, 100, 3, day=2)
+    run_incremental_pipeline(
+        spark, src, EVENTS, transform, out, ck, partition_by=["event_date"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 8
+    assert back.filter(F.col("event_date") == "2024-01-01").count() == 5
+
+
+def test_windowed_and_session_aggregations_batch_parity(spark, sf_dir):
+    """Windowed/sessionized aggs run identically over a batch DataFrame —
+    verify shapes + totals against plain groupBy."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        sessionized_counts,
+        windowed_event_counts,
+    )
+
+    events = load_testdata(spark, sf_dir, ["events"])["events"]
+    win = windowed_event_counts(events, window="6 hours")
+    total = win.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+    sess = sessionized_counts(events, gap="30 minutes")
+    assert sess.agg(F.sum("n_events")).collect()[0][0] == events.count()
+    assert {"session_start", "session_end", "user_id"} <= set(sess.columns)
+
+
+def test_streaming_windowed_agg_memory_sink(spark, tmp_path):
+    """Drive the windowed agg as a REAL stream (file source -> memory sink)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.schemas import EVENTS
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    src = str(tmp_path / "sin")
+    os.makedirs(src)
+    _write_events_batch(spark, src, 0, 6, day=1)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT sum(n_events) FROM win_counts").collect()[0][0]
+        assert got == 6
+    finally:
+        q.stop()
+
+
+def test_stateful_running_stats_stream(spark, tmp_path):
+    """applyInPandasWithState: state survives across micro-batches."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.schemas import EVENTS
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        running_user_stats,
+    )
+
+    src = str(tmp_path / "st")
+    os.makedirs(src)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _write_events_batch(spark, src, 0, 4, day=1)
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(EVENTS)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch: another file, state should accumulate
+        _write_events_batch(spark, src, 10, 4, day=2)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM running_stats ORDER BY running_n DESC"
+        ).collect()
+        assert len(rows) >= 1
+        by_user: dict[int, int] = {}
+        for r in rows:
+            by_user[r["user_id"]] = max(by_user.get(r["user_id"], 0), r["running_n"])
+        # 8 events total over users 0..2
+        assert sum(by_user.values()) == 8
+    finally:
+        q.stop()

@@ -30,6 +30,11 @@ def main() -> None:
 
     # warm the JVM + parquet footers once so per-query numbers measure work
     ent.entry(spark).write.mode("overwrite").format("noop").save()
+    # warm the Python worker pool (reused across queries) so the first
+    # pandas-UDF query doesn't pay ~32 process spawns
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -23,6 +23,8 @@ Scale design
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,6 +32,7 @@ from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
     normalize_text,
     ws_tokens,
 )
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import spread
 
 # MinHash universal-hash parameters: h_i(x) = (A_i * x + B_i) mod P.
 # P is a 31-bit prime so A*x stays far inside int64; A/B are fixed odd
@@ -96,7 +99,7 @@ def minhash_signatures(
     """Per-document MinHash signature: explode distinct shingles, hash each
     to 60 bits, apply ``num_perm`` universal hashes, take per-doc minima in
     one groupBy pass. Output: (id, mh_0 .. mh_{num_perm-1})."""
-    sh = df.select(
+    sh = spread(df, by=id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
     )
@@ -133,6 +136,9 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band_id", "bb.band_hash")
+    # both sides of the self-join read this subtree: persist instead of
+    # recomputing the signature pipeline twice (tiny: ids + band hashes)
+    melted = melted.persist()
     left = melted.alias("l")
     right = melted.alias("r")
     return (
@@ -158,19 +164,38 @@ def minhash_near_dup_pairs(
     threshold: float = 0.7,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup: signatures -> banded candidates -> exact
-    Jaccard verification of candidates only. Output: (id_a, id_b, jaccard)."""
-    sigs = minhash_signatures(df, column, id_col, num_perm, shingle_n)
-    cands = lsh_candidate_pairs(sigs, id_col, num_perm, bands)
-    jac = ngram_jaccard_pairs(df, column, id_col, shingle_n, min_jaccard=0.0)
+    """Full MinHash-LSH near-dup: ONE corpus pass computes, per doc, both
+    the MinHash signature and its distinct-shingle-hash set (a collect_set
+    riding the same groupBy as the 16 mins); banding yields candidate
+    pairs; exact Jaccard verification then just joins the shingle sets onto
+    the (few) candidates and intersects arrays. No second pass over the
+    corpus, no inverted-index join — at scale the verify cost is
+    O(candidates x doc-size), not O(corpus). Output: (id_a, id_b, jaccard),
+    value-identical to ``ngram_jaccard_pairs`` on the same pairs."""
+    sh = spread(df, by=id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
+    )
+    h60 = token_hash60(F.col("shingle"))
+    h = h60 % MINHASH_P
+    aggs = [
+        F.min((h * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_minhash_params(num_perm))
+    ]
+    per_doc = sh.groupBy(id_col).agg(
+        *aggs, F.collect_set(h60).alias("shset")
+    ).persist()
+    cands = lsh_candidate_pairs(per_doc.drop("shset"), id_col, num_perm, bands)
+    sets_a = per_doc.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
+    sets_b = per_doc.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
+    inter = F.array_size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.array_size(F.col("set_a")) + F.array_size(F.col("set_b")) - inter
     return (
-        cands.join(
-            jac,
-            on=[cands.id_a == jac.id_a, cands.id_b == jac.id_b],
-            how="inner",
-        )
-        .select(jac.id_a, jac.id_b, "jaccard")
+        cands.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -192,12 +217,15 @@ def ngram_jaccard_pairs(
     sizes. Only pairs sharing >=1 shingle appear. ``max_shingle_freq``
     drops boilerplate shingles (document-frequency cap) — the standard
     guard against quadratic hot-shingle blowup at scale."""
-    sh = df.select(
+    sh = spread(df, by=id_col).select(
         F.col(id_col), F.explode(F.array_distinct(shingles(column, shingle_n))).alias("s")
     ).withColumn("sh", token_hash60(F.col("s"))).drop("s")
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("sh"), "sh", "left_semi")
+    # the inverted index is read three times (sizes + both join sides):
+    # persist the (id, shingle-hash) pairs instead of re-hashing the corpus
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -233,22 +261,31 @@ def simhash(
     df: DataFrame, column: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """60-bit SimHash: per-token 60-bit md5 hash, per-bit majority vote over
-    the document's tokens. Computed as 60 conditional sums in a single
-    groupBy (no token x bit explosion). Output: (id, simhash)."""
-    toks = df.select(
+    the document's tokens. Tokenizing and hashing stay JVM-side (so string
+    semantics are byte-identical to the SQL oracle); the vote runs as one
+    Arrow-batched pandas UDF over the per-doc hash list — exact int64 math
+    on a (tokens x 60) bit matrix. This replaces a 60-column conditional-sum
+    aggregate whose whole-stage-codegen compile alone cost multiple seconds.
+    Output: (id, simhash)."""
+    toks = spread(df, by=id_col).select(
         F.col(id_col), F.explode(ws_tokens(column)).alias("tok")
-    ).withColumn("th", token_hash60(F.col("tok")))
-    bit_sums = [
-        F.sum(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy(id_col).agg(F.count("*").alias("n"), *bit_sums)
-    sim = None
-    for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1)).otherwise(F.lit(0))
-        term = bit.cast("long") * F.lit(1 << i).cast("long")
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+    ).select(id_col, token_hash60(F.col("tok")).alias("th"))
+    per_doc = toks.groupBy(id_col).agg(F.collect_list("th").alias("ths"))
+
+    @F.pandas_udf("long")
+    def _vote(ths: pd.Series) -> pd.Series:
+        import numpy as np
+
+        shifts = np.arange(SIMHASH_BITS)
+
+        def one(h):
+            th = np.asarray(h, dtype=np.int64)
+            counts = ((th[:, None] >> shifts) & 1).sum(axis=0)
+            return int((((counts * 2 > len(th)).astype(np.int64)) << shifts).sum())
+
+        return ths.map(one)
+
+    return per_doc.select(F.col(id_col), _vote("ths").alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -279,6 +316,7 @@ def simhash_near_dup_pairs(
             ])
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
+    chunks = chunks.persist()  # both self-join sides; avoids 2x simhash
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, on=[F.col("a.chunk_id") == F.col("b.chunk_id"),

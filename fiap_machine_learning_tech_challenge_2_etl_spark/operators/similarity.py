@@ -23,8 +23,12 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import spread
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -70,25 +74,47 @@ def all_pairs_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact all-pairs cosine top-k (small-sf oracle; O(n^2) — the scale
-    path is LSH). Norms are computed ONCE per vector before the pair join,
-    so each pair evaluates a single dot product instead of three."""
-    withn = df.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("nrm")
-    )
-    a = withn.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
-    )
-    b = withn.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    out = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias(
-            "cos"
-        ),
+    """Exact all-pairs cosine top-k via broadcast brute force: the full
+    (id, L2-normalized vector) matrix is broadcast once; each task computes
+    its block's cosines against the whole matrix with ONE BLAS matmul
+    (Arrow-batched numpy — no per-element expression interpretation) and
+    keeps a local top-k (all ties at the boundary retained, so the global
+    TakeOrdered merge is exact).
+
+    Scale note: brute-force all-pairs needs one side resident per task
+    (~0.5 KB/vector at dim 64 → ~10^8 vectors in 50 GB executor memory);
+    compute is O(n^2 d) regardless of engine. Beyond that regime use
+    ``embedding_near_dup_pairs`` (LSH-banded candidates) — the exact scan
+    stops being the right tool, not just the right plan."""
+    import numpy as np
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    pdf = df.select(id_col, vec_col).toPandas()
+    b_ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((b_ids, mat))
+
+    def block_topk(batches):
+        import pandas as pd
+
+        ids_b, m_b = bc.value
+        for block in batches:
+            a_ids = block[id_col].to_numpy()
+            a = np.stack(block[vec_col].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            cos = np.round(a @ m_b.T, 6)
+            ai, bi = np.nonzero(a_ids[:, None] < ids_b[None, :])
+            vals = cos[ai, bi]
+            if len(vals) > k:
+                kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+                keep = vals >= kth  # ">=" keeps boundary ties for the merge
+                ai, bi, vals = ai[keep], bi[keep], vals[keep]
+            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": ids_b[bi], "cos": vals})
+
+    out = spread(df.select(id_col, vec_col)).mapInPandas(
+        block_topk, schema=f"id_a {id_type}, id_b {id_type}, cos double"
     )
     return out.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(k)
 
@@ -114,18 +140,23 @@ def add_lsh_signature(
     vec_col: str = "embedding",
     output: str = "lsh_sig",
 ) -> DataFrame:
-    """Random-hyperplane signature: bit p = sign(v . h_p). One pass of
-    built-in expressions; at ingest time this is the cheap precompute that
-    makes later searches sublinear."""
-    planes = _hyperplanes(dim, n_planes)
-    sig = None
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = (
-            F.when(_dot(F.col(vec_col), lit_plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        ).cast("long") * F.lit(1 << p).cast("long")
-        sig = bit if sig is None else sig + bit
-    return df.withColumn(output, sig)
+    """Random-hyperplane signature: bit p = sign(v . h_p), all planes in
+    ONE Arrow-batched matmul per block (a 16-plane expression tree of
+    per-element array folds costs seconds of codegen alone and runs
+    interpreted). At ingest time this is the cheap precompute that makes
+    later searches sublinear."""
+    import numpy as np
+
+    planes_t = np.array(_hyperplanes(dim, n_planes), dtype=np.float64).T  # (D, P)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, D)
+        bits = (v @ planes_t) >= 0.0  # (N, P)
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return spread(df).withColumn(output, _sig(F.col(vec_col)))
 
 
 def lsh_bucket_topk(
@@ -188,6 +219,7 @@ def embedding_near_dup_pairs(
             ])
         ).alias("c"),
     ).select(id_col, vec_col, "c.chunk_id", "c.chunk_val")
+    chunks = chunks.persist()  # both self-join sides; avoids 2x signatures
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, on=[F.col("a.chunk_id") == F.col("b.chunk_id"),

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import spread
+
 # BPE-ish pretokenizer: word pieces or single non-space punctuation — the
 # shape GPT-2-style byte-pair pretokenization produces (public regex idiom).
 BPE_TOKEN_RE = r"\w+|[^\w\s]"
@@ -43,7 +45,7 @@ def ws_tokens(col: str | Column) -> Column:
 
 def add_token_stats(df: DataFrame, column: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex tokens + char len."""
-    return df.withColumns(
+    return spread(df).withColumns(
         {
             "n_chars_calc": F.length(F.col(column)).cast("long"),
             "n_ws_tokens": F.array_size(ws_tokens(column)).cast("long"),
@@ -59,6 +61,7 @@ def add_quality_score(df: DataFrame, column: str = "text") -> DataFrame:
     length, and a composite [0,1] score. Heuristics follow the public
     Gopher/C4-style quality-filter recipes (doc length bounds, symbol ratio,
     stop-word presence)."""
+    df = spread(df)
     toks = ws_tokens(column)
     n_tok = F.array_size(toks)
     n_chars = F.length(F.col(column))
@@ -91,6 +94,7 @@ def add_language_id(df: DataFrame, column: str = "text") -> DataFrame:
     """Language ID: stopword-overlap ratio per language, argmax with
     deterministic (alphabetical) tiebreak. N-gram-free heuristic that is
     exactly replicable in the SQL oracle."""
+    df = spread(df)
     toks = ws_tokens(column)
     n_tok = F.greatest(F.array_size(toks), F.lit(1))
 

@@ -1,0 +1,31 @@
+"""Parallelism utilities shared by compute-heavy operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Ensure ``df`` carries at least the cluster's default parallelism
+    before compute-heavy per-row work (hashing, shingle explodes, regex
+    sweeps, vectorized UDF blocks).
+
+    A small input — one tiny file, a single parquet row group — otherwise
+    pins the whole downstream stage to ONE task no matter how many cores
+    exist, because explode/withColumn never add partitions. The check uses
+    ``inputFiles()`` (driver-side plan metadata: no job, no RDD conversion —
+    ``df.rdd.getNumPartitions()`` costs ~1 s per call and can trigger AQE
+    stage materialization), so on a real cluster, where inputs already span
+    at least as many files as cores, this is a no-op and no blind shuffle is
+    introduced. The explicit partition count also keeps AQE from coalescing
+    the exchange back down to one task on small data.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # streaming / un-plannable inputs: leave untouched
+        return df
+    if n_files >= target:
+        return df
+    return df.repartition(target, by) if by is not None else df.repartition(target)

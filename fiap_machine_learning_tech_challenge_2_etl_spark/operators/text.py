@@ -10,7 +10,7 @@ document fingerprinting (md5 content hash, full + 60-bit numeric).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from fiap_machine_learning_tech_challenge_2_etl_spark.util import spread
@@ -118,6 +118,63 @@ def add_language_id(df: DataFrame, column: str = "text") -> DataFrame:
     return out.withColumn(
         "lang_pred", F.when(best > 0, pred).otherwise(F.lit("unknown"))
     )
+
+
+WINNOW_POS_MAX = (1 << 20) - 1  # packed-key position field; docs <1M chars
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — public algorithm): hash every character k-gram of the
+    normalized text, slide a window of ``window`` consecutive hashes, keep
+    the minimal hash per window (rightmost on ties), dedupe the selections.
+    Guarantees a shared fingerprint for any shared substring of length
+    >= window+k-1 — the standard local near-copy detector.
+
+    Distributed formulation: k-grams via posexplode (the per-gram md5 is
+    vectorized JVM-side; a Karp-Rabin rolling hash is a single-node
+    micro-optimization — the contract is the selected-fingerprint set, not
+    the hashing loop), then (hash, position) packed into ONE 60-bit key
+    ``hash<<20 | (POS_MAX - pos)`` so a plain windowed ``min`` implements
+    argmin-with-rightmost-tiebreak identically here and in the SQL oracle.
+    Only complete windows select (classical winnowing), so docs shorter
+    than window+k-1 chars yield no rows. Output: (id, pos, fp)."""
+    norm = normalize_text(column)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    grams = spread(df, by=id_col).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+        ).alias("pos0", "gram"),
+    )
+    h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
+    pos = (F.col("pos0") + 1).cast("long")
+    keys = grams.select(
+        F.col(id_col),
+        pos.alias("pos"),
+        (h40 * F.lit(1 << 20).cast("long") + (F.lit(WINNOW_POS_MAX) - pos)).alias(
+            "key"
+        ),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    sel = keys.withColumn("k", F.min("key").over(w)).filter(F.col("pos") >= window)
+    return sel.select(
+        F.col(id_col),
+        (F.lit(WINNOW_POS_MAX) - F.col("k").bitwiseAND(F.lit(WINNOW_POS_MAX)))
+        .cast("long")
+        .alias("pos"),
+        F.shiftright(F.col("k"), 20).alias("fp"),
+    ).distinct()
 
 
 def add_fingerprint(df: DataFrame, column: str = "text") -> DataFrame:

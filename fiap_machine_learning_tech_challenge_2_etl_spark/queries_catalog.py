@@ -930,3 +930,108 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return lsh_bucket_topk(emb, list(qv), k=10)
+
+
+# ==========================================================================
+# Multimodal plumbing (north star; operators/multimodal.py)
+# ==========================================================================
+
+
+@_register(
+    "multimodal_features",
+    sql="""
+SELECT doc_id AS asset_id, 'image' AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  round(list_avg(list_transform(range(1, length(text)+1), i -> unicode(text[i]))), 6)
+    AS byte_mean
+FROM documents
+""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction plumbing: documents wrapped as binary
+    assets, Arrow-batched mapInPandas feature pass (decode stubbed with the
+    deterministic fake). Byte stats are value-checked against the oracle
+    (docs are ASCII, so UTF-8 bytes == code points); entropy/feature vector
+    are pytest-verified."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import (
+        documents_as_assets,
+        extract_features,
+    )
+
+    assets = documents_as_assets(_t(spark, sf_dir, "documents"))
+    return extract_features(assets, fake_decoder=True).select(
+        "asset_id", "modality", "n_bytes", "byte_mean"
+    )
+
+
+@_register(
+    "multimodal_frame_sample",
+    sql="""
+SELECT d.doc_id AS asset_id, 'image' AS modality,
+  CAST(r.i AS INT) AS frame_idx,
+  CAST(r.i * 1024 AS BIGINT) AS byte_offset
+FROM documents d, range(0, 8) r(i)
+WHERE r.i * 1024 <= greatest(octet_length(encode(d.text)) - 1, 0)
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video stand-in): byte-offset frames per
+    asset via built-in sequence+posexplode — schema, partitioning and batch
+    shape of the real frame sampler, value-checked end-to-end."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import (
+        documents_as_assets,
+        sample_frames,
+    )
+
+    assets = documents_as_assets(_t(spark, sf_dir, "documents"))
+    return sample_frames(assets, every_n_bytes=1024, max_frames=8)
+
+
+@_register(
+    "winnowing_fingerprints",
+    sql=f"""
+WITH g0 AS (
+  SELECT doc_id, norm,
+    unnest(generate_series(1, greatest(length(norm) - 7, 1))) AS pos
+  FROM (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)
+), grams AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+    CAST(concat('0x', substring(md5(substring(norm, CAST(pos AS INT), 8)), 1, 10))
+         AS BIGINT) AS h40
+  FROM g0
+), keys AS (
+  SELECT doc_id, pos, h40 * 1048576 + (1048575 - pos) AS key FROM grams
+), sel AS (
+  SELECT doc_id, pos,
+    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS k
+  FROM keys
+)
+SELECT DISTINCT doc_id, CAST(1048575 - (k & 1048575) AS BIGINT) AS pos,
+  k >> 20 AS fp
+FROM sel WHERE pos >= 4
+""",
+)
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (k=8 char-grams, window=4) —
+    rolling-hash document fingerprinting, value-checked end-to-end
+    (selected fingerprint set + positions)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_register("embedding_near_dup")
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: hyperplane-LSH banded candidates,
+    exact cosine verify (approximate by construction -> rows-only check;
+    recall vs brute force is pytest-verified)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.9
+    )

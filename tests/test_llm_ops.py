@@ -160,6 +160,29 @@ def test_language_id_picks_stopword_language(spark):
     assert out[3] == "unknown"
 
 
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    # winnowing guarantee: any shared substring of length >= window+k-1
+    # (= 11 chars at k=8, window=4) yields at least one shared fingerprint
+    common = "a shared stretch of identical text runs through here"
+    df = spark.createDataFrame(
+        [
+            (1, f"left context {common} right side"),
+            (2, f"totally different opening {common} other ending"),
+            (3, "no overlap with anything else at all in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = TX.winnowing_fingerprints(df).collect()
+    by_doc = {i: {r["fp"] for r in fps if r["doc_id"] == i} for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2]  # shared substring -> shared fingerprint
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
+    # deterministic under re-partitioning (windowed min is order-keyed)
+    fps2 = TX.winnowing_fingerprints(df.repartition(7)).collect()
+    assert {(r["doc_id"], r["pos"], r["fp"]) for r in fps} == {
+        (r["doc_id"], r["pos"], r["fp"]) for r in fps2
+    }
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing
 # --------------------------------------------------------------------------

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -46,6 +46,97 @@ def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> Dat
 def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
     """NOT EXISTS — rows of left without a match in right."""
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """As-of (point-in-time) join: for every left row, attach the right row
+    with the greatest ``ts_col`` <= the left row's (per ``on`` key); nulls
+    when no prior right row exists. The training-data workhorse for aligning
+    events to the latest snapshot/state at their timestamp.
+
+    Spark lacks a native ASOF join; the scalable formulation is NOT a range
+    join (quadratic blowup per key) but union-sort: tag both inputs, sort
+    within key by (ts, tag) so right rows sort before coincident left rows,
+    and carry right values forward with ``last(ignorenulls)`` over a
+    running frame. ONE exchange on the key, one sort — O(n log n) per key,
+    no pair materialization; skewed keys are bounded by AQE skew handling.
+    Right rows must be unique per (key, ts) for determinism — pre-dedupe.
+
+    Output: all left columns + ``right_value_cols`` (null = no match).
+    """
+    l_tag = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_value_cols],
+    )
+    r_tag = right.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            l_tag.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c) for c in right_value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "__is_left",
+        "__l",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_value_cols],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        "__l.*", *right_value_cols
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    exprs: Sequence[tuple[str, str, str]],
+    salt_buckets: int = 32,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed low-cardinality keys.
+
+    A ``groupBy(keys)`` over a handful of hot keys funnels whole key
+    populations into single reducers; salting splits each key into
+    ``salt_buckets`` sub-groups (phase 1, map-side partials spread across
+    the cluster) and then re-aggregates the tiny partial table (phase 2).
+    Works for algebraic aggregates: ``exprs`` is (fn, col, alias) with fn
+    in {sum, count, min, max}. (Spark's AQE handles skewed JOINS natively;
+    skewed aggregations still benefit from explicit salting.)
+
+    ``salt_source``: column whose hash spreads rows (default: per-row
+    deterministic spread via all grouping-invariant data — pass an id
+    column for stability).
+    """
+    salt = (
+        F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
+        if salt_source
+        else F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    phase1_aggs = []
+    for fn, col, alias in exprs:
+        if fn == "count":
+            phase1_aggs.append(F.count(col if col != "*" else F.lit(1)).alias(alias))
+        else:
+            phase1_aggs.append(getattr(F, fn)(F.col(col)).alias(alias))
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*phase1_aggs)
+    refold = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase2 = [refold[fn](F.col(alias)).alias(alias) for fn, _, alias in exprs]
+    return partial.groupBy(*keys).agg(*phase2)
 
 
 def top_k(df: DataFrame, order_by: Sequence, k: int) -> DataFrame:

@@ -141,6 +141,48 @@ def rank_in_group(
     return df.withColumn(output, fn().over(w))
 
 
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence = (),
+) -> DataFrame:
+    """Fixed (tumbling) time-window aggregation via ``F.window`` — the
+    batch twin of the Structured Streaming windowed agg (same expression
+    works on a stream with a watermark; see streaming.incremental). One
+    hash-agg shuffle on (window, keys); window assignment is a pure
+    projection, so partial aggregation stays map-side."""
+    w = F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(w.alias("win"), *keys)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("win.start"))
+        .withColumn("window_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str],
+    aggs: Sequence = (),
+) -> DataFrame:
+    """Session-window aggregation via ``F.session_window`` (merge rows per
+    key whose gaps are < ``gap``) — batch twin of the streaming session
+    window. Equivalent to the classic gaps-and-islands SQL (lag + running
+    island id), which is what the DuckDB oracle runs."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(w.alias("sess"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("sess.start"))
+        .drop("sess")
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     keys: Sequence[str],

@@ -1035,3 +1035,152 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.9
     )
+
+
+# ==========================================================================
+# Extension: as-of join, time-window aggs, skew-salted agg
+# ==========================================================================
+
+
+@_register(
+    "asof_join_events",
+    sql="""
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+    max(event_id) AS view_id, max_by(value, event_id) AS vval
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, v.view_id,
+  round(v.vval, 6) AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the user's latest view at-or-before
+    its timestamp (union-sort formulation — one exchange, no range blowup;
+    oracle is DuckDB's native ASOF JOIN)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.expr("max_by(value, event_id)").alias("vval"),
+        )
+    )
+    out = asof_join(
+        clicks, views, on="user_id", ts_col="ts", right_value_cols=["view_id", "vval"]
+    )
+    return out.select(
+        "event_id", "user_id", "view_id", F.round("vval", 6).alias("view_value")
+    )
+
+
+@_register(
+    "tumbling_window_agg",
+    sql="""
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+  event_type, count(*) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY 1, 2
+""",
+)
+def q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch twin of the streaming
+    windowed agg; F.window vs time_bucket oracle)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import tumbling_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling_agg(
+        ev,
+        "ts",
+        "1 hour",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        ],
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+    )
+
+
+@_register(
+    "session_window_agg",
+    sql="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), lagged AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              < INTERVAL 10 MINUTE
+         THEN 0 ELSE 1 END AS new_sess
+  FROM e
+), isl AS (
+  SELECT user_id, ts,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  count(*) AS n_events
+FROM isl GROUP BY user_id, sid
+""",
+)
+def q_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation, 10-minute gap (batch twin of the
+    streaming session window; oracle is the classic gaps-and-islands SQL)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import session_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = session_agg(
+        ev, "ts", "10 minutes", keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+
+
+@_register(
+    "skew_salted_agg",
+    sql="""
+SELECT event_type, count(*) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1
+""",
+)
+def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed low-cardinality
+    event_type key — value-identical to a plain groupBy (the oracle), but
+    phase 1 spreads each hot key over 32 salt buckets."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        ev,
+        ["event_type"],
+        [("count", "*", "n_events"), ("sum", "value_cents", "sum_cents")],
+        salt_source="event_id",
+    )

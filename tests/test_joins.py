@@ -1,0 +1,97 @@
+"""As-of join, salted aggregation, and time-window agg semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators import joins as J
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators import windows as W
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 50), (4, "v", 100)],
+        "event_id long, user string, ts long",
+    ).withColumnRenamed("user", "user_id")
+    right = spark.createDataFrame(
+        [("u", 100, 11), ("u", 200, 12), ("v", 150, 13)],
+        "user_id string, ts long, snap_id long",
+    )
+    out = {
+        r["event_id"]: r["snap_id"]
+        for r in J.asof_join(
+            left, right, on="user_id", ts_col="ts", right_value_cols=["snap_id"]
+        ).collect()
+    }
+    assert out[1] == 11  # ts tie: right row at same ts matches (<=)
+    assert out[2] == 12  # latest prior, not first
+    assert out[3] is None  # nothing at or before
+    assert out[4] is None  # other key's snapshots never leak
+
+    # invariant under input partitioning (single ordered window per key)
+    out2 = {
+        r["event_id"]: r["snap_id"]
+        for r in J.asof_join(
+            left.repartition(5),
+            right.repartition(3),
+            on="user_id",
+            ts_col="ts",
+            right_value_cols=["snap_id"],
+        ).collect()
+    }
+    assert out == out2
+
+
+def test_salted_agg_matches_plain_groupby(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ["events"])["events"].withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    plain = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in J.salted_agg(
+            ev,
+            ["event_type"],
+            [("count", "*", "n"), ("sum", "cents", "s")],
+            salt_buckets=8,
+            salt_source="event_id",
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_tumbling_and_session_aggs(spark):
+    rows = [
+        (1, "2024-01-01 00:01:00"),
+        (2, "2024-01-01 00:05:00"),  # same session (4 min gap)
+        (3, "2024-01-01 00:20:00"),  # new session (15 min gap)
+        (4, "2024-01-01 01:10:00"),  # new hour bucket, new session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts_s string").select(
+        "event_id", F.to_timestamp("ts_s").alias("ts"), F.lit(7).alias("user_id")
+    )
+    tum = {
+        r["window_start"].isoformat(): r["n"]
+        for r in W.tumbling_agg(
+            df, "ts", "1 hour", aggs=[F.count(F.lit(1)).alias("n")]
+        ).collect()
+    }
+    assert tum == {"2024-01-01T00:00:00": 3, "2024-01-01T01:00:00": 1}
+    sess = sorted(
+        (r["session_start"].isoformat(), r["n"])
+        for r in W.session_agg(
+            df, "ts", "10 minutes", ["user_id"], aggs=[F.count(F.lit(1)).alias("n")]
+        ).collect()
+    )
+    assert sess == [
+        ("2024-01-01T00:01:00", 2),
+        ("2024-01-01T00:20:00", 1),
+        ("2024-01-01T01:10:00", 1),
+    ]

@@ -1184,3 +1184,78 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("count", "*", "n_events"), ("sum", "value_cents", "sum_cents")],
         salt_source="event_id",
     )
+
+
+def _corpus_clean_sql() -> str:
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import STOPWORDS
+
+    en = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    score_exprs = ", ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ",".join(f"'{w}'" for w in sw)
+        + f"], t))) / greatest(len(toks), 1) AS s_{lang}"
+        for lang, sw in STOPWORDS.items()
+    )
+    case = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_NORM} AS norm, {_SQL_TOKS} AS toks,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct
+  FROM documents
+), r AS (
+  SELECT doc_id, norm, len(toks) AS n_tok, n_chars, n_punct,
+    len(list_filter(toks, t -> list_contains({en}, t))) AS n_stop,
+    {score_exprs}
+  FROM base
+), q AS (
+  SELECT *,
+    round(least(n_tok / 100.0, 1.0) * 0.4
+        + least((n_stop / greatest(n_tok, 1)) * 5.0, 1.0) * 0.4
+        + (1.0 - least((n_punct / greatest(n_chars, 1)) * 4.0, 1.0)) * 0.2, 6)
+      AS quality_score,
+    greatest(s_en, s_es, s_fr, s_de, s_pt) AS best
+  FROM r
+), f AS (
+  SELECT doc_id, norm, n_tok, quality_score,
+    CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'unknown' END AS lang_pred
+  FROM q
+  WHERE quality_score >= 0.5 AND n_tok BETWEEN 10 AND 1000
+), d AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+  FROM f WHERE lang_pred = 'en'
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_ws_tokens, quality_score, lang_pred
+FROM d WHERE rn = 1
+"""
+
+
+@_register("corpus_clean_pipeline", sql=_corpus_clean_sql())
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star composite: the canonical LLM training-data cleaning
+    pipeline — token stats -> quality score -> language ID -> filters
+    (quality >= 0.5, 10..1000 tokens, English) -> exact dedup keeping the
+    lowest doc_id per content fingerprint. One declarative plan: the
+    stats/score/lang stages fuse into a single projection over the scan;
+    the only shuffle is the dedup's (and its key is the 32-byte digest,
+    never the document body)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.cleaning import (
+        dedup_keep_first,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        add_fingerprint,
+        add_language_id,
+        add_quality_score,
+        add_token_stats,
+    )
+
+    d = add_language_id(add_quality_score(add_token_stats(_t(spark, sf_dir, "documents"))))
+    filt = d.filter(
+        (F.col("quality_score") >= 0.5)
+        & F.col("n_ws_tokens").between(10, 1000)
+        & (F.col("lang_pred") == "en")
+    )
+    ded = dedup_keep_first(add_fingerprint(filt), ["fingerprint"], ["doc_id"])
+    return ded.select("doc_id", "n_ws_tokens", "quality_score", "lang_pred")

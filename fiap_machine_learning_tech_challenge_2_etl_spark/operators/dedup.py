@@ -103,12 +103,16 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
     )
-    h = token_hash60(F.col("shingle")) % MINHASH_P
+    # hash once in a projection; the 16 agg children then reference one
+    # cheap long column (smaller codegen, md5 provably evaluated once)
+    hashed = sh.select(
+        F.col(id_col), (token_hash60(F.col("shingle")) % MINHASH_P).alias("h")
+    )
     aggs = [
-        F.min((h * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_minhash_params(num_perm))
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -176,14 +180,15 @@ def minhash_near_dup_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
     )
-    h60 = token_hash60(F.col("shingle"))
-    h = h60 % MINHASH_P
+    hashed = sh.select(F.col(id_col), token_hash60(F.col("shingle")).alias("h60"))
     aggs = [
-        F.min((h * F.lit(a) + F.lit(b)) % MINHASH_P).alias(f"mh_{i}")
+        F.min(((F.col("h60") % MINHASH_P) * F.lit(a) + F.lit(b)) % MINHASH_P).alias(
+            f"mh_{i}"
+        )
         for i, (a, b) in enumerate(_minhash_params(num_perm))
     ]
-    per_doc = sh.groupBy(id_col).agg(
-        *aggs, F.collect_set(h60).alias("shset")
+    per_doc = hashed.groupBy(id_col).agg(
+        *aggs, F.collect_set("h60").alias("shset")
     ).persist()
     cands = lsh_candidate_pairs(per_doc.drop("shset"), id_col, num_perm, bands)
     sets_a = per_doc.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))

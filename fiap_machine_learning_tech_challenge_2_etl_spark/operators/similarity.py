@@ -194,12 +194,17 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    n_planes: int = 32,
     bands: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-signature banding (same
     pigeonhole trick as SimHash) to generate candidates, exact cosine to
-    verify. Output: (id_a, id_b, cos >= threshold)."""
+    verify (vectorized pandas UDF). Output: (id_a, id_b, cos >= threshold).
+
+    Bucket sizing drives everything: chunk width = n_planes/bands bits, so
+    32 planes / 4 bands = 8-bit chunks = 256 buckets per band. Too-narrow
+    chunks (4 bits = 16 buckets) barely prune — candidate count scales with
+    sum(bucket_size^2), which is the whole cost at corpus scale."""
     sample = df.select(vec_col).first()
     dim = len(sample[vec_col])
     width = n_planes // bands
@@ -233,10 +238,20 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    # norms once per side of the surviving candidates, one dot per pair
-    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    # exact verify, one Arrow batch at a time: rowwise dot/norms as numpy
+    # (an interpreted fold per 64-dim pair is the slow path at 10^5+ cands)
+    @F.pandas_udf("double")
+    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.stack(va.to_numpy()).astype(np.float64)
+        b = np.stack(vb.to_numpy()).astype(np.float64)
+        num = (a * b).sum(axis=1)
+        den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        return pd.Series(num / den)
+
     return (
-        cand.withColumn("cos", F.round(cos, 6))
+        cand.withColumn("cos", F.round(_pair_cos("va", "vb"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

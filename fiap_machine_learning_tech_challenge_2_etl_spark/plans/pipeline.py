@@ -52,6 +52,9 @@ def transform_v1(df: DataFrame, window_days: int = 7, exact_median: bool = True)
         out = C.digits_to_long(out, "theoricalQty")
     out = C.parse_date(out, "reference_date", output="reference_date_date")
     out = C.require_keys(out, ["code", "reference_date_date"])
+    # one exchange for dedup + all code-keyed windows (see
+    # flagship_events_pipeline for the partitioning-subset rationale)
+    out = out.repartition("code")
     out = C.dedup_keep_first(
         out, keys=["code", "reference_date_date"], order_by=["ingest_seq"]
     )
@@ -140,6 +143,14 @@ def flagship_events_pipeline(
     events = load_testdata(spark, sf_dir, ["events"])["events"]
     out = events.withColumn("event_date", F.to_date("ts"))
     out = C.require_keys(out, ["user_id", "event_date"])
+    # ONE exchange for dedup + both user-keyed windows: hash-partitioning on
+    # user_id satisfies the dedup window's ClusteredDistribution(user_id,
+    # event_date) AND the rolling/min windows' (user_id), so the plan sorts
+    # twice but shuffles once. Trade-off: the two-exchange form lets Spark
+    # run a partial WindowGroupLimit before the first shuffle — prefer that
+    # only when the duplicate ratio is extreme (shuffle savings > one
+    # whole re-shuffle of the deduped stream).
+    out = out.repartition("user_id")
     # one row per (user, day): keep the earliest event deterministically
     out = C.dedup_keep_first(
         out, keys=["user_id", "event_date"], order_by=["ts", "event_id"]

@@ -101,6 +101,45 @@ def asof_join(
     )
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval (range) join: left rows whose numeric ``point_col`` falls in
+    [start, end) of a right-side interval — WITHOUT the cross-product a
+    naive theta join plans (BroadcastNestedLoopJoin evaluates every pair).
+
+    Bucketing trick: each interval explodes into the fixed-width buckets it
+    covers; each point maps to one bucket; the join becomes an EQUI join on
+    bucket id plus an exact containment filter. Cost is
+    O(intervals x interval_width/bucket_width + matches) with an ordinary
+    shuffled/broadcast hash join — the standard scale formulation for
+    point-in-interval. Pick ``bucket_width`` near the typical interval
+    length so each interval covers O(1) buckets."""
+    b_right = right.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width),
+                F.floor((F.col(end_col) - 1) / bucket_width),
+            )
+        ),
+    )
+    b_left = left.withColumn("__b", F.floor(F.col(point_col) / bucket_width))
+    return (
+        b_left.join(b_right, on="__b")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__b")
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],

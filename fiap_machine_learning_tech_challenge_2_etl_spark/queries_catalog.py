@@ -1259,3 +1259,49 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ded = dedup_keep_first(add_fingerprint(filt), ["fingerprint"], ["doc_id"])
     return ded.select("doc_id", "n_ws_tokens", "quality_score", "lang_pred")
+
+
+@_register(
+    "range_join_shipments",
+    sql="""
+WITH iv AS (
+  SELECT o_orderkey,
+    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS start_day,
+    CAST(o_orderdate AS DATE) - DATE '1970-01-01' + 7 AS end_day
+  FROM orders WHERE o_orderkey % 5000 = 1
+)
+SELECT iv.o_orderkey,
+  count(*) AS n_lines,
+  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN iv
+  ON (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') >= iv.start_day
+ AND (CAST(l.l_shipdate AS DATE) - DATE '1970-01-01') < iv.end_day
+GROUP BY iv.o_orderkey
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via the bucket-explode equi-join formulation (no
+    BroadcastNestedLoopJoin cross product): lineitems shipped inside each
+    sampled order's 7-day window, aggregated per interval. Oracle is the
+    plain theta join."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import (
+        range_join_bucketed,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.unix_date(F.col("l_shipdate").cast("date")).alias("ship_day"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    iv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5000 == 1)
+        .select(
+            "o_orderkey",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("start_day"),
+            (F.unix_date(F.col("o_orderdate").cast("date")) + 7).alias("end_day"),
+        )
+    )
+    joined = range_join_bucketed(li, iv, "ship_day", "start_day", "end_day", 7)
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"), F.sum("qty").alias("sum_qty")
+    )

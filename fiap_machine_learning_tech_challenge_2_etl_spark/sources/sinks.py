@@ -53,6 +53,30 @@ def write_partitioned_parquet(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: Sequence[str],
+    num_buckets: int,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table — the co-located-join
+    primitive. Two tables bucketed by the same key into the same bucket
+    count join WITHOUT any exchange: each task reads matching bucket files
+    from both sides (the physical plan shows no Exchange; verified in
+    tests). At 100 TB this is how repeated fact-fact joins amortize their
+    shuffle: pay it once at write time, never per query. ``sort_by``
+    additionally pre-sorts within buckets so sort-merge joins skip the
+    per-query sort."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(
+        num_buckets, *bucket_by
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)
+
+
 def write_partitioned_table(
     df: DataFrame,
     table: str,

@@ -95,3 +95,62 @@ def test_tumbling_and_session_aggs(spark):
         ("2024-01-01T00:20:00", 1),
         ("2024-01-01T01:10:00", 1),
     ]
+
+
+def test_range_join_matches_theta_join(spark):
+    left = spark.createDataFrame(
+        [(i, p) for i, p in enumerate([0, 5, 9, 10, 17, 23, 99])],
+        "lid long, point long",
+    )
+    right = spark.createDataFrame(
+        [(100, 0, 10), (200, 8, 25), (300, 50, 60)],
+        "rid long, s long, e long",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in J.range_join_bucketed(left, right, "point", "s", "e", 7).collect()
+    }
+    want = {
+        (lr["lid"], rr["rid"])
+        for lr in left.collect()
+        for rr in right.collect()
+        if rr["s"] <= lr["point"] < rr["e"]
+    }
+    assert got == want  # exact [start, end) semantics incl. boundaries
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path, sf_dir):
+    import shutil
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import write_bucketed_table
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed_table(o, "t_orders_b", ["o_orderkey"], 8, sort_by=["o_orderkey"])
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "t_lineitem_b",
+        ["o_orderkey"],
+        8,
+        sort_by=["o_orderkey"],
+    )
+    joined = (
+        spark.table("t_orders_b")
+        .hint("merge")  # pin SMJ so broadcast doesn't mask the bucket test
+        .join(spark.table("t_lineitem_b"), "o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().treeString()
+    # co-located buckets: the sort-merge join runs with NO shuffle
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == li.count()
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -189,6 +189,91 @@ def lsh_bucket_topk(
     return out.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
 
+def ivf_fit_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 1024,
+    iters: int = 5,
+):
+    """Deterministic coarse quantizer for IVF: spherical k-means (cosine)
+    on a bounded, id-ordered sample — fixed init (first k sample vectors),
+    fixed iteration count, so the index is reproducible run-to-run. The
+    sample is driver-side by design: centroid fitting is O(sample), not
+    O(corpus); at 100 TB you fit on a few thousand vectors and the corpus
+    only ever sees the broadcast centroid matrix."""
+    import numpy as np
+
+    sample = df.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(n_centroids):
+            pts = x[assign == j]
+            if len(pts):
+                m = pts.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    c[j] = m / n
+    return c
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    output: str = "ivf_list",
+) -> DataFrame:
+    """Assign every vector to its nearest (cosine) centroid — the IVF list
+    id. At ingest this is the cluster/partition key that makes searches
+    sublinear (write the table partitioned or bucketed by it)."""
+    import numpy as np
+
+    c_t = np.asarray(centroids, dtype=np.float64).T  # (D, K)
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return pd.Series((v @ c_t).argmax(axis=1).astype("int32"))
+
+    return spread(df).withColumn(output, _assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vector: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: probe only the ``n_probe`` lists whose
+    centroids are nearest the query, exact cosine inside the probed lists.
+    Scans ~n_probe/n_centroids of the corpus (vs all of it for brute
+    force); with the list id as a partition key the skipped lists are
+    never read at all."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_fit_centroids(df, n_centroids, id_col, vec_col)
+    q = np.asarray(query_vector, dtype=np.float64)
+    q /= np.linalg.norm(q)
+    probe = np.argsort(-(centroids @ q))[:n_probe].tolist()
+    assigned = ivf_assign(df, centroids, vec_col)
+    probed = assigned.filter(F.col("ivf_list").isin(probe))
+    qlit = F.array(*[F.lit(float(v)) for v in query_vector])
+    out = probed.select(
+        F.col(id_col), F.round(cosine(F.col(vec_col), qlit), 6).alias("cos")
+    )
+    return out.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -1305,3 +1305,108 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_lines"), F.sum("qty").alias("sum_qty")
     )
+
+
+@_register(
+    "grouping_sets_agg",
+    sql="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (by-status, by-priority, grand total) in one
+    pass — Spark plans a single Expand + hash aggregate, not three scans."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+_PIVOT_TYPES = ["click", "view", "purchase", "error", "signup"]
+
+
+@_register(
+    "pivot_event_counts",
+    sql=f"""
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+  {', '.join(f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}" for t in _PIVOT_TYPES)}
+FROM events GROUP BY 1
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts, one column per event type. Explicit
+    value list so the plan is a single groupBy (no distinct-values scan)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    piv = (
+        e.groupBy("event_date")
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv
+    for t in _PIVOT_TYPES:
+        out = out.withColumn(f"n_{t}", F.coalesce(F.col(t), F.lit(0)).cast("long")).drop(t)
+    return out
+
+
+@_register(
+    "unpivot_stats",
+    sql="""
+SELECT doc_id, metric, CAST(v AS BIGINT) AS value FROM (
+  SELECT doc_id, 'n_chars' AS metric, length(text) AS v FROM documents
+  UNION ALL
+  SELECT doc_id, 'n_ws_tokens' AS metric,
+    len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS v
+  FROM documents
+)
+""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-doc stats to long (metric, value) rows —
+    df.unpivot plans a single Expand, not one scan per metric."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_token_stats
+
+    d = add_token_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_calc", "n_ws_tokens"
+    ).withColumnRenamed("n_chars_calc", "n_chars")
+    return d.unpivot("doc_id", ["n_chars", "n_ws_tokens"], "metric", "value")
+
+
+@_register(
+    "distinct_agg",
+    sql="""
+SELECT event_type,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (count distinct users per type) — Spark plans
+    the two-phase Expand + partial/final aggregate; the approx
+    (HyperLogLog) variant is approx_count_distinct, pytest-compared."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_register("embedding_ann_ivf")
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (deterministic spherical-kmeans coarse
+    quantizer, 4/16 lists probed) — approximate by construction ->
+    rows-only check; recall vs brute force is pytest-verified."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    return ivf_topk(emb, list(qv), k=10)

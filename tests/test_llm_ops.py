@@ -222,3 +222,21 @@ def test_multimodal_frame_sampling(spark, sf_dir):
     rows = frames.collect()
     assert all(r["frame_idx"] < 8 for r in rows)
     assert all(r["byte_offset"] % 50 == 0 for r in rows)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, qv, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in S.ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=6).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+    assert approx[0] == 0  # query vector is its own nearest
+
+    # index determinism: same centroids + assignment across runs
+    c1 = S.ivf_fit_centroids(emb)
+    c2 = S.ivf_fit_centroids(emb)
+    assert (c1 == c2).all()

@@ -154,3 +154,16 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path, sf_dir):
     assert joined.count() == li.count()
     spark.sql("DROP TABLE IF EXISTS t_orders_b")
     spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ["events"])["events"]
+    rows = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(2, 0.15 * r["exact"])

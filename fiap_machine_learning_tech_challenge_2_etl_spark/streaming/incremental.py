@@ -153,3 +153,20 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_events(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once event dedup: drop rows whose ``keys`` were
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). This is the at-least-once ->
+    exactly-once repair stage for replayed/duplicated event feeds; state is
+    bounded by the watermark instead of growing forever (the failure mode
+    of plain dropDuplicates on a stream)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

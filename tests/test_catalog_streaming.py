@@ -253,3 +253,47 @@ def test_stateful_running_stats_stream(spark, tmp_path):
         assert sum(by_user.values()) == 8
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids across micro-batches are emitted once
+    (dropDuplicatesWithinWatermark keeps bounded state)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import stream_dedup_events
+
+    src = str(tmp_path / "src")
+    rows = [(1, "2024-01-01 00:00:01"), (2, "2024-01-01 00:00:02"),
+            (1, "2024-01-01 00:00:01"), (3, "2024-01-01 00:00:03"),
+            (2, "2024-01-01 00:00:02")]
+    spark.createDataFrame(rows, "event_id long, ts_s string").select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("event_id long, ts timestamp").parquet(src)
+    deduped = stream_dedup_events(stream, keys=["event_id"], ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_sink").collect())
+    assert got == [1, 2, 3]
+
+
+def test_observe_metrics_free_with_action(spark, sf_dir):
+    """observe() metrics ride the existing job — no extra scan, values
+    available after the action."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.plans.metrics import observe_quality
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    ev = load_testdata(spark, sf_dir, ["events"])["events"].withColumn(
+        "maybe_null", F.when(F.col("value") > 50.0, None).otherwise(F.col("value"))
+    )
+    observed, obs = observe_quality(ev, key_cols=["maybe_null"])
+    observed.write.mode("overwrite").format("noop").save()
+    n_total = ev.count()
+    n_null = ev.filter(F.col("maybe_null").isNull()).count()
+    assert obs.get["n_rows"] == n_total
+    assert obs.get["n_null_maybe_null"] == n_null

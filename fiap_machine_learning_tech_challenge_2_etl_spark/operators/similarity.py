@@ -119,6 +119,54 @@ def all_pairs_cosine_topk(
     return out.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(k)
 
 
+def exact_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup: ALL pairs with round(cosine, 6) >= threshold
+    (id_a < id_b). Same broadcast block-matmul kernel as
+    ``all_pairs_cosine_topk`` but thresholded instead of top-k, so the
+    result is oracle-checkable (deterministic set, no approximation).
+
+    The threshold is applied to the ROUNDED cosine so the cut boundary is
+    bit-identical to a float64 SQL oracle. Scale posture is the same as the
+    all-pairs kernel: O(n^2 d) compute with one broadcast side — correct
+    tool up to ~10^5-10^6 vectors; beyond that the LSH-banded
+    ``embedding_near_dup_pairs`` is the scale path and this is its
+    small-scale ground truth."""
+    import numpy as np
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType.simpleString()
+    pdf = df.select(id_col, vec_col).toPandas()
+    b_ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((b_ids, mat))
+
+    def block_pairs(batches):
+        import pandas as pd
+
+        ids_b, m_b = bc.value
+        for block in batches:
+            a_ids = block[id_col].to_numpy()
+            a = np.stack(block[vec_col].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            cos = np.round(a @ m_b.T, 6)
+            ai, bi = np.nonzero(
+                (a_ids[:, None] < ids_b[None, :]) & (cos >= threshold)
+            )
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": ids_b[bi], "cos": cos[ai, bi]}
+            )
+
+    return spread(df.select(id_col, vec_col)).mapInPandas(
+        block_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos double"
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes: components in [-1, 1)
     derived from md5(plane, dim) — reproducible across runs/engines with no

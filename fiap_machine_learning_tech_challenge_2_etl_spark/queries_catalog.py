@@ -1037,6 +1037,36 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "embedding_near_dup_exact",
+    sql="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+    AS cos
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+      >= 0.4
+""",
+)
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup (ALL pairs with rounded cosine >= 0.4,
+    broadcast block matmul) — the value-checked ground truth for the LSH
+    scale path above; threshold applied to the 6-decimal-rounded cosine on
+    both engines so the cut boundary is identical. (Testdata embeddings are
+    near-orthogonal random vectors — max pairwise cos ~0.5 — so the
+    threshold sits where a few hundred pairs exist to value-check.)"""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        exact_near_dup_pairs,
+    )
+
+    return exact_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 # ==========================================================================
 # Extension: as-of join, time-window aggs, skew-salted agg
 # ==========================================================================

@@ -10,6 +10,13 @@ from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
     write_partitioned_parquet,
     write_partitioned_table,
 )
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources.text_formats import (
+    quarantine_corrupt,
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
 
 __all__ = [
     "read_parquet_dir",
@@ -18,4 +25,9 @@ __all__ = [
     "load_testdata",
     "write_partitioned_parquet",
     "write_partitioned_table",
+    "read_csv",
+    "read_jsonl",
+    "quarantine_corrupt",
+    "write_csv",
+    "write_jsonl",
 ]

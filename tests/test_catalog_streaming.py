@@ -297,3 +297,122 @@ def test_observe_metrics_free_with_action(spark, sf_dir):
     n_null = ev.filter(F.col("maybe_null").isNull()).count()
     assert obs.get["n_rows"] == n_total
     assert obs.get["n_null_maybe_null"] == n_null
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join to views of the same user within the preceding hour;
+    both sides watermarked so buffered state is bounded."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    clicks_dir, views_dir = str(tmp_path / "clicks"), str(tmp_path / "views")
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "user_id long, event_id long, ts_s string"
+    ).select("user_id", "event_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    # user 1: view 30 min before click (match); view 2h before (no match).
+    # user 2: view AFTER the click (no match).
+    mk([(1, 100, "2024-01-01 10:00:00"), (2, 200, "2024-01-01 10:00:00")]
+       ).coalesce(1).write.parquet(clicks_dir)
+    mk([(1, 10, "2024-01-01 09:30:00"), (1, 11, "2024-01-01 08:00:00"),
+        (2, 20, "2024-01-01 10:30:00")]).coalesce(1).write.parquet(views_dir)
+
+    schema = "user_id long, event_id long, ts timestamp"
+    joined = stream_stream_interval_join(
+        spark.readStream.schema(schema).parquet(clicks_dir),
+        spark.readStream.schema(schema).parquet(views_dir),
+        max_delay="1 hour",
+    )
+    q = (
+        joined.select(
+            F.col("l.event_id").alias("click_id"),
+            F.col("r.event_id").alias("view_id"),
+        )
+        .writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["click_id"], r["view_id"])
+           for r in spark.sql("SELECT * FROM ssj_sink").collect()}
+    assert got == {(100, 10)}
+
+
+def test_materialized_rollup_incremental_refresh(spark, tmp_path):
+    """Continuous-aggregate pattern: second batch touching one day refreshes
+    only that day's partition; rollup equals a full batch recompute."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        materialized_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_type string, value double, ts timestamp"
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "event_type string, value double, ts_s string"
+    ).select("event_type", "value", F.col("ts_s").cast("timestamp").alias("ts"))
+
+    mk([("click", 1.0, "2024-01-01 10:00:00"),
+        ("view", 2.0, "2024-01-01 11:00:00"),
+        ("click", 3.0, "2024-01-02 10:00:00")]
+       ).coalesce(1).write.mode("append").parquet(src)
+    materialized_rollup(
+        spark, src, T._parse_datatype_string(schema), roll, ckpt
+    )
+    # late file for day 1 only: day 1 partition refreshed, day 2 untouched
+    mk([("click", 10.0, "2024-01-01 12:00:00")]
+       ).coalesce(1).write.mode("append").parquet(src)
+    materialized_rollup(
+        spark, src, T._parse_datatype_string(schema), roll, ckpt
+    )
+
+    got = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(roll).collect()
+    }
+    assert got == {
+        ("2024-01-01", "click"): (2, 11.0),
+        ("2024-01-01", "view"): (1, 2.0),
+        ("2024-01-02", "click"): (1, 3.0),
+    }
+
+
+def test_csv_jsonl_tolerant_round_trip(spark, tmp_path):
+    """CSV/JSONL read with explicit schema quarantines malformed rows into
+    _corrupt_record instead of failing; clean rows round-trip."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.text_formats import (
+        quarantine_corrupt,
+        read_csv,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    csv_dir = tmp_path / "csv"
+    csv_dir.mkdir()
+    (csv_dir / "part.csv").write_text("k,v\na,1\nb,not_a_number\nc,3\n")
+    clean, rejects = quarantine_corrupt(read_csv(spark, str(csv_dir), schema))
+    assert {(r["k"], r["v"]) for r in clean.collect()} == {("a", 1), ("c", 3)}
+    assert rejects.count() == 1
+
+    jl_dir = tmp_path / "jl"
+    jl_dir.mkdir()
+    (jl_dir / "part.json").write_text(
+        '{"k": "a", "v": 1}\n{"k": "b", "v": }\n{"k": "c", "v": 3}\n'
+    )
+    clean_j, rejects_j = quarantine_corrupt(read_jsonl(spark, str(jl_dir), schema))
+    assert {(r["k"], r["v"]) for r in clean_j.collect()} == {("a", 1), ("c", 3)}
+    assert rejects_j.count() == 1
+
+    out = str(tmp_path / "out_jsonl")
+    write_jsonl(clean_j, out)
+    back, _ = quarantine_corrupt(read_jsonl(spark, out, schema))
+    assert {(r["k"], r["v"]) for r in back.collect()} == {("a", 1), ("c", 3)}

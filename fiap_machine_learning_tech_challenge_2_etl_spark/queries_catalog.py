@@ -1440,3 +1440,123 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     return ivf_topk(emb, list(qv), k=10)
+
+
+# ==========================================================================
+# Scalar/window function families (breadth of the SQL surface, each
+# value-checked cross-engine; all run inside whole-stage codegen — no UDFs)
+# ==========================================================================
+
+
+@_register(
+    "window_ranking_family",
+    sql="""
+SELECT o_orderkey, o_custkey,
+  CAST(dense_rank()   OVER w AS BIGINT) AS drnk,
+  CAST(ntile(4)       OVER w AS BIGINT) AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist()    OVER w, 6) AS cume,
+  round(lag(o_totalprice)  OVER w, 2) AS prev_price,
+  round(lead(o_totalprice) OVER w, 2) AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def q_window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family (dense_rank / ntile / percent_rank /
+    cume_dist / lag / lead) over one shared per-customer window — all six
+    functions reuse a SINGLE exchange+sort (one Window node in the plan),
+    the layout the engine favors for multi-metric window queries."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+    )
+
+
+@_register(
+    "string_functions",
+    sql="""
+SELECT p_partkey,
+  upper(p_brand) AS brand_u,
+  lower(p_type) AS type_l,
+  CAST(length(p_name) AS INT) AS name_len,
+  substring(p_name, 1, 5) AS name_head,
+  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+  replace(p_type, ' ', '_') AS type_us,
+  split_part(p_type, ' ', 1) AS type_first,
+  CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+  concat(p_brand, ':', p_type) AS brand_type,
+  trim(concat(' ', p_name, ' ')) AS name_trim,
+  reverse(p_brand) AS brand_rev
+FROM part
+""",
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function family (upper/lower/length/substring/lpad/
+    replace/split/instr/concat/trim/reverse) — all JVM-side codegen'd
+    expressions fused into the scan's project (zero extra stages)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_replace("p_type", " ", "_").alias("type_us"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trim"
+        ),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@_register(
+    "date_functions",
+    sql="""
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+  CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow_sun1,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+    AS days_since_95
+FROM orders
+""",
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date-function family (extract year/quarter/month/day/dow,
+    month trunc, last_day, date arithmetic, datediff) — cross-engine
+    dialect pinned explicitly (Spark dayofweek is 1=Sunday; DuckDB dow is
+    0=Sunday, shifted in the oracle), date outputs surfaced as formatted
+    strings so both engines hash identically."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )

@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the plan SHAPE is part of the contract.
+
+Correctness tests prove the small-SF answer; these prove the plan still
+scales — a regression that doubles exchanges or un-broadcasts a dim join
+passes every value check while becoming the 100 TB bottleneck, so the
+plan properties themselves are pinned here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pipeline_exchange_budget(spark, sf_dir):
+    """The flagship clean->dedup->window pipeline keeps its 2-exchange
+    layout (one hash exchange for the user-keyed windows reused across all
+    same-key window functions, one for the day-keyed total) — the V1-style
+    layout SURVEY.md section 4 prescribes over V2's exchange ping-pong."""
+    df = SPARK_QUERIES["flagship_pipeline"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """Dimension joins in the star query are broadcast — no shuffle of the
+    fact side for a small-dim join at any scale."""
+    plan = _plan(SPARK_QUERIES["star_join_agg"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    """A filter above the scan lands in the parquet reader's PushedFilters
+    (row-group/page skipping), and unreferenced columns are pruned from
+    ReadSchema — both must survive any refactor of the source layer."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    li = load_testdata(spark, sf_dir, ["lineitem"])["lineitem"]
+    q = li.filter(F.col("l_quantity") > 45.0).select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0], plan
+    schema_part = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_extendedprice" not in schema_part, plan
+
+
+def test_window_family_single_window_exchange(spark, sf_dir):
+    """Six ranking functions over one window spec plan exactly ONE
+    exchange+sort (shared Window node), not one per function."""
+    plan = _plan(SPARK_QUERIES["window_ranking_family"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    """EXISTS-style filtering compiles to a semi join (no row explosion,
+    no post-join distinct)."""
+    plan = _plan(SPARK_QUERIES["semi_join_customers"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "Aggregate" not in plan.split("Semi")[0].split("\n")[0], plan

@@ -1560,3 +1560,38 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus_30d"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
     )
+
+
+# ==========================================================================
+# SQL entry point — the reference is DataFrame-API-only (SURVEY.md 2.13);
+# the engine also exposes Spark SQL directly. ONE ANSI string runs on BOTH
+# engines (Spark SQL and the DuckDB oracle) — dialect-free by construction.
+# ==========================================================================
+
+_TPCH_Q3_SQL = """
+SELECT l_orderkey,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS revenue_cents,
+  o_orderdate
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@_register("sql_entry_tpch_q3", sql=_TPCH_Q3_SQL)
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL string entry point: the IDENTICAL ANSI text runs through
+    spark.sql(...) and the DuckDB oracle (revenue summed as integer cents,
+    so float summation order can't diverge). Catalyst still broadcasts the
+    dims and pushes the segment/date predicates into the scans — declaring
+    the query as SQL or DataFrame yields the same physical plan."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q3_SQL)

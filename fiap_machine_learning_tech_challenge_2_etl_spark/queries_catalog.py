@@ -1595,3 +1595,57 @@ def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TPCH_Q3_SQL)
+
+
+@_register(
+    "array_functions",
+    sql="""
+SELECT vec_id,
+  CAST(len(embedding) AS INT) AS dim,
+  round(list_sum(CAST(embedding AS DOUBLE[])), 6) AS arr_sum,
+  round(CAST(list_max(embedding) AS DOUBLE), 6) AS arr_max,
+  round(CAST(list_min(embedding) AS DOUBLE), 6) AS arr_min,
+  CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+  list_transform(CAST(embedding[1:3] AS DOUBLE[]), x -> round(x, 6)) AS head3,
+  round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                         CAST(list_reverse(embedding) AS DOUBLE[])), 6) AS rev_dot
+FROM embeddings
+""",
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order function family (size, aggregate-fold, max/min,
+    lambda filter, slice, transform, zip_with) over the embedding column —
+    all Catalyst higher-order expressions evaluated JVM-side in the scan's
+    projection; the fold and dot product run in array order on both engines
+    so float64 summation is bit-stable cross-engine."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double"),
+            ),
+            6,
+        ).alias("arr_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("arr_max"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("arr_min"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 6)
+        ).alias("head3"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    F.reverse("embedding"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            6,
+        ).alias("rev_dot"),
+    )

@@ -102,3 +102,59 @@ def write_partitioned_table(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def upsert_by_key(
+    spark,
+    new_rows: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    compression: str = "snappy",
+) -> None:
+    """Keyed MERGE/upsert into a partitioned parquet table: rows in
+    ``new_rows`` replace existing rows with the same ``keys``; other rows
+    in the touched partitions survive; untouched partitions are never read
+    or written.
+
+    This is the row-level semantics the reference's Glue sink gestures at
+    with UPDATE_IN_DATABASE (etl/etl.py:94-107, which actually only
+    upserts whole partitions) done properly on plain parquet:
+    read-back is restricted to the partitions present in the incoming
+    batch (partition-pruned scan), existing rows matching an incoming key
+    are anti-joined out, and dynamic partition overwrite rewrites only
+    those partitions. Cost at 100 TB is O(touched partitions + batch),
+    never O(table). The anti-join broadcasts the incoming batch's keys
+    when small — the common incremental case.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    new_rows = new_rows.cache()  # read twice: partition probe + union
+    try:
+        if os.path.exists(path):
+            touched = [
+                tuple(r[c] for c in partition_by)
+                for r in new_rows.select(*partition_by).distinct().collect()
+            ]
+            existing = spark.read.parquet(path)
+            pfilter = F.lit(False)
+            for vals in touched:
+                clause = F.lit(True)
+                for c, v in zip(partition_by, vals):
+                    clause = clause & (F.col(c) == F.lit(v))
+                pfilter = pfilter | clause
+            survivors = existing.filter(pfilter).join(
+                F.broadcast(new_rows.select(*keys).distinct()),
+                on=list(keys),
+                how="left_anti",
+            )
+            out = survivors.select(*new_rows.columns).unionByName(new_rows)
+        else:
+            out = new_rows
+        write_partitioned_parquet(
+            out, path, partition_by, mode="overwrite", compression=compression
+        )
+    finally:
+        new_rows.unpersist()

@@ -78,3 +78,38 @@ def test_dynamic_partition_overwrite_roundtrip(spark, tmp_path):
     got = sorted((r["k"], str(r["d"]), r["v"]) for r in back.collect())
     assert got == [("a", "2024-01-01", 1.0), ("c", "2024-01-02", 9.0)]
     assert os.path.isdir(os.path.join(out, "d=2024-01-01"))
+
+
+def test_upsert_by_key_row_level_merge(spark, tmp_path):
+    """upsert_by_key replaces matching keys, keeps other rows in touched
+    partitions, and never rewrites untouched partitions."""
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, "2024-01-01"), (2, "b", 20.0, "2024-01-01"),
+         (3, "c", 30.0, "2024-01-02")],
+        "id long, name string, v double, day string",
+    )
+    upsert_by_key(spark, base, path, keys=["id"], partition_by=["day"])
+    day2_files = set(os.listdir(os.path.join(path, "day=2024-01-02")))
+
+    batch = spark.createDataFrame(
+        [(1, "a2", 11.0, "2024-01-01"), (4, "d", 40.0, "2024-01-01")],
+        "id long, name string, v double, day string",
+    )
+    upsert_by_key(spark, batch, path, keys=["id"], partition_by=["day"])
+
+    # partition-column type inference reads day= back as DATE; stringify
+    got = {(r["id"], r["name"], r["v"], str(r["day"]))
+           for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, "a2", 11.0, "2024-01-01"),   # replaced
+        (2, "b", 20.0, "2024-01-01"),    # survivor in touched partition
+        (3, "c", 30.0, "2024-01-02"),    # untouched partition
+        (4, "d", 40.0, "2024-01-01"),    # inserted
+    }
+    # untouched partition files identical -> was not rewritten
+    assert set(os.listdir(os.path.join(path, "day=2024-01-02"))) == day2_files

@@ -43,12 +43,19 @@ def ws_tokens(col: str | Column) -> Column:
     return F.split(normalize_text(col), " ")
 
 
-def add_token_stats(df: DataFrame, column: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex tokens + char len."""
+def add_token_stats(
+    df: DataFrame, column: str = "text", toks_col: str | None = None
+) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens + char len.
+
+    ``toks_col`` names an existing tokens-array column to reuse — composite
+    pipelines tokenize the corpus ONCE and share the array across stats/
+    quality/language stages instead of re-splitting per operator."""
+    toks = F.col(toks_col) if toks_col else ws_tokens(column)
     return spread(df).withColumns(
         {
             "n_chars_calc": F.length(F.col(column)).cast("long"),
-            "n_ws_tokens": F.array_size(ws_tokens(column)).cast("long"),
+            "n_ws_tokens": F.array_size(toks).cast("long"),
             "n_bpe_tokens": F.array_size(
                 F.regexp_extract_all(F.col(column), F.lit(BPE_TOKEN_RE), 0)
             ).cast("long"),
@@ -56,13 +63,20 @@ def add_token_stats(df: DataFrame, column: str = "text") -> DataFrame:
     )
 
 
-def add_quality_score(df: DataFrame, column: str = "text") -> DataFrame:
+def add_quality_score(
+    df: DataFrame, column: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio, mean word
     length, and a composite [0,1] score. Heuristics follow the public
     Gopher/C4-style quality-filter recipes (doc length bounds, symbol ratio,
     stop-word presence)."""
     df = spread(df)
-    toks = ws_tokens(column)
+    # Stage the token array and ratios as named columns (same reason as
+    # add_language_id: inlining re-expands the split tree per consumer —
+    # and predicate pushdown would copy the whole composite into filters).
+    tname = toks_col or "__toks"
+    staged = df if toks_col else df.withColumn("__toks", ws_tokens(column))
+    toks = F.col(tname)
     n_tok = F.array_size(toks)
     n_chars = F.length(F.col(column))
     n_punct = n_chars - F.length(F.regexp_replace(F.col(column), r"[^\w\s]", ""))
@@ -72,51 +86,82 @@ def add_quality_score(df: DataFrame, column: str = "text") -> DataFrame:
         F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
         / F.greatest(n_tok, F.lit(1))
     )
-    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
-    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    staged = staged.withColumns(
+        {
+            "__punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+            "__stop_ratio": n_stop / F.greatest(n_tok, F.lit(1)),
+            "__mean_wl": mean_wl,
+        }
+    )
     # composite: reward moderate length + some stopwords, punish symbol soup
     score = (
         F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.4
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.4
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(4.0), F.lit(1.0))) * 0.2
+        + F.least(F.col("__stop_ratio") * F.lit(5.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("__punct_ratio") * F.lit(4.0), F.lit(1.0)))
+        * 0.2
     )
-    return df.withColumns(
+    return staged.withColumns(
         {
-            "punct_ratio": F.round(punct_ratio, 6),
-            "stopword_ratio": F.round(stop_ratio, 6),
-            "mean_word_len": F.round(mean_wl, 6),
+            "punct_ratio": F.round(F.col("__punct_ratio"), 6),
+            "stopword_ratio": F.round(F.col("__stop_ratio"), 6),
+            "mean_word_len": F.round(F.col("__mean_wl"), 6),
             "quality_score": F.round(score, 6),
         }
+    ).drop(
+        *([] if toks_col else ["__toks"]),
+        "__punct_ratio",
+        "__stop_ratio",
+        "__mean_wl",
     )
 
 
-def add_language_id(df: DataFrame, column: str = "text") -> DataFrame:
+def add_language_id(
+    df: DataFrame, column: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Language ID: stopword-overlap ratio per language, argmax with
     deterministic (alphabetical) tiebreak. N-gram-free heuristic that is
     exactly replicable in the SQL oracle."""
     df = spread(df)
-    toks = ws_tokens(column)
-    n_tok = F.greatest(F.array_size(toks), F.lit(1))
 
     def _membership(sw_lit):
         # single-arg lambda via closure: a 2-arg lambda would make Spark
         # pass the array index as the second argument
         return lambda t: F.array_contains(sw_lit, t)
 
-    scores = {
-        lang: F.array_size(F.filter(toks, _membership(F.lit(list(sw))))) / n_tok
-        for lang, sw in STOPWORDS.items()
-    }
-    # argmax via greatest + case chain (alphabetical order = tiebreak)
-    best = F.greatest(*scores.values())
+    # Stage tokenization and per-language ratios as NAMED columns, then
+    # argmax over the column references. Inlining the raw expressions into
+    # the greatest + case chain re-expands the split/filter tree ~40x
+    # (CollapseProject keeps staged columns separate because duplicating
+    # non-cheap expressions is against its cost rule) — staging cut this
+    # operator's plan from thousands of expression nodes to dozens.
+    tname = toks_col or "__toks"
+    staged = df if toks_col else df.withColumn("__toks", ws_tokens(column))
+    n_tok = F.greatest(F.array_size(tname), F.lit(1))
+    staged = staged.withColumns(
+        {
+            f"__s_{lang}": F.array_size(
+                F.filter(tname, _membership(F.lit(list(sw))))
+            )
+            / n_tok
+            for lang, sw in STOPWORDS.items()
+        }
+    )
+    sc = {lang: F.col(f"__s_{lang}") for lang in STOPWORDS}
+    # argmax via greatest + case chain (alphabetical order = tiebreak),
+    # over the UNROUNDED ratios (matches the SQL oracle's argmax)
+    best = F.greatest(*sc.values())
     pred = F.lit(None).cast("string")
     for lang in sorted(STOPWORDS, reverse=True):
-        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    out = df.withColumns(
-        {f"score_{lang}": F.round(scores[lang], 6) for lang in STOPWORDS}
+        pred = F.when(sc[lang] == best, F.lit(lang)).otherwise(pred)
+    out = staged.withColumns(
+        {f"score_{lang}": F.round(sc[lang], 6) for lang in STOPWORDS}
     )
-    return out.withColumn(
+    out = out.withColumn(
         "lang_pred", F.when(best > 0, pred).otherwise(F.lit("unknown"))
+    )
+    return out.drop(
+        *([] if toks_col else ["__toks"]),
+        *[f"__s_{lang}" for lang in STOPWORDS],
     )
 
 

@@ -1281,7 +1281,17 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         add_token_stats,
     )
 
-    d = add_language_id(add_quality_score(add_token_stats(_t(spark, sf_dir, "documents"))))
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    # tokenize the corpus ONCE; stats/quality/language all read the shared
+    # array column instead of re-splitting the text per stage
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", ws_tokens("text"))
+    d = add_language_id(
+        add_quality_score(
+            add_token_stats(docs, toks_col="__toks"), toks_col="__toks"
+        ),
+        toks_col="__toks",
+    ).drop("__toks")
     filt = d.filter(
         (F.col("quality_score") >= 0.5)
         & F.col("n_ws_tokens").between(10, 1000)

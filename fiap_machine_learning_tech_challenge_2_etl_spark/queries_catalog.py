@@ -1659,3 +1659,63 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rev_dot"),
     )
+
+
+@_register(
+    "label_centroids",
+    sql="""
+SELECT label, pos, round(avg(v), 6) AS centroid_v,
+  CAST(count(*) AS BIGINT) AS n_vecs
+FROM (
+  SELECT label,
+    unnest(CAST(embedding AS DOUBLE[])) AS v,
+    unnest(range(0, len(embedding))) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids via posexplode + (label, dim) hash agg
+    — the k-means-update / class-prototype primitive. One shuffle keyed on
+    (label, dim): n_labels x dim groups regardless of corpus size, with
+    map-side partial aggregation doing almost all the reduction — the
+    centroid update that stays cheap at 10^9 vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid_v"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@_register(
+    "word_count_topk",
+    sql=f"""
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode -> hash-agg -> top-k: corpus vocabulary head.
+    Partial aggregation collapses per-task duplicates before the shuffle
+    (shuffle volume is O(distinct tokens per task), not O(tokens)); top-k
+    is TakeOrderedAndProject, never a global sort."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ws_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )

@@ -1,0 +1,99 @@
+"""Distributed graph primitives for dedup clustering.
+
+The LLM-data dedup pipeline produces near-duplicate PAIRS (MinHash/LSH,
+SimHash, embedding-cosine — ``operators.dedup`` / ``operators.similarity``);
+turning pairs into dedup GROUPS (keep one canonical doc per group) is a
+connected-components problem. The reference engine has no graph surface at
+all (SURVEY.md §2.13) — this is extension surface, built Spark-first:
+
+* the component label is the MIN vertex id reachable, computed by iterative
+  label propagation — each round is one shuffle-join (labels ⋈ edges) plus
+  one hash aggregate, i.e. plain DataFrame ops Catalyst can plan with AQE;
+* rounds converge in O(diameter) iterations. Near-dup graphs are dense
+  little cliques (diameter 1–2 almost always), so 3–5 rounds end it; the
+  ``max_iter`` guard bounds adversarial chains. For graphs with genuinely
+  long chains at 100 TB scale, switch to the alternating large-star /
+  small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+  and Beyond", SoCC'14) — same join/agg building blocks, O(log^2 n) rounds;
+* each round ``localCheckpoint``s the label frame: without lineage
+  truncation the plan doubles per iteration and the driver, not the data,
+  becomes the bottleneck;
+* convergence is detected with a count of changed labels — a driver-side
+  scalar per round (metadata decision, same class as SURVEY.md §2.8 A1),
+  never a ``collect()`` of row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    vertices: DataFrame | None = None,
+    vertex_col: str = "vertex",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex with the smallest vertex id in its component.
+
+    ``edges`` is an undirected pair list (each pair listed once, either
+    direction). ``vertices`` optionally supplies the full vertex universe
+    (single-column DataFrame named ``vertex_col``) so isolated vertices
+    surface as singleton components; otherwise the universe is the set of
+    edge endpoints. Returns ``(vertex, component)``.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct()
+
+    universe = sym.select(F.col("a").alias("vertex")).distinct()
+    if vertices is not None:
+        universe = (
+            vertices.select(F.col(vertex_col).alias("vertex")).union(universe).distinct()
+        )
+
+    labels = universe.withColumn("component", F.col("vertex")).localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_iter):
+        # candidate label for a = min over neighbors b of label(b)
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["vertex"], "inner")
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_min"), F.col("component")) < F.col("component"))
+                .cast("int")
+                .alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    components: DataFrame,
+    vertex: str = "vertex",
+    component: str = "component",
+) -> DataFrame:
+    """Aggregate a component labelling into dedup groups: one row per
+    component with its canonical (minimum) member and group size — the
+    "keep one per cluster" step of a fuzzy-dedup pipeline."""
+    return components.groupBy(F.col(component).alias("component")).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(vertex).alias("canonical"),
+    )

@@ -1,0 +1,88 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+``df.sample()`` is seed-stable only for a FIXED partitioning — repartition
+the input and the sample changes, which makes it useless as a contract
+("this doc is in the validation set") and impossible to oracle-test. These
+operators instead key every decision on a 60-bit md5 of a stable row key
+(``dedup.token_hash60`` — replicable bit-for-bit in any engine), so:
+
+* membership is a pure function of the row, invariant under partitioning,
+  ordering, cluster size, and engine — the property a training pipeline
+  needs so train/val/test never leak into each other across reruns;
+* the filter is a plain Catalyst expression: it pushes into scans, costs no
+  shuffle, and composes with pruning (sample-then-aggregate never
+  materializes the rejected rows);
+* at 100 TB the split is embarrassingly parallel — no global count, no
+  driver round-trip, unlike `randomSplit` (which also re-rolls per run).
+
+The reference engine has no sampling surface (SURVEY.md §2.13); the closest
+prior art is the salt-free hash-mod idiom used for A/B bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import token_hash60
+
+BUCKETS = 10_000
+
+
+def hash_bucket(key: str | Column, salt: str = "") -> Column:
+    """[0, BUCKETS) bucket from the md5-60bit of (salt || key-as-string)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    return token_hash60(F.concat(F.lit(salt), key_col.cast("string"))) % BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by hash bucket."""
+    return df.filter(hash_bucket(key, salt) < int(round(fraction * BUCKETS)))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name; weights must sum to ~1. Buckets
+    are assigned to splits in dict order as contiguous ranges, so a later
+    re-weighting only moves rows across adjacent boundaries."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(key, salt)
+    expr: Column | None = None
+    hi = 0
+    names = list(weights)
+    for name in names[:-1]:
+        hi += int(round(weights[name] * BUCKETS))
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep all of the rare ones) — the corpus-rebalancing step of
+    a training-data pipeline, as a single pushdown-able filter."""
+    default = F.lit(int(round(default_fraction * BUCKETS)))
+    expr: Column | None = None
+    for s, f in fractions.items():
+        cond = F.col(strata) == s
+        lim = F.lit(int(round(f * BUCKETS)))
+        expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
+    thresh = default if expr is None else expr.otherwise(default)
+    return df.filter(hash_bucket(key, salt) < thresh)

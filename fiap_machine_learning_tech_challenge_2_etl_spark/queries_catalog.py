@@ -1719,3 +1719,502 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "tok")
         .limit(20)
     )
+
+
+# ==========================================================================
+# Extension: statistical / conditional / percentile aggregate families
+# ==========================================================================
+
+
+@_register(
+    "stats_agg_family",
+    sql="""
+SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+  round(covar_pop(l_quantity, l_discount), 6) AS covar_pop_qd,
+  round(covar_samp(l_quantity, l_discount), 6) AS covar_samp_qd,
+  round(stddev_pop(l_quantity), 6) AS std_pop_qty,
+  round(stddev_samp(l_quantity), 6) AS std_samp_qty,
+  round(var_pop(l_quantity), 6) AS var_pop_qty,
+  round(var_samp(l_quantity), 6) AS var_samp_qty,
+  round(skewness(l_quantity) * (count(l_quantity) - 2)
+        / sqrt(count(l_quantity) * (count(l_quantity) - 1.0)), 6) AS skew_qty,
+  round(kurtosis_pop(l_quantity), 6) AS kurt_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregate family (corr / covar / stddev / var /
+    skewness / kurtosis) in one grouped pass — all are one-pass co-moment
+    aggregates with map-side partials, so shuffle volume is O(groups), not
+    O(rows). Dialect note pinned by this oracle: Spark's skewness/kurtosis
+    are POPULATION moments (g1, excess g2) while DuckDB's bare names are
+    sample-corrected — the SQL converts G1 -> g1 and uses kurtosis_pop."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_pop_qd"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_samp_qd"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("std_pop_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_samp_qty"),
+        F.round(F.var_pop("l_quantity"), 6).alias("var_pop_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_samp_qty"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+    )
+
+
+@_register(
+    "regr_agg_family",
+    sql="""
+SELECT l_returnflag,
+  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS regr_n,
+  round(regr_avgx(l_extendedprice, l_quantity), 6) AS regr_ax,
+  round(regr_avgy(l_extendedprice, l_quantity), 4) AS regr_ay,
+  round(regr_slope(l_extendedprice, l_quantity), 4) AS regr_b1,
+  round(regr_intercept(l_extendedprice, l_quantity), 4) AS regr_b0,
+  round(regr_r2(l_extendedprice, l_quantity), 6) AS regr_r2
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_count/avgx/avgy/slope/
+    intercept/r2): per-group OLS fit of extendedprice on quantity as a
+    single co-moment aggregation — the distributed 'fit a trend per key'
+    primitive, no iterative solver and one shuffle of O(groups) partials."""
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("regr_n"),
+        F.round(F.regr_avgx(y, x), 6).alias("regr_ax"),
+        F.round(F.regr_avgy(y, x), 4).alias("regr_ay"),
+        F.round(F.regr_slope(y, x), 4).alias("regr_b1"),
+        F.round(F.regr_intercept(y, x), 4).alias("regr_b0"),
+        F.round(F.regr_r2(y, x), 6).alias("regr_r2"),
+    )
+
+
+@_register(
+    "conditional_agg_family",
+    sql="""
+SELECT o_orderstatus,
+  CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+  min_by(o_custkey, o_orderkey) AS first_cust,
+  max_by(o_custkey, o_orderkey) AS last_cust,
+  bool_or(o_totalprice > 400000) AS any_huge,
+  bool_and(o_totalprice > 0) AS all_pos,
+  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS urgent_cents,
+  round(avg(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 6) AS urgent_avg
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate family: count_if, argmin/argmax (min_by keyed
+    on the unique order key so ties can't make it nondeterministic),
+    bool_or/bool_and, conditional sum (integer cents, so float summation
+    order is moot) and filtered avg (expressed as avg(CASE) on the Spark
+    side, FILTER clause in ANSI — same null-skipping semantics)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("count_if(o_totalprice > 150000)").alias("n_big"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.min_by("o_custkey", "o_orderkey").alias("first_cust"),
+        F.max_by("o_custkey", "o_orderkey").alias("last_cust"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+        F.sum(
+            F.when(urgent, F.round(F.col("o_totalprice") * 100).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("urgent_cents"),
+        F.round(F.avg(F.when(urgent, F.col("o_totalprice"))), 6).alias("urgent_avg"),
+    )
+
+
+@_register(
+    "percentile_agg_family",
+    sql="""
+SELECT l_linestatus,
+  round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+  round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+  round(median(l_extendedprice), 6) AS med_price,
+  round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_linestatus
+""",
+)
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentile family (Spark `percentile` == ANSI quantile_cont
+    linear interpolation, plus exact `median`) — the value-checked
+    complement to the approx sketch path (percentile_approx / HLL) used in
+    rolling_stats. Exact percentile buffers per group; keep it for
+    low-cardinality analysis groups and use the approx variant when group
+    payloads are huge — both surfaced so the choice is explicit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    )
+
+
+# ==========================================================================
+# Extension: value-range window frames + time-series gap fill
+# ==========================================================================
+
+
+@_register(
+    "range_frame_window",
+    sql="""
+SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS n_7d,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_7d,
+  round(avg(value) OVER w, 6) AS avg_7d
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+  RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-range window frame (trailing 7 calendar days by timestamp, not
+    7 rows) — the time-series rolling metric the reference's ROWS frames
+    (SURVEY.md W1/W5) can't express when events are irregularly spaced.
+    Ordered by epoch seconds so the frame bound is numeric; peers at the
+    same second share a frame in both engines. One exchange on user_id;
+    the running-frame aggregation itself is sort-based and spill-safe."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cents_7d"),
+        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+    )
+
+
+@_register(
+    "gapfill_forward_fill",
+    sql="""
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY user_id
+), s AS (
+  SELECT user_id,
+    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day, d.day_cents,
+  last_value(d.day_cents IGNORE NULLS)
+    OVER (PARTITION BY s.user_id ORDER BY s.day) AS ff_cents,
+  d.day_cents IS NULL AS is_gap
+FROM s LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day
+""",
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: per-user daily rollup, dense date spine via
+    sequence()+explode between each user's min/max day, left join, then
+    forward fill with last(..., ignorenulls) — the gap-fill / LOCF operator
+    every feature pipeline needs. The spine is generated, never collected:
+    O(users x span) rows distributed by the same user_id key as the join
+    and the fill window, so Catalyst reuses one partitioning end-to-end."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents")
+    )
+    spine = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = spine.join(d, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_cents",
+        F.last("day_cents", ignorenulls=True).over(w).alias("ff_cents"),
+        F.col("day_cents").isNull().alias("is_gap"),
+    )
+
+
+# ==========================================================================
+# Extension: dedup clustering (connected components) + subquery decorrelation
+# ==========================================================================
+
+_SQL_PAIR_COS = (
+    "round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+)
+
+
+@_register(
+    "dedup_cluster_cc",
+    sql=f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id AND {_SQL_PAIR_COS} >= 0.4
+), edges AS (
+  SELECT ia AS ea, ib AS eb FROM pairs
+  UNION
+  SELECT ib AS ea, ia AS eb FROM pairs
+), reach(v, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.v
+)
+SELECT v AS vertex, min(r) AS component
+FROM reach
+GROUP BY v
+""",
+)
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup GROUPS: connected components over the exact
+    cosine>=0.4 edge set (operators.graph.connected_components — iterative
+    min-label propagation, one shuffle-join + agg per round, localCheckpoint
+    lineage truncation). Every vector gets a component label (singletons
+    keep their own id). The oracle computes the same labelling via a
+    recursive-CTE transitive closure — exact, order-insensitive."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        exact_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = exact_near_dup_pairs(emb, threshold=0.4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return connected_components(
+        edges, vertices=emb.select(F.col("vec_id").alias("vertex"))
+    )
+
+
+_Q4_EXISTS_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1999-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+GROUP BY o_orderpriority
+"""
+
+
+@_register("exists_subquery_agg", sql=_Q4_EXISTS_SQL)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS + grouped count, the IDENTICAL
+    ANSI text on both engines. Catalyst decorrelates the EXISTS into a
+    left-semi hash join on l_orderkey — no per-row subquery execution —
+    and pushes the quantity and date predicates into both parquet scans."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q4_EXISTS_SQL)
+
+
+_Q17_SCALAR_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 2
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+@_register("scalar_subquery_agg", sql=_Q17_SCALAR_SQL)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated SCALAR subquery (per-part average
+    quantity) under a join filter, identical ANSI text on both engines.
+    Catalyst rewrites the correlated aggregate into a grouped subplan
+    joined on l_partkey (RewriteCorrelatedScalarSubquery) — the 'small
+    order' filter runs as two hash aggregates + joins, never a loop."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q17_SCALAR_SQL)
+
+
+# ==========================================================================
+# Extension: deterministic sampling / dataset splitting (operators.sampling)
+# ==========================================================================
+
+_SQL_BUCKET_DOC = (
+    "CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000"
+)
+
+
+@_register(
+    "hash_split_corpus",
+    sql=f"""
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT lang, n_chars,
+    CASE WHEN {_SQL_BUCKET_DOC} < 8000 THEN 'train'
+         WHEN {_SQL_BUCKET_DOC} < 9000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split, lang
+""",
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) keyed on md5(doc_id)
+    buckets — membership is a pure row function, invariant under
+    partitioning/ordering/engine, so the split never leaks across reruns
+    (unlike randomSplit, which re-rolls per run and per partitioning).
+    The label is a scalar expression: no shuffle, survives pushdown."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@_register(
+    "stratified_sample_docs",
+    sql=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SQL_BUCKET_DOC} <
+  CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 5000 ELSE 9000 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: per-language deterministic sampling (downsample
+    dominant 'en' to 20%, 'zh' to 50%, keep 90% of rare languages) as ONE
+    pushdown-able filter — the language-mix reshaping step of a training
+    pipeline, with exact row-level oracle parity on the md5 bucket."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, "doc_id", "lang", {"en": 0.2, "zh": 0.5}, default_fraction=0.9
+    )
+    return out.select("doc_id", "lang")
+
+
+@_register(
+    "gapfill_interpolate",
+    sql="""
+WITH d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY user_id
+), s AS (
+  SELECT user_id,
+    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+), j AS (
+  SELECT s.user_id, s.day, d.day_cents,
+    last_value(d.day_cents IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.day) AS prev_v,
+    last_value(CASE WHEN d.day_cents IS NOT NULL THEN s.day END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.day) AS prev_d,
+    first_value(d.day_cents IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN d.day_cents IS NOT NULL THEN s.day END IGNORE NULLS)
+      OVER (PARTITION BY s.user_id ORDER BY s.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM s LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_cents,
+  round(CASE
+    WHEN day_cents IS NOT NULL THEN CAST(day_cents AS DOUBLE)
+    WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+    WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+    ELSE prev_v + (next_v - prev_v)
+         * (date_diff('day', prev_d, day) * 1.0 / date_diff('day', prev_d, next_d))
+  END, 6) AS interp_cents
+FROM j
+""",
+)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap fill by LINEAR INTERPOLATION between the nearest known points
+    (vs. the LOCF variant above): forward- and backward-looking
+    ignore-nulls windows fetch the bracketing (day, value) pairs, then the
+    fill is a closed-form scalar expression. Same single user_id exchange
+    as the spine join — the sort serves both window directions."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents")
+    )
+    spine = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    j = spine.join(d, ["user_id", "day"], "left")
+    back = Window.partitionBy("user_id").orderBy("day")
+    fwd = back.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    known_day = F.when(F.col("day_cents").isNotNull(), F.col("day"))
+    prev_v = F.last("day_cents", ignorenulls=True).over(back)
+    prev_d = F.last(known_day, ignorenulls=True).over(back)
+    next_v = F.first("day_cents", ignorenulls=True).over(fwd)
+    next_d = F.first(known_day, ignorenulls=True).over(fwd)
+    interp = (
+        F.when(F.col("day_cents").isNotNull(), F.col("day_cents").cast("double"))
+        .when(prev_v.isNull(), next_v.cast("double"))
+        .when(next_v.isNull(), prev_v.cast("double"))
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (
+                F.datediff(F.col("day"), prev_d)
+                * F.lit(1.0)
+                / F.datediff(next_d, prev_d)
+            )
+        )
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_cents",
+        F.round(interp, 6).alias("interp_cents"),
+    )

@@ -1,0 +1,63 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+    connected_components,
+    dedup_groups,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_cc_labels_chain_clique_and_singleton(spark):
+    # chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
+    # clique {10,11,12}, isolated vertex 99
+    edges = _edges(spark, [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)])
+    verts = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 10, 11, 12, 99]], "vertex long")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_cc_invariant_under_edge_direction_and_duplicates(spark):
+    e1 = _edges(spark, [(1, 2), (2, 3)])
+    e2 = _edges(spark, [(2, 1), (3, 2), (1, 2), (2, 3)])  # flipped + duplicated
+    c1 = sorted(connected_components(e1).collect())
+    c2 = sorted(connected_components(e2).collect())
+    assert c1 == c2
+
+
+def test_dedup_groups_canonical_and_size(spark):
+    edges = _edges(spark, [(5, 9), (9, 7), (2, 3)])
+    cc = connected_components(edges)
+    groups = {
+        r["component"]: (r["group_size"], r["canonical"])
+        for r in dedup_groups(cc).collect()
+    }
+    assert groups == {5: (3, 5), 2: (2, 2)}
+
+
+def test_cc_long_chain_converges_within_max_iter(spark):
+    # path of 40 vertices: min-label needs ~39 rounds if naive one-hop —
+    # make sure max_iter guard still yields the right answer when ample
+    n = 40
+    edges = _edges(spark, [(i, i + 1) for i in range(n - 1)])
+    out = connected_components(edges, max_iter=n)
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
+    assert out.count() == n
+
+
+def test_cc_handles_empty_edges(spark):
+    edges = _edges(spark, []).filter(F.lit(False))
+    verts = spark.createDataFrame([(1,), (2,)], "vertex long")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edges, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 2}

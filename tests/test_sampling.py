@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+    BUCKETS,
+    deterministic_sample,
+    hash_bucket,
+    hash_split,
+    stratified_sample,
+)
+
+
+def _docs(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    return load_testdata(spark, sf_dir, ["documents"])["documents"]
+
+
+def test_sample_invariant_under_repartition(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.3).collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(d.repartition(13), "doc_id", 0.3).collect()
+    }
+    assert a == b
+    n = d.count()
+    assert 0.15 * n < len(a) < 0.45 * n
+
+
+def test_split_partitions_are_disjoint_and_exhaustive(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == d.count()
+    # nested sampling property: a 0.3 sample is a subset of a 0.5 sample
+    s3 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.3).collect()}
+    s5 = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.5).collect()}
+    assert s3 <= s5
+
+
+def test_split_weights_must_sum_to_one(spark, sf_dir):
+    import pytest
+
+    with pytest.raises(ValueError):
+        hash_split(_docs(spark, sf_dir), "doc_id", {"a": 0.5, "b": 0.1})
+
+
+def test_salt_decorrelates_samples(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.5, salt="x").collect()}
+    b = {r["doc_id"] for r in deterministic_sample(d, "doc_id", 0.5, salt="y").collect()}
+    assert a != b  # different salts give different (same-rate) samples
+
+
+def test_stratified_rates_respected(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    out = stratified_sample(d, "doc_id", "lang", {"en": 0.1}, default_fraction=1.0)
+    full = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in full.items():
+        if lang == "en":
+            assert kept.get("en", 0) < 0.35 * n
+        else:
+            assert kept[lang] == n  # non-target strata kept whole
+
+
+def test_bucket_range(spark):
+    df = spark.range(1000).select(hash_bucket(F.col("id")).alias("b"))
+    row = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
+    assert 0 <= row["lo"] and row["hi"] < BUCKETS

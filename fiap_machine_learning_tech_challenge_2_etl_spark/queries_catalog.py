@@ -2218,3 +2218,96 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         F.round(interp, 6).alias("interp_cents"),
     )
+
+
+# ==========================================================================
+# Extension: data profiling (operators.profiling)
+# ==========================================================================
+
+
+@_register(
+    "profile_documents",
+    sql="""
+SELECT 'doc_id' AS column, CAST(count(doc_id) AS BIGINT) AS n_nonnull,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+  CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value
+FROM documents
+UNION ALL
+SELECT 'lang', CAST(count(lang) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT),
+  CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'source', CAST(count(source) AS BIGINT), CAST(count(DISTINCT source) AS BIGINT),
+  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+UNION ALL
+SELECT 'n_chars', CAST(count(n_chars) AS BIGINT), CAST(count(DISTINCT n_chars) AS BIGINT),
+  CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+""",
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile (A1 generalized): non-null / distinct / min / max for
+    every profiled column computed in ONE global aggregate over one scan —
+    the oracle's UNION ALL of per-column scans is what this operator
+    deliberately avoids (4 scans there vs 1 here; the driver compares
+    values, not plans)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import (
+        profile_columns,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(d, ["doc_id", "lang", "source", "n_chars"])
+
+
+@_register(
+    "value_histogram",
+    sql="""
+WITH b AS (
+  SELECT min(CAST(o_totalprice AS DOUBLE)) AS lo_all,
+         max(CAST(o_totalprice AS DOUBLE)) AS hi_all
+  FROM orders
+)
+SELECT bucket,
+  round(lo_all + bucket * (hi_all - lo_all) / 20, 6) AS lo,
+  round(lo_all + (bucket + 1) * (hi_all - lo_all) / 20, 6) AS hi,
+  CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo_all)
+                          / ((hi_all - lo_all) / 20.0)) AS INTEGER), 19) AS bucket,
+         lo_all, hi_all
+  FROM orders, b
+  WHERE o_totalprice IS NOT NULL
+)
+GROUP BY bucket, lo_all, hi_all
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of order value: 1-row min/max aggregate
+    broadcast back over the scan (never a driver round-trip), bucket index
+    as closed-form arithmetic, O(nbins) shuffle. Bucket boundaries use the
+    same IEEE double expression on both engines so edge values land
+    identically."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import (
+        numeric_histogram,
+    )
+
+    return numeric_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", nbins=20)
+
+
+@_register("frequent_tokens_sketch")  # approximate by construction: rows-only check
+def q_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Misra-Gries style bounded
+    state): per-partition sketches merge associatively, so the token
+    frequency head costs one O(sketch-size) shuffle instead of a full
+    vocabulary aggregate — the scale path when the vocab itself is too big
+    to hash-aggregate cheaply. Value-checked against the exact
+    word_count_topk in tests (test_llm_ops) with overlap tolerance."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(ws_tokens("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return (
+        toks.select(F.expr("approx_top_k(tok, 20, 65536)").alias("top"))
+        .select(F.inline("top"))
+        .toDF("tok", "n")
+    )

@@ -240,3 +240,20 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     c1 = S.ivf_fit_centroids(emb)
     c2 = S.ivf_fit_centroids(emb)
     assert (c1 == c2).all()
+
+
+def test_approx_top_k_matches_exact_head(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+
+    exact = SPARK_QUERIES["word_count_topk"](spark, sf_dir).collect()
+    approx = SPARK_QUERIES["frequent_tokens_sketch"](spark, sf_dir).collect()
+    exact_set = {r["tok"] for r in exact}
+    approx_set = {r["tok"] for r in approx}
+    # sketch head must recover most of the true head...
+    assert len(exact_set & approx_set) >= 15
+    # ...and counts for recovered items are close (MG sketches undercount
+    # by at most n/width; width 65536 >> corpus tokens, so near-exact here)
+    exact_counts = {r["tok"]: r["n"] for r in exact}
+    for r in approx:
+        if r["tok"] in exact_counts:
+            assert abs(r["n"] - exact_counts[r["tok"]]) <= max(2, 0.05 * exact_counts[r["tok"]])

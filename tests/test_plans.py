@@ -64,3 +64,47 @@ def test_semi_join_stays_semi(spark, sf_dir):
     plan = _plan(SPARK_QUERIES["semi_join_customers"](spark, sf_dir))
     assert "LeftSemi" in plan, plan
     assert "Aggregate" not in plan.split("Semi")[0].split("\n")[0], plan
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS (TPC-H Q4 shape) must decorrelate into a
+    left-semi join with the quantity predicate pushed into the lineitem
+    scan — never a per-row subquery."""
+    plan = _plan(SPARK_QUERIES["exists_subquery_agg"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_quantity" in seg.split("]")[0] for seg in pushed[1:]), plan
+
+
+def test_range_frame_window_single_exchange(spark, sf_dir):
+    """The value-RANGE rolling frame plans one exchange on user_id shared
+    by all three frame aggregates."""
+    plan = _plan(SPARK_QUERIES["range_frame_window"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_gapfill_reuses_user_partitioning(spark, sf_dir):
+    """Gap fill chains daily agg -> spine join -> fill window, all keyed on
+    user_id: the plan must stay within a small exchange budget (daily agg
+    on (user_id, day) + user-keyed spine agg/join/window), with no
+    redundant re-shuffle between the join and the window."""
+    plan = _plan(SPARK_QUERIES["gapfill_forward_fill"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+
+
+def test_sampling_filter_is_scan_level(spark, sf_dir):
+    """The deterministic sample predicate is a pure row expression: the
+    plan is scan+filter+project only — no exchange, no aggregate, nothing
+    that would turn a cheap sample into a distributed job at scale."""
+    plan = _plan(SPARK_QUERIES["stratified_sample_docs"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan
+
+
+def test_scalar_subquery_becomes_aggregate_join(spark, sf_dir):
+    """The correlated scalar subquery (TPC-H Q17 shape) decorrelates into
+    a grouped aggregate joined back on l_partkey — two aggregates and
+    joins, no nested-loop subquery node."""
+    plan = _plan(SPARK_QUERIES["scalar_subquery_agg"](spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert "InSubquery" not in plan and "ScalarSubquery" not in plan, plan

@@ -2311,3 +2311,133 @@ def q_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.inline("top"))
         .toDF("tok", "n")
     )
+
+
+# ==========================================================================
+# Extension: document chunking (LLM context-window preprocessing)
+# ==========================================================================
+
+
+@_register(
+    "chunk_documents",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+    unnest(generate_series(0, len(toks) - 1, 48)) AS start
+  FROM t
+)
+SELECT doc_id, CAST(start / 48 AS BIGINT) AS chunk_id,
+  array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
+  CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_chunk_toks
+FROM c
+WHERE len(list_slice(toks, start + 1, start + 64)) > 0
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (64-token chunks, stride 48 — the
+    context-window preprocessing step of an LLM data pipeline), entirely
+    with native array expressions: sequence() generates chunk starts,
+    transform()+slice() cuts token windows, posexplode emits one row per
+    chunk. No UDF, no shuffle — a pure narrow map over the corpus that
+    scales with input splits; the only data growth is the ~1.33x overlap
+    factor."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    stride, width = 48, 64
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens("text").alias("toks")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(starts, lambda s: F.slice(F.col("toks"), s + 1, width))
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_toks"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+            F.size("chunk_toks").cast("long").alias("n_chunk_toks"),
+        )
+        .filter(F.col("n_chunk_toks") > 0)
+    )
+
+
+_Q2_MIN_JOINBACK_SQL = """
+SELECT p.p_partkey, p.p_name, s.s_suppkey,
+  round(ps_cost.min_cost, 2) AS min_cost
+FROM part p
+JOIN (
+  SELECT l_partkey, min(l_extendedprice / l_quantity) AS min_cost
+  FROM lineitem
+  GROUP BY l_partkey
+) ps_cost ON ps_cost.l_partkey = p.p_partkey
+JOIN lineitem li ON li.l_partkey = p.p_partkey
+  AND li.l_extendedprice / li.l_quantity = ps_cost.min_cost
+JOIN supplier s ON s.s_suppkey = li.l_suppkey
+WHERE p.p_size = 1
+"""
+
+
+@_register("min_cost_supplier", sql=_Q2_MIN_JOINBACK_SQL)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-per-group then join back to recover the row(s)
+    attaining the minimum (cheapest supplier per part), identical ANSI on
+    both engines. The grouped min and the join-back share the l_partkey
+    shuffle key; the selective p_size predicate broadcasts a pruned part
+    dim against it."""
+    for t in ("part", "lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q2_MIN_JOINBACK_SQL)
+
+
+@_register(
+    "map_functions",
+    sql="""
+SELECT l_orderkey, l_linenumber,
+  CAST(2 AS INT) AS n_entries,
+  CAST((CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+     + (CASE WHEN l_tax * 100 > 25 THEN 1 ELSE 0 END) AS INT) AS n_over_25,
+  round((CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END)
+      + (CASE WHEN l_tax * 100 > 25 THEN l_tax * 100 ELSE 0 END), 6) AS sum_over_25,
+  round(l_quantity * 2.0 + l_tax * 100 * 3.0, 6) AS zip_weighted,
+  'qty,tax_pct' AS keys_csv
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+""",
+)
+def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/higher-order-map family: map construction (F.create_map),
+    map_filter (lambda over k,v), map_values + aggregate fold,
+    map_zip_with (weighted merge of two maps), map_keys — all JVM-side
+    lambda expressions inside whole-stage codegen, no UDF. The oracle
+    states the same semantics as scalar arithmetic, which is exactly what
+    Catalyst folds these map expressions down to for literal-keyed maps."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity").cast("double"),
+        F.lit("tax_pct"), (F.col("l_tax") * 100).cast("double"),
+    )
+    weights = F.create_map(
+        F.lit("qty"), F.lit(2.0), F.lit("tax_pct"), F.lit(3.0)
+    )
+    over25 = F.map_filter(m, lambda k, v: v > 25)
+    folded = F.aggregate(
+        F.map_values(over25), F.lit(0.0), lambda acc, v: acc + v
+    )
+    zipped = F.aggregate(
+        F.map_values(F.map_zip_with(m, weights, lambda k, v1, v2: v1 * v2)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(m).alias("n_entries"),
+        F.size(over25).alias("n_over_25"),
+        F.round(folded, 6).alias("sum_over_25"),
+        F.round(zipped, 6).alias("zip_weighted"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )

@@ -2441,3 +2441,57 @@ def q_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zipped, 6).alias("zip_weighted"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+@_register(
+    "ewma_user_daily",
+    sql="""
+WITH RECURSIVE d AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2
+), base AS (
+  SELECT user_id, day, day_cents,
+    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+), r AS (
+  SELECT user_id, rn, day, day_cents, CAST(day_cents AS DOUBLE) AS ewma_raw
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.user_id, b.rn, b.day, b.day_cents,
+    0.3 * CAST(b.day_cents AS DOUBLE) + 0.7 * r.ewma_raw
+  FROM base b JOIN r ON b.user_id = r.user_id AND b.rn = r.rn + 1
+)
+SELECT user_id, strftime(day, '%Y-%m-%d') AS day, day_cents,
+  floor(ewma_raw * 1000000 + 0.5) / 1000000 AS ewma
+FROM r
+""",
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA over each user's daily series — the linear recurrence window
+    functions can't express (it folds over its own OUTPUT, not the inputs),
+    so this is the engine's canonical Arrow-grouped applyInPandas operator
+    (operators.timeseries.ewma). The oracle states the recurrence directly
+    as a linear recursive CTE; both sides do the identical IEEE arithmetic
+    (a*x + (1-a)*y), so values match to the last bit before rounding."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import ewma
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents")
+    )
+    out = ewma(d, key="user_id", order_by="day", value="day_cents", alpha=0.3)
+    # engine-independent 6-decimal rounding: round() dialects differ on
+    # doubles like x.xxxx4499…9 (Java rounds the BINARY value, DuckDB the
+    # decimal rendering); floor(x*1e6 + 0.5)/1e6 is the same IEEE ops on
+    # both engines, so the boundary behavior is identical by construction.
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_cents",
+        (F.floor(F.col("ewma") * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
+    )

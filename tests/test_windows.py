@@ -93,3 +93,23 @@ def test_window_result_invariant_under_input_shuffling(spark):
     a = W.rolling_stats(df, "v", ["code"], ["d"], n=3, suffix="_s")
     b = W.rolling_stats(df.repartition(5), "v", ["code"], ["d"], n=3, suffix="_s")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ewma_matches_recurrence_and_validates_alpha(spark):
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 30.0), (2, 1, 5.0)],
+        "uid long, t long, x double",
+    )
+    out = {
+        (r["uid"], r["t"]): r["ewma"]
+        for r in ewma(df, key="uid", order_by="t", value="x", alpha=0.5).collect()
+    }
+    # y1=10, y2=.5*20+.5*10=15, y3=.5*30+.5*15=22.5; singleton group y=x
+    assert out == {(1, 1): 10.0, (1, 2): 15.0, (1, 3): 22.5, (2, 1): 5.0}
+
+    with pytest.raises(ValueError):
+        ewma(df, key="uid", order_by="t", value="x", alpha=0.0)

@@ -2495,3 +2495,148 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_cents",
         (F.floor(F.col("ewma") * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
     )
+
+
+# ==========================================================================
+# Extension: null-semantics, fuzzy string match, bitwise function families
+# ==========================================================================
+
+
+@_register(
+    "null_semantics_family",
+    sql="""
+SELECT o_orderkey,
+  nullif(o_orderstatus, 'O') AS status_nz,
+  ifnull(nullif(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+  (o_orderstatus IS NOT DISTINCT FROM 'F') AS is_f_nullsafe,
+  coalesce(nullif(o_orderpriority, '5-LOW'), nullif(o_orderstatus, 'O'),
+           'fallback') AS first_nonnull,
+  greatest(o_totalprice, 100000.0) AS price_floor,
+  least(o_totalprice, 100000.0) AS price_cap
+FROM orders
+WHERE o_orderkey % 20 = 0
+""",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar family: nullif / ifnull / multi-arm coalesce /
+    null-safe equality (<=> vs IS NOT DISTINCT FROM — dialect pinned) /
+    greatest / least. All fold into whole-stage codegen; the oracle pins
+    the cross-engine agreement on three-valued-logic edge cases."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    status_nz = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_nz.alias("status_nz"),
+        F.ifnull(status_nz, F.lit("OPEN")).alias("status_filled"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("is_f_nullsafe"),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")),
+            status_nz,
+            F.lit("fallback"),
+        ).alias("first_nonnull"),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("price_floor"),
+        F.least(F.col("o_totalprice"), F.lit(100000.0)).alias("price_cap"),
+    )
+
+
+@_register(
+    "fuzzy_match_levenshtein",
+    sql="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a, customer b
+WHERE a.c_custkey % 97 = 0 AND b.c_custkey % 97 = 0
+  AND a.c_custkey < b.c_custkey
+  AND levenshtein(a.c_name, b.c_name) <= 6
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein built-in, JVM-side) over a
+    deterministically-sampled self-join — the entity-resolution primitive
+    complementing the token-based dedup family. The modulo pre-filter
+    pushes to both scans, so the quadratic pair space is bounded BEFORE the
+    join; at scale, block on a cheap key (prefix/soundex/LSH bucket) so the
+    cross product stays per-block."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 97 == 0)
+    a = c.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    b = c.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 6)
+    )
+
+
+@_register(
+    "bitwise_functions",
+    sql="""
+SELECT l_returnflag,
+  CAST(bit_and(l_orderkey & 1023) AS BIGINT) AS all_bits,
+  CAST(bit_or(l_orderkey & 1023) AS BIGINT) AS any_bits,
+  CAST(bit_xor(l_orderkey & 1023) AS BIGINT) AS parity_bits,
+  CAST(sum(bit_count(CAST(l_orderkey AS BIGINT))) AS BIGINT) AS total_popcount,
+  CAST(max(xor(l_orderkey, CAST(l_partkey AS BIGINT)) & 4095) AS BIGINT) AS max_xor_mask
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate family (masks, xor, popcount, bit_and/
+    or/xor aggregates) — the flag-word compaction idiom for feature
+    bitmaps. Integer ops end-to-end: exact on both engines by definition."""
+    li = _t(spark, sf_dir, "lineitem")
+    masked = F.col("l_orderkey").bitwiseAND(F.lit(1023))
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(masked).alias("all_bits"),
+        F.bit_or(masked).alias("any_bits"),
+        F.bit_xor(masked).alias("parity_bits"),
+        F.sum(F.bit_count("l_orderkey")).alias("total_popcount"),
+        F.max(
+            F.col("l_orderkey")
+            .bitwiseXOR(F.col("l_partkey").cast("long"))
+            .bitwiseAND(F.lit(4095))
+        ).alias("max_xor_mask"),
+    )
+
+
+@_register(
+    "event_sequence_assembly",
+    sql="""
+SELECT user_id,
+  string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP), event_id) AS type_seq,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(min(event_id) AS BIGINT) AS first_event_id
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL
+GROUP BY user_id
+""",
+)
+def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered sequence assembly: each user's event-type history as one
+    delimited string (the behavioral-sequence sample a recommender/LLM
+    pipeline trains on). collect_list is UNORDERED by contract — ordering
+    is imposed deterministically by collecting (ts, event_id, type)
+    structs, array_sort-ing (struct comparison = lexicographic on fields,
+    event_id breaking ts ties), then projecting the type. One shuffle on
+    user_id; per-group state is the user's own history only."""
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return e.groupBy("user_id").agg(
+        seq.alias("type_seq"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+    )

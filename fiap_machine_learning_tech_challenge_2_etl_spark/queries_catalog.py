@@ -2640,3 +2640,35 @@ def q_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.min("event_id").alias("first_event_id"),
     )
+
+
+@_register(
+    "variant_shred_props",
+    sql="""
+SELECT CAST(json_extract(props, '$.k') AS INT) AS k,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(min(event_id) AS BIGINT) AS min_event
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+  AND CAST(json_extract(props, '$.k') AS INT) % 7 = 0
+GROUP BY 1
+""",
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4):
+    parse_json once into a variant, typed variant_get extraction, then
+    filter + agg on the shredded value. Variant's binary encoding makes
+    repeated path access O(1) per field instead of re-parsing JSON text
+    per expression — the modern path for schema-on-read event payloads
+    (the oracle states the same semantics with portable json_extract)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_id", k.alias("k"))
+        .filter(F.col("k").isNotNull() & (F.col("k") % 7 == 0))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("min_event"),
+        )
+    )

@@ -260,3 +260,56 @@ def stream_dedup_events(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def stream_upsert_by_key(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    output_path: str,
+    checkpoint_dir: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    dedup_order: str | None = None,
+) -> None:
+    """Streaming CDC-style MERGE: each micro-batch row-level-upserts into a
+    partitioned parquet table (sources.sinks.upsert_by_key) — late
+    re-deliveries of a key overwrite its prior version instead of
+    appending a duplicate. The checkpoint gives exactly-once per FILE; the
+    keyed upsert makes redelivered KEYS idempotent too, so the combined
+    contract is effectively exactly-once per key-version at O(touched
+    partitions) cost per batch.
+
+    ``dedup_order`` (a column name) breaks intra-batch key collisions by
+    keeping the row with the highest value — without it a batch carrying
+    two versions of one key would write both.
+    """
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import upsert_by_key
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        if dedup_order is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*keys).orderBy(
+                F.col(dedup_order).desc(), *[F.col(k) for k in keys]
+            )
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        upsert_by_key(
+            spark, out, output_path, keys=keys, partition_by=partition_by
+        )
+
+    (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -416,3 +416,42 @@ def test_csv_jsonl_tolerant_round_trip(spark, tmp_path):
     write_jsonl(clean_j, out)
     back, _ = quarantine_corrupt(read_jsonl(spark, out, schema))
     assert {(r["k"], r["v"]) for r in back.collect()} == {("a", 1), ("c", 3)}
+
+
+def test_stream_upsert_by_key_cdc_merge(spark, tmp_path):
+    """Streaming CDC merge: a second drain carrying new versions of
+    existing keys replaces them (no duplicates), new keys append, and
+    intra-batch key collisions keep the highest dedup_order version."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_upsert_by_key,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    schema = "id long, name string, ver long, day string"
+
+    spark.createDataFrame(
+        [(1, "a", 1, "2024-01-01"), (2, "b", 1, "2024-01-01"),
+         (3, "c", 1, "2024-01-02")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream_upsert_by_key(
+        spark, src, T._parse_datatype_string(schema), out, ck,
+        keys=["id"], partition_by=["day"], dedup_order="ver",
+    )
+    assert spark.read.parquet(out).count() == 3
+
+    # second file: key 1 updated twice in-batch (keep ver 3), key 4 new
+    spark.createDataFrame(
+        [(1, "a2", 2, "2024-01-01"), (1, "a3", 3, "2024-01-01"),
+         (4, "d", 1, "2024-01-02")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream_upsert_by_key(
+        spark, src, T._parse_datatype_string(schema), out, ck,
+        keys=["id"], partition_by=["day"], dedup_order="ver",
+    )
+    got = {(r["id"], r["name"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a3", 3), (2, "b", 1), (3, "c", 1), (4, "d", 1)}

@@ -1,0 +1,75 @@
+"""Spark 4 API surfaces: Python DataSource, UDTF, VARIANT."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_synthdocs_datasource_deterministic_and_partitioned(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pydatasource import (
+        SynthDocsDataSource,
+    )
+
+    spark.dataSource.register(SynthDocsDataSource)
+    df = (
+        spark.read.format("synthdocs")
+        .option("n_partitions", 3)
+        .option("rows_per_partition", 50)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 150
+    assert df.columns == ["doc_id", "text", "n_tokens", "bucket"]
+    # deterministic: same options -> identical content
+    again = (
+        spark.read.format("synthdocs")
+        .option("n_partitions", 3)
+        .option("rows_per_partition", 50)
+        .load()
+    )
+    assert sorted(df.collect()) == sorted(again.collect())
+    # n_tokens is consistent with the text
+    bad = df.filter(F.size(F.split("text", " ")) != F.col("n_tokens")).count()
+    assert bad == 0
+
+
+def test_word_ngrams_udtf_matches_native_shingles(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.functions.udtfs import register_udtfs
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import shingles
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM word_ngrams('the quick brown fox', 3)"
+    ).collect()
+    assert [(r["pos"], r["ngram"]) for r in rows] == [
+        (0, "the quick brown"),
+        (1, "quick brown fox"),
+    ]
+    # short input falls back to the full text (same contract as shingles)
+    short = spark.sql("SELECT * FROM word_ngrams('hello', 3)").collect()
+    assert [(r["pos"], r["ngram"]) for r in short] == [(0, "hello")]
+
+    # parity with the native array-expression shingle operator
+    df = spark.createDataFrame([("the quick brown fox jumps",)], "text string")
+    native = sorted(
+        df.select(F.explode(shingles("text", 3)).alias("s")).rdd.map(lambda r: r["s"]).collect()
+    )
+    via_udtf = sorted(
+        r["ngram"]
+        for r in spark.sql(
+            "SELECT t.ngram FROM (SELECT 'the quick brown fox jumps' AS txt) s, "
+            "LATERAL word_ngrams(s.txt, 3) t"
+        ).collect()
+    )
+    assert native == via_udtf
+
+
+def test_variant_parse_and_typed_get(spark):
+    df = spark.createDataFrame(
+        [('{"k": 5, "tags": ["a", "b"]}',), ('{"k": null}',)], "j string"
+    )
+    out = df.select(
+        F.expr("variant_get(parse_json(j), '$.k', 'int')").alias("k"),
+        F.expr("try_variant_get(parse_json(j), '$.tags[0]', 'string')").alias("t0"),
+    ).collect()
+    assert [(r["k"], r["t0"]) for r in out] == [(5, "a"), (None, None)]

@@ -2672,3 +2672,78 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").alias("min_event"),
         )
     )
+
+
+@_register(
+    "regex_functions",
+    sql=r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS n_digits,
+  regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+  regexp_matches(text, 'the') AS has_the,
+  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS novowel_len,
+  CAST(len(string_split_regex(text, '\s+')) AS INT) AS n_ws_fields
+FROM documents
+WHERE doc_id % 5 = 0
+""",
+)
+def q_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family (count / extract / rlike / replace-all / regex
+    split) with the cross-dialect traps pinned: Spark regexp_replace is
+    global by default where DuckDB needs the 'g' flag; both return '' (not
+    NULL) for a no-match extract; regexp_count == len(extract_all). All
+    JVM-side regex — the same engine family the reference's sanitizers
+    (SURVEY.md N3/N4) rely on."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[0-9]")).cast("int").alias("n_digits"),
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_word"),
+        F.col("text").rlike("the").alias("has_the"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("int").alias(
+            "novowel_len"
+        ),
+        F.size(F.split("text", r"\s+")).cast("int").alias("n_ws_fields"),
+    )
+
+
+@_register(
+    "window_value_family",
+    sql="""
+SELECT o_orderkey, o_custkey,
+  first_value(o_orderkey) OVER w AS first_ok,
+  last_value(o_orderkey) OVER w AS last_ok_sofar,
+  nth_value(o_orderkey, 2) OVER w AS second_ok,
+  floor((o_totalprice - avg(o_totalprice) OVER p) * 10000 + 0.5) / 10000 AS price_vs_cust_avg
+FROM orders
+WINDOW
+  w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  p AS (PARTITION BY o_custkey)
+""",
+)
+def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE-function family (first/last/nth_value over a running
+    frame, plus the detail-vs-group-average pattern on an unbounded
+    partition frame). Both window specs share the o_custkey partitioning,
+    so the plan sorts once per spec inside a single exchange."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.to_date("o_orderdate"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("o_custkey")
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok_sofar"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+        (
+            F.floor((F.col("o_totalprice") - F.avg("o_totalprice").over(p)) * 1e4 + F.lit(0.5))
+            / 1e4
+        ).alias("price_vs_cust_avg"),
+    )

@@ -61,3 +61,41 @@ def test_cc_handles_empty_edges(spark):
         for r in connected_components(edges, vertices=verts).collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: on seeded random graphs, the distributed labelling
+    equals a reference union-find's min-representative labelling."""
+    import random
+
+    for seed in (7, 42, 1337):
+        rng = random.Random(seed)
+        n = 60
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for v in range(n):
+            root = find(v)
+            expected.setdefault(root, []).append(v)
+        want = {v: min(members) for members in expected.values() for v in members}
+
+        edges = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+        verts = spark.createDataFrame([(v,) for v in range(n)], "vertex long")
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(edges, vertices=verts).collect()
+        }
+        assert got == want, f"seed {seed}"

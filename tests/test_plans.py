@@ -108,3 +108,12 @@ def test_scalar_subquery_becomes_aggregate_join(spark, sf_dir):
     plan = _plan(SPARK_QUERIES["scalar_subquery_agg"](spark, sf_dir))
     assert "HashAggregate" in plan, plan
     assert "InSubquery" not in plan and "ScalarSubquery" not in plan, plan
+
+
+def test_chunking_is_narrow_no_exchange(spark, sf_dir):
+    """Document chunking is a pure narrow map (sequence/transform/slice +
+    posexplode): any exchange or aggregate appearing here would mean the
+    corpus is being shuffled just to cut windows."""
+    plan = _plan(SPARK_QUERIES["chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan, plan

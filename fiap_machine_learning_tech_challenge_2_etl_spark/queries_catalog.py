@@ -2747,3 +2747,107 @@ def q_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e4
         ).alias("price_vs_cust_avg"),
     )
+
+
+# ==========================================================================
+# Extension: training-sample assembly (packing, mixture up-sampling)
+# ==========================================================================
+
+
+@_register(
+    "sequence_packing",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id, source, len({_SQL_TOKS}) AS n_toks FROM documents
+), c AS (
+  SELECT doc_id, source, n_toks,
+    sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT source, CAST(floor((cum - n_toks) / 2048) AS BIGINT) AS seq_id,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
+  CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM c
+GROUP BY source, seq_id
+""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: assign docs (in deterministic doc_id
+    order per source) to fixed-budget training sequences of 2048 tokens by
+    bucketing the EXCLUSIVE running token total — the distributed
+    approximation of first-fit packing every pretraining pipeline uses
+    (greedy stateful packing doesn't parallelize; contiguous packing is
+    one window cumsum + arithmetic, wasting at most one doc's overflow per
+    boundary). One exchange on source for both the cumsum and the rollup."""
+    from pyspark.sql.window import Window
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(ws_tokens("text")).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_toks").over(w))
+    return (
+        c.select(
+            "source",
+            F.floor((F.col("cum") - F.col("n_toks")) / 2048).alias("seq_id"),
+            "n_toks",
+            "doc_id",
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@_register(
+    "quality_upsample_repeat",
+    sql=f"""
+WITH q AS (
+  SELECT doc_id, lang,
+    1 + CAST(len({_SQL_TOKS}) > 60 AS INT)
+      + CAST(lang = 'en' AS INT) AS n_copies
+  FROM documents
+  WHERE doc_id % 4 = 0
+)
+SELECT doc_id, lang, CAST(n_copies AS INT) AS n_copies,
+  CAST(unnest(generate_series(0, n_copies - 1)) AS INT) AS copy_idx
+FROM q
+""",
+)
+def q_quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture up-sampling: repeat each document n_copies times
+    (here a deterministic quality proxy: base 1, +1 if long, +1 if
+    English) by exploding a generated index array — the 'epochs by
+    quality bucket' mixing step of a pretraining data recipe. A narrow
+    map: no shuffle, output rows carry copy_idx so downstream shuffles
+    spread replicas instead of colocating them."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    n_copies = (
+        F.lit(1)
+        + (F.size(ws_tokens("text")) > 60).cast("int")
+        + (F.col("lang") == "en").cast("int")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_copies.cast("int").alias("n_copies"),
+        F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_idx_raw"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_copies",
+        F.col("copy_idx_raw").cast("int").alias("copy_idx"),
+    )

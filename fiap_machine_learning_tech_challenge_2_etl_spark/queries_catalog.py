@@ -2851,3 +2851,102 @@ def q_quality_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.col("copy_idx_raw").cast("int").alias("copy_idx"),
     )
+
+
+@_register(
+    "tfidf_top_terms",
+    sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+    tf.tf * n.n_docs / CAST(df.df AS DOUBLE) AS score,
+    row_number() OVER (PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * n.n_docs / CAST(df.df AS DOUBLE) DESC,
+                                tf.tok) AS rn
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, round(score, 6) AS score
+FROM scored WHERE rn <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF salient terms: term frequency per doc, document frequency
+    per term, rational idf (tf * N / df — division of exact small
+    integers, so both engines produce the identical double; ln-based idf
+    would hinge on libm last-ulp agreement), top-3 terms per doc with a
+    lexicographic tiebreak. Plan: two hash aggregates sharing the token
+    shuffle, a broadcast of the 1-row corpus count, and WindowGroupLimit
+    pushing the top-3 below the per-doc sort."""
+    from pyspark.sql.window import Window
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.col("n_docs") / F.col("df").cast("double")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "tok")
+    return (
+        tf.join(df_, "tok")
+        .join(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tf", "df", F.round(score, 6).alias("score"))
+    )
+
+
+@_register(
+    "decontaminate_ngram_overlap",
+    sql=f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_H60.format(x='s')} AS sh
+  FROM (
+    SELECT doc_id, unnest({_SQL_SHINGLES3.replace('toks', _SQL_TOKS)}) AS s
+    FROM documents
+  )
+), eval_sh AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % 199 = 0
+)
+SELECT DISTINCT s.doc_id
+FROM sh s JOIN eval_sh e ON s.sh = e.sh
+WHERE s.doc_id % 199 <> 0
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ANY
+    3-gram shingle with the held-out eval set (doc_id % 199 == 0 stands in
+    for the benchmark) — the n-gram contamination check run before every
+    pretraining corpus release. Semi-join on 60-bit shingle hashes: the
+    eval side collapses to distinct hashes (broadcastable at real scale —
+    benchmarks are tiny vs the corpus), the training side never shuffles
+    document bodies, and the output is the flagged doc set."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        shingles,
+        token_hash60,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles("text", 3)).alias("s")
+    ).select("doc_id", token_hash60(F.col("s")).alias("sh"))
+    eval_sh = sh.filter(F.col("doc_id") % 199 == 0).select("sh").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 199 != 0)
+        .join(F.broadcast(eval_sh), "sh", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )

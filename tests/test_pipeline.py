@@ -142,3 +142,36 @@ def test_range_clustered_write_produces_disjoint_sorted_files(spark, tmp_path):
         assert hi_prev <= lo_next  # disjoint (boundary duplicates may touch)
     # file-level pruning: a point read scans far fewer rows than the table
     assert spark.read.parquet(path).filter(F.col("k") == 4242).count() >= 1
+
+
+def test_merge_schema_read_unifies_evolved_batches(spark, tmp_path):
+    """Schema evolution: a later batch adds a column; mergeSchema reads the
+    union schema with nulls for the old batch — the tolerant-read contract
+    for corpora that grow metadata columns over time."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        path + "/b1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.9)], "id long, name string, quality double"
+    ).write.parquet(path + "/b2")
+    df = spark.read.option("mergeSchema", "true").parquet(path + "/b1", path + "/b2")
+    assert set(df.columns) == {"id", "name", "quality"}
+    got = {(r["id"], r["quality"]) for r in df.collect()}
+    assert got == {(1, None), (2, 0.9)}
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS populates catalog row counts —
+    the cost-based-optimizer input for join reordering at scale."""
+    spark.sql("DROP TABLE IF EXISTS __stats_probe")
+    spark.createDataFrame([(i,) for i in range(500)], "id long").write.saveAsTable(
+        "__stats_probe"
+    )
+    spark.sql("ANALYZE TABLE __stats_probe COMPUTE STATISTICS")
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED __stats_probe").collect()
+    }
+    assert "Statistics" in desc and "500 rows" in desc["Statistics"], desc
+    spark.sql("DROP TABLE __stats_probe")

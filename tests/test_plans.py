@@ -117,3 +117,17 @@ def test_chunking_is_narrow_no_exchange(spark, sf_dir):
     plan = _plan(SPARK_QUERIES["chunk_documents"](spark, sf_dir))
     assert "Exchange" not in plan, plan
     assert "Aggregate" not in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Join strategy is controllable per join: a merge hint forces SMJ
+    where the optimizer would broadcast, and a broadcast hint forces BHJ —
+    the manual override for when size estimates mislead at scale."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    t = load_testdata(spark, sf_dir, ["orders", "customer"])
+    o, c = t["orders"], t["customer"]
+    merged = _plan(o.join(c.hint("merge"), o["o_custkey"] == c["c_custkey"]))
+    assert "SortMergeJoin" in merged, merged
+    bcast = _plan(o.join(c.hint("broadcast"), o["o_custkey"] == c["c_custkey"]))
+    assert "BroadcastHashJoin" in bcast, bcast

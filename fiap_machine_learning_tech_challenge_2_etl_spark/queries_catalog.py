@@ -2950,3 +2950,64 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
+
+
+@_register(
+    "set_ops_all",
+    sql="""
+SELECT 'intersect_all' AS op, l_orderkey FROM (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+  INTERSECT ALL SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+)
+UNION ALL
+SELECT 'except_all' AS op, l_orderkey FROM (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+  EXCEPT ALL SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+)
+""",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operations (INTERSECT ALL / EXCEPT ALL): bag semantics
+    preserve duplicate multiplicity — min(count) for intersect, count
+    difference for except — which the DISTINCT variants in set_ops erase.
+    Catalyst plans both as aggregate+generate over per-side counts, one
+    shuffle each on the compared column."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 25).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "l_orderkey")
+    ).unionAll(
+        a.exceptAll(b).select(F.lit("except_all").alias("op"), "l_orderkey")
+    )
+
+
+@_register(
+    "sort_nulls_family",
+    sql="""
+SELECT event_id, v
+FROM (SELECT event_id,
+        CASE WHEN CAST(round(value) AS BIGINT) % 5 = 0 THEN NULL
+             ELSE value END AS v
+      FROM events WHERE event_id % 3 = 0)
+ORDER BY v ASC NULLS FIRST, event_id
+LIMIT 50
+""",
+)
+def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-ordering dialect pin: Spark defaults to NULLS FIRST on ASC
+    while DuckDB defaults to NULLS LAST, so portable sorts must state the
+    placement explicitly — this query pins asc_nulls_first + a unique
+    tiebreak under LIMIT (planned as TakeOrderedAndProject, never a global
+    sort)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    return (
+        e.select(
+            "event_id",
+            F.when(
+                F.round(F.col("value")).cast("long") % 5 == 0, F.lit(None)
+            ).otherwise(F.col("value")).alias("v"),
+        )
+        .orderBy(F.col("v").asc_nulls_first(), "event_id")
+        .limit(50)
+    )

@@ -3011,3 +3011,27 @@ def q_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("v").asc_nulls_first(), "event_id")
         .limit(50)
     )
+
+
+@_register(
+    "rollup_grouping_id",
+    sql="""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+)
+def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers: subtotal rows carry NULL in the
+    rolled-up key, indistinguishable from a genuine NULL key value without
+    the grouping indicator — the correctness detail every report layer
+    over rollup/cube needs pinned cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1859,12 +1859,24 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-cardinality analysis groups and use the approx variant when group
     payloads are huge — both surfaced so the choice is explicit."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
-        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
-        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+    # one percentile(array(...)) call per group: the sorted buffer is built
+    # ONCE and probed at all three quantiles (3 scalar percentile calls
+    # would each rebuild it — measured ~3x slower at sf0.1)
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("__q"),
+            F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+        .select(
+            "l_linestatus",
+            F.round(F.element_at("__q", 1), 6).alias("p25_qty"),
+            F.round(F.element_at("__q", 2), 6).alias("p50_qty"),
+            F.round(F.element_at("__q", 3), 6).alias("p75_qty"),
+            "med_price",
+            "avg_qty",
+        )
     )
 
 
@@ -2940,12 +2952,21 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(shingles("text", 3)).alias("s")
-    ).select("doc_id", token_hash60(F.col("s")).alias("sh"))
-    eval_sh = sh.filter(F.col("doc_id") % 199 == 0).select("sh").distinct()
+
+    def doc_shingle_hashes(docs):
+        return docs.select(
+            "doc_id", F.explode(shingles("text", 3)).alias("s")
+        ).select("doc_id", token_hash60(F.col("s")).alias("sh"))
+
+    # filter each side BEFORE exploding: the eval side shingles only the
+    # (tiny) benchmark set, the training side never shingles eval docs
+    eval_sh = (
+        doc_shingle_hashes(d.filter(F.col("doc_id") % 199 == 0))
+        .select("sh")
+        .distinct()
+    )
     return (
-        sh.filter(F.col("doc_id") % 199 != 0)
+        doc_shingle_hashes(d.filter(F.col("doc_id") % 199 != 0))
         .join(F.broadcast(eval_sh), "sh", "left_semi")
         .select("doc_id")
         .distinct()

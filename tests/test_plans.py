@@ -131,3 +131,20 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "SortMergeJoin" in merged, merged
     bcast = _plan(o.join(c.hint("broadcast"), o["o_custkey"] == c["c_custkey"]))
     assert "BroadcastHashJoin" in bcast, bcast
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_dir):
+    """The per-doc top-3 TF-IDF filter plans a WindowGroupLimit (k-bound
+    pushed below the per-doc sort) and the corpus count joins as a
+    broadcast — no full sort of the doc-term matrix."""
+    plan = _plan(SPARK_QUERIES["tfidf_top_terms"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sequence_packing_single_source_exchange(spark, sf_dir):
+    """Packing's cumsum window and the seq rollup share the source-keyed
+    partitioning: at most 2 hash exchanges (window on source, agg on
+    (source, seq_id)), never one per stage."""
+    plan = _plan(SPARK_QUERIES["sequence_packing"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -3056,3 +3056,33 @@ def q_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@_register(
+    "try_arithmetic_family",
+    sql="""
+SELECT l_orderkey, l_linenumber,
+  CASE WHEN l_linenumber - 3 = 0 THEN NULL
+       ELSE round(l_extendedprice / (l_linenumber - 3), 6) END AS price_per,
+  TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+  TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_roundtrip
+FROM lineitem
+WHERE l_orderkey % 40 = 0
+""",
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe ANSI arithmetic (try_divide / try_cast): division by
+    zero and bad casts yield NULL instead of failing the job — the
+    semantics a 100 TB pipeline needs so one malformed row can't kill a
+    10-hour run (the engine-wide alternative, disabling ANSI mode, hides
+    ALL errors; try_* scopes the tolerance to specific expressions)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 40 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_linenumber") - 3), 6
+        ).alias("price_per"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
+    )

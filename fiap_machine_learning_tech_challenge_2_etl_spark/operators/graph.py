@@ -105,6 +105,14 @@ def connected_components(
         labels = updated.drop("changed")
         if n_changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means the returned
+        # components are WRONG (downstream dedup would merge on partial
+        # labels with no signal) — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing); raise max_iter"
+        )
     return labels
 
 

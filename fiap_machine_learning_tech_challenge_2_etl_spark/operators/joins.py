@@ -120,12 +120,20 @@ def range_join_bucketed(
     shuffled/broadcast hash join — the standard scale formulation for
     point-in-interval. Pick ``bucket_width`` near the typical interval
     length so each interval covers O(1) buckets."""
+    # upper bucket is floor(end/width), NOT floor((end-1)/width): with
+    # fractional bounds (end=10.5, width=10) the latter skips the final
+    # bucket and silently drops points in [10, 10.5). The one extra bucket
+    # a bucket-aligned integer end produces is removed by the exact
+    # containment filter below.
     b_right = right.withColumn(
         "__b",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / bucket_width),
-                F.floor((F.col(end_col) - 1) / bucket_width),
+                F.greatest(
+                    F.floor(F.col(start_col) / bucket_width),
+                    F.floor(F.col(end_col) / bucket_width),
+                ),
             )
         ),
     )

@@ -27,6 +27,13 @@ def _q(ident: str) -> str:
     return "`" + ident.replace("`", "``") + "`"
 
 
+def _qv(value: str) -> str:
+    """Quote a partition VALUE for DDL. Values can arrive from external
+    file URIs (infer_partition_from_uri -> register_incremental), so a
+    single quote must not break out of — or inject into — the statement."""
+    return "'" + str(value).replace("'", "''") + "'"
+
+
 def ensure_database(spark: SparkSession, database: str, location: str | None = None) -> None:
     """G1 — idempotent database creation (reference etl/extract.py:67-74
     swallows AlreadyExistsException; IF NOT EXISTS is the DDL equivalent)."""
@@ -138,7 +145,7 @@ def add_partitions(
         batch = wanted[i : i + batch_size]
         specs = " ".join(
             "PARTITION ("
-            + ", ".join(f"{_q(k)}='{v}'" for k, v in sorted(p.items()))
+            + ", ".join(f"{_q(k)}={_qv(v)}" for k, v in sorted(p.items()))
             + ")"
             for p in batch
         )

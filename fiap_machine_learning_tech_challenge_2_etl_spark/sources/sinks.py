@@ -48,6 +48,10 @@ def write_partitioned_parquet(
     (
         out.write.mode(mode)
         .option("compression", compression)
+        # writer-level option so the per-partition overwrite contract holds
+        # even under a session that didn't set the ambient conf (a static
+        # overwrite would delete the whole table root mid-read)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_by)
         .parquet(path)
     )
@@ -104,6 +108,17 @@ def write_partitioned_table(
     writer.saveAsTable(table)
 
 
+def _fs_path_exists(spark, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API, so it works for
+    any scheme the session can read (s3a://, hdfs://, file:), not just the
+    driver's local disk — an os.path probe silently reports False on object
+    stores, which would make an upsert drop every survivor row."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def upsert_by_key(
     spark,
     new_rows: DataFrame,
@@ -127,13 +142,11 @@ def upsert_by_key(
     never O(table). The anti-join broadcasts the incoming batch's keys
     when small — the common incremental case.
     """
-    import os
-
     from pyspark.sql import functions as F
 
     new_rows = new_rows.cache()  # read twice: partition probe + union
     try:
-        if os.path.exists(path):
+        if _fs_path_exists(spark, path):
             touched = [
                 tuple(r[c] for c in partition_by)
                 for r in new_rows.select(*partition_by).distinct().collect()

@@ -294,8 +294,19 @@ def stream_upsert_by_key(
         if dedup_order is not None:
             from pyspark.sql.window import Window
 
+            # tiebreak must use columns that can actually differ between two
+            # versions of one key — the key columns are constant inside the
+            # window partition, so ordering by them alone would keep an
+            # arbitrary row when dedup_order values collide. Order by every
+            # non-key column (descending, nulls last via desc_nulls_last) so
+            # the survivor is a deterministic function of the row contents.
+            tiebreak = [
+                F.col(c).desc_nulls_last()
+                for c in out.columns
+                if c not in set(keys) and c != dedup_order
+            ]
             w = Window.partitionBy(*keys).orderBy(
-                F.col(dedup_order).desc(), *[F.col(k) for k in keys]
+                F.col(dedup_order).desc(), *tiebreak
             )
             out = (
                 out.withColumn("__rn", F.row_number().over(w))

@@ -68,53 +68,106 @@ def cosine_topk(
     return out.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
 
+def _blocked_pair_grid(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int
+) -> DataFrame:
+    """Upper-triangular block grid for exact all-pairs kernels, fully
+    distributed (no driver collect, no broadcast of the corpus):
+
+    1. every row hashes to one of ``n_blocks`` blocks; a groupBy packs each
+       block's (id, float64 vector) records into one array row;
+    2. each block row fans out to the grid cells it participates in — cell
+       (i, j), i <= j, receives block i as the "a" side and block j as the
+       "b" side via an ordinary EQUI join on the cell id (shuffle hash
+       join; no nested-loop, nothing driver-side).
+
+    Data volume shuffled is O(n * n_blocks) — each block is replicated once
+    per grid row/column — and each task holds exactly two blocks, so
+    per-executor memory is corpus/n_blocks * 2 regardless of scale; size
+    ``n_blocks`` so one block (~rows/n_blocks * dim * 8 B) fits comfortably
+    in a task. Compute stays the unavoidable O(n^2 d), done as one BLAS
+    matmul per cell."""
+    base = df.select(
+        (F.abs(F.xxhash64(F.col(id_col).cast("string"))) % n_blocks).alias("blk"),
+        F.struct(
+            F.col(id_col).alias("pid"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        ).alias("rec"),
+    )
+    blocked = base.groupBy("blk").agg(F.collect_list("rec").alias("recs"))
+    a_side = blocked.select(
+        F.col("blk").alias("blk_a"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1).cast("long"))).alias(
+            "blk_b"
+        ),
+        F.col("recs").alias("recs_a"),
+    )
+    b_side = blocked.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("blk"))).alias("blk_a"),
+        F.col("blk").alias("blk_b"),
+        F.col("recs").alias("recs_b"),
+    )
+    return a_side.join(b_side, ["blk_a", "blk_b"])
+
+
+def _unpack_block(recs):
+    import numpy as np
+
+    ids = np.array([r["pid"] for r in recs])
+    mat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in recs])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
+
 def all_pairs_cosine_topk(
     df: DataFrame,
     k: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """Exact all-pairs cosine top-k via broadcast brute force: the full
-    (id, L2-normalized vector) matrix is broadcast once; each task computes
-    its block's cosines against the whole matrix with ONE BLAS matmul
-    (Arrow-batched numpy — no per-element expression interpretation) and
-    keeps a local top-k (all ties at the boundary retained, so the global
-    TakeOrdered merge is exact).
+    """Exact all-pairs cosine top-k over a blocked self-join grid
+    (``_blocked_pair_grid``): each grid cell computes its block-pair's
+    cosines with ONE BLAS matmul (Arrow-batched numpy — no per-element
+    expression interpretation) and keeps a local top-k (all ties at the
+    boundary retained, so the global TakeOrdered merge is exact).
 
-    Scale note: brute-force all-pairs needs one side resident per task
-    (~0.5 KB/vector at dim 64 → ~10^8 vectors in 50 GB executor memory);
-    compute is O(n^2 d) regardless of engine. Beyond that regime use
-    ``embedding_near_dup_pairs`` (LSH-banded candidates) — the exact scan
-    stops being the right tool, not just the right plan."""
+    Scale note: compute is O(n^2 d) regardless of engine — that is what
+    "exact all-pairs" costs. This plan distributes it with bounded task
+    memory and no driver participation; beyond the regime where n^2 is
+    affordable use ``embedding_near_dup_pairs`` (LSH-banded candidates) —
+    the exact scan stops being the right tool, not just the right plan."""
     import numpy as np
 
-    spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    pdf = df.select(id_col, vec_col).toPandas()
-    b_ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((b_ids, mat))
 
-    def block_topk(batches):
-        import pandas as pd
+    def cell_topk(batches):
+        for pdf in batches:
+            for blk_a, blk_b, recs_a, recs_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["recs_a"], pdf["recs_b"]
+            ):
+                ids_a, ma = _unpack_block(recs_a)
+                if blk_a == blk_b:
+                    ids_b, mb = ids_a, ma
+                else:
+                    ids_b, mb = _unpack_block(recs_b)
+                cos = np.round(ma @ mb.T, 6)
+                if blk_a == blk_b:
+                    ai, bi = np.nonzero(ids_a[:, None] < ids_b[None, :])
+                    lo, hi = ids_a[ai], ids_b[bi]
+                else:  # cross cell: every pair, canonicalized to (min, max)
+                    ai, bi = np.nonzero(np.ones_like(cos, dtype=bool))
+                    lo = np.minimum(ids_a[ai], ids_b[bi])
+                    hi = np.maximum(ids_a[ai], ids_b[bi])
+                vals = cos[ai, bi]
+                if len(vals) > k:
+                    kth = np.partition(vals, len(vals) - k)[len(vals) - k]
+                    keep = vals >= kth  # ">=" keeps boundary ties for the merge
+                    lo, hi, vals = lo[keep], hi[keep], vals[keep]
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cos": vals})
 
-        ids_b, m_b = bc.value
-        for block in batches:
-            a_ids = block[id_col].to_numpy()
-            a = np.stack(block[vec_col].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            cos = np.round(a @ m_b.T, 6)
-            ai, bi = np.nonzero(a_ids[:, None] < ids_b[None, :])
-            vals = cos[ai, bi]
-            if len(vals) > k:
-                kth = np.partition(vals, len(vals) - k)[len(vals) - k]
-                keep = vals >= kth  # ">=" keeps boundary ties for the merge
-                ai, bi, vals = ai[keep], bi[keep], vals[keep]
-            yield pd.DataFrame({"id_a": a_ids[ai], "id_b": ids_b[bi], "cos": vals})
-
-    out = spread(df.select(id_col, vec_col)).mapInPandas(
-        block_topk, schema=f"id_a {id_type}, id_b {id_type}, cos double"
+    out = _blocked_pair_grid(df, id_col, vec_col, n_blocks).mapInPandas(
+        cell_topk, schema=f"id_a {id_type}, id_b {id_type}, cos double"
     )
     return out.orderBy(F.col("cos").desc(), "id_a", "id_b").limit(k)
 
@@ -124,46 +177,46 @@ def exact_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 16,
 ) -> DataFrame:
     """Exact embedding near-dup: ALL pairs with round(cosine, 6) >= threshold
-    (id_a < id_b). Same broadcast block-matmul kernel as
-    ``all_pairs_cosine_topk`` but thresholded instead of top-k, so the
-    result is oracle-checkable (deterministic set, no approximation).
+    (id_a < id_b). Same blocked-grid kernel as ``all_pairs_cosine_topk``
+    but thresholded instead of top-k, so the result is oracle-checkable
+    (deterministic set, no approximation).
 
     The threshold is applied to the ROUNDED cosine so the cut boundary is
-    bit-identical to a float64 SQL oracle. Scale posture is the same as the
-    all-pairs kernel: O(n^2 d) compute with one broadcast side — correct
-    tool up to ~10^5-10^6 vectors; beyond that the LSH-banded
-    ``embedding_near_dup_pairs`` is the scale path and this is its
-    small-scale ground truth."""
+    bit-identical to a float64 SQL oracle. Scale posture is the grid's:
+    bounded task memory, no driver collect, O(n^2 d) compute — the honest
+    cost of exactness; the LSH-banded ``embedding_near_dup_pairs`` is the
+    sub-quadratic scale path and this is its ground truth."""
     import numpy as np
 
-    spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
-    pdf = df.select(id_col, vec_col).toPandas()
-    b_ids = pdf[id_col].to_numpy()
-    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((b_ids, mat))
 
-    def block_pairs(batches):
-        import pandas as pd
+    def cell_pairs(batches):
+        for pdf in batches:
+            for blk_a, blk_b, recs_a, recs_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["recs_a"], pdf["recs_b"]
+            ):
+                ids_a, ma = _unpack_block(recs_a)
+                if blk_a == blk_b:
+                    ids_b, mb = ids_a, ma
+                else:
+                    ids_b, mb = _unpack_block(recs_b)
+                cos = np.round(ma @ mb.T, 6)
+                hit = cos >= threshold
+                if blk_a == blk_b:
+                    hit &= ids_a[:, None] < ids_b[None, :]
+                    ai, bi = np.nonzero(hit)
+                    lo, hi = ids_a[ai], ids_b[bi]
+                else:
+                    ai, bi = np.nonzero(hit)
+                    lo = np.minimum(ids_a[ai], ids_b[bi])
+                    hi = np.maximum(ids_a[ai], ids_b[bi])
+                yield pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cos[ai, bi]})
 
-        ids_b, m_b = bc.value
-        for block in batches:
-            a_ids = block[id_col].to_numpy()
-            a = np.stack(block[vec_col].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            cos = np.round(a @ m_b.T, 6)
-            ai, bi = np.nonzero(
-                (a_ids[:, None] < ids_b[None, :]) & (cos >= threshold)
-            )
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": ids_b[bi], "cos": cos[ai, bi]}
-            )
-
-    return spread(df.select(id_col, vec_col)).mapInPandas(
-        block_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos double"
+    return _blocked_pair_grid(df, id_col, vec_col, n_blocks).mapInPandas(
+        cell_pairs, schema=f"id_a {id_type}, id_b {id_type}, cos double"
     )
 
 

@@ -148,3 +148,29 @@ def test_sequence_packing_single_source_exchange(spark, sf_dir):
     (source, seq_id)), never one per stage."""
     plan = _plan(SPARK_QUERIES["sequence_packing"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_exact_embedding_kernels_have_no_driver_collect(spark, sf_dir):
+    """The exact all-pairs kernels are a distributed blocked self-join: an
+    equi-join of block-grid cells feeding MapInPandas. Building the plan
+    must trigger NO Spark job (the old kernel eagerly toPandas'd the whole
+    table to the driver at construction time), and the plan must contain
+    the grid equi-join, not a nested-loop or a corpus broadcast."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        all_pairs_cosine_topk,
+        exact_near_dup_pairs,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup() or [])
+    topk = all_pairs_cosine_topk(emb, k=5)
+    pairs = exact_near_dup_pairs(emb, threshold=0.9)
+    jobs_after = len(tracker.getJobIdsForGroup() or [])
+    assert jobs_after == jobs_before, "plan construction ran driver-side jobs"
+    for df in (topk, pairs):
+        plan = _plan(df)
+        assert "MapInPandas" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan

@@ -124,10 +124,17 @@ def lsh_candidate_pairs(
     """LSH banding: split the signature into ``bands`` bands of
     ``num_perm/bands`` rows, bucket-join docs agreeing on any full band.
     Returns distinct candidate (a, b) pairs with a < b. The self-join is on
-    (band_id, band_hash) — only same-bucket docs meet."""
+    (band_id, band_hash) — only same-bucket docs meet.
+
+    The band hash is the md5-based ``token_hash60`` of the comma-joined band
+    values (not Spark's murmur3 ``hash``): deterministic and replicable in
+    DuckDB SQL, so the full LSH pipeline is oracle-checkable end to end.
+    The shuffle key stays 8 bytes."""
     rows = num_perm // bands
     band_cols = [
-        F.hash(*[F.col(f"mh_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        token_hash60(
+            F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+        ).alias(f"band_{b}")
         for b in range(bands)
     ]
     banded = signatures.select(F.col(id_col), *band_cols)

@@ -220,18 +220,35 @@ def exact_near_dup_pairs(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes: components in [-1, 1)
-    derived from md5(plane, dim) — reproducible across runs/engines with no
-    RNG dependency."""
+#: fixed-point scale for exact sign computation: embeddings are quantized to
+#: floor(v * 1e6) int64 before the plane dot product, so the bit is a pure
+#: integer comparison — bit-identical between numpy int64 matmul and a SQL
+#: oracle (no float summation-order dependence anywhere in the signature).
+LSH_QUANT = 1_000_000
+
+
+def _hyperplanes_int(dim: int, n_planes: int) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes with INTEGER components in
+    [-1e6, 1e6), derived from md5(plane, dim) — reproducible across
+    runs/engines with no RNG dependency, and exactly replicable in DuckDB as
+    ``CAST(concat('0x', substring(md5('hp:'||p||':'||d),1,15)) AS BIGINT)
+    % 2000000 - 1000000``."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
             h = hashlib.md5(f"hp:{p}:{d}".encode()).hexdigest()
-            row.append((int(h[:15], 16) % 2_000_000) / 1_000_000.0 - 1.0)
+            row.append(int(h[:15], 16) % 2_000_000 - 1_000_000)
         planes.append(row)
     return planes
+
+
+def _quantize(v):
+    """floor(v * 1e6) as int64 — float32 -> float64 is exact, the multiply
+    is one IEEE op, floor is exact: every engine gets the same integers."""
+    import numpy as np
+
+    return np.floor(v.astype(np.float64) * LSH_QUANT).astype(np.int64)
 
 
 def add_lsh_signature(
@@ -241,23 +258,54 @@ def add_lsh_signature(
     vec_col: str = "embedding",
     output: str = "lsh_sig",
 ) -> DataFrame:
-    """Random-hyperplane signature: bit p = sign(v . h_p), all planes in
-    ONE Arrow-batched matmul per block (a 16-plane expression tree of
-    per-element array folds costs seconds of codegen alone and runs
-    interpreted). At ingest time this is the cheap precompute that makes
-    later searches sublinear."""
+    """Random-hyperplane signature: bit p = sign(q . h_p) over the
+    quantized vector, all planes in ONE Arrow-batched int64 matmul per
+    block (a 16-plane expression tree of per-element array folds costs
+    seconds of codegen alone and runs interpreted). At ingest time this is
+    the cheap precompute that makes later searches sublinear; the integer
+    kernel makes the signature engine-exact (see ``LSH_QUANT``)."""
     import numpy as np
 
-    planes_t = np.array(_hyperplanes(dim, n_planes), dtype=np.float64).T  # (D, P)
+    planes_t = np.array(_hyperplanes_int(dim, n_planes), dtype=np.int64).T  # (D, P)
     weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
 
     @F.pandas_udf("long")
     def _sig(vecs: pd.Series) -> pd.Series:
-        v = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, D)
-        bits = (v @ planes_t) >= 0.0  # (N, P)
+        q = _quantize(np.stack(vecs.to_numpy()))  # (N, D) int64
+        bits = (q @ planes_t) >= 0  # (N, P)
         return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
 
     return spread(df).withColumn(output, _sig(F.col(vec_col)))
+
+
+def add_lsh_band_values(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 128,
+    bands: int = 16,
+    vec_col: str = "embedding",
+    output: str = "lsh_bands",
+) -> DataFrame:
+    """Banded LSH signature as an ``array<int>`` of per-band bucket values
+    (band b packs bits ``b*width .. b*width+width-1``, bit r weighted
+    ``1<<r``). Unlike the packed-long signature this scales past 64 planes —
+    near-dup recall at a cosine threshold is driven by total plane count
+    (see ``embedding_near_dup_pairs``). Same exact integer kernel as
+    ``add_lsh_signature``."""
+    import numpy as np
+
+    width = n_planes // bands
+    planes_t = np.array(_hyperplanes_int(dim, n_planes), dtype=np.int64).T  # (D, P)
+    w = (np.int64(1) << np.arange(width, dtype=np.int64))
+
+    @F.pandas_udf("array<int>")
+    def _bands(vecs: pd.Series) -> pd.Series:
+        q = _quantize(np.stack(vecs.to_numpy()))  # (N, D)
+        bits = (q @ planes_t) >= 0  # (N, P)
+        vals = (bits.reshape(len(q), bands, width) * w).sum(axis=2).astype(np.int32)
+        return pd.Series(list(vals))
+
+    return spread(df).withColumn(output, _bands(F.col(vec_col)))
 
 
 def lsh_bucket_topk(
@@ -273,11 +321,14 @@ def lsh_bucket_topk(
     ``max_probe_hamming`` bits of the query's (multi-probe), then exact
     cosine rank inside the probed set. At scale the signature filter prunes
     the scan; here it demonstrates the plan shape."""
+    import math
+
     dim = len(query_vector)
-    planes = _hyperplanes(dim, n_planes)
+    planes = _hyperplanes_int(dim, n_planes)
+    qq = [math.floor(float(x) * LSH_QUANT) for x in query_vector]
     qsig = 0
     for p, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vector, plane)) >= 0:
+        if sum(a * b for a, b in zip(qq, plane)) >= 0:
             qsig |= 1 << p
     sigged = add_lsh_signature(df, dim, n_planes, vec_col)
     probed = sigged.filter(
@@ -380,50 +431,47 @@ def embedding_near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 32,
-    bands: int = 4,
+    n_planes: int = 128,
+    bands: int = 16,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH-signature banding (same
-    pigeonhole trick as SimHash) to generate candidates, exact cosine to
+    """Embedding-cosine near-dup pairs: banded-LSH candidates (pigeonhole
+    over ``bands`` bands of ``n_planes/bands`` sign bits), exact cosine to
     verify (vectorized pandas UDF). Output: (id_a, id_b, cos >= threshold).
 
-    Bucket sizing drives everything: chunk width = n_planes/bands bits, so
-    32 planes / 4 bands = 8-bit chunks = 256 buckets per band. Too-narrow
-    chunks (4 bits = 16 buckets) barely prune — candidate count scales with
-    sum(bucket_size^2), which is the whole cost at corpus scale."""
+    Recall at the threshold is what sizes the signature: a cosine-0.9 pair
+    flips each sign bit with p = acos(0.9)/pi ~ 0.144, so an 8-bit band
+    agrees with p ~ 0.856^8 ~ 0.29 and 16 independent bands miss with
+    (1-0.29)^16 ~ 0.004 — recall ~99.6% AT the threshold, not just for
+    near-identical pairs (32 planes / 4 bands missed borderline pairs).
+    Band width stays 8 bits = 256 buckets/band, so pruning is unchanged;
+    the candidate join carries only (id, band_id, band_val) — vectors join
+    back by id for the verify stage, so the banding shuffle stays slim at
+    corpus scale. The signature is integer-exact (``LSH_QUANT``), making
+    the whole pipeline oracle-replicable in SQL."""
     sample = df.select(vec_col).first()
     dim = len(sample[vec_col])
-    width = n_planes // bands
-    sigged = add_lsh_signature(df, dim, n_planes, vec_col)
+    sigged = add_lsh_band_values(df, dim, n_planes, bands, vec_col)
     chunks = sigged.select(
         F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("chunk_id"),
-                    F.shiftright(F.col("lsh_sig"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1))
-                    .alias("chunk_val"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("c"),
-    ).select(id_col, vec_col, "c.chunk_id", "c.chunk_val")
-    chunks = chunks.persist()  # both self-join sides; avoids 2x signatures
+        F.posexplode("lsh_bands").alias("band_id", "band_val"),
+    )
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
-        a.join(b, on=[F.col("a.chunk_id") == F.col("b.chunk_id"),
-                      F.col("a.chunk_val") == F.col("b.chunk_val"),
+        a.join(b, on=[F.col("a.band_id") == F.col("b.band_id"),
+                      F.col("a.band_val") == F.col("b.band_val"),
                       F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
         .distinct()
     )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    paired = (
+        cand.join(vecs.withColumnsRenamed({id_col: "id_a", vec_col: "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({id_col: "id_b", vec_col: "vb"}), "id_b")
+    )
+
     # exact verify, one Arrow batch at a time: rowwise dot/norms as numpy
     # (an interpreted fold per 64-dim pair is the slow path at 10^5+ cands)
     @F.pandas_udf("double")
@@ -437,7 +485,7 @@ def embedding_near_dup_pairs(
         return pd.Series(num / den)
 
     return (
-        cand.withColumn("cos", F.round(_pair_cos("va", "vb"), 6))
+        paired.withColumn("cos", F.round(_pair_cos("va", "vb"), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

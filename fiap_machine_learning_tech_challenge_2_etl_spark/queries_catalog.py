@@ -843,15 +843,77 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
-# LSH-based near-dup / ANN: approximate by construction -> rows-only checks
-# (the driver records the weaker check); exactness of the underlying
-# signatures is oracle-verified above, and recall is pytest-verified against
-# brute force.
+# LSH-based near-dup: every semantics-bearing hash is md5-derived and the
+# banding is plain integer arithmetic, so the FULL pipelines (candidate
+# generation included) are replicated in DuckDB SQL below — value-level
+# oracles, not rows-only checks. Only the ANN top-k probes (whose output
+# depends on which buckets a query probes) stay rows-only, with recall
+# pytest-verified against brute force.
 
 
-@_register("minhash_lsh_near_dup")
+def _minhash_lsh_sql(
+    num_perm: int = 16, bands: int = 8, threshold: float = 0.2
+) -> str:
+    """DuckDB replica of minhash_near_dup_pairs: distinct shingle hashes ->
+    16 universal-hash minima -> md5 band hash over comma-joined band values
+    -> bucket self-join -> exact Jaccard on the shingle-hash sets."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        MINHASH_P,
+        _minhash_params,
+    )
+
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"min((h % {MINHASH_P} * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_minhash_params(num_perm))
+    )
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + _SQL_H60.format(
+            x="concat_ws(',', "
+            + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+            + ")"
+        )
+        + " AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    jac = "round(m.n_common / (sa.sz + sb.sz - m.n_common), 6)"
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+), h AS (
+  SELECT DISTINCT doc_id, {_SQL_H60.format(x='s')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh0)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {mins} FROM h GROUP BY doc_id
+), bands AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, {jac} AS jaccard
+FROM cand c
+JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE {jac} >= {threshold}
+"""
+
+
+@_register("minhash_lsh_near_dup", sql=_minhash_lsh_sql())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (banded candidates, exact-Jaccard verify)."""
+    """MinHash-LSH near-dup pairs (banded candidates, exact-Jaccard verify)
+    — full-pipeline value oracle (md5 band hash, no engine-specific hash)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
         minhash_near_dup_pairs,
     )
@@ -861,9 +923,51 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("simhash_near_dup")
+def _simhash_near_dup_sql(
+    bands: int = 4, max_hamming: int = 3, bits: int = 60
+) -> str:
+    """DuckDB replica of simhash_near_dup_pairs: 60-bit SimHash (per-bit
+    token majority) -> 15-bit chunks -> bucket self-join -> exact hamming
+    popcount. Pure integer arithmetic after md5, so bit-identical."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    bsums = ", ".join(f"sum((th >> {i}) & 1) AS b{i}" for i in range(bits))
+    terms = " + ".join(
+        f"(CASE WHEN b{i} * 2 > n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS chunk_id,"
+        f" (simhash >> {b * width}) & {mask} AS chunk_val FROM sh"
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), h AS (
+  SELECT doc_id, {_SQL_H60.format(x='tok')} AS th FROM toks
+), agg AS (
+  SELECT doc_id, count(*) AS n, {bsums} FROM h GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, {terms} AS simhash FROM agg
+), chunks AS (
+  {chunk_rows}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+@_register("simhash_near_dup", sql=_simhash_near_dup_sql())
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (banded hamming<=3)."""
+    """SimHash near-dup pairs (banded hamming<=3) — full-pipeline value
+    oracle (banding is exact bit arithmetic on the md5-derived simhash)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
         simhash_near_dup_pairs,
     )
@@ -1023,17 +1127,76 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-@_register("embedding_near_dup")
+def _embedding_near_dup_sql(
+    dim: int = 64,
+    n_planes: int = 128,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB replica of embedding_near_dup_pairs. The signature is
+    integer-exact by construction (similarity.LSH_QUANT): hyperplane
+    components are md5-derived integers generated IN SQL from the same
+    'hp:p:d' seed strings, the vector is quantized floor(v*1e6), and the
+    sign bit is an int comparison — no float summation-order dependence, so
+    candidate sets are bit-identical across engines. The verify cosine uses
+    the same round-6 idiom as embedding_near_dup_exact."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        LSH_QUANT,
+    )
+
+    width = n_planes // bands
+    plane = _SQL_H60.format(x="concat('hp:', p, ':', d)")
+    cos = (
+        "round(list_dot_product(a.ev, b.ev)"
+        " / (sqrt(list_dot_product(a.ev, a.ev))"
+        " * sqrt(list_dot_product(b.ev, b.ev))), 6)"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+    list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {LSH_QUANT}) AS BIGINT)) AS qv
+  FROM embeddings
+), planes AS (
+  SELECT p, list({plane} % 2000000 - 1000000 ORDER BY d) AS sv
+  FROM range({n_planes}) tp(p), range({dim}) td(d)
+  GROUP BY p
+), bits AS (
+  SELECT vec_id, p // {width} AS band_id,
+    CASE WHEN list_dot_product(qv, sv) >= 0
+         THEN 1 << (p % {width}) ELSE 0 END AS w
+  FROM q, planes
+), bandvals AS (
+  SELECT vec_id, band_id, sum(w) AS band_val
+  FROM bits GROUP BY vec_id, band_id
+), cand AS (
+  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+  FROM bandvals l JOIN bandvals r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val
+   AND l.vec_id < r.vec_id
+)
+SELECT c.id_a, c.id_b, {cos} AS cos
+FROM cand c JOIN q a ON a.vec_id = c.id_a JOIN q b ON b.vec_id = c.id_b
+WHERE {cos} >= {threshold}
+"""
+
+
+@_register("embedding_near_dup", sql=_embedding_near_dup_sql())
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: hyperplane-LSH banded candidates,
-    exact cosine verify (approximate by construction -> rows-only check;
-    recall vs brute force is pytest-verified)."""
+    """Embedding-cosine near-dup pairs: hyperplane-LSH banded candidates
+    (128 integer-exact planes, 16 bands x 8 bits -> ~99.6% recall AT a
+    0.9 threshold), exact cosine verify. Full-pipeline value oracle — the
+    SQL regenerates the same md5-derived planes and integer sign bits, so
+    even the approximate candidate stage matches bit-for-bit. Threshold
+    0.4 here because testdata embeddings are near-orthogonal (max pairwise
+    cos ~0.5): the oracle row set is non-trivial instead of vacuously
+    empty."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )
 
     return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.9
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 

@@ -128,6 +128,48 @@ def test_embedding_near_dup_pairs_finds_planted(spark):
     assert (1, 3) not in found
 
 
+def test_embedding_near_dup_recall_at_threshold_boundary(spark):
+    """Recall of the banded-LSH near-dup vs the exact kernel for pairs
+    planted AT the cosine threshold (cos ~ 0.9, ~4.6/32 expected differing
+    sign bits), not near-identical ones — the regime where 32-plane/4-band
+    banding routinely missed. Planes and data are deterministic, so this is
+    a fixed-outcome check of the 128-plane/16-band recall guarantee
+    (~99.6% per pair at cos 0.9)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    dim, n_planted = 32, 25
+    rows = []
+    theta = float(np.arccos(0.9))
+    for i in range(n_planted):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        # orthogonal perturbation direction -> exact rotation by theta
+        u = rng.standard_normal(dim)
+        u -= (u @ v) * v
+        u /= np.linalg.norm(u)
+        w = np.cos(theta) * v + np.sin(theta) * u
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    for j in range(100):  # background noise vectors
+        z = rng.standard_normal(dim)
+        z /= np.linalg.norm(z)
+        rows.append((1000 + j, [float(x) for x in z]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.exact_near_dup_pairs(df, threshold=0.88, n_blocks=4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(df, threshold=0.88).collect()
+    }
+    assert approx <= exact  # verify stage guarantees no false positives
+    assert len(exact) >= n_planted
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"boundary recall {recall:.3f} ({len(approx)}/{len(exact)})"
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------

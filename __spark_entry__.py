@@ -29,9 +29,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_events_pipeline(spark, "/root/testdata/sf0.001")
 
 
+# Names that already have a green row in CORRECTNESS_r01.json. The round-1
+# driver attested only the first 50 registered queries, so round 2 puts
+# every not-yet-attested query FIRST: across rounds the whole surface gets
+# a driver-recorded correctness row (locally, tools/verify_queries.py runs
+# all of them every round — see VERIFY_LOCAL_r02.json).
+_ATTESTED_R01 = frozenset({
+    "flagship_pipeline", "select_filter_project", "distinct_rows",
+    "fill_defaults", "sanitize_numeric", "dedup_keep_first",
+    "moving_average", "group_total", "rolling_stats", "group_min_date",
+    "rank_in_group", "all_null_column_drop", "tpch_q1_agg", "star_join_agg",
+    "join_topk_revenue", "semi_join_customers", "anti_join_customers",
+    "set_ops", "top_k_orders", "rollup_agg", "cube_agg", "json_extract_agg",
+    "text_stats", "text_quality", "language_id", "doc_fingerprint",
+    "exact_dedup_docs", "ngram_jaccard_topk", "minhash_signatures",
+    "simhash_docs", "embedding_cosine_topk", "embedding_topk_pairs",
+    "multimodal_features", "multimodal_frame_sample",
+    "winnowing_fingerprints", "embedding_near_dup_exact", "asof_join_events",
+    "tumbling_window_agg", "session_window_agg", "skew_salted_agg",
+    "corpus_clean_pipeline", "range_join_shipments", "grouping_sets_agg",
+    "pivot_event_counts", "unpivot_stats", "distinct_agg",
+    # rows-only in r01; all but the ANN probe now have full oracles and go
+    # to the front for a value-attested row
+    "embedding_ann_lsh",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md section 2."""
-    return queries_catalog.SPARK_QUERIES
+    """One entry per implemented operator from SURVEY.md section 2,
+    ordered so queries without a round-1 driver attestation come first."""
+    q = queries_catalog.SPARK_QUERIES
+    ordered = {k: v for k, v in q.items() if k not in _ATTESTED_R01}
+    ordered.update({k: v for k, v in q.items() if k in _ATTESTED_R01})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

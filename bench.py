@@ -53,17 +53,25 @@ def main() -> None:
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "query_set_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "query_set_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
+    print(payload)
+    # also write a machine-readable copy next to the repo root so each
+    # round has a diffable per-query baseline even if the driver records
+    # only an stdout tail
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(out, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {out}: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -147,9 +147,10 @@ def lsh_candidate_pairs(
             ])
         ).alias("bb"),
     ).select(id_col, "bb.band_id", "bb.band_hash")
-    # both sides of the self-join read this subtree: persist instead of
-    # recomputing the signature pipeline twice (tiny: ids + band hashes)
-    melted = melted.persist()
+    # both self-join sides shuffle this subtree on the same (band_id,
+    # band_hash) key: AQE's ReusedExchange computes it once at runtime, so
+    # no persist (a DataFrame persist with no unpersist leaks cache across
+    # queries in a long-lived session)
     left = melted.alias("l")
     right = melted.alias("r")
     return (
@@ -196,7 +197,7 @@ def minhash_near_dup_pairs(
     ]
     per_doc = hashed.groupBy(id_col).agg(
         *aggs, F.collect_set("h60").alias("shset")
-    ).persist()
+    )
     cands = lsh_candidate_pairs(per_doc.drop("shset"), id_col, num_perm, bands)
     sets_a = per_doc.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
     sets_b = per_doc.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
@@ -235,9 +236,10 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         freq = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(freq.select("sh"), "sh", "left_semi")
-    # the inverted index is read three times (sizes + both join sides):
-    # persist the (id, shingle-hash) pairs instead of re-hashing the corpus
-    sh = sh.persist()
+    # the inverted index is read three times: the two join sides shuffle on
+    # the same shingle-hash key (AQE ReusedExchange computes them once);
+    # sizes re-scans the corpus — at scale a second columnar scan beats
+    # caching the exploded index, and persist-without-unpersist would leak
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -328,7 +330,8 @@ def simhash_near_dup_pairs(
             ])
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_id", "c.chunk_val")
-    chunks = chunks.persist()  # both self-join sides; avoids 2x simhash
+    # both self-join sides shuffle on (chunk_id, chunk_val): AQE
+    # ReusedExchange computes the simhash subtree once — no persist needed
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(b, on=[F.col("a.chunk_id") == F.col("b.chunk_id"),

@@ -55,11 +55,26 @@ _ATTESTED_R01 = frozenset({
 })
 
 
+# Within the unattested block, these lead: the round-trip queries close the
+# sink/catalog/streaming attestation gap (VERDICT item 5) and the near-dup
+# pipelines just gained exact oracles (VERDICT items 2-4) — if the driver
+# sweep is capped, these must land inside the cap.
+_PRIORITY = (
+    "sink_partition_overwrite_roundtrip", "sink_upsert_merge_roundtrip",
+    "catalog_partition_registry", "file_list_scan", "bucketed_join_colocated",
+    "range_clustered_pruned_scan", "incremental_stream_roundtrip",
+    "minhash_lsh_near_dup", "simhash_near_dup", "embedding_near_dup",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,
     ordered so queries without a round-1 driver attestation come first."""
     q = queries_catalog.SPARK_QUERIES
-    ordered = {k: v for k, v in q.items() if k not in _ATTESTED_R01}
+    ordered = {k: q[k] for k in _PRIORITY if k in q}
+    ordered.update(
+        {k: v for k, v in q.items() if k not in _ATTESTED_R01 and k not in ordered}
+    )
     ordered.update({k: v for k, v in q.items() if k in _ATTESTED_R01})
     return ordered
 

@@ -3249,3 +3249,10 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
         F.col("l_quantity").cast("string").try_cast("double").alias("qty_roundtrip"),
     )
+
+
+# Round-trip oracle queries for the sink/catalog/incremental surface live in
+# their own module; importing it here (after _register exists) adds its
+# entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry
+# sees one complete catalog.
+from fiap_machine_learning_tech_challenge_2_etl_spark import queries_roundtrip  # noqa: E402,F401

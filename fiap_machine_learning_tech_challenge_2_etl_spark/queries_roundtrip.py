@@ -1,0 +1,392 @@
+"""Round-trip oracle queries for the I/O, catalog, and incremental surface.
+
+SURVEY.md section 2 rows K1-K3, G1-G7, S2-S3, and O1/O6 were pytest-only in
+round 1 (no ``queries()`` entry, so no driver-attested correctness row).
+Each query here exercises one of those operators END TO END — write (or
+register, or stream) through the operator under test, then read the result
+back — and returns a DataFrame whose values a plain DuckDB query over the
+SOURCE parquet reproduces exactly. That turns "the sink ran without error"
+into "the bytes that came back are the bytes the semantics promise".
+
+Reference behaviors attested:
+- K2/K3 partitioned write + dynamic partition overwrite:
+  etl/transform_1.py:108-115 (write.partitionBy overwrite) under
+  etl/transform_1.py:40 (partitionOverwriteMode=dynamic).
+- K1/row-level upsert: etl/etl.py:94-107 (Glue sink UPDATE_IN_DATABASE),
+  done properly per-row instead of per-partition.
+- G1-G7 catalog lifecycle: etl/extract.py:67-102 (db/table ensure),
+  105-113 (partition listing), 128-132 (URI inference), 135-159
+  (batched+retried registration), 182-183 (set-difference).
+- S2 explicit-file-list scan: etl/etl.py:25-33 (per-landed-file read).
+- S3 catalog-table scan: etl/transform_1.py:43-46 (from_catalog).
+- O1/O6 file-arrival incrementality + bookmark: lambda/handler_last_date.py:23-42
+  -> etl/etl.py:14-33, checkpoint replacing Glue job bookmarks.
+
+Determinism rules: every aggregate over a double column sums INTEGER CENTS
+(``CAST(round(x*100) AS BIGINT)``) so float summation order can't diverge
+between engines, and every query rebuilds its scratch directory from
+scratch (idempotent under driver re-runs). All scratch I/O stays inside the
+repo (``_scratch/``, gitignored).
+
+Scale notes (100 TB): the round-trip shapes ARE the scale patterns — the
+upsert reads only touched partitions (partition-pruned scan + broadcast
+anti-join); the catalog registration is metadata-only (no data scan); the
+bucketed join carries no exchange because both tables pre-shuffled at write
+time; the range-clustered readback prunes files via parquet min-max
+footers; the streaming run processes each landed file exactly once.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from glob import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import _register, _t
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources.catalog import (
+    add_partitions,
+    ensure_database,
+    ensure_external_table,
+    infer_partition_from_uri,
+    list_partitions,
+)
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import (
+    read_parquet_dir,
+    read_parquet_files,
+    read_table,
+)
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
+    upsert_by_key,
+    write_bucketed_table,
+    write_partitioned_parquet,
+    write_range_clustered,
+)
+from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+    run_incremental_pipeline,
+)
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_ORDERS_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+_ORDERS_COLS_SQL = ", ".join(_ORDERS_COLS)
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    """Fresh per-(query, sf) scratch dir inside the repo — rebuilt on every
+    call so the query is idempotent and never reads a stale previous run."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(_REPO_ROOT, "_scratch", f"{name}_{tag}")
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("long")
+
+
+@_register(
+    "sink_partition_overwrite_roundtrip",
+    sql=f"""
+SELECT {_ORDERS_COLS_SQL} FROM orders
+WHERE o_orderkey % 20 = 0 AND o_orderstatus <> 'F'
+UNION ALL
+SELECT {_ORDERS_COLS_SQL} FROM orders
+WHERE o_orderkey % 40 = 0 AND o_orderstatus = 'F'
+""",
+)
+def q_sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K3 — partitioned parquet write, then a second overwrite that
+    touches ONLY the 'F' partition (dynamic partition overwrite, reference
+    etl/transform_1.py:40,108-115). The readback must show the second
+    write's rows in 'F' and the first write's rows everywhere else — the
+    exact incremental-refresh contract. Overwrite mode is a writer-level
+    option, so this holds on a vanilla session too."""
+    o = _t(spark, sf_dir, "orders")
+    d = _scratch("sink_overwrite", sf_dir)
+    write_partitioned_parquet(
+        o.filter(F.col("o_orderkey") % 20 == 0), d, ["o_orderstatus"]
+    )
+    write_partitioned_parquet(
+        o.filter((F.col("o_orderkey") % 40 == 0) & (F.col("o_orderstatus") == "F")),
+        d,
+        ["o_orderstatus"],
+    )
+    return read_parquet_dir(spark, d).select(*_ORDERS_COLS)
+
+
+@_register(
+    "sink_upsert_merge_roundtrip",
+    sql=f"""
+WITH batch AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 30 = 0 OR o_orderkey % 10 = 5
+)
+SELECT {_ORDERS_COLS_SQL} FROM orders
+WHERE o_orderkey % 10 = 0
+  AND o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+UNION ALL
+SELECT {_ORDERS_COLS_SQL} FROM batch
+""",
+)
+def q_sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K3 — keyed MERGE into a partitioned parquet table (reference
+    etl/etl.py:94-107's UPDATE_IN_DATABASE done at row granularity):
+    updates replace matching keys, inserts land in their partitions,
+    non-matching rows in touched partitions survive. The incoming batch
+    both UPDATES keys already present (%30 rows, price doubled) and
+    INSERTS new keys (%10=5 rows). Cost model: partition-pruned read of
+    touched partitions + broadcast anti-join — O(batch), never O(table)."""
+    o = _t(spark, sf_dir, "orders")
+    d = _scratch("sink_upsert", sf_dir)
+    write_partitioned_parquet(
+        o.filter(F.col("o_orderkey") % 10 == 0), d, ["o_orderstatus"]
+    )
+    batch = o.filter(
+        (F.col("o_orderkey") % 30 == 0) | (F.col("o_orderkey") % 10 == 5)
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    upsert_by_key(
+        spark, batch, d, keys=["o_orderkey"], partition_by=["o_orderstatus"]
+    )
+    return read_parquet_dir(spark, d).select(*_ORDERS_COLS)
+
+
+@_register(
+    "catalog_partition_registry",
+    sql="""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) d) AS n_parts
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def q_catalog_partition_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-G7 + S3 — full catalog lifecycle: ensure database (G1,
+    etl/extract.py:67-74), ensure external partitioned table (G2, :77-102),
+    infer every partition spec from a file URI (G5, :128-132), register
+    via set-difference + batched ALTER with retry (G6/G7, :135-159,182-183),
+    list partitions back (G3, :105-113), then scan THROUGH the catalog
+    table (S3, etl/transform_1.py:43-46) and aggregate. ``n_parts`` pins
+    the registry count against the data's true partition count; the
+    per-partition rows pin that the catalog scan resolves every registered
+    partition to the right files. Registration is metadata-only — no data
+    scan — which is why it stays O(partitions) at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    d = _scratch("catalog_registry", sf_dir)
+    pcols = ["o_orderstatus", "o_orderpriority"]
+    write_partitioned_parquet(o, d, pcols)
+    db, tbl = "rt_catalog", "orders_by_prio"
+    spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+    ensure_database(spark, db)
+    ensure_external_table(spark, db, tbl, o.schema, pcols, d)
+    specs = []
+    for r in o.select(*pcols).distinct().collect():
+        uri = (
+            f"{d}/o_orderstatus={r['o_orderstatus']}"
+            f"/o_orderpriority={r['o_orderpriority']}/part-00000.parquet"
+        )
+        spec = infer_partition_from_uri(uri, pcols)
+        assert spec is not None
+        specs.append(spec)
+    add_partitions(spark, db, tbl, specs)
+    n_parts = len(list_partitions(spark, db, tbl))
+    t = read_table(spark, tbl, db)
+    return (
+        t.groupBy(*pcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_cents("o_totalprice")).alias("sum_cents"),
+        )
+        .withColumn("n_parts", F.lit(n_parts).cast("long"))
+    )
+
+
+@_register(
+    "file_list_scan",
+    sql="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+GROUP BY o_orderstatus
+""",
+)
+def q_file_list_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — explicit file-list scan, the incremental unit of processing
+    (reference etl/etl.py:25-33 reads exactly the one newly-landed file the
+    Lambda passes in). Three files are staged; exactly two are read back by
+    path — the result must contain those two files' rows and nothing else.
+    Reading only newly-landed files is the single biggest lever at 100 TB:
+    work scales with the increment, not the table."""
+    o = _t(spark, sf_dir, "orders")
+    d = _scratch("file_list", sf_dir)
+    for i in range(3):
+        (
+            o.filter(F.col("o_orderkey") % 3 == i)
+            .repartition(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, f"b{i}"))
+        )
+    files = sorted(
+        glob(os.path.join(d, "b0", "*.parquet"))
+        + glob(os.path.join(d, "b1", "*.parquet"))
+    )
+    back = read_parquet_files(spark, files)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_cents("o_totalprice")).alias("sum_cents"),
+    )
+
+
+@_register(
+    "bucketed_join_colocated",
+    sql="""
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table write + co-located join: both tables hash-clustered
+    into the same bucket count on the join key at WRITE time, so the join
+    reads matching bucket files pairwise with no exchange (plan shape
+    pinned in tests/test_plans.py). This is the amortize-the-shuffle-once
+    primitive for repeated fact-fact joins at 100 TB — the reference's
+    catalog sink (etl/etl.py:94-107) has no layout control at all; this is
+    the extension surface. Values must match the same join straight off
+    the source parquet."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    d = _scratch("bucketed_join", sf_dir)
+    for tname in ("rt_orders_bkt", "rt_customer_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    write_bucketed_table(
+        o, "rt_orders_bkt", ["o_custkey"], 8,
+        sort_by=["o_custkey"], path=os.path.join(d, "orders"),
+    )
+    write_bucketed_table(
+        c, "rt_customer_bkt", ["c_custkey"], 8,
+        sort_by=["c_custkey"], path=os.path.join(d, "customer"),
+    )
+    t_o = read_table(spark, "rt_orders_bkt")
+    t_c = read_table(spark, "rt_customer_bkt")
+    return (
+        t_o.join(t_c, t_o["o_custkey"] == t_c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_cents("o_totalprice")).alias("sum_cents"),
+        )
+    )
+
+
+@_register(
+    "range_clustered_pruned_scan",
+    sql="""
+SELECT CAST(l_shipdate AS DATE) AS ship_day,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+GROUP BY CAST(l_shipdate AS DATE)
+""",
+)
+def q_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout write + pruned readback: repartitionByRange
+    on l_shipdate gives each output file a DISJOINT sorted key range, so
+    the date-range filter on readback prunes to the few files whose
+    parquet min-max footers overlap — read amplification O(selectivity),
+    not O(files). The reference's only layout is directory partitioning
+    (SURVEY.md section 2.2); this is the zone-map extension. The filtered
+    aggregate must match the same filter straight off the source."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice"
+    )
+    d = _scratch("range_clustered", sf_dir)
+    write_range_clustered(li, d, ["l_shipdate"], 16)
+    back = spark.read.parquet(d).filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    return back.groupBy(F.to_date("l_shipdate").alias("ship_day")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_cents("l_extendedprice")).alias("sum_cents"),
+    )
+
+
+@_register(
+    "incremental_stream_roundtrip",
+    sql="""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase') AND event_id % 2 = 0
+GROUP BY event_type
+""",
+)
+def q_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O6 — file-arrival incremental pipeline with bookmark semantics:
+    two files land, one availableNow run drains them; a third file lands,
+    a SECOND run with the same checkpoint processes ONLY the new file
+    (exactly-once per file — the reference's Glue job-bookmark contract,
+    etl/etl.py:18-19,110, triggered per landed file by
+    lambda/handler_last_date.py:23-42). Each staged file holds one
+    event_type = one output partition, so the second run's dynamic
+    partition overwrite can't clobber the first run's output. The final
+    readback must equal the batch transform over all three files — any
+    dropped or double-processed file changes counts/sums."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = _scratch("incremental_stream", sf_dir)
+    inp = os.path.join(d, "in")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def stage(event_type: str) -> None:
+        (
+            e.filter(F.col("event_type") == event_type)
+            .repartition(1)
+            .write.mode("append")
+            .parquet(inp)
+        )
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("event_id") % 2 == 0)
+
+    stage("click")
+    stage("view")
+    run_incremental_pipeline(
+        spark, inp, schema, transform, outp, ckpt, ["event_type"]
+    )
+    stage("purchase")
+    run_incremental_pipeline(
+        spark, inp, schema, transform, outp, ckpt, ["event_type"]
+    )
+    back = spark.read.parquet(outp)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_cents("value")).alias("sum_cents"),
+    )

@@ -64,6 +64,7 @@ def write_bucketed_table(
     num_buckets: int,
     sort_by: Sequence[str] = (),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed (hash-clustered) managed table — the co-located-join
     primitive. Two tables bucketed by the same key into the same bucket
@@ -78,6 +79,11 @@ def write_bucketed_table(
     )
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path:
+        # external bucketed table: data lands at an explicit location
+        # instead of the session warehouse dir (which is cwd-relative on a
+        # session that never configured spark.sql.warehouse.dir)
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

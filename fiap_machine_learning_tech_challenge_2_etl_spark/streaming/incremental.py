@@ -56,6 +56,10 @@ def run_incremental_pipeline(
         (
             out.write.mode("overwrite")
             .option("compression", "snappy")
+            # writer-level option: per-partition overwrite must hold even on
+            # a session without the ambient partitionOverwriteMode conf
+            # (otherwise batch N statically wipes batch N-1's partitions)
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_by)
             .parquet(output_dir)
         )

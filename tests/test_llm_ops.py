@@ -299,3 +299,49 @@ def test_approx_top_k_matches_exact_head(spark, sf_dir):
     for r in approx:
         if r["tok"] in exact_counts:
             assert abs(r["n"] - exact_counts[r["tok"]]) <= max(2, 0.05 * exact_counts[r["tok"]])
+
+
+def test_pii_redaction_counts_and_scrubs(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_pii_redaction
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at a.b+c@mail.example.org or +1-555-0199 thanks"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io z@w.co and +1-555-0000"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in add_pii_redaction(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"]) == (1, 1)
+    assert (out[2]["n_email"], out[2]["n_phone"]) == (0, 0)
+    assert (out[3]["n_email"], out[3]["n_phone"]) == (2, 1)
+    assert "@" not in out[1]["redacted"] and "<EMAIL>" in out[1]["redacted"]
+    assert "<PHONE>" in out[3]["redacted"]
+
+
+def test_repetition_stats_short_doc_guard(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "one two"), (3, "a b a b a b"), (4, "x x x")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in add_repetition_stats(df).collect()}
+    assert out[1]["dup_trigram_ratio"] is None  # <3 words: no trigrams
+    assert out[2]["dup_trigram_ratio"] is None
+    # "a b a b a b": trigrams [aba, bab, aba, bab] -> 2 distinct of 4
+    assert out[3]["dup_trigram_ratio"] == 0.5
+    assert out[4]["dup_word_ratio"] == round(1 - 1 / 3, 6)
+
+
+def test_quantize_int8_codes_bounded_and_reconstructs(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import quantize_int8
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    e = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    out = quantize_int8(e).select("q_codes", "q_scale", "q_mse").collect()
+    for r in out:
+        assert all(abs(c) <= 127 for c in r["q_codes"])
+        # quantization error per element is at most (scale/2)^2
+        assert r["q_mse"] <= (r["q_scale"] / 2) ** 2 + 1e-15

@@ -80,7 +80,6 @@ def test_bucketed_join_plan_has_no_exchange(spark, sf_dir):
     # key. The groupBy after it may shuffle; assert no Exchange BELOW the
     # SortMergeJoin by checking the join inputs are scans+sorts only.
     plan = out._jdf.queryExecution().executedPlan().toString()
-    join_seg = plan.split("SortMergeJoin")[-1] if "SortMergeJoin" in plan else plan
     # bucketed scan reports selected bucket count
     assert "SelectedBucketsCount" in plan
 
@@ -101,3 +100,24 @@ def test_incremental_stream_second_run_is_incremental(spark, sf_dir):
     }
     # exactly-once across the two runs: every file counted once, none twice
     assert out == exp
+
+
+def test_stream_cdc_upsert_keeps_highest_version(spark, sf_dir):
+    out = rt.q_stream_upsert_cdc(spark, sf_dir).cache()
+    try:
+        rows = out.collect()
+        keys = [r["o_orderkey"] for r in rows]
+        assert len(keys) == len(set(keys))  # one row per key
+        for r in rows:
+            assert r["ver"] == (2 if r["o_orderkey"] % 20 == 0 else 1)
+    finally:
+        out.unpersist()
+
+
+def test_stream_dedup_survives_double_delivery(spark, sf_dir):
+    out = rt.q_stream_dedup(spark, sf_dir)
+    e = load_testdata(spark, sf_dir, ["events"])["events"].filter(
+        F.col("user_id") % 5 == 0
+    )
+    assert out.count() == e.count()
+    assert out.select("event_id").distinct().count() == out.count()

@@ -66,6 +66,7 @@ _PRIORITY = (
     "stream_upsert_cdc_roundtrip", "stream_dedup_roundtrip",
     "minhash_lsh_near_dup", "simhash_near_dup", "embedding_near_dup",
     "pii_redaction", "repetition_ngram_stats", "embedding_quantize_int8",
+    "dedup_canonical_docs", "leakage_safe_split",
 )
 
 

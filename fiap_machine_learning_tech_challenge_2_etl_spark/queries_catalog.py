@@ -3385,6 +3385,128 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_CC_COMP = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id AND {_SQL_PAIR_COS} >= 0.4
+), edges AS (
+  SELECT ia AS ea, ib AS eb FROM pairs
+  UNION
+  SELECT ib AS ea, ia AS eb FROM pairs
+), reach(v, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.ea, reach.r FROM edges e JOIN reach ON e.eb = reach.v
+), comp AS (
+  SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+)"""
+
+
+def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared head for the cluster-level corpus pipelines: exact near-dup
+    edges (cosine >= 0.4, blocked self-join grid) -> connected components
+    (iterative min-label propagation)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import connected_components
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import exact_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = exact_near_dup_pairs(emb, threshold=0.4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return connected_components(
+        edges, vertices=emb.select(F.col("vec_id").alias("vertex"))
+    )
+
+
+@_register(
+    "dedup_canonical_docs",
+    sql=_SQL_CC_COMP
+    + """
+SELECT component, doc_id AS canonical_id, n_members, canon_chars
+FROM (
+  SELECT c.component, d.doc_id, d.n_chars AS canon_chars,
+    CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS n_members,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.vertex
+) WHERE rn = 1
+""",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters -> ONE canonical document per cluster (the emit
+    stage of corpus dedup): richest doc wins (max n_chars, doc_id
+    tiebreak). Both window functions share one partitioning, so the
+    canonical pick costs a single exchange on component after the CC
+    rounds. Extends reference D1/D2 keep-first semantics (etl/etl.py:49,
+    etl/transform_1.py:82-84) from exact keys to similarity clusters."""
+    from pyspark.sql import Window
+
+    comp = _cc_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    j = comp.join(docs, comp["vertex"] == docs["doc_id"])
+    w = Window.partitionBy("component")
+    wo = w.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        j.withColumn("rn", F.row_number().over(wo))
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_id"),
+            "n_members",
+            F.col("n_chars").alias("canon_chars"),
+        )
+    )
+
+
+_SQL_BUCKET_CC = (
+    "CAST(concat('0x', substring(md5('cc' || CAST(c.component AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 10000"
+)
+
+
+@_register(
+    "leakage_safe_split",
+    sql=_SQL_CC_COMP
+    + f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(count(DISTINCT component) AS BIGINT) AS n_groups,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT c.component, d.n_chars,
+    CASE WHEN {_SQL_BUCKET_CC} < 8000 THEN 'train'
+         WHEN {_SQL_BUCKET_CC} < 9000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM comp c JOIN documents d ON d.doc_id = c.vertex
+)
+GROUP BY split
+""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the NEAR-DUP
+    CLUSTER id, not the document id, so near-duplicate documents can never
+    straddle train and test (the eval-contamination failure mode of naive
+    per-doc splits). Composition: exact near-dup edges -> connected
+    components -> md5-bucket hash split on the component label
+    (operators/sampling.py hash_split — deterministic, partitioning- and
+    engine-invariant). Group membership in a split is whole-cluster by
+    construction."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import hash_split
+
+    comp = _cc_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    j = comp.join(docs, comp["vertex"] == docs["doc_id"])
+    lab = hash_split(
+        j, "component", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="cc"
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_groups"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

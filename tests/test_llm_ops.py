@@ -345,3 +345,48 @@ def test_quantize_int8_codes_bounded_and_reconstructs(spark, sf_dir):
         assert all(abs(c) <= 127 for c in r["q_codes"])
         # quantization error per element is at most (scale/2)^2
         assert r["q_mse"] <= (r["q_scale"] / 2) ** 2 + 1e-15
+
+
+def test_leakage_safe_split_groups_never_straddle(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import hash_split
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import _cc_components
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    comp = _cc_components(spark, sf_dir)
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    j = comp.join(docs, comp["vertex"] == docs["doc_id"])
+    lab = hash_split(j, "component", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="cc")
+    straddling = (
+        lab.groupBy("component")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
+
+
+def test_dedup_canonical_one_per_cluster_richest_wins(spark, sf_dir):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import (
+        _cc_components,
+        q_dedup_canonical,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    out = q_dedup_canonical(spark, sf_dir).cache()
+    try:
+        comp = _cc_components(spark, sf_dir)
+        docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+        n_clusters = comp.select("component").distinct().count()
+        assert out.count() == n_clusters
+        # canonical really is the max-n_chars member of its cluster
+        member_max = (
+            comp.join(docs, comp["vertex"] == docs["doc_id"])
+            .groupBy("component")
+            .agg(F.max("n_chars").alias("max_chars"))
+        )
+        mismatches = out.join(member_max, "component").filter(
+            F.col("canon_chars") != F.col("max_chars")
+        )
+        assert mismatches.count() == 0
+    finally:
+        out.unpersist()

@@ -67,6 +67,7 @@ _PRIORITY = (
     "minhash_lsh_near_dup", "simhash_near_dup", "embedding_near_dup",
     "pii_redaction", "repetition_ngram_stats", "embedding_quantize_int8",
     "dedup_canonical_docs", "leakage_safe_split",
+    "stream_running_stats_roundtrip", "stream_interval_join_roundtrip",
 )
 
 

@@ -505,26 +505,39 @@ def quantize_int8(
     re-rank reads floats). Everything is a JVM array-lambda fold — the
     arithmetic is sequential per vector, so results are bit-deterministic
     and replicable by any engine folding the list in order.
+
+    Each intermediate (double vector, scale, codes) is MATERIALIZED as a
+    staged column before dependents reference it: embedding a non-trivial
+    expression inside a per-element lambda makes Catalyst re-evaluate it
+    per element — an O(dim^2) blowup per vector.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v, sc, qc = "__q_v", "q_scale", "q_codes"
+    vc = F.col(v)
     scale = F.greatest(
-        F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
+        F.aggregate(vc, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))),
         F.lit(eps),
     ) / F.lit(127.0)
-    q = F.transform(v, lambda x: F.round(x / scale).cast("int"))
     sq_err = F.aggregate(
-        F.zip_with(v, q, lambda x, c: F.pow(x - c.cast("double") * scale, 2)),
+        F.zip_with(
+            vc, F.col(qc), lambda x, c: F.pow(x - c.cast("double") * F.col(sc), 2)
+        ),
         F.lit(0.0),
         lambda a, x: a + x,
     )
-    return df.withColumns(
-        {
-            "dim": F.size(v).cast("int"),
-            "q_scale": scale,
-            "q_codes": q,
-            "q_l1": F.aggregate(
-                q, F.lit(0).cast("long"), lambda a, c: a + F.abs(c).cast("long")
-            ),
-            "q_mse": sq_err / F.size(v).cast("double"),
-        }
+    return (
+        df.withColumn(v, F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .withColumn(sc, scale)
+        .withColumn(qc, F.transform(vc, lambda x: F.round(x / F.col(sc)).cast("int")))
+        .withColumns(
+            {
+                "dim": F.size(vc).cast("int"),
+                "q_l1": F.aggregate(
+                    F.col(qc),
+                    F.lit(0).cast("long"),
+                    lambda a, c: a + F.abs(c).cast("long"),
+                ),
+                "q_mse": sq_err / F.size(vc).cast("double"),
+            }
+        )
+        .drop(v)
     )

@@ -281,8 +281,16 @@ def add_repetition_stats(
     Pure array-lambda pipeline (split -> transform over an index sequence ->
     array_distinct): zero Python, zero shuffle — the trigram list is never
     exploded, so memory stays O(doc length) per row at any corpus size.
+
+    The token and trigram arrays are MATERIALIZED as staged columns before
+    use: referencing the split expression inside the per-index lambda makes
+    Catalyst re-split the string on every element access — O(words^2) per
+    document, measured 22x slower on the synthetic corpus. Staged columns
+    evaluate each array exactly once per row.
     """
-    ws = F.split(F.col(column), " ")
+    p = out_prefix
+    ws_col, tri_col = f"__{p}rep_ws", f"__{p}rep_tri"
+    ws = F.col(ws_col)
     n = F.size(ws)
     # guard: sequence(1, n-2) DESCENDS for n < 3 (Spark auto-steps -1),
     # which would fabricate out-of-range trigram indexes on short docs
@@ -292,20 +300,27 @@ def add_repetition_stats(
             " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
         ),
     )).otherwise(F.array().cast("array<string>"))
-    n_tri = F.size(tri)
-    p = out_prefix
-    return df.withColumns(
-        {
-            f"{p}n_words": n.cast("long"),
-            f"{p}dup_word_ratio": F.when(
-                n > 0,
-                F.round(1.0 - F.size(F.array_distinct(ws)) / n.cast("double"), 6),
-            ),
-            f"{p}dup_trigram_ratio": F.when(
-                n_tri > 0,
-                F.round(
-                    1.0 - F.size(F.array_distinct(tri)) / n_tri.cast("double"), 6
+    n_tri = F.size(F.col(tri_col))
+    return (
+        df.withColumn(ws_col, F.split(F.col(column), " "))
+        .withColumn(tri_col, tri)
+        .withColumns(
+            {
+                f"{p}n_words": n.cast("long"),
+                f"{p}dup_word_ratio": F.when(
+                    n > 0,
+                    F.round(1.0 - F.size(F.array_distinct(ws)) / n.cast("double"), 6),
                 ),
-            ),
-        }
+                f"{p}dup_trigram_ratio": F.when(
+                    n_tri > 0,
+                    F.round(
+                        1.0
+                        - F.size(F.array_distinct(F.col(tri_col)))
+                        / n_tri.cast("double"),
+                        6,
+                    ),
+                ),
+            }
+        )
+        .drop(ws_col, tri_col)
     )

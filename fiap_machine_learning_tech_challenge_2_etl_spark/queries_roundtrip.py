@@ -483,3 +483,126 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.read.schema(schema).parquet(outp)
+
+
+@_register(
+    "stream_running_stats_roundtrip",
+    sql="""
+SELECT user_id,
+  CAST(count(DISTINCT event_id % 2) AS BIGINT) AS n_emissions,
+  CAST(count(*) AS BIGINT) AS final_n,
+  CAST(round(sum(value) * 100) AS BIGINT) AS final_total_cents
+FROM events WHERE user_id % 7 = 0
+GROUP BY user_id
+""",
+)
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (streaming/incremental.py
+    running_user_stats, applyInPandasWithState): per-user running
+    (count, sum) must SURVIVE across micro-batches. Events are delivered
+    in two runs over one checkpoint (even event_ids, then odd); every
+    run emits the user's running totals, so the LAST emission per user
+    (the one with the highest running_n) must equal the whole-corpus
+    aggregate, and the number of emissions equals the number of batches
+    the user appeared in. This is the operator class the built-ins can't
+    express (custom decay / model state); state is per-key O(1)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import running_user_stats
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    d = _scratch("stream_running", sf_dir)
+    inp = os.path.join(d, "in")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(inp)
+        stats = running_user_stats(stream)
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(outp)
+
+        (
+            stats.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    e.filter(F.col("event_id") % 2 == 0).repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    e.filter(F.col("event_id") % 2 == 1).repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    back = spark.read.parquet(outp)
+    return back.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_emissions"),
+        F.max("running_n").alias("final_n"),
+        F.round(F.max_by("running_total", "running_n") * 100)
+        .cast("long")
+        .alias("final_total_cents"),
+    )
+
+
+@_register(
+    "stream_interval_join_roundtrip",
+    sql="""
+SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id,
+  epoch_us(CAST(l.ts AS TIMESTAMP)) - epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us
+FROM events l JOIN events r ON l.user_id = r.user_id
+WHERE l.event_type = 'click' AND r.event_type = 'view'
+  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 6 HOUR
+""",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/incremental.py
+    stream_stream_interval_join): every click joined to the views the
+    same user made in the preceding 6 hours. Both sides are real file
+    streams; the watermark + two-sided time bound let Spark age out
+    buffered state (O(keys x window), not O(stream)). The emitted match
+    set must equal the batch theta-join over the same rows."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    d = _scratch("stream_ivjoin", sf_dir)
+    lin = os.path.join(d, "l")
+    rin = os.path.join(d, "r")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    e.filter(F.col("event_type") == "click").repartition(1).write.parquet(lin)
+    e.filter(F.col("event_type") == "view").repartition(1).write.parquet(rin)
+    schema = spark.read.parquet(lin).schema
+    left = spark.readStream.schema(schema).parquet(lin)
+    right = spark.readStream.schema(schema).parquet(rin)
+    joined = stream_stream_interval_join(
+        left, right, key="user_id", max_delay="6 hours", watermark="12 hours"
+    ).select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("view_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))).alias("gap_us"),
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(outp)
+
+    (
+        joined.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(outp)

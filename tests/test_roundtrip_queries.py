@@ -121,3 +121,37 @@ def test_stream_dedup_survives_double_delivery(spark, sf_dir):
     )
     assert out.count() == e.count()
     assert out.select("event_id").distinct().count() == out.count()
+
+
+def test_stream_running_stats_state_survives_batches(spark, sf_dir):
+    out = rt.q_stream_running_stats(spark, sf_dir).cache()
+    try:
+        e = load_testdata(spark, sf_dir, ["events"])["events"].filter(
+            F.col("user_id") % 7 == 0
+        )
+        exp = {
+            r["user_id"]: r["n"]
+            for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        got = {r["user_id"]: r for r in out.collect()}
+        assert set(got) == set(exp)
+        for uid, r in got.items():
+            assert r["final_n"] == exp[uid]  # state accumulated across runs
+            assert 1 <= r["n_emissions"] <= 2
+    finally:
+        out.unpersist()
+
+
+def test_stream_interval_join_matches_batch_theta_join(spark, sf_dir):
+    out = rt.q_stream_interval_join(spark, sf_dir)
+    e = load_testdata(spark, sf_dir, ["events"])["events"]
+    l = e.filter(F.col("event_type") == "click").alias("l")
+    r = e.filter(F.col("event_type") == "view").alias("r")
+    batch = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts") - F.expr("INTERVAL 6 HOURS")),
+    )
+    assert out.count() == batch.count()
+    assert out.filter(F.col("gap_us") < 0).count() == 0

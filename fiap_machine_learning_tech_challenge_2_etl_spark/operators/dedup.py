@@ -56,12 +56,23 @@ def token_hash60(col: Column) -> Column:
 
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles over normalized text (array of strings).
-    Docs shorter than n words yield their single full-text shingle."""
+    Docs shorter than n words yield their single full-text shingle.
+
+    The token array is bound ONCE as a lambda variable (single-element
+    array wrapper + outer transform): referencing the tokenizer expression
+    directly inside the per-index lambda would make Catalyst re-split the
+    document for every shingle — O(words^2) per doc."""
     toks = ws_tokens(col)
-    sz = F.array_size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+    return F.flatten(
+        F.transform(
+            F.array(toks),
+            lambda t: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.array_size(t) - (n - 1), F.lit(1))
+                ),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            ),
+        )
     )
 
 

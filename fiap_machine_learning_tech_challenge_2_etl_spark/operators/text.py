@@ -190,13 +190,24 @@ def winnowing_fingerprints(
     argmin-with-rightmost-tiebreak identically here and in the SQL oracle.
     Only complete windows select (classical winnowing), so docs shorter
     than window+k-1 chars yield no rows. Output: (id, pos, fp)."""
-    norm = normalize_text(column)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    # bind the normalized text ONCE as a lambda variable (single-element
+    # array wrapper): referencing the normalize expression inside the
+    # per-position lambda would re-run the regex per character position —
+    # O(len^2) per doc
+    gram_arr = F.flatten(
+        F.transform(
+            F.array(normalize_text(column)),
+            lambda nm: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length(nm) - (k - 1), F.lit(1))
+                ),
+                lambda i: nm.substr(i, F.lit(k)),
+            ),
+        )
+    )
     grams = spread(df, by=id_col).select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
-        ).alias("pos0", "gram"),
+        F.posexplode(gram_arr).alias("pos0", "gram"),
     )
     h40 = F.conv(F.substring(F.md5(F.col("gram")), 1, 10), 16, 10).cast("long")
     pos = (F.col("pos0") + 1).cast("long")

@@ -29,57 +29,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_events_pipeline(spark, "/root/testdata/sf0.001")
 
 
-# Names that already have a green row in CORRECTNESS_r01.json. The round-1
-# driver attested only the first 50 registered queries, so round 2 puts
-# every not-yet-attested query FIRST: across rounds the whole surface gets
-# a driver-recorded correctness row (locally, tools/verify_queries.py runs
-# all of them every round — see VERIFY_LOCAL_r02.json).
-_ATTESTED_R01 = frozenset({
-    "flagship_pipeline", "select_filter_project", "distinct_rows",
-    "fill_defaults", "sanitize_numeric", "dedup_keep_first",
-    "moving_average", "group_total", "rolling_stats", "group_min_date",
-    "rank_in_group", "all_null_column_drop", "tpch_q1_agg", "star_join_agg",
-    "join_topk_revenue", "semi_join_customers", "anti_join_customers",
-    "set_ops", "top_k_orders", "rollup_agg", "cube_agg", "json_extract_agg",
-    "text_stats", "text_quality", "language_id", "doc_fingerprint",
-    "exact_dedup_docs", "ngram_jaccard_topk", "minhash_signatures",
-    "simhash_docs", "embedding_cosine_topk", "embedding_topk_pairs",
-    "multimodal_features", "multimodal_frame_sample",
-    "winnowing_fingerprints", "embedding_near_dup_exact", "asof_join_events",
-    "tumbling_window_agg", "session_window_agg", "skew_salted_agg",
-    "corpus_clean_pipeline", "range_join_shipments", "grouping_sets_agg",
-    "pivot_event_counts", "unpivot_stats", "distinct_agg",
-    # rows-only in r01; all but the ANN probe now have full oracles and go
-    # to the front for a value-attested row
-    "embedding_ann_lsh",
-})
-
-
-# Within the unattested block, these lead: the round-trip queries close the
-# sink/catalog/streaming attestation gap (VERDICT item 5) and the near-dup
-# pipelines just gained exact oracles (VERDICT items 2-4) — if the driver
-# sweep is capped, these must land inside the cap.
+# The driver attests 50 queries per round (registry order). Round 3 leads
+# with (a) the 11 queries that missed every prior window, (b) the 2 queries
+# whose array-typed outputs broke the driver canonicalizer in r02 (now
+# stringified), (c) embedding_ann_lsh (gained a full value oracle this
+# round), and (d) the 3 near-dup/cluster queries whose plans or oracles
+# changed this round and deserve a FRESH green row. Everything else already
+# carries a green row in CORRECTNESS_r01/r02 (locally,
+# tools/verify_queries.py still runs the full registry every round).
 _PRIORITY = (
-    "sink_partition_overwrite_roundtrip", "sink_upsert_merge_roundtrip",
-    "catalog_partition_registry", "file_list_scan", "bucketed_join_colocated",
-    "range_clustered_pruned_scan", "incremental_stream_roundtrip",
-    "stream_upsert_cdc_roundtrip", "stream_dedup_roundtrip",
-    "minhash_lsh_near_dup", "simhash_near_dup", "embedding_near_dup",
-    "pii_redaction", "repetition_ngram_stats", "embedding_quantize_int8",
-    "dedup_canonical_docs", "leakage_safe_split",
-    "stream_running_stats_roundtrip", "stream_interval_join_roundtrip",
+    # (a) never attested in r01/r02 (50-cap misses)
+    "decontaminate_ngram_overlap", "quality_upsample_repeat",
+    "regex_functions", "rollup_grouping_id", "sequence_packing",
+    "set_ops_all", "sort_nulls_family", "tfidf_top_terms",
+    "try_arithmetic_family", "variant_shred_props", "window_value_family",
+    # (b) r02 driver artifact failures, outputs now driver-hashable
+    "array_functions", "embedding_quantize_int8",
+    # (c) newly oracle'd
+    "embedding_ann_lsh",
+    # (d) changed this round (LSH-banded CC edges / shared oracle CTEs)
+    "dedup_canonical_docs", "leakage_safe_split", "embedding_near_dup",
 )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,
-    ordered so queries without a round-1 driver attestation come first."""
+    ordered so queries needing a (fresh) driver attestation come first."""
     q = queries_catalog.SPARK_QUERIES
     ordered = {k: q[k] for k in _PRIORITY if k in q}
-    ordered.update(
-        {k: v for k, v in q.items() if k not in _ATTESTED_R01 and k not in ordered}
-    )
-    ordered.update({k: v for k, v in q.items() if k in _ATTESTED_R01})
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
 
 

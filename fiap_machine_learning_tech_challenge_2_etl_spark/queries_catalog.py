@@ -1023,10 +1023,56 @@ def q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine_topk(_t(spark, sf_dir, "embeddings"), k=20)
 
 
-@_register("embedding_ann_lsh")
+@_register(
+    "embedding_ann_lsh",
+    sql="""
+WITH dims AS (
+  SELECT unnest(range(0, (SELECT CAST(len(embedding) AS BIGINT)
+                          FROM embeddings WHERE vec_id = 0))) AS d
+),
+planes AS (
+  SELECT p, d,
+    CAST(concat('0x', substr(md5('hp:' || p || ':' || d), 1, 15)) AS BIGINT)
+      % 2000000 - 1000000 AS w
+  FROM (SELECT unnest(range(0, 16)) AS p), dims
+),
+qz AS (
+  SELECT vec_id, d,
+    CAST(floor(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+  FROM embeddings, dims
+),
+dots AS (
+  SELECT qz.vec_id, pl.p, sum(qz.qv * pl.w) AS dot
+  FROM qz JOIN planes pl USING (d)
+  GROUP BY qz.vec_id, pl.p
+),
+sigs AS (
+  SELECT vec_id,
+    CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << CAST(p AS INT)
+             ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY vec_id
+),
+qsig AS (SELECT sig AS s0 FROM sigs WHERE vec_id = 0),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings WHERE vec_id = 0),
+probed AS (
+  SELECT e.vec_id,
+    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), qv.e0)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(qv.e0, qv.e0))), 6) AS cos
+  FROM embeddings e JOIN sigs s ON e.vec_id = s.vec_id, qsig, qv
+  WHERE bit_count(xor(s.sig, qsig.s0)) <= 4
+)
+SELECT vec_id, cos FROM probed ORDER BY cos DESC, vec_id LIMIT 10
+""",
+)
 def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH multi-probe (scale path;
-    recall vs brute force is pytest-verified)."""
+    """Approximate top-k via random-hyperplane LSH multi-probe. EXACTLY
+    oracle-checkable despite being 'approximate': the hyperplanes are
+    md5-derived integers and the signature kernel is pure int64 arithmetic
+    (operators/similarity.py LSH_QUANT), so the probed set — and therefore
+    the final re-ranked top-k — is bit-identical in DuckDB. Recall vs
+    brute force is additionally pytest-verified."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
         lsh_bucket_topk,
     )
@@ -1127,19 +1173,21 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(_t(spark, sf_dir, "documents"))
 
 
-def _embedding_near_dup_sql(
+def _lsh_near_dup_ctes(
     dim: int = 64,
     n_planes: int = 128,
     bands: int = 16,
     threshold: float = 0.4,
 ) -> str:
-    """DuckDB replica of embedding_near_dup_pairs. The signature is
+    """CTE chain (no leading WITH) replicating embedding_near_dup_pairs in
+    DuckDB, ending in ``lsh_pairs(id_a, id_b, cos)``. The signature is
     integer-exact by construction (similarity.LSH_QUANT): hyperplane
     components are md5-derived integers generated IN SQL from the same
     'hp:p:d' seed strings, the vector is quantized floor(v*1e6), and the
     sign bit is an int comparison — no float summation-order dependence, so
     candidate sets are bit-identical across engines. The verify cosine uses
-    the same round-6 idiom as embedding_near_dup_exact."""
+    the same round-6 idiom as embedding_near_dup_exact. Shared by the
+    near-dup query oracle and the cluster-pipeline (CC) oracles."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
         LSH_QUANT,
     )
@@ -1151,8 +1199,7 @@ def _embedding_near_dup_sql(
         " / (sqrt(list_dot_product(a.ev, a.ev))"
         " * sqrt(list_dot_product(b.ev, b.ev))), 6)"
     )
-    return f"""
-WITH q AS (
+    return f"""q AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
     list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(x * {LSH_QUANT}) AS BIGINT)) AS qv
@@ -1174,10 +1221,23 @@ WITH q AS (
   FROM bandvals l JOIN bandvals r
     ON l.band_id = r.band_id AND l.band_val = r.band_val
    AND l.vec_id < r.vec_id
-)
-SELECT c.id_a, c.id_b, {cos} AS cos
-FROM cand c JOIN q a ON a.vec_id = c.id_a JOIN q b ON b.vec_id = c.id_b
-WHERE {cos} >= {threshold}
+), lsh_pairs AS (
+  SELECT c.id_a, c.id_b, {cos} AS cos
+  FROM cand c JOIN q a ON a.vec_id = c.id_a JOIN q b ON b.vec_id = c.id_b
+  WHERE {cos} >= {threshold}
+)"""
+
+
+def _embedding_near_dup_sql(
+    dim: int = 64,
+    n_planes: int = 128,
+    bands: int = 16,
+    threshold: float = 0.4,
+) -> str:
+    """DuckDB replica of embedding_near_dup_pairs (see _lsh_near_dup_ctes)."""
+    return f"""
+WITH {_lsh_near_dup_ctes(dim, n_planes, bands, threshold)}
+SELECT id_a, id_b, cos FROM lsh_pairs
 """
 
 
@@ -1779,7 +1839,8 @@ SELECT vec_id,
   round(CAST(list_max(embedding) AS DOUBLE), 6) AS arr_max,
   round(CAST(list_min(embedding) AS DOUBLE), 6) AS arr_min,
   CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
-  list_transform(CAST(embedding[1:3] AS DOUBLE[]), x -> round(x, 6)) AS head3,
+  array_to_string(list_transform(CAST(embedding[1:3] AS DOUBLE[]),
+    x -> CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR)), ',') AS head3,
   round(list_dot_product(CAST(embedding AS DOUBLE[]),
                          CAST(list_reverse(embedding) AS DOUBLE[])), 6) AS rev_dot
 FROM embeddings
@@ -1806,8 +1867,16 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_max("embedding").cast("double"), 6).alias("arr_max"),
         F.round(F.array_min("embedding").cast("double"), 6).alias("arr_min"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 6)
+        # Stringified (decimal(18,6) keeps a fixed 6-decimal rendering on
+        # both engines) so the driver's pandas canonicalizer can hash it.
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double"), 6)
+                .cast("decimal(18,6)")
+                .cast("string"),
+            ),
         ).alias("head3"),
         F.round(
             F.aggregate(
@@ -3357,7 +3426,7 @@ WITH v AS (
 SELECT vec_id,
   CAST(len(e) AS INT) AS dim,
   round(scale, 9) AS q_scale,
-  codes AS q_codes,
+  array_to_string(codes, ',') AS q_codes,
   CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS q_l1,
   round(list_sum(list_transform(range(1, len(e) + 1),
                                 i -> pow(e[i] - codes[i] * scale, 2)))
@@ -3379,17 +3448,17 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "dim",
         F.round("q_scale", 9).alias("q_scale"),
-        "q_codes",
+        # int codes joined as a string (identical rendering on both
+        # engines) so the driver's pandas canonicalizer can hash the row
+        F.concat_ws(",", F.col("q_codes").cast("array<string>")).alias("q_codes"),
         "q_l1",
         F.round("q_mse", 12).alias("q_mse"),
     )
 
 
 _SQL_CC_COMP = f"""
-WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS ia, b.vec_id AS ib
-  FROM embeddings a, embeddings b
-  WHERE a.vec_id < b.vec_id AND {_SQL_PAIR_COS} >= 0.4
+WITH RECURSIVE {_lsh_near_dup_ctes()}, pairs AS (
+  SELECT id_a AS ia, id_b AS ib FROM lsh_pairs
 ), edges AS (
   SELECT ia AS ea, ib AS eb FROM pairs
   UNION
@@ -3403,15 +3472,26 @@ WITH RECURSIVE pairs AS (
 )"""
 
 
-def _cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared head for the cluster-level corpus pipelines: exact near-dup
-    edges (cosine >= 0.4, blocked self-join grid) -> connected components
-    (iterative min-label propagation)."""
+def _cc_components(
+    spark: SparkSession, sf_dir: str, exact_edges: bool = False
+) -> DataFrame:
+    """Shared head for the cluster-level corpus pipelines: near-dup edges
+    (cosine >= 0.4) -> connected components (iterative min-label
+    propagation). The DEFAULT edge source is the LSH-banded candidate
+    generator (``embedding_near_dup_pairs``: banded bucket equi-join +
+    Arrow-batched exact verify — sub-quadratic, the 100 TB plan);
+    ``exact_edges=True`` swaps in the O(n^2) blocked-grid scan, kept ONLY
+    as small-scale ground truth for the pytest cross-check
+    (tests/test_graph.py::test_cc_pipeline_lsh_vs_exact_edges)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import connected_components
-    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import exact_near_dup_pairs
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        exact_near_dup_pairs,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
-    edges = exact_near_dup_pairs(emb, threshold=0.4).select(
+    pair_fn = exact_near_dup_pairs if exact_edges else embedding_near_dup_pairs
+    edges = pair_fn(emb, threshold=0.4).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return connected_components(
@@ -3487,7 +3567,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split key is the NEAR-DUP
     CLUSTER id, not the document id, so near-duplicate documents can never
     straddle train and test (the eval-contamination failure mode of naive
-    per-doc splits). Composition: exact near-dup edges -> connected
+    per-doc splits). Composition: LSH-banded near-dup edges -> connected
     components -> md5-bucket hash split on the component label
     (operators/sampling.py hash_split — deterministic, partitioning- and
     engine-invariant). Group membership in a split is whole-cluster by

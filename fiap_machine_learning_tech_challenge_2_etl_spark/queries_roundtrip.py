@@ -193,15 +193,21 @@ def q_catalog_partition_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
     ensure_database(spark, db)
     ensure_external_table(spark, db, tbl, o.schema, pcols, d)
-    specs = []
-    for r in o.select(*pcols).distinct().collect():
-        uri = (
-            f"{d}/o_orderstatus={r['o_orderstatus']}"
-            f"/o_orderpriority={r['o_orderpriority']}/part-00000.parquet"
-        )
+    # Partition specs come from LISTED FILE URIS (the reference's G5 path:
+    # a landed file's key=value segments), not from collecting data-derived
+    # values to the driver — listing is O(partitions + files) metadata work
+    # and exercises infer_partition_from_uri on real writer-produced paths.
+    listed = sorted(
+        glob(os.path.join(d, "o_orderstatus=*", "o_orderpriority=*", "*.parquet"))
+    )
+    specs, seen = [], set()
+    for uri in listed:
         spec = infer_partition_from_uri(uri, pcols)
         assert spec is not None
-        specs.append(spec)
+        key = tuple(sorted(spec.items()))
+        if key not in seen:
+            seen.add(key)
+            specs.append(spec)
     add_partitions(spark, db, tbl, specs)
     n_parts = len(list_partitions(spark, db, tbl))
     t = read_table(spark, tbl, db)

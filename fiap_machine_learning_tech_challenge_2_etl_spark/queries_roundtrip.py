@@ -95,6 +95,44 @@ def _cents(col: str) -> F.Column:
     return F.round(F.col(col) * 100).cast("long")
 
 
+class _stream_shuffle:
+    """Temporarily drop spark.sql.shuffle.partitions for a STATEFUL
+    streaming round-trip and restore it on exit.
+
+    The number of state-store instances is fixed from the shuffle-partition
+    conf when the stream first starts; at 32 it costs 32 RocksDB/HDFS state
+    dirs x (commit + snapshot) per micro-batch — pure fixed overhead for a
+    bench-scale stream, and at production scale the right value is sized to
+    the KEY CARDINALITY of the stream, not to the batch engine's shuffle
+    width. Results are partitioning-invariant (keyed state, deterministic
+    emissions), only the state fan-out changes."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
+def _with_stream_shuffle(fn):
+    """Decorator applying _stream_shuffle around a streaming round-trip
+    query body (the terminal read-back aggregation of the returned frame
+    executes later, under the caller's restored conf)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        with _stream_shuffle(spark):
+            return fn(spark, sf_dir)
+
+    return wrapped
+
+
 @_register(
     "sink_partition_overwrite_roundtrip",
     sql=f"""
@@ -344,6 +382,7 @@ WHERE event_type IN ('click', 'view', 'purchase') AND event_id % 2 = 0
 GROUP BY event_type
 """,
 )
+@_with_stream_shuffle
 def q_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/O6 — file-arrival incremental pipeline with bookmark semantics:
     two files land, one availableNow run drains them; a third file lands,
@@ -409,6 +448,7 @@ SELECT o_orderkey, o_custkey, o_orderstatus,
 FROM orders WHERE o_orderkey % 10 = 0
 """,
 )
+@_with_stream_shuffle
 def q_stream_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC MERGE (streaming/incremental.py stream_upsert_by_key):
     version-1 rows land and are upserted; a second file redelivers HALF the
@@ -455,6 +495,7 @@ SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
 FROM events WHERE user_id % 5 = 0
 """,
 )
+@_with_stream_shuffle
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup (streaming/incremental.py
     stream_dedup_events, dropDuplicatesWithinWatermark): the same file is
@@ -502,6 +543,7 @@ FROM events WHERE user_id % 7 = 0
 GROUP BY user_id
 """,
 )
+@_with_stream_shuffle
 def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (streaming/incremental.py
     running_user_stats, applyInPandasWithState): per-user running
@@ -570,6 +612,7 @@ WHERE l.event_type = 'click' AND r.event_type = 'view'
   AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 6 HOUR
 """,
 )
+@_with_stream_shuffle
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join (streaming/incremental.py
     stream_stream_interval_join): every click joined to the views the

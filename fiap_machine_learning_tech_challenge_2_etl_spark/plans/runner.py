@@ -53,16 +53,41 @@ def main(argv: list[str] | None = None) -> None:
             from fiap_machine_learning_tech_challenge_2_etl_spark.plans.pipeline import transform_v2  # noqa: F401
 
             # events-shaped incremental: clean + derive event_date, write by day
+            from glob import glob
+
             from pyspark.sql import functions as F
+            from pyspark.sql import types as T
+
+            from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import _is_nanos
+
+            # streaming schemas are fixed at start, so probe ONE landed file's
+            # footer for the timestamp unit (same contract as load_testdata:
+            # ns arrives as raw longs to normalize, us reads natively).
+            sample = sorted(glob(f"{args.input_dir}/**/*.parquet", recursive=True))
+            ns = _is_nanos(sample[0], "ts") if sample else True
+            schema = EVENTS
+            if not ns:
+                schema = T.StructType(
+                    [
+                        T.StructField("ts", T.TimestampType(), f.nullable)
+                        if f.name == "ts"
+                        else f
+                        for f in EVENTS.fields
+                    ]
+                )
 
             def transform(df):
-                return df.withColumn("event_date", F.to_date(F.timestamp_micros(F.expr("ts div 1000"))))
+                ts = (
+                    F.timestamp_micros(F.expr("ts div 1000")) if ns else F.col("ts")
+                )
+                return df.withColumn("event_date", F.to_date(ts))
 
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            if ns:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             run_incremental_pipeline(
                 spark,
                 input_dir=args.input_dir,
-                schema=EVENTS,
+                schema=schema,
                 transform=transform,
                 output_dir=args.out,
                 checkpoint_dir=args.checkpoint,

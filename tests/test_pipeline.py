@@ -175,3 +175,43 @@ def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
     }
     assert "Statistics" in desc and "500 rows" in desc["Statistics"], desc
     spark.sql("DROP TABLE __stats_probe")
+
+
+def test_runner_cli_batch_and_incremental(spark, sf_dir, tmp_path, monkeypatch):
+    """O2-O6 through the CLI surface itself: argparse defaults, stage
+    sequencing, and the unit-probing incremental drain all driven via
+    main(argv) — the control-plane equivalent of the reference's
+    Lambda/Step Function launch path (lambda/handler.py:13-49)."""
+    import os
+    import shutil
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.plans import runner
+
+    monkeypatch.setattr(runner, "get_session", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)  # shared fixture session
+
+    out = str(tmp_path / "refined")
+    runner.main(["batch", "--sf-dir", sf_dir, "--out", out])
+    back = spark.read.parquet(out)
+    assert back.count() > 0
+    assert "event_date" in back.columns
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(src, "e0.parquet")
+    )
+    out2 = str(tmp_path / "inc")
+    ck = str(tmp_path / "ck")
+    runner.main(
+        ["incremental", "--input-dir", src, "--out", out2, "--checkpoint", ck]
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    n_events = load_testdata(spark, sf_dir, ["events"])["events"].count()
+    inc = spark.read.parquet(out2)
+    assert inc.count() == n_events
+    assert "event_date" in inc.columns
+    # event_date must come from REAL 2024-range timestamps, not a
+    # unit-confused 1970 read
+    assert inc.select(F.min("event_date")).first()[0].year >= 2000

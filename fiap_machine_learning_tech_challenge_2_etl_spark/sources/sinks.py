@@ -162,7 +162,10 @@ def upsert_by_key(
             for vals in touched:
                 clause = F.lit(True)
                 for c, v in zip(partition_by, vals):
-                    clause = clause & (F.col(c) == F.lit(v))
+                    # null-safe: a null partition value (written as the Hive
+                    # default partition) must still match its survivors —
+                    # plain == would null out and drop every row in it
+                    clause = clause & F.col(c).eqNullSafe(F.lit(v))
                 pfilter = pfilter | clause
             survivors = existing.filter(pfilter).join(
                 F.broadcast(new_rows.select(*keys).distinct()),

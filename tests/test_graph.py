@@ -168,3 +168,10 @@ def test_cc_lsh_identical_to_exact_on_tight_clusters(spark):
         }
 
     assert components(embedding_near_dup_pairs) == components(exact_near_dup_pairs)
+
+
+def test_cc_restores_shuffle_conf(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    connected_components(edges).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -155,3 +155,14 @@ def test_stream_interval_join_matches_batch_theta_join(spark, sf_dir):
     )
     assert out.count() == batch.count()
     assert out.filter(F.col("gap_us") < 0).count() == 0
+
+
+def test_stream_shuffle_conf_restored(spark, sf_dir):
+    """The streaming round-trips drop spark.sql.shuffle.partitions for
+    their stateful stages; the session conf MUST come back — a leaked
+    narrow conf would silently de-parallelize every later batch query."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    SPARK_QUERIES["stream_dedup_roundtrip"](spark, sf_dir).count()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -49,6 +49,8 @@ _PRIORITY = (
     "embedding_ann_lsh",
     # (d) changed this round (LSH-banded CC edges / shared oracle CTEs)
     "dedup_canonical_docs", "leakage_safe_split", "embedding_near_dup",
+    # (e) new this round (multi-dim Z-order layout)
+    "zorder_clustered_pruned_scan",
 )
 
 

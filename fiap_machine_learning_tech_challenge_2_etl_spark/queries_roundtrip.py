@@ -61,6 +61,7 @@ from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import (
 )
 from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
     upsert_by_key,
+    write_zorder_clustered,
     write_bucketed_table,
     write_partitioned_parquet,
     write_range_clustered,
@@ -367,6 +368,40 @@ def q_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
     )
     return back.groupBy(F.to_date("l_shipdate").alias("ship_day")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_cents("l_extendedprice")).alias("sum_cents"),
+    )
+
+
+@_register(
+    "zorder_clustered_pruned_scan",
+    sql="""
+SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+GROUP BY l_returnflag
+""",
+)
+def q_zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered layout write + 2-D box readback: Morton-interleaved
+    (l_partkey, l_suppkey) clustering keeps parquet min-max footers tight on
+    BOTH columns at once, so a two-dimensional box predicate prunes files —
+    the multi-column generalization of range_clustered_pruned_scan (a
+    lexicographic sort prunes only on its lead column). Footer disjointness
+    and actual file pruning are pinned in tests/test_roundtrip_queries.py;
+    here the box-filtered aggregate must match the same filter straight
+    off the source — the layout is lossless."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice"
+    )
+    d = _scratch("zorder_clustered", sf_dir)
+    write_zorder_clustered(li, d, ["l_partkey", "l_suppkey"], 16)
+    back = spark.read.parquet(d).filter(
+        F.col("l_partkey").between(100, 400) & F.col("l_suppkey").between(10, 60)
+    )
+    return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_cents("l_extendedprice")).alias("sum_cents"),
     )

@@ -213,3 +213,70 @@ def write_range_clustered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 8,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Z-order (Morton-interleaved) multi-dimensional clustering — the
+    multi-column upgrade of ``write_range_clustered``'s single-dimension
+    layout (the reference has no layout control at all, SURVEY.md §2.2).
+
+    Each cluster column is mapped to a ``2^bits``-cell grid between its
+    global min and max (ONE scalar aggregate — metadata-sized, never a
+    sort), the per-column cell ids are bit-interleaved into a Morton key
+    with plain JVM shift/or expressions, and the frame is range-partitioned
+    + sorted on that key. Because the Morton curve preserves locality in
+    EVERY clustered dimension at once, parquet min-max footers stay tight
+    on ALL of ``cols`` simultaneously — a 2-D box predicate prunes files
+    the way a 1-D range does under range clustering. At 100 TB this is the
+    difference between "prunes on the lead column only" (lexicographic
+    sort) and "prunes on any clustered column" — the standard layout for
+    multi-key scan workloads. Cost: one scalar agg + one range exchange at
+    write time.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    bounds = df.agg(*aggs).first()  # one job, one row — metadata decision
+
+    ncells = 1 << bits
+    cell_cols = []
+    for c in cols:
+        mn = float(bounds[f"__mn_{c}"])
+        mx = float(bounds[f"__mx_{c}"])
+        span = (mx - mn) or 1.0
+        cell = F.least(
+            F.lit(ncells - 1),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * ncells),
+        ).cast("long")
+        cell_cols.append(cell)
+
+    ndim = len(cols)
+    zkey = F.lit(0).cast("long")
+    for d, cell in enumerate(cell_cols):
+        for i in range(bits):
+            # bit i of dimension d lands at interleaved position i*ndim + d
+            zkey = zkey.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(cell, i).bitwiseAND(F.lit(1)), i * ndim + d
+                )
+            )
+
+    (
+        df.withColumn("__zkey", zkey)
+        .repartitionByRange(n_files, F.col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )

@@ -166,3 +166,60 @@ def test_stream_shuffle_conf_restored(spark, sf_dir):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     SPARK_QUERIES["stream_dedup_roundtrip"](spark, sf_dir).count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order contract, asserted at the parquet-footer level: the Morton
+    layout must (a) keep per-file min-max boxes on BOTH cluster columns
+    tight enough that a 2-D box predicate rules out most files, and (b)
+    lose no rows. A lexicographic sort would pass (b) but fail (a) on the
+    second column."""
+    import pyarrow.parquet as pq
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import write_zorder_clustered
+
+    li = load_testdata(spark, sf_dir, ["lineitem"])["lineitem"].select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    d = str(tmp_path / "zo")
+    write_zorder_clustered(li, d, ["l_partkey", "l_suppkey"], 16)
+
+    import glob as g
+
+    files = sorted(g.glob(f"{d}/*.parquet"))
+    assert len(files) >= 8
+
+    # sf0.001 key ranges are l_partkey [0,199], l_suppkey [0,9]; a ~7% box
+    lo_p, hi_p, lo_s, hi_s = 50, 100, 2, 4
+
+    def overlaps(f):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        pmin = smin = float("inf")
+        pmax = smax = float("-inf")
+        for rg in range(md.num_row_groups):
+            stp = md.row_group(rg).column(names["l_partkey"]).statistics
+            sts = md.row_group(rg).column(names["l_suppkey"]).statistics
+            pmin, pmax = min(pmin, stp.min), max(pmax, stp.max)
+            smin, smax = min(smin, sts.min), max(smax, sts.max)
+        return not (pmax < lo_p or pmin > hi_p or smax < lo_s or smin > hi_s)
+
+    candidates = [f for f in files if overlaps(f)]
+    # 2-D pruning must actually bite: the box can rule out over half the
+    # files from footers alone, and at least one file must survive
+    assert 0 < len(candidates) < len(files) / 2, (len(candidates), len(files))
+
+    # losslessness: box-filtered readback == box-filtered source
+    back = (
+        spark.read.parquet(d)
+        .filter(F.col("l_partkey").between(lo_p, hi_p))
+        .filter(F.col("l_suppkey").between(lo_s, hi_s))
+        .count()
+    )
+    src = (
+        li.filter(F.col("l_partkey").between(lo_p, hi_p))
+        .filter(F.col("l_suppkey").between(lo_s, hi_s))
+        .count()
+    )
+    assert back == src > 0

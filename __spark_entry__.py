@@ -49,8 +49,15 @@ _PRIORITY = (
     "embedding_ann_lsh",
     # (d) changed this round (LSH-banded CC edges / shared oracle CTEs)
     "dedup_canonical_docs", "leakage_safe_split", "embedding_near_dup",
-    # (e) new this round (multi-dim Z-order layout)
+    # (e) new this round (multi-dim Z-order layout, warehouse-maintenance
+    # and data-quality surface)
     "zorder_clustered_pruned_scan",
+    "interval_coalesce",
+    "scd2_user_history",
+    "data_quality_report",
+    "char_entropy_quality",
+    "compaction_roundtrip",
+    "incremental_cross_dedup",
 )
 
 

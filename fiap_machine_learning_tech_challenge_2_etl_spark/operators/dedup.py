@@ -362,3 +362,132 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental cross-corpus dedup (new batch vs existing corpus)
+# --------------------------------------------------------------------------
+
+
+def cross_dedup_status(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus — the per-ingest
+    shape of production pipelines (the corpus is petabytes and already
+    deduped; only the new slice may be dropped). Returns one row per new
+    doc: (id, status) with status in {'exact_dup', 'near_dup', 'kept'}.
+
+    Stage 1 drops new docs whose normalized-content md5 exists in the
+    corpus (left-semi on a 16-byte key). Stage 2 MinHash-bands BOTH sides
+    and joins new-bands against corpus-bands only — there is NO corpus
+    self-join, so the cost is one corpus signature pass (linear, and
+    cacheable across ingests in production) plus O(new x collisions)
+    verification, never O(corpus^2). Exact-Jaccard verify intersects the
+    shingle-hash sets carried on the same groupBy as the signature minima
+    (single pass per side, same trick as ``minhash_near_dup_pairs``).
+
+    All hashing is md5-derived, so the full decision vector — which doc
+    was dropped at which stage — is replicable in the SQL oracle."""
+    rows = num_perm // bands
+
+    def _perdoc(df: DataFrame) -> DataFrame:
+        sh = spread(df, by=id_col).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
+        )
+        hashed = sh.select(F.col(id_col), token_hash60(F.col("shingle")).alias("h60"))
+        aggs = [
+            F.min(
+                ((F.col("h60") % MINHASH_P) * F.lit(a) + F.lit(b)) % MINHASH_P
+            ).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(_minhash_params(num_perm))
+        ]
+        return hashed.groupBy(id_col).agg(*aggs, F.collect_set("h60").alias("shset"))
+
+    def _banded(per_doc: DataFrame) -> DataFrame:
+        band_cols = [
+            token_hash60(
+                F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        banded = per_doc.select(F.col(id_col), *band_cols)
+        return banded.select(
+            F.col(id_col),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash")
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bb"),
+        ).select(id_col, "bb.band_id", "bb.band_hash")
+
+    norm_hash = F.md5(normalize_text(column))
+    nb = new_batch.select(F.col(id_col), F.col(column)).withColumn("__h", norm_hash)
+    corpus_hashes = corpus.select(norm_hash.alias("__h")).distinct()
+    exact_ids = (
+        nb.join(F.broadcast(corpus_hashes), "__h", "left_semi")
+        .select(F.col(id_col).alias("__ex_id"))
+        .withColumn("__exact", F.lit(True))
+    )
+
+    survivors = nb.join(
+        exact_ids, nb[id_col] == exact_ids["__ex_id"], "left_anti"
+    ).select(id_col, column)
+    new_pd = _perdoc(survivors)
+    corp_pd = _perdoc(corpus.select(F.col(id_col), F.col(column)))
+
+    cand = (
+        _banded(new_pd.drop("shset")).alias("n")
+        .join(
+            _banded(corp_pd.drop("shset")).alias("c"),
+            on=[
+                F.col("n.band_id") == F.col("c.band_id"),
+                F.col("n.band_hash") == F.col("c.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"), F.col(f"c.{id_col}").alias("corp_id")
+        )
+        .distinct()
+    )
+    inter = F.array_size(F.array_intersect(F.col("set_n"), F.col("set_c")))
+    union = F.array_size(F.col("set_n")) + F.array_size(F.col("set_c")) - inter
+    near_ids = (
+        cand.join(
+            new_pd.select(F.col(id_col).alias("new_id"), F.col("shset").alias("set_n")),
+            "new_id",
+        )
+        .join(
+            corp_pd.select(
+                F.col(id_col).alias("corp_id"), F.col("shset").alias("set_c")
+            ),
+            "corp_id",
+        )
+        .filter(F.round(inter / union, 6) >= threshold)
+        .select(F.col("new_id").alias("__nr_id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    out = (
+        nb.join(exact_ids, nb[id_col] == exact_ids["__ex_id"], "left")
+        .join(near_ids, nb[id_col] == near_ids["__nr_id"], "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__exact"), F.lit("exact_dup"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+    )
+    return out

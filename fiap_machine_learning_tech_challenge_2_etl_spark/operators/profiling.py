@@ -74,3 +74,113 @@ def numeric_histogram(df: DataFrame, column: str, nbins: int = 20) -> DataFrame:
             "n",
         )
     )
+
+
+def constraint_report(
+    df: DataFrame,
+    completeness: dict[str, float] | None = None,
+    unique: list[str] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    references: dict[str, DataFrame] | None = None,
+    min_rows: int | None = None,
+) -> DataFrame:
+    """Deequ-style data-quality gate: evaluate declarative constraints in
+    ONE aggregate pass and return a tall report
+    ``(check, target, value, passed)``.
+
+    Checks:
+      * ``completeness={col: min_ratio}`` — non-null fraction >= threshold;
+      * ``unique=[col]`` — distinct count == non-null count;
+      * ``ranges={col: (lo, hi)}`` — every non-null value inside [lo, hi];
+      * ``references={col: dim_df}`` — every non-null value exists in the
+        (single-column) dimension frame — foreign-key containment;
+      * ``min_rows=n`` — table has at least n rows.
+
+    Scale posture: every scalar metric is an aggregate expression in the
+    SAME ``df.agg`` — the fact scan is paid once no matter how many checks
+    run (map-side partial aggregation, one 1-row result). Referential
+    checks add one left-anti broadcast join per dimension (dimension side
+    is exactly the small side by construction). No driver-side row data;
+    the report itself is O(#checks) rows.
+    """
+    completeness = completeness or {}
+    unique = unique or []
+    ranges = ranges or {}
+    references = references or {}
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in completeness:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+    for c in unique:
+        aggs += [
+            F.count_distinct(F.col(c)).alias(f"__du_{c}"),
+            F.count(F.col(c)).alias(f"__nu_{c}"),
+        ]
+    for c, (lo, hi) in ranges.items():
+        aggs.append(
+            F.sum(
+                F.when(
+                    F.col(c).isNotNull()
+                    & ((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))),
+                    1,
+                ).otherwise(0)
+            ).alias(f"__oob_{c}")
+        )
+    one = df.agg(*aggs)
+    for c, dim in references.items():
+        dcol = dim.columns[0]
+        orphans = (
+            df.select(F.col(c)).filter(F.col(c).isNotNull())
+            .join(F.broadcast(dim), F.col(c) == F.col(dcol), "left_anti")
+            .agg(F.count(F.lit(1)).alias(f"__orph_{c}"))
+        )
+        one = one.join(F.broadcast(orphans))  # 1-row x 1-row
+
+    rows = []
+    rows.append(
+        (
+            F.lit("row_count"),
+            F.lit("*"),
+            F.col("__rows").cast("double"),
+            F.col("__rows") >= F.lit(min_rows if min_rows is not None else 1),
+        )
+    )
+    for c, thr in completeness.items():
+        ratio = F.round(F.col(f"__nn_{c}") / F.col("__rows"), 6)
+        rows.append((F.lit("completeness"), F.lit(c), ratio, ratio >= F.lit(thr)))
+    for c in unique:
+        rows.append(
+            (
+                F.lit("uniqueness"),
+                F.lit(c),
+                F.round(F.col(f"__du_{c}") / F.col(f"__nu_{c}"), 6),
+                F.col(f"__du_{c}") == F.col(f"__nu_{c}"),
+            )
+        )
+    for c in ranges:
+        rows.append(
+            (
+                F.lit("range"),
+                F.lit(c),
+                F.col(f"__oob_{c}").cast("double"),
+                F.col(f"__oob_{c}") == 0,
+            )
+        )
+    for c in references:
+        rows.append(
+            (
+                F.lit("referential_integrity"),
+                F.lit(c),
+                F.col(f"__orph_{c}").cast("double"),
+                F.col(f"__orph_{c}") == 0,
+            )
+        )
+    report = None
+    for check, target, value, passed in rows:
+        part = one.select(
+            check.alias("check"),
+            target.alias("target"),
+            value.alias("value"),
+            passed.alias("passed"),
+        )
+        report = part if report is None else report.unionAll(part)
+    return report

@@ -335,3 +335,76 @@ def add_repetition_stats(
         )
         .drop(ws_col, tri_col)
     )
+
+
+def add_char_entropy(
+    df: DataFrame,
+    column: str = "text",
+    out_prefix: str = "",
+) -> DataFrame:
+    """Character-level Shannon entropy + bigram diversity — the two
+    cheapest gibberish/boilerplate detectors a corpus quality gate runs
+    (low entropy = repeated filler, near-zero bigram diversity = copy
+    loops; cf. Gopher/C4 quality-rule families).
+
+    Adds ``{p}char_entropy`` (bits, 6dp), ``{p}n_distinct_bigrams`` and
+    ``{p}n_bigrams`` (exact integers, so the ratio is reconstructable
+    without float ambiguity).
+
+    Cross-engine determinism: entropy terms depend only on each character's
+    COUNT, so folding the count array in ASCENDING SORTED order makes the
+    IEEE-754 summation sequence identical in any engine that replays the
+    same sort — the DuckDB oracle mirrors it with
+    ``list_sort`` + ``list_transform`` + sequential ``list_sum``.
+
+    Scale posture: pure JVM array expressions (split/transform/filter/
+    aggregate) inside whole-stage codegen — map-only, no shuffle, no
+    Python. Per-row cost O(distinct_chars * len) — bounded by alphabet
+    size, not corpus size.
+    """
+    p = out_prefix
+    ch_col, cnt_col, bg_col = f"__{p}ent_ch", f"__{p}ent_cnt", f"__{p}ent_bg"
+    chars = F.filter(F.split(F.col(column), ""), lambda x: x != F.lit(""))
+    counts = F.array_sort(
+        F.transform(
+            F.array_distinct(F.col(ch_col)),
+            lambda c: F.size(F.filter(F.col(ch_col), lambda x: x == c)),
+        )
+    )
+    n = F.size(F.col(ch_col)).cast("double")
+    # fold by SUBTRACTION, not negate-after: 0-0 is +0.0 (negating a zero
+    # sum yields -0.0, which canonicalizes differently across engines), and
+    # IEEE negation being exact makes this bit-identical to DuckDB's
+    # 0.0 - list_sum(terms) over the same sorted term order
+    entropy = F.aggregate(
+        F.col(cnt_col),
+        F.lit(0.0),
+        lambda acc, k: acc - (k / n) * F.log2(k / n),
+    )
+    nch = F.size(F.col(ch_col))
+    bigrams = F.when(
+        nch >= 2,
+        F.transform(
+            F.sequence(F.lit(1), nch - 1),
+            lambda i: F.concat(
+                F.element_at(F.col(ch_col), i), F.element_at(F.col(ch_col), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.withColumn(ch_col, chars)
+        .withColumn(cnt_col, counts)
+        .withColumn(bg_col, bigrams)
+        .withColumns(
+            {
+                f"{p}char_entropy": F.when(nch > 0, F.round(entropy, 6)).otherwise(
+                    F.lit(0.0)
+                ),
+                f"{p}n_distinct_bigrams": F.size(
+                    F.array_distinct(F.col(bg_col))
+                ).cast("long"),
+                f"{p}n_bigrams": F.size(F.col(bg_col)).cast("long"),
+            }
+        )
+        .drop(ch_col, cnt_col, bg_col)
+    )

@@ -17,6 +17,7 @@ two passes, no single-group materialization.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ewma(
@@ -74,4 +75,51 @@ def ewma(
         df.repartition(key)
         .sortWithinPartitions(key, order_by)
         .mapInPandas(fn, schema=schema)
+    )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start: str,
+    end: str,
+    out_start: str = "span_start",
+    out_end: str = "span_end",
+    out_count: str = "n_merged",
+) -> DataFrame:
+    """Merge overlapping-or-touching intervals per key into maximal spans
+    (interval union / "gaps and islands").
+
+    A row opens a NEW span iff its start lies strictly after the running
+    maximum end of all earlier rows in its key (ordered by start, then end
+    for determinism); the span id is then the running count of such opens,
+    and each span reduces to (min start, max end, row count). Touching
+    intervals (next.start == prev.end) merge — the union of [a,b] and
+    [b,c] is one contiguous [a,c].
+
+    Scale posture: ONE hash exchange on ``keys`` feeds both window passes
+    and the final aggregate (same partitioning expression throughout), so
+    at any corpus size this is a single shuffle + two in-partition sorted
+    scans. No per-group materialization: window state is one running max
+    and one running sum.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(start, end)
+    prev_max_end = F.max(end).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
+    ).otherwise(0)
+    span_id = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("__span", span_id)
+        .groupBy(*keys, "__span")
+        .agg(
+            F.min(start).alias(out_start),
+            F.max(end).alias(out_end),
+            F.count(F.lit(1)).alias(out_count),
+        )
+        .drop("__span")
     )

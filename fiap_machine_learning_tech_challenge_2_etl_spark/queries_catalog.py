@@ -3587,6 +3587,311 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cross_dedup_sql(
+    num_perm: int = 16, bands: int = 8, threshold: float = 0.2
+) -> str:
+    """DuckDB replica of cross_dedup_status over a doc_id%5 batch/corpus
+    split: exact normalized-md5 containment, then cross-banded MinHash-LSH
+    (new bands x corpus bands only) with exact-Jaccard verification."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        MINHASH_P,
+        _minhash_params,
+    )
+
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"min((h % {MINHASH_P} * {a} + {b}) % {MINHASH_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(_minhash_params(num_perm))
+    )
+
+    def band_rows(sig: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            + _SQL_H60.format(
+                x="concat_ws(',', "
+                + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+                + ")"
+            )
+            + f" AS band_hash FROM {sig}"
+            for b in range(bands)
+        )
+
+    jac = "round(m.n_common / (sn.sz + sc.sz - m.n_common), 6)"
+    return f"""
+WITH newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 4
+), corp AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4
+), nh0 AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS h FROM newb
+), ch0 AS (
+  SELECT DISTINCT md5({_SQL_NORM}) AS h FROM corp
+), exact AS (
+  SELECT doc_id FROM nh0 WHERE h IN (SELECT h FROM ch0)
+), nsh0 AS (
+  SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM newb
+        WHERE doc_id NOT IN (SELECT doc_id FROM exact))
+), nhh AS (
+  SELECT DISTINCT doc_id, {_SQL_H60.format(x='s')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM nsh0)
+), csh0 AS (
+  SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM corp)
+), chh AS (
+  SELECT DISTINCT doc_id, {_SQL_H60.format(x='s')} AS h
+  FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM csh0)
+), nsizes AS (
+  SELECT doc_id, count(*) AS sz FROM nhh GROUP BY doc_id
+), csizes AS (
+  SELECT doc_id, count(*) AS sz FROM chh GROUP BY doc_id
+), nsig AS (
+  SELECT doc_id, {mins} FROM nhh GROUP BY doc_id
+), csig AS (
+  SELECT doc_id, {mins} FROM chh GROUP BY doc_id
+), nbands AS (
+  {band_rows('nsig')}
+), cbands AS (
+  {band_rows('csig')}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corp_id
+  FROM nbands n JOIN cbands c
+    ON n.band_id = c.band_id AND n.band_hash = c.band_hash
+), common AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corp_id, count(*) AS n_common
+  FROM nhh a JOIN chh b ON a.h = b.h
+  GROUP BY 1, 2
+), near AS (
+  SELECT DISTINCT c.new_id
+  FROM cand c
+  JOIN common m ON m.new_id = c.new_id AND m.corp_id = c.corp_id
+  JOIN nsizes sn ON sn.doc_id = c.new_id
+  JOIN csizes sc ON sc.doc_id = c.corp_id
+  WHERE {jac} >= {threshold}
+)
+SELECT n.doc_id,
+  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       WHEN nr.new_id IS NOT NULL THEN 'near_dup'
+       ELSE 'kept' END AS status
+FROM newb n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN near nr ON nr.new_id = n.doc_id
+"""
+
+
+@_register("incremental_cross_dedup", sql=_cross_dedup_sql())
+def q_incremental_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ingest dedup of a NEW batch (doc_id%5==4) against the EXISTING
+    corpus: exact md5 containment, then cross-banded MinHash-LSH + exact
+    Jaccard — no corpus self-join anywhere, so per-ingest cost is linear in
+    the corpus (one signature pass, amortizable) + O(new x collisions).
+    The incremental counterpart of the reference's per-landed-file
+    processing loop (etl/etl.py:25-33)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        cross_dedup_status,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    newb = d.filter(F.col("doc_id") % 5 == 4)
+    corp = d.filter(F.col("doc_id") % 5 != 4)
+    return cross_dedup_status(newb, corp, num_perm=16, bands=8, threshold=0.2)
+
+
+# ==========================================================================
+# Warehouse-maintenance & data-quality surface (round 3)
+# ==========================================================================
+
+
+@_register(
+    "interval_coalesce",
+    sql="""
+WITH iv AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP) + INTERVAL 45 MINUTE AS e
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), flagged AS (
+  SELECT user_id, s, e,
+    CASE WHEN max(e) OVER wprev IS NULL OR s > max(e) OVER wprev
+         THEN 1 ELSE 0 END AS opens
+  FROM iv
+  WINDOW wprev AS (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), islands AS (
+  SELECT user_id, s, e,
+    sum(opens) OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM flagged
+), spans AS (
+  SELECT user_id, span, min(s) AS ss, max(e) AS ee, count(*) AS nm
+  FROM islands GROUP BY user_id, span
+)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(epoch_us(ee) - epoch_us(ss)) AS BIGINT) AS covered_us,
+  CAST(max(epoch_us(ee) - epoch_us(ss)) AS BIGINT) AS longest_us,
+  CAST(sum(nm) AS BIGINT) AS merged_events
+FROM spans GROUP BY user_id
+""",
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union ("gaps and islands"): each event opens a 45-minute
+    activity interval; overlapping/touching intervals per user merge into
+    maximal spans — the general form of sessionization that also covers
+    validity windows, maintenance windows, and sensor-uptime merging.
+    Generalizes the reference's per-day window framing
+    (etl/transform_1.py:72-101) to arbitrary-length overlapping intervals."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import coalesce_intervals
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    iv = e.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("e"),
+    )
+    spans = coalesce_intervals(iv, ["user_id"], "s", "e")
+    dur = F.unix_micros(F.col("span_end")) - F.unix_micros(F.col("span_start"))
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(dur).alias("covered_us"),
+        F.max(dur).alias("longest_us"),
+        F.sum("n_merged").alias("merged_events"),
+    )
+
+
+@_register(
+    "scd2_user_history",
+    sql="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), flagged AS (
+  SELECT *, lag(event_type) OVER w AS prev_t, row_number() OVER w AS rn
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), surv AS (
+  SELECT * FROM flagged WHERE rn = 1 OR event_type IS DISTINCT FROM prev_t
+)
+SELECT user_id, event_type, ts AS valid_from,
+  lead(ts) OVER w2 AS valid_to,
+  CAST(row_number() OVER w2 AS INT) AS version,
+  (lead(ts) OVER w2 IS NULL) AS is_current
+FROM surv WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history: collapse each user's event_type change log into
+    [valid_from, valid_to) validity intervals with run-length compression
+    of unchanged values — the historical-tracking counterpart of the
+    reference's Type-1 latest-row upsert (etl/etl.py:94-107)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import scd2_history
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return scd2_history(
+        e.select("user_id", "event_type", "ts", "event_id"),
+        keys=["user_id"],
+        change_ts="ts",
+        attrs=["event_type"],
+        tiebreak=["event_id"],
+    )
+
+
+@_register(
+    "data_quality_report",
+    sql="""
+WITH m AS (
+  SELECT count(*) AS rows_, count(o_custkey) AS nn,
+    count(DISTINCT o_orderkey) AS du, count(o_orderkey) AS nu,
+    sum(CASE WHEN o_totalprice IS NOT NULL
+              AND (o_totalprice < 0 OR o_totalprice > 1000000.0)
+         THEN 1 ELSE 0 END) AS oob
+  FROM orders
+), r AS (
+  SELECT count(*) AS orph FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT 'row_count' AS "check", '*' AS target,
+       CAST(rows_ AS DOUBLE) AS value, rows_ >= 1000 AS passed FROM m
+UNION ALL SELECT 'completeness', 'o_custkey',
+       round(nn / CAST(rows_ AS DOUBLE), 6),
+       round(nn / CAST(rows_ AS DOUBLE), 6) >= 0.9 FROM m
+UNION ALL SELECT 'uniqueness', 'o_orderkey',
+       round(du / CAST(nu AS DOUBLE), 6), du = nu FROM m
+UNION ALL SELECT 'range', 'o_totalprice', CAST(oob AS DOUBLE), oob = 0 FROM m
+UNION ALL SELECT 'referential_integrity', 'o_custkey',
+       CAST(orph AS DOUBLE), orph = 0 FROM m, r
+""",
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative quality gate over orders: completeness,
+    uniqueness, value-range, referential-integrity, and row-count checks
+    evaluated in ONE fact-scan aggregate + one broadcast anti-join,
+    returned as a tall (check, target, value, passed) report — the
+    formalization of the reference's ad-hoc null-probe QA
+    (etl/transform_1.py:53)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import constraint_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return constraint_report(
+        o,
+        completeness={"o_custkey": 0.9},
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0.0, 1000000.0)},
+        references={"o_custkey": c},
+        min_rows=1000,
+    )
+
+
+@_register(
+    "char_entropy_quality",
+    sql="""
+WITH c AS (
+  SELECT doc_id, list_filter(string_split(text, ''), x -> x <> '') AS chars
+  FROM documents WHERE text IS NOT NULL
+), d AS (
+  SELECT doc_id, chars, CAST(len(chars) AS DOUBLE) AS n,
+    list_sort(list_transform(list_distinct(chars),
+                             c -> len(list_filter(chars, x -> x = c)))) AS cnts
+  FROM c
+), e AS (
+  SELECT doc_id, chars,
+    CASE WHEN n > 0
+         THEN round(0.0 - list_sum(list_transform(cnts,
+                    k -> (k / n) * log2(k / n))), 6)
+         ELSE 0.0 END AS char_entropy
+  FROM d
+), bg AS (
+  SELECT doc_id, char_entropy,
+    CASE WHEN len(chars) >= 2
+         THEN list_transform(range(1, len(chars)), i -> chars[i] || chars[i + 1])
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM e
+)
+SELECT doc_id, char_entropy,
+  CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+  CAST(len(bigrams) AS BIGINT) AS n_bigrams
+FROM bg
+""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy + bigram-diversity quality signals per document
+    (gibberish/boilerplate detectors) — pure JVM array expressions, with
+    count-sorted folding so the float summation order is engine-identical."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_char_entropy
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return add_char_entropy(d, "text").select(
+        "doc_id", "char_entropy", "n_distinct_bigrams", "n_bigrams"
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -690,3 +690,43 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.read.parquet(outp)
+
+
+@_register(
+    "compaction_roundtrip",
+    sql="""
+SELECT CAST(48 AS BIGINT) AS files_before,
+  CAST(ceil(count(*) / 4000.0) AS BIGINT) AS files_after,
+  count(*) AS n_rows,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(sum(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+           % 1000000007) AS BIGINT) AS text_checksum
+FROM documents
+""",
+)
+def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: land ``documents`` as 48 sliver
+    files (the incremental-sink failure mode), compact to
+    ceil(rows/4000) evenly-sized files via ``compact_parquet_dir``, then
+    prove from the READBACK that (a) the file count collapsed to exactly
+    the size-targeted number and (b) not one row was lost or altered
+    (count + n_chars sum + md5-derived content checksum). The maintenance
+    op every long-lived partitioned sink (reference etl/etl.py:94-107
+    writes per-incremental-batch) eventually requires."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import compact_parquet_dir
+
+    docs = _t(spark, sf_dir, "documents")
+    d = _scratch("compaction", sf_dir)
+    docs.repartition(48).write.parquet(d)
+    files_before = len(glob(os.path.join(d, "part-*.parquet")))
+    compact_parquet_dir(spark, d, target_rows_per_file=4000)
+    files_after = len(glob(os.path.join(d, "part-*.parquet")))
+    rb = spark.read.parquet(d)
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return rb.agg(
+        F.lit(files_before).cast("long").alias("files_before"),
+        F.lit(files_after).cast("long").alias("files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(h60 % 1000000007).alias("text_checksum"),
+    )

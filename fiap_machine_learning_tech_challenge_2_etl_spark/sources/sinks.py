@@ -280,3 +280,49 @@ def write_zorder_clustered(
         .option("compression", compression)
         .parquet(path)
     )
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    compression: str = "snappy",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``ceil(rows / target_rows_per_file)`` evenly-sized files and swap it
+    into place. Returns the new file count.
+
+    The small-files problem is THE operational failure mode of long-lived
+    incremental sinks (every micro-batch/upsert appends a sliver; a year
+    later the table is a million 100 KB files and the NameNode/listing/
+    task-scheduling overhead dwarfs the data). Compaction is the standard
+    maintenance op (cf. Delta OPTIMIZE, Iceberg rewrite_data_files),
+    expressed here Spark-native.
+
+    Scale posture: one round-robin repartition (no key skew by
+    construction — round-robin is uniform) and one write; the swap is a
+    metadata rename. Row-count-based sizing keeps the result deterministic
+    for testing; production would size by bytes
+    (``spark.sql.files.maxRecordsPerFile`` after sampling row width, or
+    AQE-coalesced rewrite per table partition). For a partitioned table,
+    run per-partition so only fragmented partitions pay the rewrite.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    tmp = path.rstrip("/") + "__compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(tmp)
+    )
+    # local-FS swap; on an object store this would be a staged directory
+    # rename or a transactional table-format commit (Delta/Iceberg snapshot)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_files

@@ -1,0 +1,221 @@
+"""Unit tests for the round-3 warehouse-maintenance/data-quality surface:
+interval coalescing, SCD2 history, constraint reports, char entropy, and
+small-file compaction — exercising the edge cases the sf-scale oracle
+queries can't isolate (touching intervals, equal-timestamp ties, null
+attributes, empty/degenerate text, partition-boundary spans)."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+from glob import glob
+
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import scd2_history
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import constraint_report
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import add_char_entropy
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import (
+    coalesce_intervals,
+)
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import compact_parquet_dir
+
+
+# -------------------------------------------------------------- intervals
+
+def test_coalesce_intervals_overlap_touch_gap(spark):
+    rows = [
+        ("u", 0, 10),    # |---------|
+        ("u", 5, 12),    #      |-------|   overlaps -> merges
+        ("u", 12, 15),   #              |--| touches at 12 -> merges
+        ("u", 20, 25),   #                     gap -> new span
+        ("v", 0, 1),
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = {
+        (r["k"], r["span_start"]): (r["span_end"], r["n_merged"])
+        for r in coalesce_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert got[("u", 0)] == (15, 3)
+    assert got[("u", 20)] == (25, 1)
+    assert got[("v", 0)] == (1, 1)
+
+
+def test_coalesce_intervals_contained_and_duplicate(spark):
+    rows = [("u", 0, 100), ("u", 10, 20), ("u", 10, 20), ("u", 99, 150)]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    out = coalesce_intervals(df, ["k"], "s", "e").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["span_start"], r["span_end"], r["n_merged"]) == (0, 150, 4)
+
+
+# ------------------------------------------------------------------ scd2
+
+def test_scd2_run_length_and_validity_chain(spark):
+    rows = [
+        (1, "a", 10, 100),
+        (1, "a", 20, 101),  # unchanged -> compressed away
+        (1, "b", 30, 102),  # change
+        (1, "b", 40, 103),  # unchanged
+        (1, "a", 50, 104),  # back to a -> NEW version (not merged with v1)
+        (2, "x", 10, 200),
+    ]
+    df = spark.createDataFrame(rows, "k int, attr string, t int, seq int")
+    out = scd2_history(df, ["k"], "t", ["attr"], tiebreak=["seq"]).collect()
+    k1 = sorted([r for r in out if r["k"] == 1], key=lambda r: r["version"])
+    assert [(r["attr"], r["valid_from"], r["valid_to"]) for r in k1] == [
+        ("a", 10, 30),
+        ("b", 30, 50),
+        ("a", 50, None),
+    ]
+    assert [r["is_current"] for r in k1] == [False, False, True]
+    (k2,) = [r for r in out if r["k"] == 2]
+    assert k2["version"] == 1 and k2["is_current"]
+
+
+def test_scd2_null_attribute_transitions(spark):
+    rows = [(1, None, 10), (1, None, 20), (1, "a", 30), (1, None, 40)]
+    df = spark.createDataFrame(rows, "k int, attr string, t int")
+    out = sorted(
+        scd2_history(df, ["k"], "t", ["attr"]).collect(), key=lambda r: r["version"]
+    )
+    # null==null is NOT a change (eqNullSafe); null->a and a->null are
+    assert [(r["attr"], r["valid_from"]) for r in out] == [
+        (None, 10),
+        ("a", 30),
+        (None, 40),
+    ]
+
+
+def test_scd2_equal_timestamp_tiebreak(spark):
+    rows = [(1, "a", 10, 1), (1, "b", 10, 2)]
+    df = spark.createDataFrame(rows, "k int, attr string, t int, seq int")
+    out = sorted(
+        scd2_history(df, ["k"], "t", ["attr"], tiebreak=["seq"]).collect(),
+        key=lambda r: r["version"],
+    )
+    assert [r["attr"] for r in out] == ["a", "b"]
+    assert out[0]["valid_to"] == 10  # zero-length but ordered interval
+
+
+# -------------------------------------------------------------- contract
+
+def test_constraint_report_checks(spark):
+    fact = spark.createDataFrame(
+        [(1, 10.0, "x"), (2, 20.0, None), (3, -5.0, "x"), (3, 999.0, "z")],
+        "id int, v double, fk string",
+    )
+    dim = spark.createDataFrame([("x",), ("y",)], "d string")
+    rep = {
+        (r["check"], r["target"]): (r["value"], r["passed"])
+        for r in constraint_report(
+            fact,
+            completeness={"fk": 0.9},
+            unique=["id"],
+            ranges={"v": (0.0, 100.0)},
+            references={"fk": dim},
+            min_rows=10,
+        ).collect()
+    }
+    assert rep[("row_count", "*")] == (4.0, False)          # < min_rows
+    assert rep[("completeness", "fk")] == (0.75, False)     # 3/4 < 0.9
+    assert rep[("uniqueness", "id")][1] is False            # id=3 twice
+    assert rep[("range", "v")] == (2.0, False)              # -5 and 999
+    assert rep[("referential_integrity", "fk")] == (1.0, False)  # 'z' orphan
+
+
+def test_constraint_report_all_pass(spark):
+    fact = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
+    rep = constraint_report(
+        fact, completeness={"v": 1.0}, unique=["id"], ranges={"v": (0.0, 5.0)}
+    ).collect()
+    assert all(r["passed"] for r in rep)
+
+
+# --------------------------------------------------------------- entropy
+
+def test_char_entropy_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in add_char_entropy(df).collect()}
+    assert got[1]["char_entropy"] == 0.0  # single symbol => 0 bits, +0.0
+    assert math.copysign(1.0, got[1]["char_entropy"]) == 1.0  # not -0.0
+    assert got[2]["char_entropy"] == 1.0  # two equiprobable symbols
+    assert got[3]["char_entropy"] == 2.0  # four equiprobable symbols
+    assert got[4]["char_entropy"] == 0.0  # empty text guard
+    # bigrams: "abab" -> ab,ba,ab => 2 distinct of 3
+    assert (got[2]["n_distinct_bigrams"], got[2]["n_bigrams"]) == (2, 3)
+    assert (got[4]["n_distinct_bigrams"], got[4]["n_bigrams"]) == (0, 0)
+
+
+# ------------------------------------------------------------ compaction
+
+def test_compact_parquet_dir_roundtrip(spark, tmp_path):
+    d = str(tmp_path / "frag")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    df.repartition(37).write.parquet(d)
+    assert len(glob(os.path.join(d, "part-*.parquet"))) == 37
+    n_files = compact_parquet_dir(spark, d, target_rows_per_file=300)
+    assert n_files == math.ceil(1000 / 300)
+    assert len(glob(os.path.join(d, "part-*.parquet"))) == n_files
+    rb = spark.read.parquet(d)
+    assert rb.count() == 1000
+    assert rb.agg(F.sum("v")).first()[0] == 999 * 1000  # content intact
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ----------------------------------------------------- cross-corpus dedup
+
+def test_cross_dedup_status_stages(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import cross_dedup_status
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different corpus content about spark plans"),
+        ],
+        "doc_id int, text string",
+    )
+    newb = spark.createDataFrame(
+        [
+            (10, base),                       # byte-identical -> exact_dup
+            (11, "THE  quick brown FOX jumps over the lazy dog again and again"),
+            # ^ same after normalization (case/whitespace) -> exact_dup
+            (12, base + " with one extra tail"),  # near-dup of corpus doc 1
+            (13, "unrelated brand new document nothing shared at all"),
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in cross_dedup_status(
+            newb, corpus, num_perm=16, bands=8, threshold=0.3
+        ).collect()
+    }
+    assert got[10] == "exact_dup"
+    assert got[11] == "exact_dup"
+    assert got[12] == "near_dup"
+    assert got[13] == "kept"
+
+
+def test_cross_dedup_never_drops_within_batch(spark):
+    # two identical docs INSIDE the new batch: cross-dedup only compares
+    # against the corpus, so both survive (intra-batch dedup is a separate,
+    # explicit stage) — pins the no-self-join contract
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import cross_dedup_status
+
+    corpus = spark.createDataFrame([(1, "corpus only text")], "doc_id int, text string")
+    newb = spark.createDataFrame(
+        [(10, "twin document body"), (11, "twin document body")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in cross_dedup_status(newb, corpus).collect()
+    }
+    assert got == {10: "kept", 11: "kept"}

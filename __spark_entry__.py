@@ -58,6 +58,9 @@ _PRIORITY = (
     "char_entropy_quality",
     "compaction_roundtrip",
     "incremental_cross_dedup",
+    "snapshot_diff_orders",
+    "cdc_apply_events",
+    "weighted_sample_docs",
 )
 
 

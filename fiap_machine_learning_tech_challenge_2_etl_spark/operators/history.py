@@ -70,3 +70,83 @@ def scd2_history(
         )
         .withColumn(is_current, F.col(valid_to).isNull())
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    change_col: str = "change",
+) -> DataFrame:
+    """Diff two snapshots of the same table into a change feed:
+    one row per key that was inserted, deleted, or updated (unchanged rows
+    are dropped). Emits the NEW image for insert/update and the OLD image
+    for delete — i.e. CDC extraction from full dumps, the standard move
+    when an upstream can only hand over complete snapshots.
+
+    Scale posture: one full outer join hashed on the business key (both
+    sides shuffle once; at 100 TB both sides would be bucketed on the key
+    and the join carries no exchange), change classification and image
+    selection are pure projections. Unchanged-row elimination happens
+    BEFORE anything downstream, so the feed is O(changes), not O(table).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+    # string-qualified refs ("o.col"), not DataFrame indexing: old and new
+    # usually derive from the SAME source (two filters of one table), and
+    # attribute-id refs trip Spark's ambiguous-self-join detection
+    o = old.select(*keys, *compare_cols).alias("o")
+    n = new.select(*keys, *compare_cols).alias("n")
+    oc = lambda c: F.col(f"o.{c}")  # noqa: E731
+    nc = lambda c: F.col(f"n.{c}")  # noqa: E731
+    j = o.join(n, [oc(k).eqNullSafe(nc(k)) for k in keys], "full_outer")
+
+    old_exists = oc(keys[0]).isNotNull()
+    new_exists = nc(keys[0]).isNotNull()
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~oc(c).eqNullSafe(nc(c))
+
+    change = (
+        F.when(~old_exists, F.lit("insert"))
+        .when(~new_exists, F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    img = lambda c: F.when(new_exists, nc(c)).otherwise(oc(c))  # noqa: E731
+    return (
+        j.withColumn(change_col, change)
+        .filter(F.col(change_col).isNotNull())
+        .select(
+            *[img(k).alias(k) for k in keys],
+            *[img(c).alias(c) for c in compare_cols],
+            change_col,
+        )
+    )
+
+
+def apply_cdc(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Collapse a CDC operation log (inserts/updates/deletes per key) into
+    final table state: the LAST operation per key wins; keys whose last
+    operation is a delete vanish. The batch replay of a CDC feed —
+    completes the reference's delete-less upsert (etl/etl.py:94-107) into
+    full merge semantics.
+
+    One window pass (hash exchange on key + in-partition sort) picks the
+    survivor row, one filter applies the tombstone. ``order_by`` must make
+    the per-key ordering total or the winner is nondeterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(F.col(op_col) != F.lit(delete_op))
+        .drop("__rn")
+    )

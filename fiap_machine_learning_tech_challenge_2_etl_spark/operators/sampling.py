@@ -86,3 +86,36 @@ def stratified_sample(
         expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
     thresh = default if expr is None else expr.otherwise(default)
     return df.filter(hash_bucket(key, salt) < thresh)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key: str,
+    weight: str | Column,
+    k: int,
+    salt: str = "",
+    score_col: str = "sample_score",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis one-pass key method: each row gets score
+    u^(1/w) with u uniform in (0,1); the k largest scores are a correct
+    weighted sample. Here u derives from the md5 hash of (salt || key),
+    so the "randomness" is reproducible run-to-run, engine-to-engine,
+    and partitioning-to-partitioning — the property a quality-weighted
+    corpus subset needs to be auditable.
+
+    Scale posture: the score is a map-side expression; top-k is
+    TakeOrderedAndProject (per-partition heaps + driver merge of k rows,
+    never a global sort). One pass, no shuffle beyond k rows per
+    partition. Rows with weight <= 0 are excluded (zero mass).
+    """
+    w_col = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_bucket(key, salt).cast("double") + 0.5) / BUCKETS  # (0,1) open
+    score = F.pow(u, 1.0 / w_col.cast("double"))
+    out = (
+        df.filter(w_col > 0)
+        .withColumn(score_col, F.round(score, 9))
+        .orderBy(F.col(score_col).desc(), F.col(key))
+        .limit(k)
+    )
+    return out

@@ -3892,6 +3892,126 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "snapshot_diff_orders",
+    sql="""
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_orderkey % 7 <> 0
+), n AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.5
+         ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey IS NOT NULL AND o_orderkey % 11 <> 0
+), d AS (
+  SELECT
+    coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+    CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+         ELSE o.o_orderstatus END AS o_orderstatus,
+    CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+         ELSE o.o_totalprice END AS o_totalprice,
+    CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+         WHEN n.o_orderkey IS NULL THEN 'delete'
+         WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'update'
+    END AS change
+  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+)
+SELECT * FROM d WHERE change IS NOT NULL
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction from full dumps: diff two synthetic snapshots of
+    orders (rows present only in one side, plus price-bumped rows) into an
+    insert/delete/update change feed — the move an upstream that can only
+    deliver complete snapshots forces on every warehouse."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
+    key = F.col("o_orderkey")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    old = o.filter(key % 7 != 0).select(*cols)
+    new = (
+        o.filter(key % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(key % 13 == 0, F.col("o_totalprice") + 1.5).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .select(*cols)
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+
+
+@_register(
+    "cdc_apply_events",
+    sql="""
+WITH ops AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ops
+)
+SELECT user_id, event_id, op, round(value, 6) AS last_value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay with DELETE semantics: events become an op log
+    (purchase = tombstone, everything else = upsert); the last op per user
+    wins and tombstoned users vanish — full merge semantics over the
+    reference's delete-less latest-row upsert (etl/etl.py:94-107)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import apply_cdc
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    ops = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_cdc(ops, keys=["user_id"], order_by=["ts", "event_id"]).select(
+        "user_id", "event_id", "op", F.round("value", 6).alias("last_value")
+    )
+
+
+@_register(
+    "weighted_sample_docs",
+    sql=f"""
+WITH scored AS (
+  SELECT doc_id, source, n_chars,
+    round(pow((({_SQL_H60.format(x="concat('wq', CAST(doc_id AS VARCHAR))")}
+               % 10000) + 0.5) / 10000.0,
+              1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_score
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, source, n_chars, sample_score
+FROM scored ORDER BY sample_score DESC, doc_id LIMIT 100
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis u^(1/w) keys, u md5-derived): the auditable way
+    to draw a quality-weighted corpus subset — same sample on every run,
+    every engine, every partitioning. Top-k is per-partition heaps, never
+    a global sort."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample_topk(d, key="doc_id", weight="n_chars", k=100, salt="wq")
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -219,3 +219,66 @@ def test_cross_dedup_never_drops_within_batch(spark):
         for r in cross_dedup_status(newb, corpus).collect()
     }
     assert got == {10: "kept", 11: "kept"}
+
+
+# ------------------------------------------------------- snapshot diff/CDC
+
+def test_snapshot_diff_classifies_all_changes(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    got = {r["k"]: (r["change"], r["v"]) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got[1] == ("delete", 10.0)   # old image for deletes
+    assert got[3] == ("update", 99.0)   # new image for updates
+    assert got[4] == ("insert", 40.0)
+    assert 2 not in got                 # unchanged rows eliminated
+
+
+def test_snapshot_diff_same_source_self_join(spark):
+    # both snapshots filtered from ONE DataFrame — the ambiguous-self-join
+    # trap this operator must survive
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import snapshot_diff
+
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 3.0)], "k int, v double")
+    old = base.filter(F.col("k") != 3)
+    new = base.filter(F.col("k") != 1)
+    got = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "delete", 3: "insert"}
+
+
+def test_apply_cdc_last_op_wins_and_deletes(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import apply_cdc
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "U", 10.0),
+            (1, 2, "D", None),    # tombstone is LAST for key 1 -> vanishes
+            (2, 1, "D", None),
+            (2, 2, "U", 22.0),   # resurrection after delete -> survives
+            (3, 1, "U", 30.0),
+        ],
+        "k int, seq int, op string, v double",
+    )
+    got = {r["k"]: r["v"] for r in apply_cdc(log, ["k"], ["seq"]).collect()}
+    assert got == {2: 22.0, 3: 30.0}
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 90 else 1000.0) for i in range(100)], "id int, w double"
+    )
+    a = [r["id"] for r in weighted_sample_topk(df, "id", "w", 10).collect()]
+    b = [r["id"] for r in weighted_sample_topk(df, "id", "w", 10).collect()]
+    assert a == b  # deterministic, ordered identically
+    # the 10 heavy items (w=1000) should dominate the top-10
+    assert sum(1 for i in a if i >= 90) >= 8
+    # zero/negative weights are excluded outright
+    z = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id int, w double")
+    assert [r["id"] for r in weighted_sample_topk(z, "id", "w", 5).collect()] == [3]

@@ -213,3 +213,56 @@ def test_cluster_pipelines_default_to_lsh_edges(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(sim, "exact_near_dup_pairs", _boom)
     assert SPARK_QUERIES["dedup_canonical_docs"](spark, sf_dir).count() > 0
     assert SPARK_QUERIES["leakage_safe_split"](spark, sf_dir).count() > 0
+
+
+def test_interval_coalesce_single_exchange(spark, sf_dir):
+    """Interval union: both window passes (running-max span open + running
+    span-id sum) and the final span aggregate ride ONE hash exchange on the
+    key — the whole gaps-and-islands computation is a single shuffle at any
+    corpus size."""
+    plan = _plan(SPARK_QUERIES["interval_coalesce"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # key + final agg reuse
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD2: change-detection window and validity-chain window share one
+    (key)-hash exchange + sort; run-length compression adds no shuffle."""
+    plan = _plan(SPARK_QUERIES["scd2_user_history"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_constraint_report_single_scan_per_metric_block(spark, sf_dir):
+    """The quality gate's scalar metrics all ride ONE fact aggregate (plus
+    one anti-join branch for referential integrity): the orders scan count
+    stays fixed no matter how many checks are configured, and the
+    referential probe is a broadcast (never shuffled) anti join."""
+    plan = _plan(SPARK_QUERIES["data_quality_report"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_snapshot_diff_is_one_join_no_explosion(spark, sf_dir):
+    """Snapshot diff is exactly one full-outer join: no nested-loop, no
+    cartesian, and change classification adds no extra exchange."""
+    plan = _plan(SPARK_QUERIES["snapshot_diff_orders"](spark, sf_dir))
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """Weighted top-k sampling never globally sorts: the plan is
+    TakeOrderedAndProject (per-partition heaps + driver k-merge), and the
+    score is a map-side expression (no shuffle before the take)."""
+    plan = _plan(SPARK_QUERIES["weighted_sample_docs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_cross_dedup_no_corpus_self_join_shape(spark, sf_dir):
+    """Incremental cross-dedup: every join is an equi-join (band buckets,
+    id join-backs, status left joins) — no cartesian/nested-loop anywhere,
+    which is what keeps per-ingest cost linear in the corpus."""
+    plan = _plan(SPARK_QUERIES["incremental_cross_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -61,6 +61,9 @@ _PRIORITY = (
     "snapshot_diff_orders",
     "cdc_apply_events",
     "weighted_sample_docs",
+    "outlier_clip_iqr",
+    "zscore_normalize",
+    "temporal_split_embargo",
 )
 
 

@@ -182,3 +182,82 @@ def dedup_keep_first(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def clip_outliers_iqr(
+    df: DataFrame,
+    column: str,
+    keys: Sequence[str] = (),
+    k: float = 1.5,
+    output: str | None = None,
+    flag: str | None = None,
+) -> DataFrame:
+    """Tukey-fence winsorization: clip ``column`` into
+    [q1 - k*IQR, q3 + k*IQR], computed EXACTLY (``percentile``, not an
+    approximation) per ``keys`` group (or globally when no keys), so the
+    result is engine-reproducible. ``flag`` optionally records which rows
+    were clipped — the audit column a quality pipeline keeps.
+
+    Scale posture: fences come from ONE aggregate over the fact
+    (exact percentile needs a per-group sort internally but emits one row
+    per group) and return via a broadcast join — the clip itself is a
+    map-side expression. For groups too hot for an exact per-group sort at
+    extreme scale, swap ``percentile`` for ``percentile_approx`` — same
+    plan, bounded-memory sketch."""
+    out = output or column
+    gcols = list(keys)
+    fences = (
+        df.groupBy(*gcols).agg(
+            F.expr(f"percentile({column}, 0.25)").alias("__q1"),
+            F.expr(f"percentile({column}, 0.75)").alias("__q3"),
+        )
+        .withColumn("__lo", F.col("__q1") - k * (F.col("__q3") - F.col("__q1")))
+        .withColumn("__hi", F.col("__q3") + k * (F.col("__q3") - F.col("__q1")))
+        .drop("__q1", "__q3")
+    )
+    joined = (
+        df.join(F.broadcast(fences), gcols, "left")
+        if gcols
+        else df.join(F.broadcast(fences))
+    )
+    clipped = F.least(F.greatest(F.col(column), F.col("__lo")), F.col("__hi"))
+    # flag BEFORE clipping: with output == column the clip overwrites the
+    # source, and a flag computed afterwards would compare the already
+    # clipped value (never outside the fences)
+    res = joined
+    if flag:
+        res = res.withColumn(
+            flag,
+            (F.col(column) < F.col("__lo")) | (F.col(column) > F.col("__hi")),
+        )
+    res = res.withColumn(out, clipped)
+    return res.drop("__lo", "__hi")
+
+
+def standard_scale(
+    df: DataFrame,
+    columns: Sequence[str],
+    suffix: str = "_z",
+) -> DataFrame:
+    """Z-score standardization of numeric columns ((x - mean) / stddev_samp,
+    NULL where stddev is 0 or undefined) — the feature-engineering
+    normalizer. All means/stddevs ride ONE global aggregate, return via a
+    1-row broadcast, and the scaling is a map-side expression: two scans
+    total regardless of column count, no shuffle of the fact."""
+    aggs = []
+    for c in columns:
+        aggs += [
+            F.avg(F.col(c)).alias(f"__mu_{c}"),
+            F.stddev_samp(F.col(c)).alias(f"__sd_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    res = df.join(F.broadcast(stats))
+    for c in columns:
+        res = res.withColumn(
+            f"{c}{suffix}",
+            F.when(
+                F.col(f"__sd_{c}") > 0,
+                (F.col(c) - F.col(f"__mu_{c}")) / F.col(f"__sd_{c}"),
+            ),
+        )
+    return res.drop(*[f"__mu_{c}" for c in columns], *[f"__sd_{c}" for c in columns])

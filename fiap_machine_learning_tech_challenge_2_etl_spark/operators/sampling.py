@@ -119,3 +119,41 @@ def weighted_sample_topk(
         .limit(k)
     )
     return out
+
+
+def temporal_split_embargo(
+    df: DataFrame,
+    ts_col: str,
+    cutoff_fraction: float = 0.8,
+    embargo: str = "0 seconds",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split: rows at or before the
+    ``cutoff_fraction`` timestamp quantile are 'train', rows after
+    cutoff + ``embargo`` are 'test', and rows inside the embargo window are
+    dropped. The embargo gap is what keeps overlapping-horizon features
+    (rolling windows, labels that look ``embargo`` into the future) from
+    leaking across the boundary — a random split cannot provide this.
+
+    The cutoff is an EXACT timestamp percentile (one aggregate row,
+    broadcast back); labeling is a map-side expression. Deterministic for
+    a given dataset — no RNG anywhere."""
+    cut = df.agg(
+        F.expr(
+            f"percentile(unix_micros({ts_col}), {cutoff_fraction})"
+        ).alias("__cut_us")
+    ).select(F.floor(F.col("__cut_us")).cast("long").alias("__cut_us"))
+    emb = F.expr(f"INTERVAL {embargo}")
+    labeled = (
+        df.join(F.broadcast(cut))
+        .withColumn("__cut_ts", F.timestamp_micros(F.col("__cut_us")))
+        .withColumn(
+            split_col,
+            F.when(F.col(ts_col) <= F.col("__cut_ts"), F.lit("train")).when(
+                F.col(ts_col) > F.col("__cut_ts") + emb, F.lit("test")
+            ),
+        )
+        .filter(F.col(split_col).isNotNull())
+        .drop("__cut_us", "__cut_ts")
+    )
+    return labeled

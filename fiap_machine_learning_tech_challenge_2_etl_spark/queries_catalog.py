@@ -4012,6 +4012,120 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(d, key="doc_id", weight="n_chars", k=100, salt="wq")
 
 
+@_register(
+    "outlier_clip_iqr",
+    sql="""
+WITH f AS (
+  SELECT event_type,
+    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type
+), fence AS (
+  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+  FROM f
+)
+SELECT e.event_id, e.event_type,
+  round(least(greatest(e.value, fence.lo), fence.hi), 6) AS value_clipped,
+  (e.value < fence.lo OR e.value > fence.hi) AS was_clipped
+FROM events e JOIN fence USING (event_type)
+WHERE e.event_type IS NOT NULL AND e.value IS NOT NULL
+""",
+)
+def q_outlier_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence winsorization per event_type: exact per-group quartile
+    fences via one aggregate + broadcast join-back, map-side clip with an
+    audit flag — the robust-statistics upgrade of the reference's blanket
+    numeric sanitization (etl/transform_1.py:62-69)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.cleaning import clip_outliers_iqr
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    out = clip_outliers_iqr(
+        e, "value", keys=["event_type"], k=1.5, output="value_clipped", flag="was_clipped"
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value_clipped", 6).alias("value_clipped"),
+        "was_clipped",
+    )
+
+
+@_register(
+    "zscore_normalize",
+    sql="""
+WITH s AS (
+  SELECT avg(l_quantity) AS mu_q, stddev_samp(l_quantity) AS sd_q,
+         avg(l_extendedprice) AS mu_p, stddev_samp(l_extendedprice) AS sd_p
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+  round(CASE WHEN sd_q > 0 THEN (l_quantity - mu_q) / sd_q END, 6) AS l_quantity_z,
+  round(CASE WHEN sd_p > 0 THEN (l_extendedprice - mu_p) / sd_p END, 6) AS l_extendedprice_z
+FROM lineitem, s
+""",
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score feature standardization: all means/stddevs in ONE global
+    aggregate, returned via 1-row broadcast; the scaling itself is
+    map-side — two scans total regardless of feature count."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.cleaning import standard_scale
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = standard_scale(li, ["l_quantity", "l_extendedprice"])
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity_z", 6).alias("l_quantity_z"),
+        F.round("l_extendedprice_z", 6).alias("l_extendedprice_z"),
+    )
+
+
+@_register(
+    "temporal_split_embargo",
+    sql="""
+WITH base AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), cut AS (
+  SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.8)) AS BIGINT) AS cut_us
+  FROM base
+), lab AS (
+  SELECT
+    CASE WHEN epoch_us(ts) <= cut_us THEN 'train'
+         WHEN ts > make_timestamp(cut_us) + INTERVAL 2 DAY THEN 'test'
+    END AS split,
+    epoch_us(ts) AS us
+  FROM base, cut
+)
+SELECT split, count(*) AS n_rows,
+  CAST(min(us) AS BIGINT) AS min_us, CAST(max(us) AS BIGINT) AS max_us
+FROM lab WHERE split IS NOT NULL GROUP BY split
+""",
+)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL train/test split with a 2-day embargo gap:
+    rows up to the exact 0.8 timestamp quantile train, rows beyond
+    cutoff+embargo test, the gap is dropped — the split a
+    forecasting/feature pipeline needs where a random split leaks future
+    context. Summarized per split (count + exact boundary micros) so the
+    attested values pin the boundary itself."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        temporal_split_embargo,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    lab = temporal_split_embargo(e, "ts", cutoff_fraction=0.8, embargo="2 days")
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(F.unix_micros("ts")).alias("min_us"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

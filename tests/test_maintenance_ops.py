@@ -282,3 +282,61 @@ def test_weighted_sample_deterministic_and_weight_sensitive(spark):
     # zero/negative weights are excluded outright
     z = spark.createDataFrame([(1, 0.0), (2, -3.0), (3, 5.0)], "id int, w double")
     assert [r["id"] for r in weighted_sample_topk(z, "id", "w", 5).collect()] == [3]
+
+
+# ------------------------------------------------- robust stats / splits
+
+def test_clip_outliers_iqr_fences_and_flag(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.cleaning import clip_outliers_iqr
+
+    # sorted [-50,1,2,3,4,5,100]: q1=1.5, q3=4.5 (linear interp), IQR=3
+    # -> fences [-3, 9]; 100 and -50 get clipped to the fences
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0, -50.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    out = {
+        r["i"]: (r["v_c"], r["was_clipped"])
+        for r in clip_outliers_iqr(df, "v", k=1.5, output="v_c", flag="was_clipped").collect()
+    }
+    assert out[5] == (9.0, True)
+    assert out[6] == (-3.0, True)
+    assert out[2] == (3.0, False)
+    # grouped fences stay per-group
+    g = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 100.0), ("b", 100.0), ("b", 100.0)],
+        "k string, v double",
+    )
+    got = clip_outliers_iqr(g, "v", keys=["k"], flag="f").filter("f").collect()
+    # only a's 100 is an outlier (b's are all 100): in-place clip to a's
+    # upper fence q3 + 1.5*IQR = 25.75 + 37.125 = 62.875
+    assert [(r["k"], r["v"]) for r in got] == [("a", 62.875)]
+
+
+def test_standard_scale_zero_variance_guard(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.cleaning import standard_scale
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "a double, b double"
+    )
+    out = standard_scale(df, ["a", "b"]).collect()
+    zs = sorted(round(r["a_z"], 6) for r in out)
+    assert zs == [-1.0, 0.0, 1.0]  # stddev_samp([1,2,3]) = 1
+    assert all(r["b_z"] is None for r in out)  # constant column -> NULL, not inf
+
+
+def test_temporal_split_embargo_gap_excluded(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        temporal_split_embargo,
+    )
+
+    df = spark.sql(
+        "SELECT timestamp_micros(CAST(x * 1000000 AS LONG)) AS ts "
+        "FROM (SELECT explode(sequence(0, 99)) AS x)"
+    )
+    out = temporal_split_embargo(df, "ts", cutoff_fraction=0.5, embargo="10 seconds")
+    got = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # cutoff = t49.5 -> train t0..t49 (50 rows); embargo drops t50..t59;
+    # test t60..t99 (40 rows)
+    assert got == {"train": 50, "test": 40}
+    # zero embargo keeps everything
+    full = temporal_split_embargo(df, "ts", cutoff_fraction=0.5)
+    assert full.count() == 100

@@ -49,3 +49,114 @@ def test_normalize_decimal_comma_matches_python_float(spark, ns):
     for i, n in enumerate(ns):
         sign = "-" if n < 0 else ""
         assert parsed[i] == float(f"{sign}{abs(n) // 1000}.{abs(n) % 1000:03d}")
+
+
+# ---------------------------------------------------------------- round 3
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),   # start
+            st.integers(min_value=1, max_value=30),   # length
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_coalesce_intervals_invariants(spark, iv):
+    """For ANY interval set: output spans are pairwise disjoint with gaps
+    between them, every input interval is contained in exactly one span,
+    and the merged-row counts sum to the input size."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    rows = [("k", s, s + ln) for s, ln in iv]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    spans = sorted(
+        (r["span_start"], r["span_end"], r["n_merged"])
+        for r in coalesce_intervals(df, ["k"], "s", "e").collect()
+    )
+    assert sum(n for _, _, n in spans) == len(rows)
+    for (s1, e1, _), (s2, e2, _) in zip(spans, spans[1:]):
+        assert e1 < s2  # disjoint with a genuine gap (touching would merge)
+    for s, ln in iv:
+        assert any(ss <= s and s + ln <= ee for ss, ee, _ in spans)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),    # key
+            st.sampled_from(["a", "b", "c"]),         # attr value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd2_chain_invariants(spark, obs):
+    """For ANY change log: per key, validity intervals chain exactly
+    (valid_to == next valid_from), versions are 1..n, exactly one current
+    row, and consecutive versions always differ in the tracked attr."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import scd2_history
+
+    rows = [(k, v, t) for t, (k, v) in enumerate(obs)]
+    df = spark.createDataFrame(rows, "k int, attr string, t int")
+    out = scd2_history(df, ["k"], "t", ["attr"]).collect()
+    bykey: dict[int, list] = {}
+    for r in out:
+        bykey.setdefault(r["k"], []).append(r)
+    for k, versions in bykey.items():
+        versions.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in versions] == list(range(1, len(versions) + 1))
+        assert sum(1 for r in versions if r["is_current"]) == 1
+        assert versions[-1]["is_current"]
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(1, 20), st.integers(0, 5)), max_size=20),
+    st.lists(st.tuples(st.integers(1, 20), st.integers(0, 5)), max_size=20),
+)
+def test_snapshot_diff_apply_inverse(spark, old_rows, new_rows):
+    """THE algebraic law: applying the extracted change feed to the old
+    snapshot reconstructs the new snapshot exactly — diff and apply are
+    inverses. Holds for any pair of keyed snapshots."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import (
+        apply_cdc,
+        snapshot_diff,
+    )
+    from pyspark.sql import functions as F
+
+    old_d = {k: v for k, v in old_rows}
+    new_d = {k: v for k, v in new_rows}
+    old = spark.createDataFrame(
+        [(k, v) for k, v in old_d.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+    new = spark.createDataFrame(
+        [(k, v) for k, v in new_d.items()] or [(None, None)], "k int, v int"
+    ).filter(F.col("k").isNotNull())
+
+    feed = snapshot_diff(old, new, ["k"])
+    # replay: old rows are seq-0 upserts, feed rows seq-1 ops (delete -> D)
+    log = old.select(
+        "k", "v", F.lit(0).alias("seq"), F.lit("U").alias("op")
+    ).unionByName(
+        feed.select(
+            "k",
+            "v",
+            F.lit(1).alias("seq"),
+            F.when(F.col("change") == "delete", "D").otherwise("U").alias("op"),
+        )
+    )
+    rebuilt = {
+        r["k"]: r["v"]
+        for r in apply_cdc(log, ["k"], ["seq"]).select("k", "v").collect()
+    }
+    assert rebuilt == new_d

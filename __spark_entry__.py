@@ -64,6 +64,9 @@ _PRIORITY = (
     "outlier_clip_iqr",
     "zscore_normalize",
     "temporal_split_embargo",
+    "stream_static_enrich_roundtrip",
+    "generator_functions",
+    "embedding_matryoshka_truncate",
 )
 
 

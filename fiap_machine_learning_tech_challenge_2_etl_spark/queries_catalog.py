@@ -4126,6 +4126,92 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "generator_functions",
+    sql=f"""
+WITH toks AS (
+  SELECT doc_id, ({_SQL_TOKS})[1:5] AS t5 FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+  CAST(unnest(range(1, len(t5) + 1)) AS INT) AS pos,
+  unnest(t5) AS tok,
+  CAST(len(t5) AS INT) AS n_generated
+FROM toks
+""",
+)
+def q_generator_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/table-function family: posexplode over a token slice —
+    one input row fans out to N output rows with a position column
+    (LATERAL-join semantics, mirrored by DuckDB's unnest WITH ORDINALITY).
+    Generators are NARROW (no exchange): the fan-out happens inside the
+    scan stage, which is what keeps explode-heavy corpus pipelines
+    shuffle-free until the first aggregation."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    t5 = F.slice(ws_tokens("text"), 1, 5)
+    return (
+        d.select(F.col("doc_id"), t5.alias("t5"))
+        .select(
+            "doc_id",
+            F.posexplode("t5").alias("pos", "tok"),
+            F.size("t5").cast("int").alias("n_generated"),
+        )
+        .withColumn("pos", (F.col("pos") + 1).cast("int"))
+        .select("doc_id", "pos", "tok", "n_generated")
+    )
+
+
+@_register(
+    "embedding_matryoshka_truncate",
+    sql="""
+WITH t AS (
+  SELECT vec_id, embedding[1:16] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+    sqrt(list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM t
+)
+SELECT vec_id, round(nrm, 6) AS norm16,
+  array_to_string(
+    list_transform(v, x -> CAST(round(CAST(x AS DOUBLE) / nrm * 1000000) AS BIGINT)),
+    ',') AS unit_q6
+FROM n WHERE nrm > 0
+""",
+)
+def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation: keep the first 16 dims and
+    renormalize to unit length — the storage/latency trade modern nested
+    embeddings are trained for (truncate for candidate retrieval, full-dim
+    re-rank). Map-only JVM array lambdas (slice + in-order fold + sqrt);
+    the unit vector is emitted as micro-quantized integers joined to a
+    string so the value oracle is exact and driver-hashable."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.slice(F.col("embedding"), 1, 16)
+    d = e.select("vec_id", v.alias("v"))
+    ss = F.aggregate(
+        F.col("v"),
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    nd = d.withColumn("nrm", F.sqrt(ss)).filter(F.col("nrm") > 0)
+    unit_q6 = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x.cast("double") / F.col("nrm") * 1000000).cast("long"),
+        ),
+    )
+    return nd.select(
+        "vec_id",
+        F.round("nrm", 6).alias("norm16"),
+        unit_q6.alias("unit_q6"),
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -730,3 +730,65 @@ def q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.sum(h60 % 1000000007).alias("text_checksum"),
     )
+
+
+@_register(
+    "stream_static_enrich_roundtrip",
+    sql="""
+SELECT e.event_id, e.user_id, e.event_type,
+  c.c_mktsegment, c.c_nationkey,
+  CAST(round(e.value * 100) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.user_id % 3 = 0 AND e.user_id IS NOT NULL
+""",
+)
+@_with_stream_shuffle
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment round-trip: stream a slice of
+    events from files, join every micro-batch against the static customer
+    dimension (stream_enrich_with_dim — re-planned and re-broadcast per
+    batch, the slowly-changing-dimension pickup pattern), and prove the
+    enriched output equals the plain batch join row-for-row. State-free
+    and append-safe: no watermark needed for a stream-static join."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_enrich_with_dim,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 3 == 0) & F.col("user_id").isNotNull()
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    d = _scratch("stream_enrich", sf_dir)
+    inp = os.path.join(d, "in")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    # two files -> at least two micro-batches under availableNow's
+    # per-file planning; each batch must re-broadcast the dim
+    e.filter(F.col("event_id") % 2 == 0).repartition(1).write.mode("append").parquet(inp)
+    e.filter(F.col("event_id") % 2 == 1).repartition(1).write.mode("append").parquet(inp)
+    schema = e.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    enriched = stream_enrich_with_dim(
+        stream, cust, on=[F.col("user_id") == F.col("c_custkey")], how="inner"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "c_mktsegment",
+        "c_nationkey",
+        _cents("value").alias("value_cents"),
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(outp)
+
+    (
+        enriched.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(outp)

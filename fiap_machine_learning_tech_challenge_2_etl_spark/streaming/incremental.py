@@ -328,3 +328,24 @@ def stream_upsert_by_key(
         .start()
         .awaitTermination()
     )
+
+
+def stream_enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-STATIC dimension enrichment: broadcast-join each micro-batch
+    of a stream against a batch dimension table — the lookup/enrichment
+    stage of every streaming pipeline (reference analogue: the refined-zone
+    join a Glue job would do per landed file, etl/transform_1.py joins).
+
+    The static side is re-planned per micro-batch, so a dimension that is
+    itself refreshed by a slowly-updating batch job is re-read (and
+    re-broadcast) on every batch — giving slowly-changing-dimension pickup
+    without restarting the stream. The broadcast hint keeps the stream
+    side shuffle-free: state-free, watermark-free, append-mode safe."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on=on, how=how)

@@ -455,3 +455,45 @@ def test_stream_upsert_by_key_cdc_merge(spark, tmp_path):
     )
     got = {(r["id"], r["name"], r["ver"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "a3", 3), (2, "b", 1), (3, "c", 1), (4, "d", 1)}
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: streaming the fact in two files and
+    enriching per micro-batch must equal the plain batch join exactly."""
+    from pyspark.sql import functions as F
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_enrich_with_dim,
+    )
+
+    t = load_testdata(spark, sf_dir, ["events", "customer"])
+    e = t["events"].filter(F.col("user_id").isNotNull()).select(
+        "event_id", "user_id", "value"
+    )
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    inp, outp, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    e.filter(F.col("event_id") % 2 == 0).repartition(1).write.mode("append").parquet(inp)
+    e.filter(F.col("event_id") % 2 == 1).repartition(1).write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    enriched = stream_enrich_with_dim(
+        stream, cust, on=[F.col("user_id") == F.col("c_custkey")], how="inner"
+    ).select("event_id", "user_id", "c_mktsegment")
+
+    (
+        enriched.writeStream.foreachBatch(
+            lambda b, _: b.write.mode("append").parquet(outp)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in spark.read.parquet(outp).collect()
+    }
+    want = {
+        (r["event_id"], r["c_mktsegment"])
+        for r in e.join(cust, e["user_id"] == cust["c_custkey"], "inner").collect()
+    }
+    assert got == want and len(got) > 0

@@ -355,22 +355,48 @@ def add_char_entropy(
     COUNT, so folding the count array in ASCENDING SORTED order makes the
     IEEE-754 summation sequence identical in any engine that replays the
     same sort — the DuckDB oracle mirrors it with
-    ``list_sort`` + ``list_transform`` + sequential ``list_sum``.
+    ``list_sort`` + ``list_transform`` + sequential ``list_sum``. (The
+    oracle derives counts per distinct char — O(d*n), fine at oracle
+    scale; the count MULTISET is identical either way.)
 
-    Scale posture: pure JVM array expressions (split/transform/filter/
+    Scale posture: pure JVM array expressions (split/sort/filter/
     aggregate) inside whole-stage codegen — map-only, no shuffle, no
-    Python. Per-row cost O(distinct_chars * len) — bounded by alphabet
-    size, not corpus size.
+    Python. Counts come from RUN LENGTHS of the sorted char array
+    (boundary positions -> adjacent differences), O(len log len) per row
+    instead of the naive O(distinct * len) scan-per-distinct-char
+    (measured 2.5x faster on the sf0.1 corpus).
     """
     p = out_prefix
-    ch_col, cnt_col, bg_col = f"__{p}ent_ch", f"__{p}ent_cnt", f"__{p}ent_bg"
-    chars = F.filter(F.split(F.col(column), ""), lambda x: x != F.lit(""))
-    counts = F.array_sort(
-        F.transform(
-            F.array_distinct(F.col(ch_col)),
-            lambda c: F.size(F.filter(F.col(ch_col), lambda x: x == c)),
-        )
+    ch_col, srt_col, pos_col, cnt_col, bg_col = (
+        f"__{p}ent_ch",
+        f"__{p}ent_srt",
+        f"__{p}ent_pos",
+        f"__{p}ent_cnt",
+        f"__{p}ent_bg",
     )
+    chars = F.filter(F.split(F.col(column), ""), lambda x: x != F.lit(""))
+    nch = F.size(F.col(ch_col))
+    # run boundaries in the sorted char array: position i starts a new run
+    # iff i == 1 or sorted[i] != sorted[i-1]
+    bounds = F.when(
+        nch > 0,
+        F.filter(
+            F.sequence(F.lit(1), nch),
+            lambda i: (i == 1)
+            | (F.element_at(F.col(srt_col), i) != F.element_at(F.col(srt_col), i - 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    # run length = next boundary - this boundary (n+1 sentinel appended)
+    padded = F.concat(F.col(pos_col), F.array((nch + 1).cast("int")))
+    counts = F.when(
+        F.size(F.col(pos_col)) > 0,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col(pos_col))),
+                lambda j: F.element_at(padded, j + 1) - F.element_at(padded, j),
+            )
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     n = F.size(F.col(ch_col)).cast("double")
     # fold by SUBTRACTION, not negate-after: 0-0 is +0.0 (negating a zero
     # sum yields -0.0, which canonicalizes differently across engines), and
@@ -381,7 +407,6 @@ def add_char_entropy(
         F.lit(0.0),
         lambda acc, k: acc - (k / n) * F.log2(k / n),
     )
-    nch = F.size(F.col(ch_col))
     bigrams = F.when(
         nch >= 2,
         F.transform(
@@ -393,6 +418,8 @@ def add_char_entropy(
     ).otherwise(F.array().cast("array<string>"))
     return (
         df.withColumn(ch_col, chars)
+        .withColumn(srt_col, F.array_sort(F.col(ch_col)))
+        .withColumn(pos_col, bounds)
         .withColumn(cnt_col, counts)
         .withColumn(bg_col, bigrams)
         .withColumns(
@@ -400,11 +427,13 @@ def add_char_entropy(
                 f"{p}char_entropy": F.when(nch > 0, F.round(entropy, 6)).otherwise(
                     F.lit(0.0)
                 ),
+                # array_distinct measured FASTER here than a sorted-run
+                # count (string sort dominates at ~300 bigrams/doc)
                 f"{p}n_distinct_bigrams": F.size(
                     F.array_distinct(F.col(bg_col))
                 ).cast("long"),
                 f"{p}n_bigrams": F.size(F.col(bg_col)).cast("long"),
             }
         )
-        .drop(ch_col, cnt_col, bg_col)
+        .drop(ch_col, srt_col, pos_col, cnt_col, bg_col)
     )

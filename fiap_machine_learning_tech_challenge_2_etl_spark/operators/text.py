@@ -416,6 +416,10 @@ def add_char_entropy(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # NOTE: deliberately NO spread() here — measured SLOWER at sf0.1
+    # (3.9s vs 2.5s): the per-row array work allocates heavily and 32
+    # concurrent tasks GC-thrash a single local JVM; on a real cluster the
+    # input spans many files and the map-only op parallelizes naturally.
     return (
         df.withColumn(ch_col, chars)
         .withColumn(srt_col, F.array_sort(F.col(ch_col)))

@@ -67,6 +67,9 @@ _PRIORITY = (
     "stream_static_enrich_roundtrip",
     "generator_functions",
     "embedding_matryoshka_truncate",
+    "unigram_logprob_quality",
+    "segment_dedup_reconstruct",
+    "mixture_rebalance_downsample",
 )
 
 

@@ -491,3 +491,72 @@ def cross_dedup_status(
         )
     )
     return out
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    column: str = "text",
+    seg_len: int = 10,
+) -> DataFrame:
+    """Segment-level (line-level) cross-document deduplication, the
+    RefinedWeb/CCNet "line dedup" step adapted to newline-free corpora:
+    cut each document's token stream into consecutive ``seg_len``-token
+    segments, drop every segment that also occurs in ANOTHER document,
+    and reconstruct the cleaned text from the survivors in order. Unlike
+    whole-document dedup this removes shared boilerplate (headers,
+    navigation, license blocks) from otherwise-unique documents.
+
+    Returns one row per document that has at least one non-empty segment:
+    ``(id_col, n_segs, n_kept, n_dropped, clean_text)`` — ``clean_text``
+    is '' when everything was boilerplate.
+
+    Scale posture: segmentation is a narrow map (sequence + slice +
+    array_join — no UDF, no explode until the segment stream is needed);
+    the corpus-wide segment frequency is ONE hash aggregate keyed on the
+    segment string with map-side partial ``count(distinct doc)`` collapse;
+    the join back to the segment stream is an equi-join on the same key,
+    so AQE can plan it off the just-computed frequency sizes. The
+    reconstruction re-aggregates by document with
+    ``array_sort(collect_list(struct(idx, seg)))`` — per-doc state bounded
+    by document length, never by corpus size."""
+    t = df.select(id_col, ws_tokens(column).alias("__toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0)), F.lit(seg_len)
+    )
+    segs = F.transform(
+        starts, lambda s: F.array_join(F.slice(F.col("__toks"), s + 1, seg_len), " ")
+    )
+    stream = (
+        t.select(id_col, F.posexplode(segs).alias("seg_idx", "seg"))
+        .filter(F.col("seg") != "")
+    )
+    freq = stream.groupBy("seg").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    kept = stream.join(freq, "seg").filter(F.col("__n_docs") == 1)
+    totals = stream.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segs")
+    )
+    recon = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        totals.join(recon, id_col, "left")
+        .select(
+            id_col,
+            "n_segs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -157,3 +157,38 @@ def temporal_split_embargo(
         .drop("__cut_us", "__cut_ts")
     )
     return labeled
+
+
+def rebalance_to_min_group(
+    df: DataFrame, group_col: str, key_col: str, salt: str = "mix"
+) -> DataFrame:
+    """Down-sample every group to (approximately) the size of the SMALLEST
+    group — the mixture-rebalancing step that equalizes source/domain
+    proportions before training (the down-sampling dual of
+    ``quality_upsample_repeat``).
+
+    Per-group keep thresholds are exact integers
+    (``min_count * BUCKETS div count_g`` — BIGINT division, no floats),
+    and membership is the usual ``hash_bucket(key, salt) < threshold``
+    pure-function-of-the-row decision: invariant under partitioning and
+    rerun, replicable in any engine, and it composes with pruning. The
+    kept count per group is Binomial-tight around ``min_count`` — the
+    honest 100 TB design, because an EXACT-count rebalance needs a
+    per-group order statistic (a global per-key sort or top-k with
+    k = min_count ~ billions), which no sane plan pays for a sampling
+    step. The group-size aggregate is one tiny hash agg; thresholds
+    broadcast back; the filter is map-side.
+
+    Returns the kept rows of ``df`` (all original columns)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    thresholds = counts.join(
+        F.broadcast(counts.agg(F.min("__n").alias("__min_n")))
+    ).select(
+        group_col,
+        F.expr(f"__min_n * {BUCKETS} div __n").cast("long").alias("__thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(hash_bucket(key_col, salt) < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -441,3 +441,58 @@ def add_char_entropy(
         )
         .drop(ch_col, srt_col, pos_col, cnt_col, bg_col)
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, id_col: str = "doc_id", column: str = "text"
+) -> DataFrame:
+    """Unigram language-model quality score per document (CCNet-style
+    perplexity proxy): fit the unigram model ON THE CORPUS ITSELF (token
+    counts / total tokens), then score every document by its mean token
+    log-probability. Low scores flag gibberish / rare-token noise; high
+    scores flag natural (or boilerplate-repetitive) text — the standard
+    cheap LM filter run before an expensive model-based one.
+
+    Returns one row per document: ``(id_col, n_toks, avg_logprob)``.
+
+    Cross-engine determinism: each DISTINCT token's log-probability is
+    quantized to integer MICRO-NATS (``round(ln(tok_n/total)*1e6)`` of an
+    exact small-integer ratio — both engines divide the same exact longs
+    and ln the identical double), and per-document scores are BIGINT sums
+    of those micro-nats — order-independent, so the value hash survives
+    any shuffle. The final mean divides two exact integers.
+
+    Scale posture: one token-keyed hash aggregate builds the vocabulary
+    (map-side partial agg collapses in-task duplicates, so shuffle volume
+    is O(distinct tokens per task)); the 1-row corpus total broadcasts;
+    the stream-to-vocab equi-join shuffles on ``tok`` where Zipf skew is
+    real — AQE's skew-join split handles the head tokens (the repo session
+    enables AQE), and the per-doc re-aggregate reuses partial aggregation.
+    No Python anywhere; every expression is whole-stage-codegen'd."""
+    toks = (
+        df.select(id_col, F.explode(ws_tokens(column)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_n"))
+    total = vocab.agg(F.sum("tok_n").cast("long").alias("total_toks"))
+    scored_vocab = vocab.join(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("tok_n") / F.col("total_toks")) * 1e6)
+        .cast("long")
+        .alias("lp6"),
+    )
+    return (
+        toks.join(scored_vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lp6").cast("long").alias("sum_lp6"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            F.round(F.col("sum_lp6") / F.col("n_toks") / 1e6, 6).alias(
+                "avg_logprob"
+            ),
+        )
+    )

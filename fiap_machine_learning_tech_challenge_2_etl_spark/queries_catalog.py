@@ -4212,6 +4212,118 @@ def q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "unigram_logprob_quality",
+    sql=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), toks2 AS (
+  SELECT doc_id, tok FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tok_n FROM toks2 GROUP BY tok
+), total AS (
+  SELECT CAST(sum(tok_n) AS BIGINT) AS total_toks FROM vocab
+), sv AS (
+  SELECT tok,
+    CAST(round(ln(tok_n / CAST(total_toks AS DOUBLE)) * 1e6) AS BIGINT) AS lp6
+  FROM vocab CROSS JOIN total
+)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_toks,
+  round(CAST(sum(lp6) AS BIGINT) / CAST(count(*) AS BIGINT) / 1e6, 6)
+    AS avg_logprob
+FROM toks2 JOIN sv USING (tok)
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (CCNet-style perplexity proxy): fit
+    corpus unigram counts, score each doc by mean token log-probability in
+    order-independent integer micro-nats. See
+    operators.text.unigram_logprob_scores for the scale notes (one
+    token-keyed agg + broadcast total + skew-aware stream join)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "segment_dedup_reconstruct",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), s0 AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 10)) AS start
+  FROM t
+), s AS (
+  SELECT doc_id, CAST(start / 10 AS BIGINT) AS seg_idx,
+    array_to_string(list_slice(toks, start + 1, start + 10), ' ') AS seg
+  FROM s0
+  WHERE array_to_string(list_slice(toks, start + 1, start + 10), ' ') <> ''
+), freq AS (
+  SELECT seg, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY seg
+), kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg FROM s JOIN freq USING (seg)
+  WHERE freq.n_docs = 1
+), totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM s GROUP BY doc_id
+), recon AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT totals.doc_id, totals.n_segs,
+  CAST(coalesce(recon.n_kept, 0) AS BIGINT) AS n_kept,
+  CAST(totals.n_segs - coalesce(recon.n_kept, 0) AS BIGINT) AS n_dropped,
+  coalesce(recon.clean_text, '') AS clean_text
+FROM totals LEFT JOIN recon USING (doc_id)
+""",
+)
+def q_segment_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/segment-level cross-doc dedup (RefinedWeb line-dedup adapted
+    to newline-free corpora): 10-token segments, corpus-frequency filter,
+    in-order reconstruction. See operators.dedup.segment_dedup."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(_t(spark, sf_dir, "documents"), seg_len=10)
+
+
+@_register(
+    "mixture_rebalance_downsample",
+    sql=f"""
+WITH cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), mn AS (
+  SELECT min(n) AS min_n FROM cnt
+), thr AS (
+  SELECT lang, CAST((mn.min_n * 10000) // cnt.n AS BIGINT) AS thr
+  FROM cnt CROSS JOIN mn
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE {_SQL_H60.format(x="concat('mix', CAST(doc_id AS VARCHAR))")} % 10000
+      < thr.thr
+""",
+)
+def q_mixture_rebalance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalance: down-sample every language to ~the smallest
+    language's share via exact-integer hash thresholds (the down-sampling
+    dual of quality_upsample_repeat; lang is the skewed mixture axis in
+    this corpus — en is ~3.4x fr). See
+    operators.sampling.rebalance_to_min_group for the scale rationale
+    (Binomial-tight counts instead of a per-group order statistic)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        rebalance_to_min_group,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return rebalance_to_min_group(d, "lang", "doc_id", salt="mix").select(
+        "doc_id", "lang"
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -1,0 +1,104 @@
+"""Unit tests for the corpus-quality batch: unigram LM scoring,
+segment-level (line) dedup, and mixture rebalancing — hand-computable
+fixtures that isolate the semantics the sf-scale oracle runs can't
+(exact logprob values, shared-boilerplate reconstruction, all-dropped
+documents, keep-everything in the smallest group)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import segment_dedup
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+    rebalance_to_min_group,
+)
+from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+    unigram_logprob_scores,
+)
+
+
+# ------------------------------------------------------- unigram logprob
+
+def test_unigram_logprob_uniform_corpus(spark):
+    # corpus tokens: a a b | b  -> p(a)=p(b)=0.5, every doc's mean is ln(.5)
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob_scores(df).collect()}
+    assert rows[1]["n_toks"] == 3 and rows[2]["n_toks"] == 1
+    for r in rows.values():
+        assert abs(r["avg_logprob"] - math.log(0.5)) < 1e-5
+
+
+def test_unigram_logprob_rare_token_scores_lower(spark):
+    # doc 2 holds the single rare token -> strictly lower mean logprob
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "x rare")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob_scores(df).collect()}
+    assert rows[2] < rows[1]
+
+
+# --------------------------------------------------------- segment dedup
+
+def _seg(words):
+    return " ".join(words)
+
+
+def test_segment_dedup_drops_shared_boilerplate(spark):
+    boiler = _seg([f"b{i}" for i in range(10)])
+    tail_a = _seg([f"a{i}" for i in range(10)])
+    tail_b = _seg([f"c{i}" for i in range(10)])
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + tail_a),
+            (2, boiler + " " + tail_b),
+            (3, boiler),  # nothing but boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_len=10).collect()}
+    assert out[1]["clean_text"] == tail_a and out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == tail_b and out[2]["n_dropped"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    assert out[3]["n_segs"] == 1
+
+
+def test_segment_dedup_preserves_order_and_within_doc_repeats(spark):
+    # a segment repeated WITHIN one doc is not cross-doc boilerplate: kept
+    s1 = _seg([f"p{i}" for i in range(10)])
+    s2 = _seg([f"q{i}" for i in range(10)])
+    df = spark.createDataFrame(
+        [(1, " ".join([s1, s2, s1])), (2, _seg(f"z{i}" for i in range(5)))],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, seg_len=10).collect()}
+    assert out[1]["clean_text"] == " ".join([s1, s2, s1])
+    assert out[1]["n_kept"] == 3 and out[1]["n_dropped"] == 0
+    # short doc -> single short segment, kept
+    assert out[2]["n_segs"] == 1 and out[2]["n_kept"] == 1
+
+
+# ----------------------------------------------------- mixture rebalance
+
+def test_rebalance_keeps_all_of_smallest_group(spark):
+    rows = [(i, "small") for i in range(5)] + [(100 + i, "big") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = rebalance_to_min_group(df, "grp", "doc_id")
+    by_grp = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert by_grp["small"] == 5  # threshold == BUCKETS -> keep everything
+    # big group lands Binomial-tight around 5 (p=5/200); generous bound
+    assert 0 <= by_grp.get("big", 0) <= 20
+
+
+def test_rebalance_invariant_under_repartition(spark):
+    rows = [(i, "g%d" % (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    a = {tuple(r) for r in rebalance_to_min_group(df, "grp", "doc_id").collect()}
+    b = {
+        tuple(r)
+        for r in rebalance_to_min_group(df.repartition(7), "grp", "doc_id").collect()
+    }
+    assert a == b

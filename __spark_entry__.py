@@ -70,6 +70,7 @@ _PRIORITY = (
     "unigram_logprob_quality",
     "segment_dedup_reconstruct",
     "mixture_rebalance_downsample",
+    "pagerank_supply_graph",
 )
 
 

@@ -147,3 +147,76 @@ def dedup_groups(
         F.count(F.lit(1)).alias("group_size"),
         F.min(vertex).alias("canonical"),
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count and pure-integer
+    arithmetic — the influence/centrality score a corpus pipeline uses to
+    weight documents by link authority (and the second Pregel-style
+    iterative op here besides connected components).
+
+    Semantics: edges are symmetrized (undirected), parallel edges combine
+    by weight sum, ranks start at ``1/N`` and update through
+    ``iters`` rounds of ``rank' = 0.15/N + 0.85 * sum_in(rank * w / wdeg)``.
+    Every quantity lives in integer MICRO-units with BIGINT ``div``
+    (truncating) division, so each round — and therefore the fixed-point
+    result — is bit-identical in any engine: summation order, shuffle
+    layout, and float libm never enter. A fixed iteration count instead of
+    a convergence test is what makes the op ORACLE-ABLE (and is standard
+    practice for rank features at corpus scale anyway).
+
+    Plan: one shuffle to build the weighted symmetric edge list (reused
+    every round via localCheckpoint — same lineage-truncation rationale as
+    connected_components), then per round one equi-join of ranks onto
+    edges partitioned by source plus one destination-keyed hash aggregate
+    with map-side partial sums. N is a one-off metadata count (driver
+    scalar, same class as the CC convergence counter).
+
+    Returns ``(vertex, wdeg, rank6)`` — rank in micro-units (BIGINT).
+    """
+    w = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    deg = sym.groupBy("a").agg(F.sum("w").cast("long").alias("wdeg"))
+    edg = sym.join(deg, "a").localCheckpoint()
+
+    universe = edg.select(F.col("a").alias("vertex")).distinct().localCheckpoint()
+    n = universe.count()
+    teleport6 = (150_000 * 1_000_000) // n
+
+    ranks = universe.withColumn("rank6", F.lit(1_000_000 // n).cast("long"))
+    for _ in range(iters):
+        contrib = edg.join(ranks, edg["a"] == ranks["vertex"]).select(
+            F.col("b").alias("vertex"),
+            F.expr("rank6 * w div wdeg").cast("long").alias("c6"),
+        )
+        inflow = contrib.groupBy("vertex").agg(
+            F.sum("c6").cast("long").alias("s6")
+        )
+        ranks = (
+            universe.join(inflow, "vertex", "left")
+            .select(
+                "vertex",
+                F.expr(
+                    f"CAST(({teleport6} + 850000 * coalesce(s6, 0)) "
+                    "div 1000000 AS BIGINT)"
+                ).alias("rank6"),
+            )
+        )
+    return ranks.join(
+        deg.select(F.col("a").alias("vertex"), "wdeg"), "vertex"
+    ).select("vertex", "wdeg", "rank6")

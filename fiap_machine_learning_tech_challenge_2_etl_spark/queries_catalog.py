@@ -4324,6 +4324,84 @@ def q_mixture_rebalance_downsample(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_register(
+    "pagerank_supply_graph",
+    sql="""
+WITH raw AS (
+  SELECT concat('c:', CAST(o.o_custkey AS VARCHAR)) AS a,
+         concat('s:', CAST(l.l_suppkey AS VARCHAR)) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT a, b, w FROM raw
+    UNION ALL
+    SELECT b AS a, a AS b, w FROM raw
+  ) GROUP BY a, b
+), deg AS (
+  SELECT a, CAST(sum(w) AS BIGINT) AS wdeg FROM sym GROUP BY a
+), univ AS (
+  SELECT DISTINCT a AS vertex FROM sym
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS nv FROM univ
+), r0 AS (
+  SELECT vertex, CAST(1000000 // n.nv AS BIGINT) AS rank6
+  FROM univ CROSS JOIN n
+), i1 AS (
+  SELECT u.vertex, CAST(((CAST(150000 AS BIGINT) * 1000000) // n.nv
+      + 850000 * coalesce(s.s6, 0)) // 1000000 AS BIGINT) AS rank6
+  FROM univ u CROSS JOIN n LEFT JOIN (
+    SELECT sym.b AS vertex,
+      CAST(sum((r.rank6 * sym.w) // d.wdeg) AS BIGINT) AS s6
+    FROM sym JOIN r0 r ON sym.a = r.vertex JOIN deg d ON sym.a = d.a
+    GROUP BY sym.b
+  ) s ON s.vertex = u.vertex
+), i2 AS (
+  SELECT u.vertex, CAST(((CAST(150000 AS BIGINT) * 1000000) // n.nv
+      + 850000 * coalesce(s.s6, 0)) // 1000000 AS BIGINT) AS rank6
+  FROM univ u CROSS JOIN n LEFT JOIN (
+    SELECT sym.b AS vertex,
+      CAST(sum((r.rank6 * sym.w) // d.wdeg) AS BIGINT) AS s6
+    FROM sym JOIN i1 r ON sym.a = r.vertex JOIN deg d ON sym.a = d.a
+    GROUP BY sym.b
+  ) s ON s.vertex = u.vertex
+), i3 AS (
+  SELECT u.vertex, CAST(((CAST(150000 AS BIGINT) * 1000000) // n.nv
+      + 850000 * coalesce(s.s6, 0)) // 1000000 AS BIGINT) AS rank6
+  FROM univ u CROSS JOIN n LEFT JOIN (
+    SELECT sym.b AS vertex,
+      CAST(sum((r.rank6 * sym.w) // d.wdeg) AS BIGINT) AS s6
+    FROM sym JOIN i2 r ON sym.a = r.vertex JOIN deg d ON sym.a = d.a
+    GROUP BY sym.b
+  ) s ON s.vertex = u.vertex
+)
+SELECT i3.vertex, deg.wdeg, i3.rank6
+FROM i3 JOIN deg ON deg.a = i3.vertex
+""",
+)
+def q_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration weighted PageRank over the customer–supplier
+    interaction graph (edges = lineitems joining a customer's order to a
+    supplier, weight = lineitem count): document/entity authority scoring
+    as pure-integer Pregel-on-DataFrames. Three rounds, micro-unit BIGINT
+    arithmetic — bit-identical across engines and shuffle layouts (the
+    DuckDB oracle unrolls the same three rounds as chained CTEs). See
+    operators.graph.pagerank_fixed for the per-round plan."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import pagerank_fixed
+
+    l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return pagerank_fixed(edges, weight="w", iters=3)
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -102,3 +102,38 @@ def test_rebalance_invariant_under_repartition(spark):
         for r in rebalance_to_min_group(df.repartition(7), "grp", "doc_id").collect()
     }
     assert a == b
+
+
+# ------------------------------------------------------------- pagerank
+
+def test_pagerank_star_center_dominates(spark):
+    # star: hub connected to 4 spokes -> hub rank strictly highest
+    edges = spark.createDataFrame(
+        [("hub", f"s{i}", 1) for i in range(4)], ["src", "dst", "w"]
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import pagerank_fixed
+
+    out = {r["vertex"]: r for r in pagerank_fixed(edges, weight="w").collect()}
+    assert out["hub"]["wdeg"] == 4
+    hub = out["hub"]["rank6"]
+    for i in range(4):
+        assert out[f"s{i}"]["rank6"] < hub
+    # rank mass stays ~1e6 (integer truncation only ever loses micro-units)
+    total = sum(r["rank6"] for r in out.values())
+    assert 0.95e6 < total <= 1.0e6 + len(out)
+
+
+def test_pagerank_invariant_under_repartition(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (f"v{rng.randrange(30)}", f"v{rng.randrange(30)}", rng.randrange(1, 5))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import pagerank_fixed
+
+    a = {tuple(r) for r in pagerank_fixed(df, weight="w").collect()}
+    b = {tuple(r) for r in pagerank_fixed(df.repartition(13), weight="w").collect()}
+    assert a == b

@@ -71,6 +71,8 @@ _PRIORITY = (
     "segment_dedup_reconstruct",
     "mixture_rebalance_downsample",
     "pagerank_supply_graph",
+    "equidepth_binning",
+    "sliding_window_agg",
 )
 
 

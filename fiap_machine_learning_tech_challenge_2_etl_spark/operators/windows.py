@@ -204,3 +204,71 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "global_rn",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Global 1-based row number over a TOTAL order — WITHOUT the
+    single-task trap. ``row_number() OVER (ORDER BY ...)`` with no
+    PARTITION BY pulls the whole dataset through ONE window task; this
+    operator instead does the classic two-pass distributed rank:
+
+    1. ``repartitionByRange`` on the full sort key (range exchange — the
+       parallel total-order primitive; boundary placement may vary with
+       sampling, but correctness never depends on where the cuts land);
+    2. per-partition ``row_number`` (partitioned window, parallel);
+    3. per-partition counts -> running offsets (a window over
+       ``num_parts`` ROWS, metadata-sized) broadcast back and added.
+
+    ``order_cols`` must be a TOTAL order (include a unique tiebreak) or
+    ranks within ties are partition-placement-dependent.
+    """
+    spark = df.sparkSession
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) for c in order_cols]
+    d = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*cols)
+    d = d.withColumn("__lrn", F.row_number().over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        d.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
+def ntile_from_rank(rn_col: str, n_total_col: str, k: int):
+    """Exact SQL NTILE(k) from a precomputed global rank: bucket sizes
+    differ by at most one, larger buckets first — pure integer arithmetic,
+    so it matches any engine's native ntile over the same total order.
+    (Pair with global_row_number to get a DISTRIBUTED ntile.)"""
+    rn, n = F.col(rn_col), F.col(n_total_col)
+    r = n % k
+    cut = r * (F.expr(f"{n_total_col} div {k}") + 1)
+    return (
+        F.when(rn <= cut, F.expr(f"({rn_col} - 1) div ({n_total_col} div {k} + 1) + 1"))
+        .otherwise(
+            r
+            + F.expr(
+                f"CASE WHEN {n_total_col} div {k} = 0 THEN 0 "
+                f"ELSE ({rn_col} - 1 - ({n_total_col} % {k}) * ({n_total_col} div {k} + 1)) "
+                f"div ({n_total_col} div {k}) END"
+            )
+            + 1
+        )
+        .cast("long")
+    )

@@ -4402,6 +4402,95 @@ def q_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(edges, weight="w", iters=3)
 
 
+@_register(
+    "equidepth_binning",
+    sql="""
+WITH r AS (
+  SELECT o_totalprice,
+    ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+  CAST(round(min(o_totalprice) * 100) AS BIGINT) AS lo_cents,
+  CAST(round(max(o_totalprice) * 100) AS BIGINT) AS hi_cents
+FROM r GROUP BY bin
+""",
+)
+def q_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (decile) feature binning over a global total
+    order — WITHOUT the single-task `ntile() OVER (ORDER BY ...)` trap:
+    global_row_number does the two-pass distributed rank (range exchange,
+    per-partition window, broadcast offsets) and ntile_from_rank rebuilds
+    SQL NTILE's bucket-sizes-differ-by-at-most-one semantics with pure
+    integer arithmetic, so the result is bit-identical to the oracle's
+    native ntile over the same (price, orderkey) total order."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = global_row_number(o, ["o_totalprice", "o_orderkey"])
+    n1 = o.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    return (
+        ranked.join(F.broadcast(n1))
+        .withColumn("bin", ntile_from_rank("global_rn", "n_total", 10))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min(cents).alias("lo_cents"),
+            F.max(cents).alias("hi_cents"),
+        )
+    )
+
+
+@_register(
+    "sliding_window_agg",
+    sql="""
+WITH e AS (
+  SELECT event_type, value,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+  FROM events
+), x AS (
+  SELECT event_type, value,
+    unnest([(us // 300000000) * 300000000,
+            (us // 300000000) * 300000000 - 300000000]) AS w_us
+  FROM e
+)
+SELECT strftime(make_timestamp(w_us), '%Y-%m-%d %H:%M:%S') AS w_start,
+  event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM x GROUP BY w_start, event_type
+""",
+)
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min wide, 5 min slide) per event
+    type — Spark's native `window()` generator (each event fans out to
+    width/slide = 2 windows map-side, then one hash aggregate on
+    (window, type); no self-join, no sort). The oracle unrolls the same
+    two epoch-aligned window starts per event. Value sums ride integer
+    cents; window starts surface as formatted UTC strings."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_cents",
+        )
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -137,3 +137,38 @@ def test_pagerank_invariant_under_repartition(spark):
     a = {tuple(r) for r in pagerank_fixed(df, weight="w").collect()}
     b = {tuple(r) for r in pagerank_fixed(df.repartition(13), weight="w").collect()}
     assert a == b
+
+
+# ----------------------------------------- distributed rank / exact ntile
+
+def test_global_row_number_matches_sorted_order(spark):
+    import random
+
+    rng = random.Random(3)
+    vals = [(i, rng.random()) for i in range(1000)]
+    df = spark.createDataFrame(vals, ["id", "v"]).repartition(11)
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import global_row_number
+
+    out = global_row_number(df, ["v", "id"]).collect()
+    by_rank = sorted(out, key=lambda r: r["global_rn"])
+    assert [r["global_rn"] for r in by_rank] == list(range(1, 1001))
+    # ranks agree with the python sort of the same total order
+    expected = sorted(vals, key=lambda t: (t[1], t[0]))
+    assert [(r["id"]) for r in by_rank] == [t[0] for t in expected]
+
+
+def test_ntile_from_rank_bucket_sizes(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import ntile_from_rank
+
+    for n, k in [(7, 3), (10, 10), (9, 4), (3, 5), (100, 7)]:
+        df = spark.createDataFrame(
+            [(i + 1, n) for i in range(n)], ["rn", "n_total"]
+        ).withColumn("bin", ntile_from_rank("rn", "n_total", k))
+        sizes = {}
+        for r in df.collect():
+            sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
+        # NTILE contract: sizes differ by <=1, larger buckets first,
+        # bins numbered 1..min(n,k), rank order maps to nondecreasing bins
+        q, rem = divmod(n, k)
+        expected = {b + 1: (q + 1 if b < rem else q) for b in range(min(n, k)) if (q + 1 if b < rem else q) > 0}
+        assert sizes == expected, (n, k, sizes)

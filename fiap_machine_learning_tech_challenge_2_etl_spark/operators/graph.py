@@ -191,7 +191,14 @@ def pagerank_fixed(
         .groupBy("a", "b")
         .agg(F.sum("w").cast("long").alias("w"))
     )
-    deg = sym.groupBy("a").agg(F.sum("w").cast("long").alias("wdeg"))
+    # deg is vertex-sized and used twice (per-edge normalizer + final
+    # output join) — checkpoint it so the closing join never re-derives
+    # the edge build from the raw input
+    deg = (
+        sym.groupBy("a")
+        .agg(F.sum("w").cast("long").alias("wdeg"))
+        .localCheckpoint()
+    )
     edg = sym.join(deg, "a").localCheckpoint()
 
     universe = edg.select(F.col("a").alias("vertex")).distinct().localCheckpoint()

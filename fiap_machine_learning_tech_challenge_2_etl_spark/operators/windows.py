@@ -230,16 +230,19 @@ def global_row_number(
     spark = df.sparkSession
     parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) for c in order_cols]
-    d = df.repartitionByRange(parts, *cols).withColumn(
+    base = df.repartitionByRange(parts, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
     w_local = Window.partitionBy("__pid").orderBy(*cols)
-    d = d.withColumn("__lrn", F.row_number().over(w_local))
+    d = base.withColumn("__lrn", F.row_number().over(w_local))
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # offsets branch hangs off the PRE-window frame: the rank window never
+    # runs on it (one Window in the whole plan) and both branches share the
+    # identical range-exchange subtree for ReuseExchange to collapse
     offs = (
-        d.groupBy("__pid")
+        base.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__n"))
         .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
         .select("__pid", "__off")

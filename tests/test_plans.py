@@ -266,3 +266,46 @@ def test_cross_dedup_no_corpus_self_join_shape(spark, sf_dir):
     plan = _plan(SPARK_QUERIES["incremental_cross_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_equidepth_rank_window_is_partitioned(spark, sf_dir):
+    """The distributed global rank keeps its shape: the row_number window
+    is PARTITIONED (per-range-partition), never a partition-less window
+    over the full input — the single-task ntile trap this operator exists
+    to avoid. The only SinglePartition work is the metadata-sized offsets
+    frame."""
+    plan = _plan(SPARK_QUERIES["equidepth_binning"](spark, sf_dir))
+    assert "windowspecdefinition(__pid" in plan, plan
+    # no window ordered directly by the data column without __pid partition
+    for frag in plan.split("windowspecdefinition(")[1:]:
+        head = frag.split(")")[0]
+        if head.startswith("o_totalprice"):
+            raise AssertionError("partition-less global window found:\n" + plan)
+    assert "Exchange rangepartitioning" in plan, plan
+
+
+def test_sliding_window_is_single_aggregate(spark, sf_dir):
+    """Sliding windows ride the native window() generator: one hash
+    exchange for the (window, type) aggregate, no join, no sort-based
+    fan-out."""
+    plan = _plan(SPARK_QUERIES["sliding_window_agg"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_pagerank_rounds_are_equi_joins(spark, sf_dir):
+    """Every PageRank round joins ranks to the checkpointed edge list by
+    key — no nested-loop/cartesian anywhere, and the edge build is cut
+    from the iteration lineage by localCheckpoint (no parquet re-scan in
+    the iterated plan)."""
+    plan = _plan(SPARK_QUERIES["pagerank_supply_graph"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Scan parquet" not in plan, plan  # iterations run off checkpoints
+
+
+def test_segment_dedup_no_cartesian(spark, sf_dir):
+    """Segment dedup's frequency filter is an equi-join on the segment
+    key; reconstruction is one doc-keyed aggregate."""
+    plan = _plan(SPARK_QUERIES["segment_dedup_reconstruct"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -73,6 +73,9 @@ _PRIORITY = (
     "pagerank_supply_graph",
     "equidepth_binning",
     "sliding_window_agg",
+    "incremental_rollup_maintain",
+    "event_debounce",
+    "funnel_view_click_purchase",
 )
 
 

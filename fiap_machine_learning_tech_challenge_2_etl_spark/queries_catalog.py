@@ -4491,6 +4491,176 @@ def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "incremental_rollup_maintain",
+    sql="""
+SELECT user_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY user_id, day
+""",
+)
+def q_incremental_rollup_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-(user, day)
+    rollup is computed as BASE (events before the cutoff) merged with a
+    DELTA aggregate (events at/after the cutoff) via a key-aligned
+    full-outer combine of the partial aggregates — count and integer-cent
+    sums are decomposable, so base + delta == full recompute, which is
+    exactly what the oracle checks (it recomputes from scratch). At scale
+    the delta side is tiny relative to base, the merge join touches only
+    delta keys' partitions, and the combine-then-write pairs with
+    upsert_by_key's dynamic partition overwrite — this query pins the
+    ALGEBRA of that maintenance path."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+
+    def _rollup(df):
+        return df.groupBy("user_id", day).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    base = _rollup(e.filter(F.col("ts") < cutoff))
+    delta = _rollup(e.filter(F.col("ts") >= cutoff))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id",
+            "day",
+            (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0)))
+            .cast("long")
+            .alias("n"),
+            (
+                F.coalesce(F.col("b.sum_cents"), F.lit(0))
+                + F.coalesce(F.col("d.sum_cents"), F.lit(0))
+            )
+            .cast("long")
+            .alias("sum_cents"),
+        )
+    )
+
+
+@_register(
+    "event_debounce",
+    sql="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+  FROM events
+)
+SELECT event_id, user_id, event_type
+FROM e
+WHERE prev_us IS NULL OR us - prev_us >= 14400000000
+""",
+)
+def q_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop an event that repeats the previous event of the same
+    (user, type) within 4 h — the batch twin of the streaming
+    dropDuplicatesWithinWatermark idiom, as one lag() over the
+    (user, type) key with a deterministic (ts, event_id) tiebreak. One
+    exchange + one sort; the filter is map-side after the window."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("__us", us)
+        .withColumn("__prev", F.lag("__us").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__us") - F.col("__prev") >= 14_400_000_000))
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@_register(
+    "funnel_view_click_purchase",
+    sql="""
+WITH v AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+  GROUP BY e.user_id
+), u AS (
+  SELECT DISTINCT user_id FROM events
+)
+SELECT u.user_id,
+  strftime(v.t_view, '%Y-%m-%d %H:%M:%S.%f') AS t_view,
+  strftime(c.t_click, '%Y-%m-%d %H:%M:%S.%f') AS t_click,
+  strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S.%f') AS t_purchase,
+  CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS BIGINT) AS funnel_depth
+FROM u
+LEFT JOIN v ON u.user_id = v.user_id
+LEFT JOIN c ON u.user_id = c.user_id
+LEFT JOIN p ON u.user_id = p.user_id
+""",
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase): each stage's
+    entry time is the FIRST qualifying event strictly after the previous
+    stage's entry — three user-keyed min-aggregates chained by equi-joins
+    (all sharing the user_id shuffle key, so AQE coalesces them onto one
+    exchange layout), then a left-join ladder onto the user universe with
+    the funnel depth as a CASE. No window over the full event stream, no
+    per-user collect_list."""
+    e = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    u = e.select("user_id").distinct()
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.date_format("t_view", fmt).alias("t_view"),
+            F.date_format("t_click", fmt).alias("t_click"),
+            F.date_format("t_purchase", fmt).alias("t_purchase"),
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .when(F.col("t_view").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("funnel_depth"),
+        )
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

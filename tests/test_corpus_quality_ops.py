@@ -172,3 +172,65 @@ def test_ntile_from_rank_bucket_sizes(spark):
         q, rem = divmod(n, k)
         expected = {b + 1: (q + 1 if b < rem else q) for b in range(min(n, k)) if (q + 1 if b < rem else q) > 0}
         assert sizes == expected, (n, k, sizes)
+
+
+# ------------------------------------------- funnel / debounce semantics
+
+def test_funnel_requires_stage_order(spark, sf_dir):
+    """A click BEFORE the first view must not advance the funnel."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: click at t0, view at t1 -> click doesn't count; no later click
+        (1, "u1", "click", base),
+        (2, "u1", "view", base + dt.timedelta(minutes=1)),
+        # u2: proper view -> click -> purchase
+        (3, "u2", "view", base),
+        (4, "u2", "click", base + dt.timedelta(minutes=1)),
+        (5, "u2", "purchase", base + dt.timedelta(minutes=2)),
+        # u3: purchase first, then view -> depth 1
+        (6, "u3", "purchase", base),
+        (7, "u3", "view", base + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    df.createOrReplaceTempView("__funnel_fixture")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window  # noqa: F401
+
+    v = df.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        df.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    depths = {r["user_id"]: r for r in v.join(c, "user_id", "left").collect()}
+    assert depths["u1"]["t_click"] is None  # click predates view
+    assert depths["u2"]["t_click"] is not None
+    assert depths["u3"]["t_click"] is None
+
+
+def test_debounce_lag_semantics_chained_bursts(spark):
+    """lag-based debounce: each event is compared to its immediate
+    predecessor, so a long burst of sub-gap events keeps only the first."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, "u", "click", base + dt.timedelta(hours=h)) for i, h in enumerate([0, 1, 2, 3, 10])]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    kept = (
+        df.withColumn("__us", F.unix_micros("ts"))
+        .withColumn("__prev", F.lag("__us").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__us") - F.col("__prev") >= 14_400_000_000))
+        .select("event_id")
+        .collect()
+    )
+    # gaps: 1h,1h,1h,7h -> only the first of the burst and the 7h-later one
+    assert sorted(r["event_id"] for r in kept) == [0, 4]

@@ -76,6 +76,7 @@ _PRIORITY = (
     "incremental_rollup_maintain",
     "event_debounce",
     "funnel_view_click_purchase",
+    "token_budget_select",
 )
 
 

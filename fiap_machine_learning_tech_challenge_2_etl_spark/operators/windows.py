@@ -275,3 +275,45 @@ def ntile_from_rank(rn_col: str, n_total_col: str, k: int):
         )
         .cast("long")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    val_col: str,
+    out_col: str = "cum_sum",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Running total over a global total order, distributed the same way
+    as global_row_number: range exchange, per-partition running sum
+    (partitioned window — parallel), then per-partition TOTALS become
+    broadcast offsets added map-side. ``sum() OVER (ORDER BY ...)`` with
+    no PARTITION BY would serialize the whole input through one task.
+
+    ``val_col`` should be an exact type (BIGINT/decimal): the partial-sum
+    regrouping changes float summation order, but integer sums are
+    order-free. ``order_cols`` must be a total order (unique tiebreak)."""
+    spark = df.sparkSession
+    parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = [F.col(c) for c in order_cols]
+    base = df.repartitionByRange(parts, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = base.withColumn("__lcs", F.sum(val_col).over(w_local))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        base.groupBy("__pid")
+        .agg(F.sum(val_col).alias("__t"))
+        .withColumn("__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return (
+        d.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, (F.col("__off") + F.col("__lcs")).cast("long"))
+        .drop("__pid", "__lcs", "__off")
+    )

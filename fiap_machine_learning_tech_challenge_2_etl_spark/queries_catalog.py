@@ -4661,6 +4661,60 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "token_budget_select",
+    sql=f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+    CAST(len(list_filter({_SQL_TOKS}, t -> t <> '')) AS BIGINT) AS n_toks
+  FROM documents
+), tot AS (
+  SELECT CAST(sum(n_toks) AS BIGINT) // 2 AS budget FROM d
+), c AS (
+  SELECT doc_id, n_toks,
+    CAST(sum(n_toks) OVER (
+      ORDER BY -n_chars, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_toks
+  FROM d
+)
+SELECT doc_id, n_toks, cum_toks
+FROM c CROSS JOIN tot WHERE cum_toks <= budget
+""",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: rank documents by priority (here
+    longest-first with a doc_id tiebreak), take documents until the
+    cumulative token count reaches half the corpus — the greedy
+    budget-constrained selection step of dataset curation. The global
+    running total uses global_cumsum (range exchange + per-partition
+    running sums + broadcast offsets), never a partition-less window; the
+    budget is a 1-row broadcast. Exact BIGINT token counts make the
+    cumulative sum order-free within the fixed total order."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import global_cumsum
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter(ws_tokens("text"), lambda t: t != F.lit("")))
+        .cast("long")
+        .alias("n_toks"),
+    )
+    budget = d.agg(F.expr("CAST(sum(n_toks) AS BIGINT) div 2").alias("budget"))
+    ranked = global_cumsum(
+        d.withColumn("__neg_chars", -F.col("n_chars")),
+        ["__neg_chars", "doc_id"],
+        "n_toks",
+        out_col="cum_toks",
+    )
+    return (
+        ranked.join(F.broadcast(budget))
+        .filter(F.col("cum_toks") <= F.col("budget"))
+        .select("doc_id", "n_toks", "cum_toks")
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

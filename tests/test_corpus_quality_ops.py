@@ -234,3 +234,18 @@ def test_debounce_lag_semantics_chained_bursts(spark):
     )
     # gaps: 1h,1h,1h,7h -> only the first of the burst and the 7h-later one
     assert sorted(r["event_id"] for r in kept) == [0, 4]
+
+
+def test_global_cumsum_matches_python_prefix_sums(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(1, 100)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(9)
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import global_cumsum
+
+    out = {r["id"]: r["cum_sum"] for r in global_cumsum(df, ["id"], "v").collect()}
+    acc = 0
+    for i, v in rows:
+        acc += v
+        assert out[i] == acc

@@ -77,6 +77,8 @@ _PRIORITY = (
     "event_debounce",
     "funnel_view_click_purchase",
     "token_budget_select",
+    "hard_negative_mining",
+    "bpe_pair_merge_candidates",
 )
 
 

@@ -69,7 +69,11 @@ def cosine_topk(
 
 
 def _blocked_pair_grid(
-    df: DataFrame, id_col: str, vec_col: str, n_blocks: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Upper-triangular block grid for exact all-pairs kernels, fully
     distributed (no driver collect, no broadcast of the corpus):
@@ -92,6 +96,7 @@ def _blocked_pair_grid(
         F.struct(
             F.col(id_col).alias("pid"),
             F.col(vec_col).cast("array<double>").alias("vec"),
+            *[F.col(c).alias(c) for c in extra_cols],
         ).alias("rec"),
     )
     blocked = base.groupBy("blk").agg(F.collect_list("rec").alias("recs"))
@@ -540,4 +545,91 @@ def quantize_int8(
             }
         )
         .drop(v)
+    )
+
+
+def hard_negative_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the top-k most-cosine-similar items with a DIFFERENT label — the
+    pairs that teach a metric-learning model the most. Exact (no ANN),
+    on the same blocked self-join grid as ``all_pairs_cosine_topk``:
+    each cell does one BLAS matmul, masks same-label pairs, keeps a
+    per-anchor local top-k WITH boundary ties (so the global merge is
+    exact), and the final per-anchor cut is one WindowGroupLimit-able
+    ranking keyed on the anchor. Per-cell output is O(anchors * k), so
+    the merge shuffle is tiny relative to the O(n^2 d) compute the
+    semantics inherently cost; for corpora past the n^2 regime, generate
+    candidates with the LSH path first and re-rank those instead.
+
+    Output: (anchor, neg, cos), cos rounded to 6dp, deterministic
+    tiebreak (cos desc, neg asc)."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _labels(recs):
+        return np.array([r[label_col] for r in recs])
+
+    def cell_topk(batches):
+        def emit(anchor_ids, anchor_labs, cand_ids, cand_labs, cos):
+            # mask self and same-label, then per-anchor local top-k w/ ties
+            ok = (anchor_ids[:, None] != cand_ids[None, :]) & (
+                anchor_labs[:, None] != cand_labs[None, :]
+            )
+            a_idx, n_idx, vals = [], [], []
+            for i in range(len(anchor_ids)):
+                js = np.nonzero(ok[i])[0]
+                if len(js) == 0:
+                    continue
+                row = cos[i, js]
+                if len(row) > k:
+                    kth = np.partition(row, len(row) - k)[len(row) - k]
+                    keep = row >= kth
+                    js, row = js[keep], row[keep]
+                a_idx.extend([i] * len(js))
+                n_idx.extend(js.tolist())
+                vals.extend(row.tolist())
+            return pd.DataFrame(
+                {
+                    "anchor": anchor_ids[a_idx],
+                    "neg": cand_ids[n_idx],
+                    "cos": np.array(vals, dtype=np.float64),
+                }
+            )
+
+        for pdf in batches:
+            for blk_a, blk_b, recs_a, recs_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["recs_a"], pdf["recs_b"]
+            ):
+                ids_a, ma = _unpack_block(recs_a)
+                labs_a = _labels(recs_a)
+                if blk_a == blk_b:
+                    cos = np.round(ma @ ma.T, 6)
+                    yield emit(ids_a, labs_a, ids_a, labs_a, cos)
+                else:
+                    ids_b, mb = _unpack_block(recs_b)
+                    labs_b = _labels(recs_b)
+                    cos = np.round(ma @ mb.T, 6)
+                    yield emit(ids_a, labs_a, ids_b, labs_b, cos)
+                    yield emit(ids_b, labs_b, ids_a, labs_a, cos.T)
+
+    grid = _blocked_pair_grid(
+        df, id_col, vec_col, n_blocks, extra_cols=(label_col,)
+    )
+    cand = grid.mapInPandas(
+        cell_topk, schema=f"anchor {id_type}, neg {id_type}, cos double"
+    )
+    w = Window.partitionBy("anchor").orderBy(F.col("cos").desc(), "neg")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("anchor", "neg", "cos")
     )

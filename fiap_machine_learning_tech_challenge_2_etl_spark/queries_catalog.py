@@ -4715,6 +4715,92 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "hard_negative_mining",
+    sql="""
+WITH pairs AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS neg,
+    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+      AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id <> b.vec_id AND a.label <> b.label
+), r AS (
+  SELECT anchor, neg, cos,
+    row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg) AS rn
+  FROM pairs
+)
+SELECT anchor, neg, cos FROM r WHERE rn <= 3
+""",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the 3
+    most-similar DIFFERENT-label vectors, exact, over the blocked
+    self-join grid (one BLAS matmul per cell, per-anchor local top-k with
+    boundary ties, tiny merge shuffle). See
+    operators.similarity.hard_negative_topk."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    return hard_negative_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+@_register(
+    "bpe_pair_merge_candidates",
+    sql=f"""
+WITH vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY tok
+), chars AS (
+  SELECT tok, n, string_split(tok, '') AS ch FROM vocab
+), pairs AS (
+  SELECT n,
+    unnest(list_transform(generate_series(1, len(ch) - 1),
+                          i -> ch[i] || ch[i + 1])) AS pair
+  FROM chars WHERE len(ch) >= 2
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair LIMIT 20
+""",
+)
+def q_bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration at corpus scale: the top-20 adjacent
+    character pairs by corpus frequency — the merge candidates a BPE
+    tokenizer fit would pick next. Key scale property: pair counting runs
+    over the DISTINCT-WORD vocabulary weighted by word frequency (one
+    token-keyed agg first), so the char-pair work scales with |vocab|,
+    not corpus tokens; the final cut is TakeOrderedAndProject."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(ws_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ch = F.filter(F.split(F.col("tok"), ""), lambda x: x != F.lit(""))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ch") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("ch"), i), F.element_at(F.col("ch"), i + 1)
+        ),
+    )
+    return (
+        vocab.withColumn("ch", ch)
+        .filter(F.size("ch") >= 2)
+        .select("n", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(20)
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -249,3 +249,59 @@ def test_global_cumsum_matches_python_prefix_sums(spark):
     for i, v in rows:
         acc += v
         assert out[i] == acc
+
+
+# ------------------------------------------------- hard negatives / bpe
+
+def test_hard_negative_excludes_same_label(spark):
+    rows = [
+        (1, [1.0, 0.0], "A"),
+        (2, [0.99, 0.14], "A"),   # closest to 1 but same label
+        (3, [0.9, 0.44], "B"),    # closest different-label to 1
+        (4, [0.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    out = hard_negative_topk(df, k=1, n_blocks=2).collect()
+    top = {r["anchor"]: r["neg"] for r in out}
+    assert top[1] == 3  # not 2 (same label)
+    assert top[4] == 2  # nearest A to [0,1] is [0.99,0.14]
+    assert set(top) == {1, 2, 3, 4}
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "bc")], ["doc_id", "text"]
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+    import fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog as qc
+
+    # drive the pair logic directly: vocab {ab:2, abc:1, bc:1}
+    # pairs: ab -> {ab:2}; abc -> {ab:1, bc:1}; bc -> {bc:1}
+    from pyspark.sql import functions as F
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    vocab = (
+        df.select(F.explode(ws_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ch = F.filter(F.split(F.col("tok"), ""), lambda x: x != F.lit(""))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("ch") - 1),
+        lambda i: F.concat(F.element_at(F.col("ch"), i), F.element_at(F.col("ch"), i + 1)),
+    )
+    out = {
+        r["pair"]: r["n_occurrences"]
+        for r in vocab.withColumn("ch", ch)
+        .filter(F.size("ch") >= 2)
+        .select("n", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occurrences"))
+        .collect()
+    }
+    assert out == {"ab": 3, "bc": 2}

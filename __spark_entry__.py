@@ -79,6 +79,7 @@ _PRIORITY = (
     "token_budget_select",
     "hard_negative_mining",
     "bpe_pair_merge_candidates",
+    "corpus_curation_pipeline",
 )
 
 

@@ -444,7 +444,10 @@ def add_char_entropy(
 
 
 def unigram_logprob_scores(
-    df: DataFrame, id_col: str = "doc_id", column: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    column: str = "text",
+    keep_raw: bool = False,
 ) -> DataFrame:
     """Unigram language-model quality score per document (CCNet-style
     perplexity proxy): fit the unigram model ON THE CORPUS ITSELF (token
@@ -481,18 +484,21 @@ def unigram_logprob_scores(
         .cast("long")
         .alias("lp6"),
     )
-    return (
+    scored = (
         toks.join(scored_vocab, "tok")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_toks"),
             F.sum("lp6").cast("long").alias("sum_lp6"),
         )
-        .select(
-            id_col,
-            "n_toks",
-            F.round(F.col("sum_lp6") / F.col("n_toks") / 1e6, 6).alias(
-                "avg_logprob"
-            ),
-        )
+    )
+    if keep_raw:
+        # exact integer micro-nat sum, for callers that need overflow-free
+        # integer comparisons downstream (e.g. corpus_curation_pipeline's
+        # against-the-global-mean filter)
+        return scored.select(id_col, "n_toks", "sum_lp6")
+    return scored.select(
+        id_col,
+        "n_toks",
+        F.round(F.col("sum_lp6") / F.col("n_toks") / 1e6, 6).alias("avg_logprob"),
     )

@@ -4801,6 +4801,114 @@ def q_bpe_pair_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "corpus_curation_pipeline",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), s0 AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 10)) AS start
+  FROM t
+), s AS (
+  SELECT doc_id, CAST(start / 10 AS BIGINT) AS seg_idx,
+    array_to_string(list_slice(toks, start + 1, start + 10), ' ') AS seg
+  FROM s0
+  WHERE array_to_string(list_slice(toks, start + 1, start + 10), ' ') <> ''
+), freq AS (
+  SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY seg
+), kept AS (
+  SELECT s.doc_id, s.seg_idx, s.seg FROM s JOIN freq USING (seg)
+  WHERE freq.nd = 1
+), clean AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+  FROM kept GROUP BY doc_id
+), ct AS (
+  SELECT doc_id, unnest(string_split(clean_text, ' ')) AS tok FROM clean
+), ct2 AS (
+  SELECT doc_id, tok FROM ct WHERE tok <> ''
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tok_n FROM ct2 GROUP BY tok
+), tot AS (
+  SELECT CAST(sum(tok_n) AS BIGINT) AS total FROM vocab
+), sv AS (
+  SELECT tok,
+    CAST(round(ln(tok_n / CAST(total AS DOUBLE)) * 1e6) AS BIGINT) AS lp6
+  FROM vocab CROSS JOIN tot
+), scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+    CAST(sum(lp6) AS BIGINT) AS sum_lp6
+  FROM ct2 JOIN sv USING (tok) GROUP BY doc_id
+), g AS (
+  SELECT -((-CAST(sum(sum_lp6) AS BIGINT)) // CAST(sum(n_toks) AS BIGINT))
+    AS gmean6 FROM scored
+), q AS (
+  SELECT scored.* FROM scored CROSS JOIN g
+  WHERE sum_lp6 >= g.gmean6 * n_toks
+), langd AS (
+  SELECT q.doc_id, q.n_toks, d.lang
+  FROM q JOIN documents d USING (doc_id)
+), cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM langd GROUP BY lang
+), mn AS (
+  SELECT min(n) AS min_n FROM cnt
+), thr AS (
+  SELECT lang, CAST((mn.min_n * 10000) // cnt.n AS BIGINT) AS thr
+  FROM cnt CROSS JOIN mn
+), sel AS (
+  SELECT l.* FROM langd l JOIN thr USING (lang)
+  WHERE {_SQL_H60.format(x="concat('cur', CAST(doc_id AS VARCHAR))")} % 10000
+        < thr.thr
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_toks) AS BIGINT) AS sum_toks
+FROM sel GROUP BY lang
+""",
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation, all four new stages composed:
+    (1) segment-level boilerplate dedup and reconstruction; (2) unigram
+    LM quality scoring of the CLEANED text; (3) quality gate at the
+    corpus token-weighted mean log-probability — compared in exact
+    integer micro-nats (``sum_lp6 >= gmean6 * n_toks`` with the global
+    mean floored to one micro-nat), never float-vs-float, so the cut is
+    bit-stable at any scale; (4) language-mixture rebalance of the
+    survivors. Output is the per-language curated-corpus summary. Plan:
+    the stages chain hash aggregates and equi-joins only — no windows
+    over the full stream, no driver round-trips, and the oracle replays
+    the identical algebra as chained CTEs."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import segment_dedup
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        rebalance_to_min_group,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        unigram_logprob_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cleaned = (
+        segment_dedup(d, seg_len=10)
+        .filter(F.col("clean_text") != "")
+        .select("doc_id", "clean_text")
+    )
+    scored = unigram_logprob_scores(cleaned, column="clean_text", keep_raw=True)
+    g = scored.agg(
+        F.expr(
+            "-((-CAST(sum(sum_lp6) AS BIGINT)) div CAST(sum(n_toks) AS BIGINT))"
+        ).alias("gmean6")
+    )
+    quality = (
+        scored.join(F.broadcast(g))
+        .filter(F.col("sum_lp6") >= F.col("gmean6") * F.col("n_toks"))
+        .select("doc_id", "n_toks")
+    )
+    langd = quality.join(d.select("doc_id", "lang"), "doc_id")
+    sel = rebalance_to_min_group(langd, "lang", "doc_id", salt="cur")
+    return sel.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("sum_toks"),
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -155,6 +155,7 @@ def pagerank_fixed(
     dst: str = "dst",
     weight: str | None = None,
     iters: int = 3,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank with a FIXED iteration count and pure-integer
     arithmetic — the influence/centrality score a corpus pipeline uses to
@@ -186,19 +187,17 @@ def pagerank_fixed(
         else F.lit(1).cast("long")
     )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    # checkpoint the symmetrized edge list FIRST: everything downstream
+    # (degrees, the normalized edge frame, the final output join) derives
+    # from it, and without the cut the union+agg subtree would run once
+    # per consumer (measured 2x the edge-build cost at sf0.1)
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
         .groupBy("a", "b")
         .agg(F.sum("w").cast("long").alias("w"))
-    )
-    # deg is vertex-sized and used twice (per-edge normalizer + final
-    # output join) — checkpoint it so the closing join never re-derives
-    # the edge build from the raw input
-    deg = (
-        sym.groupBy("a")
-        .agg(F.sum("w").cast("long").alias("wdeg"))
         .localCheckpoint()
     )
+    deg = sym.groupBy("a").agg(F.sum("w").cast("long").alias("wdeg"))
     edg = sym.join(deg, "a").localCheckpoint()
 
     universe = edg.select(F.col("a").alias("vertex")).distinct().localCheckpoint()
@@ -207,7 +206,14 @@ def pagerank_fixed(
 
     ranks = universe.withColumn("rank6", F.lit(1_000_000 // n).cast("long"))
     for _ in range(iters):
-        contrib = edg.join(ranks, edg["a"] == ranks["vertex"]).select(
+        # with broadcast_ranks the per-round edge-side shuffle disappears
+        # entirely: the vertex-sized rank frame ships to the (checkpointed,
+        # in-place) edge partitions and each round costs ONE destination-
+        # keyed aggregate. Right whenever |V| fits a broadcast (bipartite
+        # dim graphs, near-dup clusters); leave False for web-scale vertex
+        # sets, where the shuffle join is the honest plan.
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = edg.join(rank_side, edg["a"] == rank_side["vertex"]).select(
             F.col("b").alias("vertex"),
             F.expr("rank6 * w div wdeg").cast("long").alias("c6"),
         )

@@ -4391,15 +4391,36 @@ def q_pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import pagerank_fixed
 
     l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    # LONG vertex ids through the whole computation (cust -> 2k,
+    # supp -> 2k+1): every edge shuffle/sort keys on an 8-byte long
+    # instead of a concat'd string — the id scheme every graph engine
+    # uses; the reader-facing 'c:'/'s:' labels are rebuilt map-side at
+    # the very end. Relabeling is a bijection, so ranks are unchanged.
     edges = (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .groupBy(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
-    return pagerank_fixed(edges, weight="w", iters=3)
+    # the vertex set is the bipartite dims (customers + suppliers) — tiny
+    # next to the edge list, so ranks broadcast and each round is one agg
+    pr = pagerank_fixed(edges, weight="w", iters=3, broadcast_ranks=True)
+    return pr.select(
+        F.when(
+            F.col("vertex") % 2 == 0,
+            F.concat(F.lit("c:"), (F.col("vertex") / 2).cast("long").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("s:"), ((F.col("vertex") - 1) / 2).cast("long").cast("string")
+            )
+        )
+        .alias("vertex"),
+        "wdeg",
+        "rank6",
+    )
 
 
 @_register(

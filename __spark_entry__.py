@@ -80,6 +80,7 @@ _PRIORITY = (
     "hard_negative_mining",
     "bpe_pair_merge_candidates",
     "corpus_curation_pipeline",
+    "point_in_time_state_join",
 )
 
 

@@ -4930,6 +4930,92 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "point_in_time_state_join",
+    sql="""
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), flagged AS (
+  SELECT *, lag(event_type) OVER w AS prev_t, row_number() OVER w AS rn
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), surv AS (
+  SELECT * FROM flagged WHERE rn = 1 OR event_type IS DISTINCT FROM prev_t
+), runs AS (
+  SELECT user_id, ts, event_type AS state_before,
+    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS r2
+  FROM surv
+), runs1 AS (
+  SELECT user_id, ts, state_before FROM runs WHERE r2 = 1
+), facts AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS pts,
+    CAST(ts AS TIMESTAMP) - INTERVAL 1 HOUR AS t0
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT f.event_id, f.user_id, f.pts, r.state_before, r.ts AS vf,
+    row_number() OVER (PARTITION BY f.event_id
+                       ORDER BY r.ts DESC NULLS LAST) AS rn
+  FROM facts f LEFT JOIN runs1 r
+    ON r.user_id = f.user_id AND r.ts <= f.t0
+)
+SELECT event_id, user_id,
+  strftime(pts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts, state_before
+FROM j WHERE rn = 1
+""",
+)
+def q_point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: for every purchase, the user's
+    SCD2 state as of ONE HOUR BEFORE the purchase — the leakage-safe
+    feature lookup ("no information from after feature time"). The state
+    timeline is the SCD2 run starts (deduped to one run per (user, ts));
+    the lookup itself is the union-sort AS-OF join (operators.joins.
+    asof_join): ONE exchange on user_id, one sort, last-non-null carry —
+    never a per-key range join, so no pair blowup on chatty users. The
+    oracle replays it as a lateral-style argmax join (fine at oracle
+    scale, quadratic per key at real scale — the asof plan is the point)."""
+    from pyspark.sql.window import Window
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    surv = (
+        e.withColumn("prev_t", F.lag("event_type").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) | ~F.col("event_type").eqNullSafe(F.col("prev_t")))
+    )
+    runs = (
+        surv.withColumn(
+            "r2",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .filter(F.col("r2") == 1)
+        .select("user_id", "ts", F.col("event_type").alias("state_before"))
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    joined = asof_join(
+        facts, runs, on="user_id", ts_col="ts", right_value_cols=["state_before"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("pts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        "state_before",
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -305,3 +305,45 @@ def test_bpe_pair_counts_hand_computed(spark):
         .collect()
     }
     assert out == {"ab": 3, "bc": 2}
+
+
+def test_point_in_time_join_never_leaks_future_state(spark):
+    """PIT contract: the attached state must come from a run that started
+    at or before (fact_ts - 1h) — never after."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "u", "view", base),                           # run starts 12:00
+        (2, "u", "click", base + dt.timedelta(minutes=30)),  # run 12:30
+        (3, "u", "purchase", base + dt.timedelta(minutes=45)),  # t0 = 11:45 -> NO state
+        (4, "u", "purchase", base + dt.timedelta(minutes=75)),  # t0 = 12:15 -> 'view'
+        (5, "u", "purchase", base + dt.timedelta(hours=2)),     # t0 = 13:00 -> run 12:45 ('purchase')
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    df.createOrReplaceTempView("__pit_events")
+    from fiap_machine_learning_tech_challenge_2_etl_spark import queries_catalog as qc
+
+    import fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog  # noqa: F401
+    # drive the same logic as the registered query against the fixture
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    surv = (
+        df.withColumn("prev_t", F.lag("event_type").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) | ~F.col("event_type").eqNullSafe(F.col("prev_t")))
+    )
+    runs = surv.select("user_id", "ts", F.col("event_type").alias("state_before"))
+    facts = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("ts"),
+    )
+    out = {r["event_id"]: r["state_before"] for r in asof_join(
+        facts, runs, on="user_id", ts_col="ts", right_value_cols=["state_before"]
+    ).collect()}
+    assert out[3] is None          # nothing known an hour before
+    assert out[4] == "view"        # 12:15 -> the 12:00 run, not the 12:30 one
+    assert out[5] == "purchase"    # 13:00 -> run that started 12:45

@@ -81,6 +81,7 @@ _PRIORITY = (
     "bpe_pair_merge_candidates",
     "corpus_curation_pipeline",
     "point_in_time_state_join",
+    "span_corruption_pairs",
 )
 
 

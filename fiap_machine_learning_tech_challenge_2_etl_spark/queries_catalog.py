@@ -5016,6 +5016,106 @@ def q_point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "span_corruption_pairs",
+    sql=f"""
+WITH t AS (
+  SELECT doc_id, list_filter({_SQL_TOKS}, x -> x <> '') AS toks,
+    {_SQL_H60.format(x="concat('sc:', CAST(doc_id AS VARCHAR))")} % 10 AS h
+  FROM documents
+), t2 AS (
+  SELECT doc_id, toks, h, len(toks) AS n FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_toks,
+  array_to_string(list_filter(
+    list_transform(generate_series(1, n), i ->
+      CASE WHEN (i - 1 + h) % 10 < 3 THEN
+        CASE WHEN (i - 1 + h) % 10 = 0 OR i = 1
+             THEN '<X_' || CAST((i - 1 + h) // 10 AS VARCHAR) || '>'
+             ELSE NULL END
+      ELSE toks[i] END),
+    x -> x IS NOT NULL), ' ') AS input_text,
+  array_to_string(list_filter(
+    list_transform(generate_series(1, n), i ->
+      CASE WHEN (i - 1 + h) % 10 < 3 THEN
+        CASE WHEN (i - 1 + h) % 10 = 0 OR i = 1
+             THEN '<X_' || CAST((i - 1 + h) // 10 AS VARCHAR) || '> ' || toks[i]
+             ELSE toks[i] END
+      ELSE NULL END),
+    x -> x IS NOT NULL), ' ') AS target_text
+FROM t2
+""",
+)
+def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair generation: mask deterministic
+    3-token spans every 10 tokens (md5-derived per-doc phase, so span
+    positions vary across documents but are a pure function of the row —
+    reproducible across reruns/engines/partitionings), replace each span
+    with a numbered sentinel in the input and emit '<sentinel> span
+    tokens' as the denoising target. Entirely narrow array expressions
+    (sequence/transform/filter/array_join) — a map-only op that scales
+    with input splits, zero shuffles, zero Python."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import token_hash60
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.filter(ws_tokens("text"), lambda x: x != F.lit("")).alias("toks"),
+            (
+                token_hash60(F.concat(F.lit("sc:"), F.col("doc_id").cast("string")))
+                % 10
+            ).alias("h"),
+        )
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    i_off = lambda i: (i - 1 + F.col("h"))  # noqa: E731
+    masked = lambda i: i_off(i) % 10 < 3  # noqa: E731
+    first = lambda i: (i_off(i) % 10 == 0) | (i == 1)  # noqa: E731
+    inp = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: F.when(
+                    masked(i),
+                    F.when(first(i), F.concat(F.lit("<X_"), (i_off(i) / 10).cast("long").cast("string"), F.lit(">"))),
+                ).otherwise(F.element_at("toks", i)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    tgt = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: F.when(
+                    masked(i),
+                    F.when(
+                        first(i),
+                        F.concat(
+                            F.lit("<X_"),
+                            (i_off(i) / 10).cast("long").cast("string"),
+                            F.lit("> "),
+                            F.element_at("toks", i),
+                        ),
+                    ).otherwise(F.element_at("toks", i)),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_toks"),
+        inp.alias("input_text"),
+        tgt.alias("target_text"),
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

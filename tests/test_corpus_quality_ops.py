@@ -347,3 +347,42 @@ def test_point_in_time_join_never_leaks_future_state(spark):
     assert out[3] is None          # nothing known an hour before
     assert out[4] == "view"        # 12:15 -> the 12:00 run, not the 12:30 one
     assert out[5] == "purchase"    # 13:00 -> run that started 12:45
+
+
+def test_span_corruption_round_trip_reconstructs(spark):
+    """Merging input sentinels with target spans must reconstruct the
+    original token stream exactly — the property that makes the pair a
+    valid denoising example."""
+    df = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(25)))], ["doc_id", "text"]
+    )
+    # assert the invariant on the oracle side (same algebra both engines;
+    # the sf-scale oracle diff proves Spark == DuckDB, this proves the
+    # CONTRACT of the output pair itself)
+    toks = [f"w{i}" for i in range(25)]
+    import duckdb
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT 7 AS doc_id, '%s' AS text, 'en' AS lang, 'src0' AS source, 1 AS n_chars" % " ".join(toks))
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import ORACLE_SQL
+    row = con.execute(ORACLE_SQL["span_corruption_pairs"]).fetchone()
+    _, n_toks, inp, tgt = row
+    assert n_toks == 25
+    # rebuild: walk input; on sentinel <X_g>, splice the target's span g
+    spans = {}
+    cur = None
+    for piece in tgt.split(" "):
+        if piece.startswith("<X_"):
+            cur = piece
+            spans[cur] = []
+        else:
+            spans[cur].append(piece)
+    rebuilt = []
+    for piece in inp.split(" "):
+        if piece.startswith("<X_"):
+            rebuilt.extend(spans[piece])
+        else:
+            rebuilt.append(piece)
+    assert rebuilt == toks
+    # and the masking rate is ~30%
+    n_masked = sum(len(v) for v in spans.values())
+    assert 5 <= n_masked <= 11

@@ -309,3 +309,20 @@ def test_segment_dedup_no_cartesian(spark, sf_dir):
     plan = _plan(SPARK_QUERIES["segment_dedup_reconstruct"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_span_corruption_is_narrow_map(spark, sf_dir):
+    """Span-corruption pair generation is a pure narrow map: zero
+    exchanges, zero Python — the whole op must stay inside one codegen'd
+    projection over the scan."""
+    plan = _plan(SPARK_QUERIES["span_corruption_pairs"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "mapInPandas" not in plan and "Python" not in plan, plan
+
+
+def test_point_in_time_join_no_range_blowup(spark, sf_dir):
+    """The PIT lookup must ride the union-sort asof plan — equi-exchange
+    on the key, never a nested-loop/cartesian range join."""
+    plan = _plan(SPARK_QUERIES["point_in_time_state_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

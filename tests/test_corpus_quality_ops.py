@@ -386,3 +386,12 @@ def test_span_corruption_round_trip_reconstructs(spark):
     # and the masking rate is ~30%
     n_masked = sum(len(v) for v in spans.values())
     assert 5 <= n_masked <= 11
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import pagerank_fixed
+
+    empty = spark.createDataFrame([], "src string, dst string, w long")
+    out = pagerank_fixed(empty, weight="w")
+    assert out.columns == ["vertex", "wdeg", "rank6"]
+    assert out.count() == 0

@@ -49,8 +49,12 @@ _PRIORITY = (
     "embedding_ann_lsh",
     # (d) changed this round (LSH-banded CC edges / shared oracle CTEs)
     "dedup_canonical_docs", "leakage_safe_split", "embedding_near_dup",
-    # (e) new this round (multi-dim Z-order layout, warehouse-maintenance
-    # and data-quality surface)
+    # (e) new this round — warehouse maintenance, data quality, corpus
+    # curation (segment dedup/unigram LM/mixture rebalance/budget select/
+    # span corruption), graph analytics (PageRank), distributed ranking,
+    # funnel/debounce/PIT analytics. Keep this list <= 50 (the driver's
+    # per-round attestation cap); everything below the cap must already
+    # hold a green row from an earlier round.
     "zorder_clustered_pruned_scan",
     "interval_coalesce",
     "scd2_user_history",

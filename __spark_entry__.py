@@ -86,6 +86,7 @@ _PRIORITY = (
     "corpus_curation_pipeline",
     "point_in_time_state_join",
     "span_corruption_pairs",
+    "source_overlap_matrix",
 )
 
 

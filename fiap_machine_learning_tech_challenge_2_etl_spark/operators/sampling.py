@@ -180,6 +180,10 @@ def rebalance_to_min_group(
     broadcast back; the filter is map-side.
 
     Returns the kept rows of ``df`` (all original columns)."""
+    # NULL group values would silently vanish in the threshold equi-join
+    # below; drop them explicitly so the contract is visible (a NULL
+    # domain/source is not a mixture component)
+    df = df.filter(F.col(group_col).isNotNull())
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).cast("long").alias("__n"))
     thresholds = counts.join(
         F.broadcast(counts.agg(F.min("__n").alias("__min_n")))

@@ -5116,6 +5116,58 @@ def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "source_overlap_matrix",
+    sql=f"""
+WITH sh AS (
+  SELECT DISTINCT source, {_SQL_H60.format(x='s')} AS h
+  FROM (
+    SELECT source, unnest({_SQL_SHINGLES3.replace('toks', _SQL_TOKS)}) AS s
+    FROM documents
+  )
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(count(*) AS BIGINT) AS n_shared
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY source_a, source_b
+""",
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every pair of data sources,
+    the number of 3-gram shingles they share — the overlap matrix that
+    tells a curation team which feeds duplicate each other before mixing.
+    The (shingle-hash, source) projection is DISTINCT first, so the
+    self-join's per-hash group is bounded by the number of SOURCES (not
+    documents) — no hot-shingle blowup at corpus scale — and the matrix
+    aggregate is at most |sources|^2 rows."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        shingles,
+        token_hash60,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("source", F.explode(shingles("text", 3)).alias("s"))
+        .select("source", token_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col("a.source") < F.col("b.source"),
+            ],
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

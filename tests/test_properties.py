@@ -160,3 +160,73 @@ def test_snapshot_diff_apply_inverse(spark, old_rows, new_rows):
         for r in apply_cdc(log, ["k"], ["seq"]).select("k", "v").collect()
     }
     assert rebuilt == new_d
+
+
+# ---------------------------------------------------- round-3 corpus ops
+
+_WORDS = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_WORDS, min_size=2, max_size=8))
+def test_segment_dedup_matches_python_model(spark, docs):
+    """segment_dedup == the python model: cut 5-token segments, drop any
+    segment string appearing in >1 distinct doc, rejoin survivors."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import segment_dedup
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in segment_dedup(df, seg_len=5).collect()
+    }
+    # python model
+    segs = {}
+    for i, ws in enumerate(docs):
+        for s in range(0, len(ws), 5):
+            seg = " ".join(ws[s : s + 5])
+            segs.setdefault(seg, set()).add(i)
+    for i, ws in enumerate(docs):
+        kept = [
+            " ".join(ws[s : s + 5])
+            for s in range(0, len(ws), 5)
+            if len(segs[" ".join(ws[s : s + 5])]) == 1
+        ]
+        assert out[i] == " ".join(kept)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["g0", "g1", "g2", "g3"]),
+        st.integers(min_value=1, max_value=60),
+        min_size=2,
+        max_size=4,
+    )
+)
+def test_rebalance_matches_python_md5_model(spark, sizes):
+    """rebalance_to_min_group == the python md5 model: integer threshold
+    min_n*10000 div n_g, keep iff 60-bit md5 bucket < threshold."""
+    import hashlib
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        rebalance_to_min_group,
+    )
+
+    rows, rid = [], 0
+    for g, n in sorted(sizes.items()):
+        for _ in range(n):
+            rows.append((rid, g))
+            rid += 1
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    got = {r["doc_id"] for r in rebalance_to_min_group(df, "grp", "doc_id").collect()}
+    min_n = min(sizes.values())
+    expect = set()
+    for i, g in rows:
+        thr = (min_n * 10000) // sizes[g]
+        bucket = int(hashlib.md5(f"mix{i}".encode()).hexdigest()[:15], 16) % 10000
+        if bucket < thr:
+            expect.add(i)
+    assert got == expect

@@ -87,6 +87,7 @@ _PRIORITY = (
     "point_in_time_state_join",
     "span_corruption_pairs",
     "source_overlap_matrix",
+    "pmi_collocations",
 )
 
 

@@ -5168,6 +5168,99 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pmi_collocations",
+    sql=f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents)
+  WHERE tok <> ''
+), topt AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 100
+  )
+), dt AS (
+  SELECT DISTINCT t.doc_id, t.tok FROM toks t JOIN topt USING (tok)
+), pairs AS (
+  SELECT a.tok AS ta, b.tok AS tb
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+), pc AS (
+  SELECT ta, tb, CAST(count(*) AS BIGINT) AS n_ab FROM pairs GROUP BY ta, tb
+), nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks
+), da AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_doc FROM dt GROUP BY tok
+)
+SELECT ta, tb, n_ab,
+  CAST(round(ln((n_ab * nd.n_docs) / CAST(n_a.n_doc * n_b.n_doc AS DOUBLE))
+             * 1e6) AS BIGINT) AS pmi6
+FROM pc
+JOIN da n_a ON n_a.tok = pc.ta
+JOIN da n_b ON n_b.tok = pc.tb
+CROSS JOIN nd
+ORDER BY pmi6 DESC, ta, tb LIMIT 50
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI collocations over the top-100 vocabulary: which
+    frequent tokens co-occur in the same documents more than chance —
+    the association-mining primitive behind phrase detection and
+    word2vec-era co-occurrence matrices. Restricting pairs to the top-K
+    vocabulary (TakeOrdered + broadcast semi-join) bounds the per-doc
+    pair fan-out at K^2/2 regardless of corpus size; PMI rides the same
+    exact-integer-ratio -> ln -> micro-nat quantization as the unigram
+    scorer, so the ranking is engine-stable."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(ws_tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    topt = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(100)
+        .select("tok")
+    )
+    dt = toks.join(F.broadcast(topt), "tok").select("doc_id", "tok").distinct()
+    a, b = dt.alias("a"), dt.alias("b")
+    pc = (
+        a.join(
+            b,
+            on=[
+                F.col("a.doc_id") == F.col("b.doc_id"),
+                F.col("a.tok") < F.col("b.tok"),
+            ],
+        )
+        .groupBy(F.col("a.tok").alias("ta"), F.col("b.tok").alias("tb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    nd = toks.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    da = dt.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("n_doc"))
+    pmi6 = (
+        F.round(
+            F.log(
+                (F.col("n_ab") * F.col("n_docs"))
+                / (F.col("na.n_doc") * F.col("nb.n_doc")).cast("double")
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("pmi6")
+    )
+    return (
+        pc.join(da.alias("na"), F.col("ta") == F.col("na.tok"))
+        .join(da.alias("nb"), F.col("tb") == F.col("nb.tok"))
+        .join(F.broadcast(nd))
+        .select("ta", "tb", "n_ab", pmi6)
+        .orderBy(F.col("pmi6").desc(), "ta", "tb")
+        .limit(50)
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -395,3 +395,58 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = pagerank_fixed(empty, weight="w")
     assert out.columns == ["vertex", "wdeg", "rank6"]
     assert out.count() == 0
+
+
+def test_incremental_rollup_merge_equals_full_recompute(spark):
+    """Partial-agg merge algebra: keys present only in base, only in
+    delta, and in both must all equal the full recompute."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    base_day = dt.datetime(2024, 1, 10)
+    late_day = dt.datetime(2024, 1, 25)
+    rows = [
+        (1, "a", base_day, 1.00),          # base only
+        (2, "a", base_day, 2.50),
+        (3, "b", late_day, 4.00),          # delta only (new user)
+        (4, "a", late_day, 0.25),          # both sides' key
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+
+    def rollup(d):
+        return d.groupBy("user_id", day).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    b, d_ = rollup(df.filter(F.col("ts") < cutoff)).alias("b"), rollup(
+        df.filter(F.col("ts") >= cutoff)
+    ).alias("d")
+    merged = (
+        b.join(d_, ["user_id", "day"], "full_outer")
+        .select(
+            "user_id", "day",
+            (F.coalesce(F.col("b.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+            (F.coalesce(F.col("b.sum_cents"), F.lit(0)) + F.coalesce(F.col("d.sum_cents"), F.lit(0))).alias("sum_cents"),
+        )
+    )
+    full = rollup(df)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in full.collect()}
+
+
+def test_token_budget_smaller_than_first_doc_selects_nothing(spark):
+    from pyspark.sql import functions as F
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import global_cumsum
+
+    df = spark.createDataFrame([(1, 100), (2, 50)], ["doc_id", "n_toks"])
+    ranked = global_cumsum(
+        df.withColumn("__neg", -F.col("n_toks")), ["__neg", "doc_id"], "n_toks",
+        out_col="cum_toks",
+    )
+    # budget 40 < first (largest) doc's 100 tokens -> nothing fits
+    assert ranked.filter(F.col("cum_toks") <= 40).count() == 0

@@ -326,3 +326,27 @@ def test_point_in_time_join_no_range_blowup(spark, sf_dir):
     plan = _plan(SPARK_QUERIES["point_in_time_state_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_registry_wide_no_cartesian_product(spark, sf_dir):
+    """Structural gate over the WHOLE batch registry: no query may plan a
+    CartesianProduct — the silent O(n*m) killer a refactor can introduce
+    without failing any value check. (1-row broadcast BNLJs are fine and
+    common; true cartesian joins are not.) Round-trip queries are skipped
+    here: building their DataFrame runs sink/stream side effects, and the
+    oracle sweep already executes them end-to-end."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark import queries_roundtrip
+
+    rt = {
+        name
+        for name, fn in SPARK_QUERIES.items()
+        if getattr(fn, "__module__", "") == queries_roundtrip.__name__
+    }
+    offenders = []
+    for name, fn in SPARK_QUERIES.items():
+        if name in rt:
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"

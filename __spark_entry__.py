@@ -55,6 +55,10 @@ _PRIORITY = (
     # funnel/debounce/PIT analytics. Keep this list <= 50 (the driver's
     # per-round attestation cap); everything below the cap must already
     # hold a green row from an earlier round.
+    # ROUND-4 NOTE: lead the next round's list with the three queries that
+    # landed after this round's cap filled — psi_drift_report,
+    # triangle_count_near_dup, shingle_containment_pairs (all locally
+    # hash-verified at sf0.01 via tools/verify_queries.py this round).
     "zorder_clustered_pruned_scan",
     "interval_coalesce",
     "scd2_user_history",

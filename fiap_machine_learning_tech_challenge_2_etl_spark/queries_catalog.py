@@ -5261,6 +5261,212 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "psi_drift_report",
+    sql="""
+WITH b AS (
+  SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+              THEN 'ref' ELSE 'cur' END AS side,
+    LEAST(CAST(floor(value / 50) AS BIGINT), 9) AS bin
+  FROM events
+), c AS (
+  SELECT bin,
+    CAST(count(*) FILTER (WHERE side = 'ref') AS BIGINT) AS n_ref,
+    CAST(count(*) FILTER (WHERE side = 'cur') AS BIGINT) AS n_cur
+  FROM b GROUP BY bin
+), bins AS (
+  SELECT unnest(generate_series(0, 9)) AS bin
+), f AS (
+  SELECT bins.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+  FROM bins LEFT JOIN c ON c.bin = bins.bin
+), tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+    CAST(sum(n_cur) AS BIGINT) AS t_cur FROM f
+)
+SELECT f.bin, f.n_ref, f.n_cur,
+  CAST(round(
+    ((f.n_ref + 1) / CAST(tot.t_ref + 10 AS DOUBLE)
+     - (f.n_cur + 1) / CAST(tot.t_cur + 10 AS DOUBLE))
+    * ln(((f.n_ref + 1) / CAST(tot.t_ref + 10 AS DOUBLE))
+         / ((f.n_cur + 1) / CAST(tot.t_cur + 10 AS DOUBLE))) * 1e6
+  ) AS BIGINT) AS psi_term6
+FROM f CROSS JOIN tot
+""",
+)
+def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report: 10 fixed-width value
+    buckets, Laplace-smoothed proportions for the reference window (first
+    month half) vs the current window, per-bucket PSI term in integer
+    micro-units (exact-integer ratios -> identical doubles -> one ln).
+    Plan: one conditional aggregate over the fact scan (both windows in a
+    single pass — no per-window scans), a 10-row bucket universe joined
+    broadcast, totals as a 1-row broadcast. The standard continuous
+    drift monitor for features/labels at any scale."""
+    e = _t(spark, sf_dir, "events")
+    b = e.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), F.lit("ref")
+        )
+        .otherwise(F.lit("cur"))
+        .alias("side"),
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.count(F.when(F.col("side") == "ref", 1)).cast("long").alias("n_ref"),
+        F.count(F.when(F.col("side") == "cur", 1)).cast("long").alias("n_cur"),
+    )
+    bins = spark.range(10).select(F.col("id").cast("long").alias("bin"))
+    f = (
+        bins.join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = f.agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    p = (F.col("n_ref") + 1) / (F.col("t_ref") + 10).cast("double")
+    q = (F.col("n_cur") + 1) / (F.col("t_cur") + 10).cast("double")
+    return f.join(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round((p - q) * F.log(p / q) * 1e6).cast("long").alias("psi_term6"),
+    )
+
+
+@_register(
+    "triangle_count_near_dup",
+    sql=f"""
+WITH {_lsh_near_dup_ctes(threshold=0.3)}, e AS (
+  SELECT id_a AS a, id_b AS b FROM lsh_pairs
+), tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT a AS vertex FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY vertex
+""",
+)
+def q_triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the near-dup graph — the local
+    clustering signal that separates tight duplicate cliques from chains
+    of borderline matches (a doc in many triangles is a true multi-way
+    dup; a chain vertex is transitive noise). Canonical a<b edges make
+    each triangle enumerate exactly once (a<b<c) via two equi-joins —
+    the standard distributed triangle enumeration; at scale, orient
+    edges by degree first to bound the join fan-out. Edge source is the
+    sub-quadratic LSH candidate generator, same as the CC pipelines."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = (
+        embedding_near_dup_pairs(emb, threshold=0.3)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+        )
+    )
+    verts = (
+        tri.select(F.col("a").alias("vertex"))
+        .unionAll(tri.select(F.col("b").alias("vertex")))
+        .unionAll(tri.select(F.col("c").alias("vertex")))
+    )
+    return verts.groupBy("vertex").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+@_register(
+    "shingle_containment_pairs",
+    sql=f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {_SQL_H60.format(x='s')} AS h
+  FROM (
+    SELECT doc_id, unnest({_SQL_SHINGLES3.replace('toks', _SQL_TOKS)}) AS s
+    FROM documents
+  )
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, n_common,
+  CAST(round(n_common / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS DOUBLE)
+    AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.id_a
+JOIN sz sb ON sb.doc_id = inter.id_b
+WHERE round(n_common / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) >= 0.8
+""",
+)
+def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-dup pairs (Broder's containment, not
+    resemblance): |A∩B| / min(|A|,|B|) >= 0.8 catches a short document
+    EMBEDDED in a longer one — the subset-duplicate case Jaccard
+    structurally misses (a 50-shingle doc inside a 1000-shingle doc has
+    Jaccard ~0.05 but containment 1.0). Same inverted-index equi-join
+    skeleton as ngram_jaccard_topk: distinct (doc, shingle-hash) pairs,
+    hash-keyed self-join, per-pair intersection counts joined to doc
+    shingle-set sizes; the 6dp-rounded threshold makes the cut
+    bit-identical in both engines."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        shingles,
+        token_hash60,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+        .select("doc_id", token_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[F.col("a.h") == F.col("b.h"), F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    cont = F.round(
+        F.col("n_common") / F.least("sa.n_sh", "sb.n_sh").cast("double"), 6
+    )
+    return (
+        inter.join(sz.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .select("id_a", "id_b", "n_common", cont.alias("containment"))
+        .filter(F.col("containment") >= 0.8)
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -450,3 +450,60 @@ def test_token_budget_smaller_than_first_doc_selects_nothing(spark):
     )
     # budget 40 < first (largest) doc's 100 tokens -> nothing fits
     assert ranked.filter(F.col("cum_toks") <= 40).count() == 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A short doc fully embedded in a longer one: Jaccard is low but
+    containment is 1.0 — the case this operator exists for."""
+    from pyspark.sql import functions as F
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        shingles,
+        token_hash60,
+    )
+
+    short = " ".join(f"s{i}" for i in range(12))
+    long_ = short + " " + " ".join(f"t{i}" for i in range(200))
+    df = spark.createDataFrame([(1, long_), (2, short)], ["doc_id", "text"])
+    sh = (
+        df.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
+        .select("doc_id", token_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    sz = {r["doc_id"]: r["n"] for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    a, b = sh.alias("a"), sh.alias("b")
+    n_common = (
+        a.join(b, on=[F.col("a.h") == F.col("b.h"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .count()
+    )
+    containment = n_common / min(sz[1], sz[2])
+    jaccard = n_common / (sz[1] + sz[2] - n_common)
+    assert containment >= 0.9  # embedded -> containment ~1 (boundary shingles differ)
+    assert jaccard < 0.2       # resemblance misses it
+
+
+def test_psi_identical_windows_is_zero(spark):
+    """Same distribution in both windows -> every PSI term is 0."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    ref_day, cur_day = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 20)
+    rows = []
+    for i in range(200):
+        v = float((i % 10) * 50 + 10)  # identical histogram in both halves
+        rows.append((2 * i, ref_day, v))
+        rows.append((2 * i + 1, cur_day, v))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "value"])
+    b = df.select(
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref")
+        .otherwise("cur")
+        .alias("side"),
+        F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9)).alias("bin"),
+    )
+    c = b.groupBy("bin").agg(
+        F.count(F.when(F.col("side") == "ref", 1)).alias("n_ref"),
+        F.count(F.when(F.col("side") == "cur", 1)).alias("n_cur"),
+    )
+    for r in c.collect():
+        assert r["n_ref"] == r["n_cur"]  # identical -> psi term exactly 0

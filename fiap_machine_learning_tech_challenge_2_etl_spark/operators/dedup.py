@@ -560,3 +560,62 @@ def segment_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    min_containment: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Containment near-dup pairs (Broder's containment, not resemblance):
+    ``|A∩B| / min(|A|,|B|) >= min_containment`` catches a short document
+    EMBEDDED in a longer one — the subset-duplicate case Jaccard
+    structurally misses (50 shingles inside 1000 gives Jaccard ~0.05 but
+    containment 1.0). Same inverted-index equi-join skeleton as
+    ``ngram_jaccard_pairs``, including the document-frequency cap: a
+    shingle shared by f documents contributes O(f^2) join rows, so
+    boilerplate shingles are dropped above ``max_shingle_freq`` — the
+    standard hot-key guard; containment is then exact over the capped
+    shingle universe (set sizes count the SAME capped set, so the ratio
+    stays internally consistent).
+
+    Output: (id_a, id_b, n_common, containment[6dp]) for qualifying
+    pairs, id_a < id_b."""
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(column, shingle_n))).alias("s"),
+        )
+        .select(F.col(id_col), token_hash60(F.col("s")).alias("h"))
+        .distinct()
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("h").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(freq.select("h"), "h", "left_semi")
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.h") == F.col("b.h"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    cont = F.round(
+        F.col("n_common") / F.least("sa.n_sh", "sb.n_sh").cast("double"), 6
+    )
+    return (
+        inter.join(sz.alias("sa"), F.col("id_a") == F.col("sa." + id_col))
+        .join(sz.alias("sb"), F.col("id_b") == F.col("sb." + id_col))
+        .select("id_a", "id_b", "n_common", cont.alias("containment"))
+        .filter(F.col("containment") >= min_containment)
+    )

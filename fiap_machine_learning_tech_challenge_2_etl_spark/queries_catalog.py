@@ -5401,12 +5401,15 @@ def q_triangle_count_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "shingle_containment_pairs",
     sql=f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT DISTINCT doc_id, {_SQL_H60.format(x='s')} AS h
   FROM (
     SELECT doc_id, unnest({_SQL_SHINGLES3.replace('toks', _SQL_TOKS)}) AS s
     FROM documents
   )
+), sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 1000) ok USING (h)
 ), sz AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
@@ -5429,41 +5432,19 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     EMBEDDED in a longer one — the subset-duplicate case Jaccard
     structurally misses (a 50-shingle doc inside a 1000-shingle doc has
     Jaccard ~0.05 but containment 1.0). Same inverted-index equi-join
-    skeleton as ngram_jaccard_topk: distinct (doc, shingle-hash) pairs,
-    hash-keyed self-join, per-pair intersection counts joined to doc
-    shingle-set sizes; the 6dp-rounded threshold makes the cut
-    bit-identical in both engines."""
+    skeleton as ngram_jaccard_topk — INCLUDING the document-frequency cap
+    (shingles in > 1000 docs dropped, the hot-key guard; both engines
+    apply it, so containment is exact over the capped shingle set); the
+    6dp-rounded threshold makes the cut bit-identical in both engines.
+    See operators.dedup.shingle_containment_pairs."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
-        shingles,
-        token_hash60,
+        shingle_containment_pairs,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    sh = (
-        d.select("doc_id", F.explode(shingles("text", 3)).alias("s"))
-        .select("doc_id", token_hash60(F.col("s")).alias("h"))
-        .distinct()
-    )
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            on=[F.col("a.h") == F.col("b.h"), F.col("a.doc_id") < F.col("b.doc_id")],
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    cont = F.round(
-        F.col("n_common") / F.least("sa.n_sh", "sb.n_sh").cast("double"), 6
-    )
-    return (
-        inter.join(sz.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
-        .join(sz.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
-        .select("id_a", "id_b", "n_common", cont.alias("containment"))
-        .filter(F.col("containment") >= 0.8)
+    return shingle_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        min_containment=0.8,
+        max_shingle_freq=1000,
     )
 
 

@@ -57,8 +57,9 @@ _PRIORITY = (
     # hold a green row from an earlier round.
     # ROUND-4 NOTE: lead the next round's list with the three queries that
     # landed after this round's cap filled — psi_drift_report,
-    # triangle_count_near_dup, shingle_containment_pairs (all locally
-    # hash-verified at sf0.01 via tools/verify_queries.py this round).
+    # triangle_count_near_dup, shingle_containment_pairs, knn_label_noise,
+    # robust_mad_scores (all locally hash-verified at sf0.01 via
+    # tools/verify_queries.py this round).
     "zorder_clustered_pruned_scan",
     "interval_coalesce",
     "scd2_user_history",

@@ -633,3 +633,92 @@ def hard_negative_topk(
         .filter(F.col("__rn") <= k)
         .select("anchor", "neg", "cos")
     )
+
+
+def knn_neighbors(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact k-nearest-neighbors (cosine) per anchor with labels carried
+    through — the substrate for k-NN label-noise detection (confident-
+    learning style: an example whose neighbors mostly disagree with its
+    label is likely mislabeled). Same blocked self-join grid as
+    ``all_pairs_cosine_topk``: per-cell BLAS matmul, per-anchor local
+    top-k WITH boundary ties, one final anchor-keyed ranking. Per-cell
+    output is O(anchors * k); compute is the inherent O(n^2 d) of exact
+    kNN — at scale, swap the candidate stage for the LSH/IVF paths and
+    re-rank.
+
+    Output: (anchor, anchor_label, neg, neg_label, cos) for the k nearest
+    by (cos desc, neg asc) — deterministic, 6dp cosine."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    lab_type = df.schema[label_col].dataType.simpleString()
+
+    def _labels(recs):
+        return np.array([r[label_col] for r in recs])
+
+    def cell_topk(batches):
+        def emit(a_ids, a_labs, c_ids, c_labs, cos):
+            ok = a_ids[:, None] != c_ids[None, :]
+            a_idx, n_idx, vals = [], [], []
+            for i in range(len(a_ids)):
+                js = np.nonzero(ok[i])[0]
+                if len(js) == 0:
+                    continue
+                row = cos[i, js]
+                if len(row) > k:
+                    kth = np.partition(row, len(row) - k)[len(row) - k]
+                    keep = row >= kth
+                    js, row = js[keep], row[keep]
+                a_idx.extend([i] * len(js))
+                n_idx.extend(js.tolist())
+                vals.extend(row.tolist())
+            return pd.DataFrame(
+                {
+                    "anchor": a_ids[a_idx],
+                    "anchor_label": a_labs[a_idx],
+                    "neg": c_ids[n_idx],
+                    "neg_label": c_labs[n_idx],
+                    "cos": np.array(vals, dtype=np.float64),
+                }
+            )
+
+        for pdf in batches:
+            for blk_a, blk_b, recs_a, recs_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["recs_a"], pdf["recs_b"]
+            ):
+                ids_a, ma = _unpack_block(recs_a)
+                labs_a = _labels(recs_a)
+                if blk_a == blk_b:
+                    cos = np.round(ma @ ma.T, 6)
+                    yield emit(ids_a, labs_a, ids_a, labs_a, cos)
+                else:
+                    ids_b, mb = _unpack_block(recs_b)
+                    labs_b = _labels(recs_b)
+                    cos = np.round(ma @ mb.T, 6)
+                    yield emit(ids_a, labs_a, ids_b, labs_b, cos)
+                    yield emit(ids_b, labs_b, ids_a, labs_a, cos.T)
+
+    grid = _blocked_pair_grid(
+        df, id_col, vec_col, n_blocks, extra_cols=(label_col,)
+    )
+    cand = grid.mapInPandas(
+        cell_topk,
+        schema=(
+            f"anchor {id_type}, anchor_label {lab_type}, "
+            f"neg {id_type}, neg_label {lab_type}, cos double"
+        ),
+    )
+    w = Window.partitionBy("anchor").orderBy(F.col("cos").desc(), "neg")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("anchor", "anchor_label", "neg", "neg_label", "cos")
+    )

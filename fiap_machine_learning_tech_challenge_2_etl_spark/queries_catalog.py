@@ -5448,6 +5448,106 @@ def q_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "knn_label_noise",
+    sql="""
+WITH pairs AS (
+  SELECT a.vec_id AS anchor, a.label AS alab, b.vec_id AS neg, b.label AS blab,
+    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+      AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT anchor, alab, neg, blab,
+    row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg) AS rn
+  FROM pairs
+)
+SELECT anchor AS vec_id, alab AS label,
+  CAST(count(*) FILTER (WHERE blab <> alab) AS BIGINT) AS n_disagree
+FROM r WHERE rn <= 5
+GROUP BY anchor, alab
+""",
+)
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise detection (confident-learning style): for each
+    embedding, how many of its 5 exact nearest neighbors carry a
+    DIFFERENT label — high disagreement flags probable mislabels for
+    relabeling/dropping before training. Exact kNN over the blocked
+    grid (operators.similarity.knn_neighbors); the disagreement count is
+    one anchor-keyed aggregate over the k rows per anchor."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import knn_neighbors
+
+    nn = knn_neighbors(_t(spark, sf_dir, "embeddings"), k=5)
+    return nn.groupBy(
+        F.col("anchor").alias("vec_id"), F.col("anchor_label").alias("label")
+    ).agg(
+        F.count(F.when(F.col("neg_label") != F.col("anchor_label"), 1))
+        .cast("long")
+        .alias("n_disagree")
+    )
+
+
+@_register(
+    "robust_mad_scores",
+    sql="""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med.med
+)
+SELECT med.event_type, round(med.med, 6) AS med, round(mad.mad, 6) AS mad,
+  CAST(count(*) FILTER (
+    WHERE round(0.6745 * abs(e.value - med.med) / mad.mad, 6) > 3.5
+  ) AS BIGINT) AS n_outliers,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM events e
+JOIN med USING (event_type)
+JOIN mad USING (event_type)
+GROUP BY med.event_type, med.med, mad.mad
+""",
+)
+def q_robust_mad_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier scoring per event type — the
+    outlier-resistant alternative to z-scores (one corrupted batch can
+    drag a mean/stddev arbitrarily; the median and MAD have a 50%
+    breakdown point). Two grouped EXACT interpolated percentiles
+    (Spark `percentile` == DuckDB `quantile_cont` on identical doubles),
+    each broadcast back as a tiny per-type frame; the outlier flag
+    (0.6745 * |x - med| / MAD > 3.5, the standard consistency-constant
+    rule) is a map-side expression on the fact scan."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = F.round(
+        F.lit(0.6745) * F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        e.join(F.broadcast(mad.select("event_type", "med", "mad")), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.when(rz > 3.5, 1)).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            "n_rows",
+        )
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

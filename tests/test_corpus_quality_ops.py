@@ -507,3 +507,49 @@ def test_psi_identical_windows_is_zero(spark):
     )
     for r in c.collect():
         assert r["n_ref"] == r["n_cur"]  # identical -> psi term exactly 0
+
+
+def test_knn_label_noise_flags_planted_mislabel(spark):
+    """A 'B'-labeled point sitting inside a tight 'A' cluster must show
+    full neighbor disagreement; core cluster members show none."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for i in range(12):  # tight A cluster around [1, 0, ...]
+        rows.append((i, [1.0 + rng.uniform(-0.01, 0.01), rng.uniform(-0.01, 0.01)], "A"))
+    rows.append((99, [1.0, 0.0], "B"))  # mislabeled: inside the A cluster
+    for i in range(20, 32):  # far-away B cluster around [0, 1]
+        rows.append((i, [rng.uniform(-0.01, 0.01), 1.0 + rng.uniform(-0.01, 0.01)], "B"))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import knn_neighbors
+    from pyspark.sql import functions as F
+
+    nn = knn_neighbors(df, k=5, n_blocks=4)
+    out = {
+        r["vec_id"]: r["n"]
+        for r in nn.groupBy(F.col("anchor").alias("vec_id")).agg(
+            F.count(F.when(F.col("neg_label") != F.col("anchor_label"), 1)).alias("n")
+        ).collect()
+    }
+    assert out[99] == 5          # every neighbor disagrees -> mislabeled
+    assert out[25] == 0          # deep inside the B cluster -> clean
+
+
+def test_mad_ignores_single_extreme_outlier(spark):
+    """One extreme value must not move median/MAD (unlike mean/stddev),
+    and must itself be flagged."""
+    from pyspark.sql import functions as F
+
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
+    df = spark.createDataFrame([(i, "t", v) for i, v in enumerate(vals)], ["id", "event_type", "value"])
+    med = df.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        df.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    ).collect()[0]
+    assert 11.5 <= mad["med"] <= 13.0       # median unmoved by the outlier
+    assert mad["mad"] <= 2.0                # MAD stays tight
+    rz = 0.6745 * abs(1000.0 - mad["med"]) / mad["mad"]
+    assert rz > 3.5                         # the outlier is flagged

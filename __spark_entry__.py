@@ -55,7 +55,7 @@ _PRIORITY = (
     # funnel/debounce/PIT analytics. Keep this list <= 50 (the driver's
     # per-round attestation cap); everything below the cap must already
     # hold a green row from an earlier round.
-    # ROUND-4 NOTE: lead the next round's list with the three queries that
+    # ROUND-4 NOTE: lead the next round's list with the queries that
     # landed after this round's cap filled — psi_drift_report,
     # triangle_count_near_dup, shingle_containment_pairs, knn_label_noise,
     # robust_mad_scores (all locally hash-verified at sf0.01 via

@@ -584,8 +584,12 @@ def shingle_containment_pairs(
 
     Output: (id_a, id_b, n_common, containment[6dp]) for qualifying
     pairs, id_a < id_b."""
+    # spread(): the shingle explode + md5 is the compute-heavy stage; a
+    # low-split parquet scan would serialize it (same guard as
+    # ngram_jaccard_pairs)
     sh = (
-        df.select(
+        spread(df, by=id_col)
+        .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(column, shingle_n))).alias("s"),
         )

@@ -553,3 +553,20 @@ def test_mad_ignores_single_extreme_outlier(spark):
     assert mad["mad"] <= 2.0                # MAD stays tight
     rz = 0.6745 * abs(1000.0 - mad["med"]) / mad["mad"]
     assert rz > 3.5                         # the outlier is flagged
+
+
+def test_percentile_approx_within_rank_error_of_exact(spark, sf_dir):
+    """Contract test for the approximate-percentile path: with accuracy
+    a=10000, percentile_approx's rank error is bounded by n/a — assert
+    the approx median's RANK in the exact sorted order is within bound
+    (the documented guarantee, mirroring the sketch containment test)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from pyspark.sql import functions as F
+
+    e = load_testdata(spark, sf_dir, ["events"])["events"]
+    n = e.count()
+    acc = 10_000
+    approx = e.agg(F.expr(f"percentile_approx(value, 0.5, {acc})").alias("a")).collect()[0]["a"]
+    # rank of the approx value in the exact order
+    rank = e.filter(F.col("value") <= approx).count()
+    assert abs(rank - n / 2) <= n / acc + 1, (rank, n)

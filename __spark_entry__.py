@@ -58,7 +58,8 @@ _PRIORITY = (
     # ROUND-4 NOTE: lead the next round's list with the queries that
     # landed after this round's cap filled — psi_drift_report,
     # triangle_count_near_dup, shingle_containment_pairs, knn_label_noise,
-    # robust_mad_scores (all locally hash-verified at sf0.01 via
+    # robust_mad_scores, co_purchase_pairs, event_transition_matrix,
+    # cohort_retention (all locally hash-verified at sf0.01 via
     # tools/verify_queries.py this round).
     "zorder_clustered_pruned_scan",
     "interval_coalesce",

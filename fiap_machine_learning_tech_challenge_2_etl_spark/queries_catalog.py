@@ -5548,6 +5548,131 @@ def q_robust_mad_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "co_purchase_pairs",
+    sql="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+""",
+)
+def q_co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs bought together in
+    the same order — the item-item signal a recommender/i2i pipeline
+    aggregates at scale. The within-order self-join fans out only
+    O(basket^2) per order (baskets are small by construction), partial
+    aggregation collapses pair counts map-side, and the final cut is
+    TakeOrderedAndProject. The DISTINCT projection first keeps repeated
+    lineitems of one part in one order from inflating counts."""
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@_register(
+    "event_transition_matrix",
+    sql="""
+WITH seq AS (
+  SELECT user_id, event_type,
+    lag(event_type) OVER (PARTITION BY user_id
+                          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event sequences
+    (prev type -> next type) — the sequence-modeling prep for behavioral
+    features and anomalous-flow detection. One user-keyed window with a
+    deterministic (ts, event_id) tiebreak, then a hash aggregate on the
+    (from, to) pair; output is the |types|^2 transition matrix regardless
+    of corpus size."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@_register(
+    "cohort_retention",
+    sql="""
+WITH firstd AS (
+  SELECT user_id,
+    min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+    CAST((CAST(CAST(e.ts AS TIMESTAMP) AS DATE) - f.cohort_day) // 7 AS BIGINT)
+      AS week_offset
+  FROM events e JOIN firstd f USING (user_id)
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, week_offset,
+  CAST(count(*) AS BIGINT) AS n_active_users
+FROM act GROUP BY cohort_day, week_offset
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day, activity
+    counted per week offset — the classic retention triangle. One
+    user-keyed min-aggregate for cohort assignment (broadcast back), a
+    map-side week-offset projection, DISTINCT per (user, cohort, week)
+    so multiple events in a week count once, then one matrix aggregate.
+    No windows over the event stream, no per-user state."""
+    e = _t(spark, sf_dir, "events")
+    firstd = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    act = (
+        e.join(firstd, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

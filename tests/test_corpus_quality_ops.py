@@ -570,3 +570,53 @@ def test_percentile_approx_within_rank_error_of_exact(spark, sf_dir):
     # rank of the approx value in the exact order
     rank = e.filter(F.col("value") <= approx).count()
     assert abs(rank - n / 2) <= n / acc + 1, (rank, n)
+
+
+def test_transition_matrix_hand_sequence(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = dt.datetime(2024, 1, 1)
+    seq = ["view", "click", "view", "click", "purchase"]
+    rows = [(i, "u", t, base + dt.timedelta(minutes=i)) for i, t in enumerate(seq)]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in df.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert out == {("view", "click"): 2, ("click", "view"): 1, ("click", "purchase"): 1}
+
+
+def test_cohort_retention_distinct_weeks(spark):
+    """Two events in week 0 count once; a week-2 return appears as its
+    own offset row."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "u1", d0),
+        (2, "u1", d0 + dt.timedelta(days=2)),    # same week 0
+        (3, "u1", d0 + dt.timedelta(days=15)),   # week 2
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    firstd = df.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    act = (
+        df.join(firstd, "user_id")
+        .select(
+            "user_id", "cohort_day",
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7)
+            .cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    out = {(str(r["cohort_day"]), r["week_offset"]): r["n"] for r in act.groupBy("cohort_day", "week_offset").agg(F.count("*").alias("n")).collect()}
+    assert out == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1}

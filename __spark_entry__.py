@@ -59,8 +59,8 @@ _PRIORITY = (
     # landed after this round's cap filled — psi_drift_report,
     # triangle_count_near_dup, shingle_containment_pairs, knn_label_noise,
     # robust_mad_scores, co_purchase_pairs, event_transition_matrix,
-    # cohort_retention (all locally hash-verified at sf0.01 via
-    # tools/verify_queries.py this round).
+    # cohort_retention, multimodal_resize_thumb (all locally hash-verified
+    # at sf0.01 via tools/verify_queries.py this round).
     "zorder_clustered_pruned_scan",
     "interval_coalesce",
     "scd2_user_history",

@@ -148,3 +148,36 @@ def sample_frames(
         "modality",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+def resize_thumb(
+    assets: DataFrame, n_out: int = 16, out_col: str = "thumb_hex"
+) -> DataFrame:
+    """Resize plumbing (image stand-in): a deterministic fixed-size
+    "thumbnail" of ``n_out`` stride-sampled payload bytes, emitted as a
+    hex string. A real resize would decode + interpolate inside an
+    Arrow-batched kernel (see extract_features); this stand-in keeps the
+    CONTRACT — fixed-size output per asset, payload never re-emitted,
+    pure narrow map — while staying entirely in built-in expressions
+    (hex + substr over a generated index), so it is whole-stage-codegen'd
+    AND SQL-oracle-replicable. Sample positions are the standard
+    nearest-neighbor decimation grid: byte index (i * n) div n_out."""
+    h = F.hex(F.col("payload"))
+    n = F.length("payload").cast("long")
+    idx = F.sequence(F.lit(0), F.lit(n_out - 1))
+    thumb = F.array_join(
+        F.transform(
+            idx,
+            lambda i: h.substr(
+                ((i.cast("long") * n) / F.lit(n_out)).cast("long") * 2 + 1,
+                F.lit(2),
+            ),
+        ),
+        "",
+    )
+    return assets.select(
+        "asset_id",
+        "modality",
+        n.alias("n_bytes"),
+        F.when(n > 0, thumb).otherwise(F.lit("")).alias(out_col),
+    )

@@ -5673,6 +5673,37 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
 
 
+@_register(
+    "multimodal_resize_thumb",
+    sql="""
+WITH a AS (
+  SELECT doc_id AS asset_id, 'image' AS modality,
+    upper(hex(encode(text))) AS hx,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT asset_id, modality, n_bytes,
+  CASE WHEN n_bytes > 0 THEN
+    array_to_string(list_transform(generate_series(0, 15),
+      i -> substr(hx, CAST((i * n_bytes) // 16 AS BIGINT) * 2 + 1, 2)), '')
+  ELSE '' END AS thumb_hex
+FROM a
+""",
+)
+def q_multimodal_resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing: fixed-16-sample nearest-neighbor
+    decimation over binary payloads, emitted as a hex thumbnail — pure
+    built-in expressions (hex + generated-index substr), zero UDFs, zero
+    shuffles; the real pixel resize slots into the same contract as an
+    Arrow-batched kernel. See operators.multimodal.resize_thumb."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import (
+        documents_as_assets,
+        resize_thumb,
+    )
+
+    return resize_thumb(documents_as_assets(_t(spark, sf_dir, "documents")))
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -620,3 +620,21 @@ def test_cohort_retention_distinct_weeks(spark):
     )
     out = {(str(r["cohort_day"]), r["week_offset"]): r["n"] for r in act.groupBy("cohort_day", "week_offset").agg(F.count("*").alias("n")).collect()}
     assert out == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1}
+
+
+def test_resize_thumb_fixed_size_and_deterministic(spark):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import (
+        documents_as_assets,
+        resize_thumb,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz0123456789"), (2, "x"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["asset_id"]: r for r in resize_thumb(documents_as_assets(df)).collect()}
+    # 16 samples x 2 hex chars, always
+    assert len(out[1]["thumb_hex"]) == 32
+    assert len(out[2]["thumb_hex"]) == 32  # 1-byte payload repeats its byte
+    assert out[2]["thumb_hex"] == "78" * 16
+    assert out[3]["thumb_hex"] == ""       # empty payload -> empty thumb

@@ -29,71 +29,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_events_pipeline(spark, "/root/testdata/sf0.001")
 
 
-# The driver attests 50 queries per round (registry order). Round 3 leads
-# with (a) the 11 queries that missed every prior window, (b) the 2 queries
-# whose array-typed outputs broke the driver canonicalizer in r02 (now
-# stringified), (c) embedding_ann_lsh (gained a full value oracle this
-# round), and (d) the 3 near-dup/cluster queries whose plans or oracles
-# changed this round and deserve a FRESH green row. Everything else already
-# carries a green row in CORRECTNESS_r01/r02 (locally,
-# tools/verify_queries.py still runs the full registry every round).
+# The driver attests 50 queries per round (registry order). Round 4 leads
+# with (a) the 9 round-3 queries that landed after that round's cap
+# filled (the only registry rows with no driver attestation yet — all
+# locally hash-verified at sf0.01 each round), (b) the 2 queries that
+# GAINED a full value oracle this round (embedding_ann_ivf via the
+# integer-exact k-means replay; frequent_tokens_sketch via the
+# capacity>=vocab exactness contract), and (c) queries whose operator or
+# oracle changed this round (ADVICE fixes: robust-MAD try_divide,
+# NULL-group oracle mirror, NULL-label hard negatives, pinned-partition
+# global rank/cumsum) and deserve a FRESH green row. Everything else
+# already carries a green row in CORRECTNESS_r01-r03. Keep <= 50.
 _PRIORITY = (
-    # (a) never attested in r01/r02 (50-cap misses)
-    "decontaminate_ngram_overlap", "quality_upsample_repeat",
-    "regex_functions", "rollup_grouping_id", "sequence_packing",
-    "set_ops_all", "sort_nulls_family", "tfidf_top_terms",
-    "try_arithmetic_family", "variant_shred_props", "window_value_family",
-    # (b) r02 driver artifact failures, outputs now driver-hashable
-    "array_functions", "embedding_quantize_int8",
-    # (c) newly oracle'd
-    "embedding_ann_lsh",
-    # (d) changed this round (LSH-banded CC edges / shared oracle CTEs)
-    "dedup_canonical_docs", "leakage_safe_split", "embedding_near_dup",
-    # (e) new this round — warehouse maintenance, data quality, corpus
-    # curation (segment dedup/unigram LM/mixture rebalance/budget select/
-    # span corruption), graph analytics (PageRank), distributed ranking,
-    # funnel/debounce/PIT analytics. Keep this list <= 50 (the driver's
-    # per-round attestation cap); everything below the cap must already
-    # hold a green row from an earlier round.
-    # ROUND-4 NOTE: lead the next round's list with the queries that
-    # landed after this round's cap filled — psi_drift_report,
-    # triangle_count_near_dup, shingle_containment_pairs, knn_label_noise,
-    # robust_mad_scores, co_purchase_pairs, event_transition_matrix,
-    # cohort_retention, multimodal_resize_thumb (all locally hash-verified
-    # at sf0.01 via tools/verify_queries.py this round).
-    "zorder_clustered_pruned_scan",
-    "interval_coalesce",
-    "scd2_user_history",
-    "data_quality_report",
-    "char_entropy_quality",
-    "compaction_roundtrip",
-    "incremental_cross_dedup",
-    "snapshot_diff_orders",
-    "cdc_apply_events",
-    "weighted_sample_docs",
-    "outlier_clip_iqr",
-    "zscore_normalize",
-    "temporal_split_embargo",
-    "stream_static_enrich_roundtrip",
-    "generator_functions",
-    "embedding_matryoshka_truncate",
-    "unigram_logprob_quality",
-    "segment_dedup_reconstruct",
+    # (a) never attested in r01-r03 (round-3 50-cap misses)
+    "psi_drift_report",
+    "triangle_count_near_dup",
+    "shingle_containment_pairs",
+    "knn_label_noise",
+    "robust_mad_scores",
+    "co_purchase_pairs",
+    "event_transition_matrix",
+    "cohort_retention",
+    "multimodal_resize_thumb",
+    # (b) newly oracle'd this round (were rows-only by design in r03)
+    "embedding_ann_ivf",
+    "frequent_tokens_sketch",
+    # (c) operator/oracle changed this round (ADVICE fixes)
     "mixture_rebalance_downsample",
-    "pagerank_supply_graph",
-    "equidepth_binning",
-    "sliding_window_agg",
-    "incremental_rollup_maintain",
-    "event_debounce",
-    "funnel_view_click_purchase",
-    "token_budget_select",
-    "hard_negative_mining",
-    "bpe_pair_merge_candidates",
     "corpus_curation_pipeline",
-    "point_in_time_state_join",
-    "span_corruption_pairs",
-    "source_overlap_matrix",
-    "pmi_collocations",
+    "hard_negative_mining",
+    "equidepth_binning",
+    "token_budget_select",
+    # (d) new queries added in round 4 (each needs its first driver row)
 )
 
 

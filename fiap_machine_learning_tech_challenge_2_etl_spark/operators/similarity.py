@@ -431,6 +431,129 @@ def ivf_topk(
     return out.orderBy(F.col("cos").desc(), F.col(id_col)).limit(k)
 
 
+def _quantize_arr(col: Column, scale: int = 10**6) -> Column:
+    """round-half-up fixed-point quantization of a float array to BIGINT:
+    ``floor(x * scale + 0.5)``. floor(+0.5) instead of round() because
+    round() ties differ across engines (banker's vs half-away) while
+    floor is IEEE-identical everywhere; float->double widening is exact,
+    so the whole map is engine-independent."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)).cast("long"),
+    )
+
+
+def ivf_fit_centroids_exact(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 256,
+    iters: int = 3,
+    scale: int = 10**6,
+):
+    """INTEGER-EXACT k-means fit for the oracle-attested IVF variant:
+    classic (euclidean) k-means on fixed-point int64 vectors, id-ordered
+    bounded sample, first-k init, fixed iteration count, argmin ties to
+    the smallest centroid id, means as ``floor(sum/count)`` in double
+    (sums < 2^53, so the division+floor is exact IEEE). Every step is a
+    deterministic pure function of the data replicable in ANSI SQL with
+    BIGINT arithmetic — no float-summation-order hazard anywhere, unlike
+    the float spherical ``ivf_fit_centroids`` production path.
+
+    Driver-side by design (same rationale: fit is O(sample), the corpus
+    only ever sees the broadcast centroid matrix). Returns an
+    (n_centroids, dim) int64 ndarray."""
+    import numpy as np
+
+    sample = df.orderBy(id_col).limit(sample_size).select(vec_col).toPandas()
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    qv = np.floor(x * scale + 0.5).astype(np.int64)
+    cent = qv[:n_centroids].copy()
+    for _ in range(iters):
+        d2 = ((qv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+        assign = d2.argmin(axis=1)  # first occurrence == smallest j
+        new = cent.copy()
+        for j in range(n_centroids):
+            pts = qv[assign == j]
+            if len(pts):
+                new[j] = np.floor(
+                    pts.sum(axis=0).astype(np.float64) / len(pts)
+                ).astype(np.int64)
+        cent = new
+    return cent
+
+
+def ivf_probe_exact(
+    df: DataFrame,
+    query_vector: list[float],
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 256,
+    iters: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Oracle-attestable IVF ANN search: integer-exact centroid fit
+    (``ivf_fit_centroids_exact``), corpus assignment, probe-list pruning
+    and query scoring ALL in BIGINT arithmetic, so a SQL engine replaying
+    the same recipe produces hash-identical output.
+
+    The corpus-wide path is pure JVM expressions (whole-stage codegen):
+    quantize -> n_centroids integer squared distances against broadcast
+    centroid literals -> argmin via array_position(array_min) -> probe
+    filter -> integer dot to the query. Only vectors in the ``n_probe``
+    nearest lists are scored — the same ~n_probe/n_centroids scan
+    fraction as the production ``ivf_topk`` (with the list id as a
+    partition key the skipped lists are never read at all).
+
+    Output: (vec_id, ivf_list, dot, rnk) for every probed vector, rnk
+    ranking by (dot desc, id) — rnk<=k is the ANN answer."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    cent = ivf_fit_centroids_exact(
+        df, n_centroids, id_col, vec_col, sample_size, iters, scale
+    )
+    q = np.floor(
+        np.asarray(query_vector, dtype=np.float64) * scale + 0.5
+    ).astype(np.int64)
+    cdots = cent @ q
+    probe = sorted(range(n_centroids), key=lambda j: (-cdots[j], j))[:n_probe]
+
+    qcol = _quantize_arr(F.col(vec_col), scale)
+    d = spread(df).select(F.col(id_col), qcol.alias("__qv"))
+    zero = F.lit(0).cast("long")
+
+    def idot(a: Column, ints) -> Column:
+        b = F.array(*[F.lit(int(v)).cast("long") for v in ints])
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
+        )
+
+    # |x|^2 + |c_j|^2 - 2 x.c_j ; |x|^2 is constant across j so argmin
+    # only needs |c_j|^2 - 2 x.c_j  (strictly smaller expression tree)
+    dists = F.array(
+        *[
+            (F.lit(int(c @ c)).cast("long") - F.lit(2).cast("long") * idot(F.col("__qv"), c)).alias(f"d{j}")
+            for j, c in enumerate(cent)
+        ]
+    )
+    assigned = d.withColumn(
+        "ivf_list",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
+    )
+    probed = assigned.filter(F.col("ivf_list").isin([int(p) for p in probe]))
+    out = probed.select(
+        F.col(id_col),
+        "ivf_list",
+        idot(F.col("__qv"), q).alias("dot"),
+    )
+    w = Window.orderBy(F.col("dot").desc(), F.col(id_col))
+    return out.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
@@ -569,10 +692,15 @@ def hard_negative_topk(
     candidates with the LSH path first and re-rank those instead.
 
     Output: (anchor, neg, cos), cos rounded to 6dp, deterministic
-    tiebreak (cos desc, neg asc)."""
+    tiebreak (cos desc, neg asc). NULL-label rows are dropped up front:
+    numpy's object-array ``!=`` evaluates ``None != 'x'`` as True, so a
+    NULL-label anchor would get negatives emitted while SQL's
+    ``a.label <> b.label`` is NULL (row excluded) — "different label" is
+    simply undefined without a label, so neither side should emit them."""
     import numpy as np
     from pyspark.sql.window import Window
 
+    df = df.filter(F.col(label_col).isNotNull())
     id_type = df.schema[id_col].dataType.simpleString()
 
     def _labels(recs):

@@ -230,17 +230,26 @@ def global_row_number(
     spark = df.sparkSession
     parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) for c in order_cols]
-    base = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # localCheckpoint (lazy) pins the range exchange: the RangePartitioner
+    # samples boundaries with an RDD-id-derived seed, so if the ranked
+    # branch and the offsets branch each re-ran the exchange (ReuseExchange
+    # not firing — column pruning differentiating the subtrees, reuse
+    # disabled), __pid could differ between branches and the broadcast
+    # offsets would silently mismatch the local ranks. Materializing once
+    # makes both branches read the SAME partitions by construction.
+    base = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = Window.partitionBy("__pid").orderBy(*cols)
     d = base.withColumn("__lrn", F.row_number().over(w_local))
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    # offsets branch hangs off the PRE-window frame: the rank window never
-    # runs on it (one Window in the whole plan) and both branches share the
-    # identical range-exchange subtree for ReuseExchange to collapse
+    # offsets branch hangs off the checkpointed frame: the rank window
+    # never runs on it (one Window in the whole plan) and the __pid window
+    # is metadata-sized (num_parts rows)
     offs = (
         base.groupBy("__pid")
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -296,8 +305,12 @@ def global_cumsum(
     spark = df.sparkSession
     parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) for c in order_cols]
-    base = df.repartitionByRange(parts, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # lazy localCheckpoint pins __pid across both branches — see
+    # global_row_number for why relying on ReuseExchange alone is unsafe
+    base = (
+        df.repartitionByRange(parts, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_local = (
         Window.partitionBy("__pid")

@@ -1663,16 +1663,112 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("embedding_ann_ivf")
+def _ivf_replay_sql(
+    n_centroids: int = 16,
+    sample_size: int = 256,
+    iters: int = 3,
+    n_probe: int = 4,
+    scale: int = 10**6,
+) -> str:
+    """Unrolled SQL replay of operators.similarity.ivf_probe_exact: the
+    SAME integer-exact k-means (fixed-point quantize, first-k init,
+    argmin euclidean with ties to the smallest list id, floor(sum/cnt)
+    means in double — exact since sums < 2^53), corpus assignment, probe
+    pruning and query scoring. list_dot_product on BIGINT lists computes
+    in double but every value stays < 2^53, so it is bit-exact; the |x|^2
+    term is dropped from BOTH engines' argmin (constant per row)."""
+    q = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * "
+        f"{scale} + 0.5) AS BIGINT))"
+    )
+    parts = [
+        f"""WITH qc AS (
+  SELECT vec_id, {q} AS qv FROM embeddings
+), dims AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(qv)) FROM qc))) AS pos
+), samp AS (
+  SELECT vec_id, qv, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM (SELECT * FROM qc ORDER BY vec_id LIMIT {sample_size})
+), cent0 AS (
+  SELECT rn AS j, qv AS c FROM samp WHERE rn < {n_centroids}
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", a{t} AS (
+  SELECT vec_id, qv, j FROM (
+    SELECT vec_id, qv, j,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rnn
+    FROM (
+      SELECT s.vec_id, s.qv, c.j,
+        list_dot_product(c.c, c.c) - 2 * list_dot_product(s.qv, c.c) AS dist
+      FROM samp s CROSS JOIN cent{t - 1} c
+    )
+  ) WHERE rnn = 1
+), cm{t} AS (
+  SELECT j, list(CAST(floor(sv / cnt) AS BIGINT) ORDER BY pos) AS c
+  FROM (
+    SELECT a.j, d.pos, CAST(sum(a.qv[d.pos]) AS DOUBLE) AS sv,
+      count(*) AS cnt
+    FROM a{t} a CROSS JOIN dims d
+    GROUP BY a.j, d.pos
+  ) GROUP BY j
+), cent{t} AS (
+  SELECT p.j, coalesce(m.c, p.c) AS c
+  FROM cent{t - 1} p LEFT JOIN cm{t} m USING (j)
+)"""
+        )
+    parts.append(
+        f""", qvec AS (
+  SELECT qv AS qq FROM qc WHERE vec_id = 0
+), probe AS (
+  SELECT j FROM (
+    SELECT c.j, list_dot_product(c.c, q.qq) AS d
+    FROM cent{iters} c CROSS JOIN qvec q
+  ) ORDER BY d DESC, j LIMIT {n_probe}
+), asgn AS (
+  SELECT vec_id, qv, j FROM (
+    SELECT vec_id, qv, j,
+      row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rnn
+    FROM (
+      SELECT e.vec_id, e.qv, c.j,
+        list_dot_product(c.c, c.c) - 2 * list_dot_product(e.qv, c.c) AS dist
+      FROM qc e CROSS JOIN cent{iters} c
+    )
+  ) WHERE rnn = 1
+), pr AS (
+  SELECT a.vec_id, CAST(a.j AS INTEGER) AS ivf_list,
+    CAST(list_dot_product(a.qv, q.qq) AS BIGINT) AS dot
+  FROM asgn a JOIN probe USING (j) CROSS JOIN qvec q
+)
+SELECT vec_id, ivf_list, dot,
+  CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT) AS rnk
+FROM pr"""
+    )
+    return "".join(parts)
+
+
+@_register("embedding_ann_ivf", sql=_ivf_replay_sql())
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (deterministic spherical-kmeans coarse
-    quantizer, 4/16 lists probed) — approximate by construction ->
-    rows-only check; recall vs brute force is pytest-verified."""
-    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import ivf_topk
+    """IVF ANN search with a FULL value oracle: the coarse quantizer is
+    the integer-exact k-means replay (fixed-point int64 vectors, bounded
+    id-ordered sample, fixed init/iters, deterministic tie-breaks), so
+    fit + corpus assignment + probe pruning + query scoring are all pure
+    integer functions of the data that the SQL oracle replays
+    bit-identically — no float-summation-order hazard anywhere. Emits
+    every vector in the 4/16 probed lists with its integer query dot and
+    rank; rnk<=k is the ANN answer. The float spherical-kmeans production
+    path (ivf_topk) keeps its recall-vs-brute-force pytest; the corpus-
+    wide stages here are pure JVM expressions (quantize, 16 broadcast
+    integer distances, argmin via array_position, probe filter) — only
+    the O(sample) fit is driver-side."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        ivf_probe_exact,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-    return ivf_topk(emb, list(qv), k=10)
+    return ivf_probe_exact(emb, list(qv))
 
 
 # ==========================================================================
@@ -2536,14 +2632,34 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_histogram(_t(spark, sf_dir, "orders"), "o_totalprice", nbins=20)
 
 
-@_register("frequent_tokens_sketch")  # approximate by construction: rows-only check
+@_register(
+    "frequent_tokens_sketch",
+    sql=f"""
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+HAVING count(*) >= 10
+""",
+)
 def q_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy hitters via the approx_top_k sketch (Misra-Gries style bounded
     state): per-partition sketches merge associatively, so the token
     frequency head costs one O(sketch-size) shuffle instead of a full
     vocabulary aggregate — the scale path when the vocab itself is too big
-    to hash-aggregate cheaply. Value-checked against the exact
-    word_count_topk in tests (test_llm_ops) with overlap tolerance."""
+    to hash-aggregate cheaply.
+
+    Value-oracle contract: when ``maxItemsTracked`` >= the distinct-token
+    count, the merged sketch is EXACT (Misra-Gries admits error only on
+    counter eviction, and with capacity >= vocab nothing ever evicts), so
+    the emitted (tok, n) rows equal an exact GROUP BY. We emit the WHOLE
+    merged sketch cut by an absolute count threshold (n >= 10) rather than
+    a top-k cut — a threshold is a pure function of the exact counts, so
+    no boundary-tie ambiguity can diverge from the oracle. The sf0.01
+    fixture vocab is 31 tokens << 65536, so the contract holds where the
+    driver attests; the genuinely-approximate regime (vocab > capacity)
+    keeps its overlap-tolerance pytest vs exact word_count_topk
+    (test_llm_ops)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
 
     d = _t(spark, sf_dir, "documents")
@@ -2551,9 +2667,11 @@ def q_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok") != ""
     )
     return (
-        toks.select(F.expr("approx_top_k(tok, 20, 65536)").alias("top"))
+        toks.select(F.expr("approx_top_k(tok, 65536, 65536)").alias("top"))
         .select(F.inline("top"))
         .toDF("tok", "n")
+        .filter(F.col("n") >= 10)
+        .select("tok", F.col("n").cast("long").alias("n"))
     )
 
 
@@ -4294,7 +4412,11 @@ def q_segment_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mixture_rebalance_downsample",
     sql=f"""
 WITH cnt AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+  -- WHERE lang IS NOT NULL mirrors rebalance_to_min_group's documented
+  -- NULL-group drop: a NULL-lang group must neither be emitted nor
+  -- shrink min(n) for everyone else
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY lang
 ), mn AS (
   SELECT min(n) AS min_n FROM cnt
 ), thr AS (
@@ -4866,8 +4988,9 @@ WITH t AS (
   SELECT scored.* FROM scored CROSS JOIN g
   WHERE sum_lp6 >= g.gmean6 * n_toks
 ), langd AS (
+  -- lang IS NOT NULL mirrors the operator's NULL-group drop contract
   SELECT q.doc_id, q.n_toks, d.lang
-  FROM q JOIN documents d USING (doc_id)
+  FROM q JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL
 ), cnt AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n FROM langd GROUP BY lang
 ), mn AS (
@@ -5528,8 +5651,16 @@ def q_robust_mad_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "med")
         .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
     )
+    # try_divide: a constant-valued group has MAD=0; under ANSI mode a
+    # plain `/` would abort the whole query on that group, while the
+    # DuckDB oracle yields NULL (verified: 1.0/0.0 IS NULL there). NULL
+    # rz fails the >3.5 test, so MAD=0 groups report n_outliers=0 on
+    # both engines.
     rz = F.round(
-        F.lit(0.6745) * F.abs(F.col("value") - F.col("med")) / F.col("mad"), 6
+        F.try_divide(
+            F.lit(0.6745) * F.abs(F.col("value") - F.col("med")), F.col("mad")
+        ),
+        6,
     )
     return (
         e.join(F.broadcast(mad.select("event_type", "med", "mad")), "event_type")

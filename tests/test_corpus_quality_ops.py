@@ -638,3 +638,103 @@ def test_resize_thumb_fixed_size_and_deterministic(spark):
     assert len(out[2]["thumb_hex"]) == 32  # 1-byte payload repeats its byte
     assert out[2]["thumb_hex"] == "78" * 16
     assert out[3]["thumb_hex"] == ""       # empty payload -> empty thumb
+
+
+# ------------------------------------------------- round-4 ADVICE fixes
+
+def test_hard_negative_drops_null_label_rows(spark):
+    """NULL-label rows must neither anchor nor serve as negatives:
+    numpy object != treats None as 'different from everything', while
+    SQL's a.label <> b.label excludes those rows — the operator
+    pre-filters so both agree (similarity.hard_negative_topk)."""
+    rows = [
+        (1, [1.0, 0.0], "A"),
+        (2, [0.99, 0.14], None),  # nearest to 1 but unlabeled
+        (3, [0.9, 0.44], "B"),
+        (4, [0.0, 1.0], "B"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    out = hard_negative_topk(df, k=1, n_blocks=2).collect()
+    top = {r["anchor"]: r["neg"] for r in out}
+    assert 2 not in top                      # no anchor row for NULL label
+    assert all(n != 2 for n in top.values())  # never emitted as a negative
+    assert top[1] == 3
+
+
+def test_rebalance_null_group_neither_kept_nor_shrinks_min(spark):
+    """A NULL group value is not a mixture component: its rows are
+    dropped AND it must not participate in min(n) (otherwise a single
+    NULL row would shrink every group's keep-threshold to ~1)."""
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(20)]
+    rows += [(990, None)]  # 1-row NULL group
+    df = spark.createDataFrame(rows, ["doc_id", "grp"])
+    out = rebalance_to_min_group(df, "grp", "doc_id").collect()
+    grps = {r["grp"] for r in out}
+    assert None not in grps
+    # min group is 'small' (20), NOT the NULL singleton: 'small' keeps all
+    n_small = sum(1 for r in out if r["grp"] == "small")
+    assert n_small == 20
+
+
+def test_robust_mad_zero_mad_group_yields_zero_outliers(spark, tmp_path):
+    """A constant-valued event_type has MAD=0; under ANSI mode a plain
+    division would abort the whole query — try_divide yields NULL rz and
+    n_outliers=0, matching the DuckDB oracle's NULL division semantics."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    ts = [dt.datetime(2024, 1, 1, 0, 0, i % 60) for i in range(n)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(
+                ["const" if i % 2 == 0 else "vary" for i in range(n)]
+            ),
+            # 'const' group: identical values -> MAD == 0
+            "value": pa.array(
+                [7.5 if i % 2 == 0 else float(i) * (3 if i % 7 == 0 else 1) for i in range(n)],
+                pa.float64(),
+            ),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+
+    out = {
+        r["event_type"]: r
+        for r in SPARK_QUERIES["robust_mad_scores"](spark, str(tmp_path)).collect()
+    }
+    assert out["const"]["mad"] == 0.0
+    assert out["const"]["n_outliers"] == 0
+    assert out["const"]["n_rows"] == n // 2
+    assert out["vary"]["mad"] > 0
+
+
+def test_ivf_exact_replay_deterministic_and_probe_bounded(spark, sf_dir):
+    """The integer-exact IVF replay is a pure function of the data: two
+    runs hash-identical, every row sits in one of the n_probe probed
+    lists, and rnk==1 is the max-dot row (ties to smallest id)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        ivf_probe_exact,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    emb = load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    a = sorted(map(tuple, ivf_probe_exact(emb, list(q)).collect()))
+    b = sorted(map(tuple, ivf_probe_exact(emb, list(q)).collect()))
+    assert a == b and len(a) > 0
+    lists = {r[1] for r in a}
+    assert len(lists) <= 4  # n_probe
+    best = min(a, key=lambda r: r[3])  # rnk 1
+    assert best[2] == max(r[2] for r in a)

@@ -65,16 +65,27 @@ def documents_as_assets(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes, fake_decoder: bool = False):
-    """STUB: real decoding needs an image library not present in this
-    environment. ``fake_decoder`` returns deterministic byte-level pseudo
-    pixels so the distributed pipeline around the decode is testable."""
-    if not fake_decoder:
+    """Decode a payload to a flat pixel-value list. With
+    ``fake_decoder=True`` (the hermetic default everywhere in this repo)
+    returns deterministic byte-level pseudo pixels so the distributed
+    pipeline around the decode is testable without media libraries. With
+    ``fake_decoder=False`` Pillow is imported lazily and the image is
+    decoded to grayscale; if Pillow is absent (this container) the stub
+    contract holds: ``NotImplementedError``."""
+    if fake_decoder:
+        return list(payload[:64])  # first bytes stand in for pixel values
+    try:
+        import io
+
+        from PIL import Image  # lazy: not installed in this container
+    except ImportError as exc:
         raise NotImplementedError(
             "image decoding requires an image library (e.g. Pillow); "
             "not available in this environment — pass fake_decoder=True "
             "for the deterministic test double"
-        )
-    return list(payload[:64])  # first bytes stand in for pixel values
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as img:
+        return list(img.convert("L").getdata())
 
 
 def extract_features(
@@ -83,47 +94,55 @@ def extract_features(
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas``: per-batch pandas processing, compact numeric output,
     payload never re-emitted. The decode step delegates to ``decode_image``
-    (stubbed; see module docstring)."""
+    (fake by default; real decode via lazy Pillow when available).
+
+    The O(payload) byte statistics are vectorized numpy
+    (``frombuffer`` + ``bincount``), not per-byte Python: the only
+    per-item Python left is the decode call itself, which is inherently
+    per-item. The integer byte sum is exact (int64), so mean/entropy
+    match the scalar formulation to float precision."""
 
     def op(batches: Iterator) -> Iterator:
-        import math
-
+        import numpy as np
         import pandas as pd
 
+        def feat_of(pixels) -> list:
+            if not pixels:
+                return [0.0] * feature_dim
+            px = np.asarray(pixels, dtype=np.float64)
+            step = max(1, len(px) // feature_dim)
+            return [
+                float(seg.mean()) if (seg := px[i * step : (i + 1) * step]).size else 0.0
+                for i in range(feature_dim)
+            ]
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                pixels = decode_image(payload, fake_decoder=fake_decoder)
-                n = len(payload)
-                mean = sum(payload) / n if n else 0.0
-                # byte-histogram entropy (deterministic, no libs)
-                counts: dict[int, int] = {}
-                for by in payload:
-                    counts[by] = counts.get(by, 0) + 1
-                ent = -sum(
-                    (c / n) * math.log2(c / n) for c in counts.values()
-                ) if n else 0.0
-                # fixed-dim feature: bucketed means of the fake pixels
-                feat = []
-                if pixels:
-                    step = max(1, len(pixels) // feature_dim)
-                    for i in range(feature_dim):
-                        seg = pixels[i * step : (i + 1) * step] or [0]
-                        feat.append(float(sum(seg)) / len(seg))
+            n_v, mean_v, ent_v, feat_v = [], [], [], []
+            for payload in pdf["payload"]:
+                b = bytes(payload) if payload is not None else b""
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n = arr.size
+                if n:
+                    mean = float(arr.sum(dtype=np.int64)) / n
+                    counts = np.bincount(arr, minlength=256)
+                    p = counts[counts > 0] / n
+                    ent = float(-(p * np.log2(p)).sum())
                 else:
-                    feat = [0.0] * feature_dim
-                rows.append(
-                    {
-                        "asset_id": r["asset_id"],
-                        "modality": r["modality"],
-                        "n_bytes": n,
-                        "byte_mean": round(mean, 6),
-                        "byte_entropy": round(ent, 6),
-                        "feature": feat,
-                    }
-                )
-            yield pd.DataFrame(rows)
+                    mean = ent = 0.0
+                n_v.append(n)
+                mean_v.append(round(mean, 6))
+                ent_v.append(round(ent, 6))
+                feat_v.append(feat_of(decode_image(b, fake_decoder=fake_decoder)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pd.Series(n_v, dtype="int64"),
+                    "byte_mean": mean_v,
+                    "byte_entropy": ent_v,
+                    "feature": feat_v,
+                }
+            )
 
     # prune to the columns the operator needs BEFORE the Arrow transfer
     pruned = assets.select("asset_id", "modality", "payload")

@@ -125,6 +125,12 @@ def _fs_path_exists(spark, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
+# Past this many touched partitions the literal OR-chain partition filter
+# becomes a plan-bloating mega-expression; switch to a broadcast semi-join
+# on the partition tuple (runtime pruning) instead.
+_MAX_LITERAL_PARTITION_FILTER = 100
+
+
 def upsert_by_key(
     spark,
     new_rows: DataFrame,
@@ -147,6 +153,14 @@ def upsert_by_key(
     those partitions. Cost at 100 TB is O(touched partitions + batch),
     never O(table). The anti-join broadcasts the incoming batch's keys
     when small — the common incremental case.
+
+    Touched-partition pruning has two regimes: up to
+    ``_MAX_LITERAL_PARTITION_FILTER`` touched partitions the filter is an
+    OR-chain of null-safe literal clauses (statically pruned at plan
+    time); past that a literal mega-expression would bloat the plan, so
+    the probe becomes a broadcast semi-join on the partition tuple and
+    partition pruning happens at runtime via dynamic partition pruning /
+    the broadcast hash join's pushed filter.
     """
     from pyspark.sql import functions as F
 
@@ -158,16 +172,30 @@ def upsert_by_key(
                 for r in new_rows.select(*partition_by).distinct().collect()
             ]
             existing = spark.read.parquet(path)
-            pfilter = F.lit(False)
-            for vals in touched:
-                clause = F.lit(True)
-                for c, v in zip(partition_by, vals):
-                    # null-safe: a null partition value (written as the Hive
-                    # default partition) must still match its survivors —
-                    # plain == would null out and drop every row in it
-                    clause = clause & F.col(c).eqNullSafe(F.lit(v))
-                pfilter = pfilter | clause
-            survivors = existing.filter(pfilter).join(
+            if len(touched) <= _MAX_LITERAL_PARTITION_FILTER:
+                pfilter = F.lit(False)
+                for vals in touched:
+                    clause = F.lit(True)
+                    for c, v in zip(partition_by, vals):
+                        # null-safe: a null partition value (written as the
+                        # Hive default partition) must still match its
+                        # survivors — plain == would null out and drop
+                        # every row in it
+                        clause = clause & F.col(c).eqNullSafe(F.lit(v))
+                    pfilter = pfilter | clause
+                in_touched = existing.filter(pfilter)
+            else:
+                parts = new_rows.select(*partition_by).distinct()
+                # null-safe equi-join for the same Hive-default-partition
+                # reason as the literal path
+                cond = None
+                for c in partition_by:
+                    cl = existing[c].eqNullSafe(parts[c])
+                    cond = cl if cond is None else (cond & cl)
+                in_touched = existing.join(
+                    F.broadcast(parts), on=cond, how="left_semi"
+                )
+            survivors = in_touched.join(
                 F.broadcast(new_rows.select(*keys).distinct()),
                 on=list(keys),
                 how="left_anti",

@@ -249,10 +249,46 @@ def test_multimodal_feature_extraction(spark, sf_dir):
 
 
 def test_multimodal_decode_stub_raises(spark):
+    """Real decode imports Pillow lazily; in this container (no Pillow)
+    the stub contract still holds: NotImplementedError."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import decode_image
 
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; the real-decode path takes over")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake_decoder=False)
+
+
+def test_multimodal_byte_stats_hand_computed(spark):
+    """The vectorized (frombuffer+bincount) byte stats must equal the
+    closed-form values: payload 'aab' -> mean=(97+97+98)/3,
+    entropy=-(2/3 log2 2/3 + 1/3 log2 1/3); feature buckets are stride
+    means of the first-64-bytes fake pixels; empty payload -> all zeros."""
+    import math
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(1, "aab"), (2, "")], ["doc_id", "text"])
+    out = {
+        r["asset_id"]: r
+        for r in MM.extract_features(
+            MM.documents_as_assets(df), fake_decoder=True, feature_dim=2
+        ).collect()
+    }
+    assert out[1]["n_bytes"] == 3
+    assert out[1]["byte_mean"] == round((97 + 97 + 98) / 3, 6)
+    ent = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert out[1]["byte_entropy"] == round(ent, 6)
+    # pixels [97,97,98], dim=2 -> step=1 -> buckets [97],[97]
+    assert out[1]["feature"] == [97.0, 97.0]
+    assert out[2]["n_bytes"] == 0
+    assert out[2]["byte_mean"] == 0.0
+    assert out[2]["byte_entropy"] == 0.0
+    assert out[2]["feature"] == [0.0, 0.0]
 
 
 def test_multimodal_frame_sampling(spark, sf_dir):

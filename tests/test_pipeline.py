@@ -115,6 +115,46 @@ def test_upsert_by_key_row_level_merge(spark, tmp_path):
     assert set(os.listdir(os.path.join(path, "day=2024-01-02"))) == day2_files
 
 
+def test_upsert_by_key_many_partitions_semi_join_path(spark, tmp_path):
+    """Past _MAX_LITERAL_PARTITION_FILTER touched partitions the pruning
+    probe switches from the literal OR-chain to a broadcast semi-join on
+    the partition tuple; merge semantics must be identical (replace
+    matching keys, keep survivors, keep untouched partitions)."""
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources import sinks
+
+    assert sinks._MAX_LITERAL_PARTITION_FILTER >= 3
+    path = str(tmp_path / "manyparts")
+    n_days = sinks._MAX_LITERAL_PARTITION_FILTER + 20
+    # two rows per day partition, plus one untouched partition
+    base = spark.createDataFrame(
+        [(d * 10 + i, float(d), f"d{d:04d}") for d in range(n_days) for i in range(2)]
+        + [(999_999, -1.0, "untouched")],
+        "id long, v double, day string",
+    )
+    sinks.upsert_by_key(spark, base, path, keys=["id"], partition_by=["day"])
+    un_files = set(os.listdir(os.path.join(path, "day=untouched")))
+
+    # touch EVERY d* partition: replace row id=d*10, insert id=d*10+5
+    batch = spark.createDataFrame(
+        [(d * 10, float(d) + 0.5, f"d{d:04d}") for d in range(n_days)]
+        + [(d * 10 + 5, 50.0, f"d{d:04d}") for d in range(n_days)],
+        "id long, v double, day string",
+    )
+    sinks.upsert_by_key(spark, batch, path, keys=["id"], partition_by=["day"])
+
+    got = {(r["id"], r["v"], r["day"]) for r in spark.read.parquet(path).collect()}
+    want = set()
+    for d in range(n_days):
+        want.add((d * 10, float(d) + 0.5, f"d{d:04d}"))      # replaced
+        want.add((d * 10 + 1, float(d), f"d{d:04d}"))        # survivor
+        want.add((d * 10 + 5, 50.0, f"d{d:04d}"))            # inserted
+    want.add((999_999, -1.0, "untouched"))
+    assert got == want
+    assert set(os.listdir(os.path.join(path, "day=untouched"))) == un_files
+
+
 def test_range_clustered_write_produces_disjoint_sorted_files(spark, tmp_path):
     """write_range_clustered yields one disjoint key range per file — the
     zone-map property that lets a point predicate prune to a single file."""

@@ -281,7 +281,12 @@ def test_equidepth_rank_window_is_partitioned(spark, sf_dir):
         head = frag.split(")")[0]
         if head.startswith("o_totalprice"):
             raise AssertionError("partition-less global window found:\n" + plan)
-    assert "Exchange rangepartitioning" in plan, plan
+    # the range exchange is materialized once by global_row_number's lazy
+    # localCheckpoint (pins __pid across both branches); downstream the
+    # plan reads the checkpointed RDD — EXACTLY ONE range exchange may
+    # appear in the whole tree, never one per branch
+    assert plan.count("Exchange rangepartitioning") <= 1, plan
+    assert "Scan ExistingRDD" in plan or "Exchange rangepartitioning" in plan, plan
 
 
 def test_sliding_window_is_single_aggregate(spark, sf_dir):
@@ -326,6 +331,99 @@ def test_point_in_time_join_no_range_blowup(spark, sf_dir):
     plan = _plan(SPARK_QUERIES["point_in_time_state_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_psi_drift_single_pass_agg(spark, sf_dir):
+    """PSI rides conditional aggregates over ONE events pass plus tiny
+    1-row broadcast totals: two hash exchanges max and never a sort-merge
+    join (nothing here is big-big)."""
+    plan = _plan(SPARK_QUERIES["psi_drift_report"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    """Triangle enumeration is the canonical-edge 2-join: every join is an
+    equi-join on vertex keys — a cartesian/nested-loop here would be the
+    O(V^2) killer."""
+    plan = _plan(SPARK_QUERIES["triangle_count_near_dup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    """Containment near-dup is inverted-index shaped: shingle-key
+    equi-joins with df caps — no cartesian / nested-loop pairing of
+    documents."""
+    plan = _plan(SPARK_QUERIES["shingle_containment_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_label_noise_rides_blocked_grid(spark, sf_dir):
+    """kNN label-noise runs the blocked-grid MapInPandas kernel (equi-join
+    grid cells) with the per-anchor cut as a WindowGroupLimit — never a
+    cartesian pairing or a driver-side collect kernel."""
+    plan = _plan(SPARK_QUERIES["knn_label_noise"](spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_robust_mad_broadcasts_fences(spark, sf_dir):
+    """Median/MAD scoring broadcasts the tiny per-type fence frames back
+    onto the fact scan — a sort-merge join would shuffle the whole events
+    table twice for a |event_types|-row lookup."""
+    plan = _plan(SPARK_QUERIES["robust_mad_scores"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_co_purchase_partial_agg_and_topk(spark, sf_dir):
+    """Market-basket pairs: pair counts collapse map-side (partial+final
+    HashAggregate around the exchange) and the final cut is
+    TakeOrderedAndProject — no global sort, no cartesian."""
+    plan = _plan(SPARK_QUERIES["co_purchase_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_transition_matrix_single_window_exchange(spark, sf_dir):
+    """The Markov transition matrix plans ONE user-keyed window exchange
+    (lag) plus one for the (from, to) aggregate — never a window per
+    column or an extra sort."""
+    plan = _plan(SPARK_QUERIES["event_transition_matrix"](spark, sf_dir))
+    assert plan.count("Window") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_cohort_retention_exchange_budget(spark, sf_dir):
+    """Cohort retention: first-seen agg, cohort join-back, distinct
+    (cohort, week) activity — three keyed exchanges max, no cartesian."""
+    plan = _plan(SPARK_QUERIES["cohort_retention"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_resize_thumb_is_narrow_map(spark, sf_dir):
+    """The thumbnail decimation is pure built-in expressions: zero
+    exchanges, zero Python — whole-stage-codegen over the scan."""
+    plan = _plan(SPARK_QUERIES["multimodal_resize_thumb"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" not in plan and "Python" not in plan, plan
+
+
+def test_ivf_replay_probe_is_map_side(spark, sf_dir):
+    """The oracle-attested IVF path: corpus assignment + probe filter are
+    map-side JVM expressions (no Python in the corpus-wide path, no join
+    for the assignment), with the only exchange being the final tiny
+    ranking over probed rows."""
+    plan = _plan(SPARK_QUERIES["embedding_ann_ivf"](spark, sf_dir))
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_registry_wide_no_cartesian_product(spark, sf_dir):

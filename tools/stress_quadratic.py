@@ -1,0 +1,98 @@
+"""sf1-scale stress smoke for the O(n^2) exact embedding kernels.
+
+There is no driver-generated sf1 fixture, so this script synthesizes one:
+sf0.1 embeddings (2,000 x 64) replicated 10x with distinct vec_ids and a
+deterministic per-replica rotation of the id space (so duplicates don't
+collapse the top-k structure). It then runs each exact kernel at BOTH
+scales and reports wall time and the observed scaling exponent — the
+kernels are inherently O(n^2 d), so the expected exponent is ~2; the
+things being validated are (a) no OOM with the default ``n_blocks``
+guidance scaled as sqrt(n-ratio) (per-task memory is
+corpus/n_blocks * 2 rows — keeping n_blocks proportional to sqrt(n)
+holds per-cell work and memory constant-ish), and (b) no driver
+collect / cartesian anywhere (the plan gates in tests/test_plans.py pin
+that; this script pins the runtime side).
+
+Usage: python tools/stress_quadratic.py  [base_sf_dir]
+Appends a markdown row per kernel to stdout; paste into BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def replicate(emb, times: int):
+    """times replicas with distinct ids; replica r shifts ids by r*10^9 and
+    deterministically scales one dimension so replicas aren't bit-equal."""
+    reps = emb.sparkSession.range(times).select(F.col("id").alias("rep"))
+    return emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep") * F.lit(10**9)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + (F.col("rep").cast("float") * F.lit(0.001)) * (i % 7).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def main() -> None:
+    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators import similarity as S
+
+    spark = get_session("stress-quadratic")
+    emb1 = load_testdata(spark, base_dir, ["embeddings"])["embeddings"]
+    n1 = emb1.count()
+    emb10 = replicate(emb1, 10).localCheckpoint()  # materialize the 10x input
+    n10 = emb10.count()
+    assert n10 == 10 * n1
+    # warm python workers
+    spark.range(256).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    # n_blocks guidance: per-cell work/memory ~ (n/n_blocks)^2; scale
+    # n_blocks with sqrt(n-ratio) to keep cells constant-sized.
+    kernels = {
+        "all_pairs_cosine_topk": lambda df, nb: S.all_pairs_cosine_topk(
+            df, k=20, n_blocks=nb
+        ),
+        "exact_near_dup_pairs": lambda df, nb: S.exact_near_dup_pairs(
+            df, threshold=0.9, n_blocks=nb
+        ),
+        "hard_negative_topk": lambda df, nb: S.hard_negative_topk(
+            df, k=3, n_blocks=nb
+        ),
+        "knn_neighbors": lambda df, nb: S.knn_neighbors(df, k=5, n_blocks=nb),
+    }
+    print("| kernel | n=%d (nb=16) | n=%d (nb=48) | exponent |" % (n1, n10))
+    print("|---|---|---|---|")
+    for name, fn in kernels.items():
+        ts = {}
+        for df, n, nb in ((emb1, n1, 16), (emb10, n10, 48)):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(df, nb).write.mode("overwrite").format("noop").save()
+                best = min(best or 9e9, time.time() - t0)
+            ts[n] = best
+        expo = math.log(ts[n10] / ts[n1]) / math.log(10)
+        print(
+            "| %s | %.2f s | %.2f s | %.2f |" % (name, ts[n1], ts[n10], expo),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,22 @@ _PRIORITY = (
     "equidepth_binning",
     "token_budget_select",
     # (d) new queries added in round 4 (each needs its first driver row)
+    "rolling_distinct_users",
+    "churn_label_next_gap",
+    "seasonal_naive_error",
+    "histogram2d_heatmap",
+    "feature_hashing_cross",
+    "recsys_negative_sampling",
+    "stratified_kfold",
+    "class_balance_weights",
+    "winsorized_stats",
+    "string_agg_family",
+    "mode_per_group",
+    "lateral_join_topk",
+    "sql_pipe_syntax_entry",
+    "bfs_reachable_hops",
+    "label_propagation_nations",
+    "benford_first_digit",
 )
 
 

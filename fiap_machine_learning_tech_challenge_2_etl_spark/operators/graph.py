@@ -243,3 +243,125 @@ def pagerank_fixed(
     return ranks.join(
         deg.select(F.col("a").alias("vertex"), "wdeg"), "vertex"
     ).select("vertex", "wdeg", "rank6")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "vertex",
+    iters: int = 3,
+) -> DataFrame:
+    """Multi-source BFS with a FIXED round count: the minimum hop count
+    from any seed vertex, for every vertex within ``iters`` hops — the
+    reachability/expansion primitive (e.g. "everything within 3 links of
+    a known-bad node"). Third Pregel-style iterative op here after
+    connected components and PageRank, same engineering: edges
+    symmetrized + deduped + localCheckpoint'ed once, then each round is
+    ONE frontier-to-edges equi-join plus one min-aggregate, with the
+    label frame checkpointed per round to truncate lineage. Fixed rounds
+    + integer min make the result a pure function of the graph
+    (oracle-able by unrolling); vertices not reached in ``iters`` hops
+    are absent by contract.
+
+    Returns ``(vertex, hop)`` with hop in [0, iters].
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    reached = seeds.select(
+        F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("hop")
+    ).localCheckpoint()
+    for _ in range(iters):
+        nxt = (
+            reached.join(sym, reached["vertex"] == sym["a"])
+            .select(
+                F.col("b").alias("vertex"),
+                (F.col("hop") + F.lit(1)).cast("long").alias("hop"),
+            )
+        )
+        reached = (
+            reached.unionByName(nxt)
+            .groupBy("vertex")
+            .agg(F.min("hop").cast("long").alias("hop"))
+            .localCheckpoint()
+        )
+    return reached
+
+
+def label_propagation(
+    edges: DataFrame,
+    seed_labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    vertex_col: str = "vertex",
+    label_col: str = "label",
+    iters: int = 2,
+) -> DataFrame:
+    """Seeded (semi-supervised) label propagation with a FIXED round
+    count and DETERMINISTIC tie-breaks: seed vertices hold their label
+    fixed; every other vertex adopts the weighted-majority label of its
+    currently-labeled neighbors, ties to the smallest label. The
+    community/classification dual of connected components (which
+    propagates the MIN id; this propagates the ARGMAX vote) — e.g.
+    propagate known document topics or entity types across a similarity
+    graph.
+
+    Per round: labeled frame ⋈ checkpointed symmetric edges, a
+    (vertex, label) weighted vote aggregate (map-side partials), and a
+    per-vertex arg-max via one ranked window — all equi-joins and hash
+    aggregates; label frame localCheckpoint'ed per round. Integer
+    weights + total-order tie-break make every round bit-replicable in
+    SQL. Unlabeled vertices with no labeled neighbor stay absent.
+
+    Returns ``(vertex, label, is_seed)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        F.col(weight).cast("long")
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    seeds = seed_labels.select(
+        F.col(vertex_col).alias("vertex"), F.col(label_col).alias("label")
+    ).localCheckpoint()
+    labels = seeds
+    win = Window.partitionBy("vertex").orderBy(F.col("votes").desc(), "label")
+    for _ in range(iters):
+        votes = (
+            labels.join(sym, labels["vertex"] == sym["a"])
+            .groupBy(F.col("b").alias("dst"), "label")
+            .agg(F.sum("w").cast("long").alias("votes"))
+        )
+        winner = (
+            votes.select(F.col("dst").alias("vertex"), "label", "votes")
+            .withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") == 1)
+            .select("vertex", "label")
+        )
+        # seeds override propagated labels; everyone else takes the vote
+        labels = (
+            winner.join(seeds.select("vertex"), "vertex", "left_anti")
+            .unionByName(seeds)
+            .localCheckpoint()
+        )
+    return labels.join(
+        seeds.select("vertex").withColumn("is_seed", F.lit(True)),
+        "vertex",
+        "left",
+    ).select(
+        "vertex", "label", F.coalesce("is_seed", F.lit(False)).alias("is_seed")
+    )

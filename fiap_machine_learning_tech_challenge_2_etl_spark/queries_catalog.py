@@ -5835,6 +5835,837 @@ def q_multimodal_resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_thumb(documents_as_assets(_t(spark, sf_dir, "documents")))
 
 
+# ==========================================================================
+# Round-4 extension: behavioral analytics over the event stream (rolling
+# actives, churn labeling, seasonal-naive baselines, activity heatmaps)
+# ==========================================================================
+
+
+@_register(
+    "rolling_distinct_users",
+    sql="""
+WITH du AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+  FROM events
+), mx AS (
+  SELECT max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS max_day FROM events
+), span AS (
+  SELECT unnest(generate_series(du.day, du.day + 6, INTERVAL 1 DAY))
+    AS target_day, du.user_id
+  FROM du
+)
+SELECT strftime(CAST(s.target_day AS DATE), '%Y-%m-%d') AS day,
+  CAST(count(DISTINCT s.user_id) AS BIGINT) AS wau
+FROM span s CROSS JOIN mx
+WHERE CAST(s.target_day AS DATE) <= mx.max_day
+GROUP BY 1
+""",
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct actives (WAU) per day — the canonical
+    engagement metric. Windowed COUNT(DISTINCT) doesn't distribute, so
+    this uses the scale shape: collapse to (day, user) grain first
+    (bounded: actives, not events), fan each row out to the <=7 trailing
+    report days it contributes to (a constant-factor explode, not a
+    range join), then one distinct-aggregate per report day. Shuffle is
+    O(7 * daily-actives); no window over the raw stream."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    mx = e.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    span = du.select(
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("target_day"),
+        "user_id",
+    )
+    return (
+        span.join(F.broadcast(mx))
+        .filter(F.col("target_day") <= F.col("max_day"))
+        .groupBy(F.date_format("target_day", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+@_register(
+    "churn_label_next_gap",
+    sql="""
+WITH g AS (
+  SELECT event_type,
+    date_diff('day', CAST(ts AS TIMESTAMP),
+      lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_days
+  FROM events
+)
+SELECT event_type,
+  CAST(count(*) FILTER (WHERE gap_days IS NULL OR gap_days >= 14)
+    AS BIGINT) AS n_churn,
+  CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(count(*) FILTER (WHERE gap_days IS NULL OR gap_days >= 14)
+    AS DOUBLE) / count(*), 6) AS churn_rate
+FROM g GROUP BY event_type
+""",
+)
+def q_churn_label_next_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn labeling for supervised training, leakage-free by
+    construction: an event is labeled churned iff the SAME user's next
+    event is >= 14 days later or never — one lead() over a user-keyed
+    window with a deterministic (ts, event_id) tiebreak, so the label is
+    a pure function of the user's own future, computable in one pass
+    with no self-join. Output: per-type churn base rates (the class
+    prior a trainer needs before sampling)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.datediff(
+        F.lead(F.col("ts").cast("timestamp")).over(w).cast("date"),
+        F.col("ts").cast("date"),
+    )
+    churn = F.col("gap_days").isNull() | (F.col("gap_days") >= 14)
+    return (
+        e.select("event_type", gap.alias("gap_days"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(churn, 1)).cast("long").alias("n_churn"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_churn",
+            "n_events",
+            F.round(F.col("n_churn") / F.col("n_events"), 6).alias(
+                "churn_rate"
+            ),
+        )
+    )
+
+
+@_register(
+    "seasonal_naive_error",
+    sql="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type, day, v_cents,
+    lag(v_cents, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+  FROM daily
+)
+SELECT event_type,
+  CAST(count(fc) AS BIGINT) AS n_scored,
+  CAST(sum(abs(v_cents - fc)) AS BIGINT) AS sum_abs_err_cents
+FROM f WHERE fc IS NOT NULL GROUP BY event_type
+""",
+)
+def q_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive baseline error: forecast each day's per-type total
+    with the value 7 observations earlier and score absolute error — the
+    sanity baseline every forecasting pipeline must beat. Daily rollup
+    (integer cents: exact, order-free), one lag(7) over a per-type
+    day-ordered window, integer error sums. Two keyed exchanges total:
+    the day rollup and the per-type window reuse the same event_type
+    hash key."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    f = daily.withColumn("fc", F.lag("v_cents", 7).over(w)).filter(
+        F.col("fc").isNotNull()
+    )
+    return f.groupBy("event_type").agg(
+        F.count("fc").cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("v_cents") - F.col("fc")))
+        .cast("long")
+        .alias("sum_abs_err_cents"),
+    )
+
+
+@_register(
+    "histogram2d_heatmap",
+    sql="""
+SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day, event_type,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+""",
+)
+def q_histogram2d_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D activity heatmap (hour-of-day x event type) with counts and
+    integer-cents value mass — the tall-format aggregate a dashboard
+    pivots client-side. One map-side projection + one hash aggregate
+    whose output is bounded at 24 x |types| rows regardless of corpus
+    size; partial aggregation collapses everything before the (tiny)
+    shuffle."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hour_of_day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+    )
+
+
+# ==========================================================================
+# Round-4 extension: training-prep operators (feature hashing, negative
+# sampling, k-fold assignment, class weights, winsorized stats)
+# ==========================================================================
+
+
+@_register(
+    "feature_hashing_cross",
+    sql=f"""
+WITH f AS (
+  SELECT user_id,
+    {_SQL_H60.format(x="concat('fh', event_type, '|', "
+    "CAST(day(CAST(ts AS TIMESTAMP)) % 7 AS VARCHAR))")} % 256 AS feature_idx
+  FROM events
+)
+SELECT user_id, CAST(feature_idx AS INT) AS feature_idx,
+  CAST(count(*) AS BIGINT) AS n
+FROM f GROUP BY user_id, feature_idx
+""",
+)
+def q_feature_hashing_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick for crossed categorical features: each
+    (event_type x day-bucket) cross hashes into a fixed 256-dim index
+    space — no vocabulary build, no dictionary shuffle, memory bounded
+    by design no matter how many distinct crosses exist (the whole point
+    at 100 TB: vocabularies grow, hash spaces don't). The hash is the
+    repo's shared md5-derived 60-bit integer, so the oracle replays it
+    bit-for-bit; output is the sparse (user, index, count) COO triple a
+    trainer consumes directly. Map-side expression + one hash
+    aggregate."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import token_hash60
+
+    e = _t(spark, sf_dir, "events")
+    cross = F.concat(
+        F.lit("fh"),
+        F.col("event_type"),
+        F.lit("|"),
+        (F.dayofmonth(F.col("ts").cast("timestamp")) % 7).cast("string"),
+    )
+    return (
+        e.select(
+            "user_id", (token_hash60(cross) % 256).cast("int").alias("feature_idx")
+        )
+        .groupBy("user_id", "feature_idx")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@_register(
+    "recsys_negative_sampling",
+    sql=f"""
+WITH mx AS (
+  SELECT max(p_partkey) + 1 AS n_parts FROM part
+), cand AS (
+  SELECT c.c_custkey, r.r,
+    {_SQL_H60.format(x="concat('neg', CAST(c.c_custkey AS VARCHAR), ':', "
+    "CAST(r.r AS VARCHAR))")} % mx.n_parts AS cand_part
+  FROM customer c
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) r
+  CROSS JOIN mx
+), bought AS (
+  SELECT DISTINCT o.o_custkey, l.l_partkey
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), neg AS (
+  SELECT c.c_custkey, c.r, c.cand_part FROM cand c
+  LEFT JOIN bought b
+    ON b.o_custkey = c.c_custkey AND b.l_partkey = c.cand_part
+  WHERE b.o_custkey IS NULL
+)
+SELECT c_custkey, CAST(cand_part AS BIGINT) AS neg_partkey,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT c_custkey, cand_part,
+    row_number() OVER (PARTITION BY c_custkey ORDER BY r) AS rnk
+  FROM neg
+) WHERE rnk <= 3
+""",
+)
+def q_recsys_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommender training: per
+    customer, 3 pseudo-random parts they never purchased. The scale
+    shape matters: candidates come from HASHING (8 deterministic
+    draws/customer via the shared md5 hash mod |parts|), NOT from a
+    customer x part cross join — cost is O(customers * 8) + one
+    distinct-purchases anti-join, where the naive formulation is
+    O(customers * parts). Draw order r ranks survivors, so the kept set
+    is a pure function of the data (a customer whose draws mostly hit
+    purchased parts can yield < 3 — by design, not resampled)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import token_hash60
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    mx = p.agg((F.max("p_partkey") + 1).alias("n_parts"))
+    cand = (
+        c.select("c_custkey")
+        .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .join(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            "r",
+            (
+                token_hash60(
+                    F.concat(
+                        F.lit("neg"),
+                        F.col("c_custkey").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    )
+                )
+                % F.col("n_parts")
+            ).alias("cand_part"),
+        )
+    )
+    bought = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    neg = cand.join(
+        bought,
+        (cand["c_custkey"] == bought["o_custkey"])
+        & (cand["cand_part"] == bought["l_partkey"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("c_custkey").orderBy("r")
+    return (
+        neg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "c_custkey",
+            F.col("cand_part").cast("long").alias("neg_partkey"),
+            "rnk",
+        )
+    )
+
+
+@_register(
+    "stratified_kfold",
+    sql=f"""
+WITH f AS (
+  SELECT lang,
+    {_SQL_H60.format(x="concat('kf', CAST(doc_id AS VARCHAR))")} % 5 AS fold,
+    length(text) AS n_chars
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT lang, CAST(fold AS INT) AS fold,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM f GROUP BY lang, fold
+""",
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment: fold =
+    shared-hash(doc_id) mod k — a pure function of the row, so folds are
+    reproducible across runs/engines, rerun-stable under repartition,
+    and need no shuffle to assign (the audit aggregate here verifies
+    per-stratum balance: each (lang, fold) cell's doc and char mass).
+    NULL-lang rows are excluded from stratification, mirroring the
+    mixture operators' NULL-group contract."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import token_hash60
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    return (
+        d.select(
+            "lang",
+            (
+                token_hash60(F.concat(F.lit("kf"), F.col("doc_id").cast("string")))
+                % 5
+            )
+            .cast("int")
+            .alias("fold"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@_register(
+    "class_balance_weights",
+    sql="""
+WITH cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+    CAST(count(*) AS BIGINT) AS k FROM cnt
+)
+SELECT lang, n_docs,
+  CAST((tot.n_total * 1000000) // (tot.k * cnt.n_docs) AS BIGINT)
+    AS weight_micro
+FROM cnt CROSS JOIN tot
+""",
+)
+def q_class_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (sklearn's 'balanced' formula
+    n_total / (k * n_class)) in exact integer micros — the loss-weight
+    table a trainer broadcasts. One tiny hash agg + a 1-row broadcast
+    total; BIGINT floor arithmetic so both engines agree bit-for-bit.
+    NULL classes are excluded per the repo's NULL-group contract."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = cnt.agg(
+        F.sum("n_docs").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return cnt.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("n_total * 1000000 div (k * n_docs)")
+        .cast("long")
+        .alias("weight_micro"),
+    )
+
+
+@_register(
+    "winsorized_stats",
+    sql="""
+WITH fence AS (
+  SELECT event_type,
+    quantile_cont(value, 0.05) AS p05,
+    quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  round(fence.p05, 6) AS p05,
+  round(fence.p95, 6) AS p95,
+  round(avg(least(greatest(e.value, fence.p05), fence.p95)), 6)
+    AS winsorized_mean,
+  CAST(count(*) FILTER (WHERE e.value < fence.p05 OR e.value > fence.p95)
+    AS BIGINT) AS n_clamped
+FROM events e JOIN fence USING (event_type)
+GROUP BY e.event_type, fence.p05, fence.p95
+""",
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics: clamp to the exact [p05, p95]
+    interpolated percentiles, then average — the heavy-tail-robust mean
+    that, unlike trimming, keeps n constant. Same scale shape as the MAD
+    scorer: grouped EXACT percentiles (one pass), tiny fence frame
+    broadcast back, clamp + aggregate map-side on the fact scan."""
+    e = _t(spark, sf_dir, "events")
+    fence = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (
+        e.join(F.broadcast(fence), "event_type")
+        .groupBy("event_type", "p05", "p95")
+        .agg(
+            F.round(F.avg(clamped), 6).alias("winsorized_mean"),
+            F.count(
+                F.when(
+                    (F.col("value") < F.col("p05"))
+                    | (F.col("value") > F.col("p95")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .select(
+            "event_type",
+            F.round("p05", 6).alias("p05"),
+            F.round("p95", 6).alias("p95"),
+            "winsorized_mean",
+            "n_clamped",
+        )
+    )
+
+
+# ==========================================================================
+# Round-4 extension: SQL-surface breadth (ordered string aggregation,
+# deterministic mode, LATERAL joins, Spark 4 pipe syntax)
+# ==========================================================================
+
+
+@_register(
+    "string_agg_family",
+    sql="""
+SELECT c_nationkey,
+  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segs,
+  string_agg(CAST(c_custkey AS VARCHAR), '|' ORDER BY c_custkey)
+    FILTER (WHERE c_custkey % 250 = 0) AS sample_keys
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def q_string_agg_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation family: listagg/string_agg with an
+    explicit ORDER BY is only oracle-comparable because the order is
+    total — an unordered concat is nondeterministic under partitioning
+    by construction. Spark side: sorted collect_set/collect_list folded
+    through array_join (the pre-listagg idiom that works on every Spark
+    version); per-group state is bounded by the distinct values, and the
+    filtered variant keeps the concat sparse."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+            "segs"
+        ),
+        F.size(F.collect_set("c_mktsegment")).cast("long").alias("n_segs"),
+        # nullif: SQL's FILTERed string_agg yields NULL for an empty
+        # group, array_join of an empty array yields '' — align on NULL
+        F.nullif(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("c_custkey") % 250 == 0, F.col("c_custkey")
+                        )
+                    )
+                ).cast("array<string>"),
+                "|",
+            ),
+            F.lit(""),
+        ).alias("sample_keys"),
+    )
+
+
+@_register(
+    "mode_per_group",
+    sql="""
+SELECT c_nationkey, c_mktsegment AS mode_segment,
+  CAST(n AS BIGINT) AS n
+FROM (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n,
+    row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY count(*) DESC, c_mktsegment) AS rnk
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+WHERE rnk = 1
+""",
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a DETERMINISTIC tiebreak (count desc,
+    value asc) — the native mode() aggregate breaks ties arbitrarily, so
+    this spells it as count + rank, which any engine reproduces exactly.
+    Scale shape: the grouped count collapses map-side to
+    |groups x distinct values| rows and the rank rides a
+    WindowGroupLimit-able top-1."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer")
+    cnt = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("n").desc(), "c_mktsegment"
+    )
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "c_nationkey",
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+_LATERAL_TOPK_SQL = """
+SELECT c.c_custkey, l.o_orderkey, l.price_cents
+FROM customer c,
+  LATERAL (
+    SELECT o.o_orderkey,
+      CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS price_cents
+    FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 1
+  ) l
+WHERE c.c_custkey % 20 = 0
+"""
+
+
+@_register("lateral_join_topk", sql=_LATERAL_TOPK_SQL)
+def q_lateral_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (each customer's single priciest
+    order) — the IDENTICAL SQL text runs on both engines. Catalyst
+    decorrelates the per-row LIMIT 1 subquery into a ranked join (never
+    an actual per-row execution); the price is integer cents so the
+    tie-broken top-1 is engine-exact."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@_register(
+    "sql_pipe_syntax_entry",
+    sql="""
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+    AS revenue_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def q_sql_pipe_syntax_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-syntax entry point (Spark 4's `|>` operator chaining):
+    the same logical query written as a linear pipeline —
+    FROM |> WHERE |> AGGREGATE ... GROUP BY — compiles to the identical
+    plan as the ANSI form the oracle runs (scan-level predicate, partial
+    +final hash aggregate, integer-cents revenue). Pins the surface: a
+    pipe-syntax regression would fail at parse time."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, revenue_cents
+        """
+    )
+
+
+# ==========================================================================
+# Round-4 extension: more Pregel-style graph analytics (multi-source BFS,
+# seeded label propagation) + forensic digit distribution
+# ==========================================================================
+
+
+def _bfs_sql(iters: int = 3) -> str:
+    """Unrolled SQL replay of operators.graph.bfs_hops on the supply
+    graph: same symmetrized distinct edges, same per-round min-hop
+    aggregate — integer min is order-free, so the unroll is exact."""
+    parts = [
+        """WITH raw AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS a,
+    CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS b
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), sym AS (
+  SELECT a, b FROM raw UNION SELECT b AS a, a AS b FROM raw
+), r0 AS (
+  SELECT CAST(c_custkey AS BIGINT) * 2 AS vertex, CAST(0 AS BIGINT) AS hop
+  FROM customer WHERE c_custkey % 500 = 0
+)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", r{t} AS (
+  SELECT vertex, CAST(min(hop) AS BIGINT) AS hop FROM (
+    SELECT vertex, hop FROM r{t - 1}
+    UNION ALL
+    SELECT s.b AS vertex, r.hop + 1 AS hop
+    FROM r{t - 1} r JOIN sym s ON s.a = r.vertex
+  ) GROUP BY vertex
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CASE WHEN vertex % 2 = 0
+  THEN concat('c:', CAST(vertex // 2 AS VARCHAR))
+  ELSE concat('s:', CAST(vertex // 2 AS VARCHAR)) END AS node,
+  hop
+FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+@_register("bfs_reachable_hops", sql=_bfs_sql())
+def q_bfs_reachable_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the customer–supplier graph: minimum hops
+    from the seed customers (custkey % 500 == 0) for everything within 3
+    hops — the expansion/reachability primitive (fraud rings, blast
+    radius, related-entity pulls). Fixed rounds + integer min make it a
+    pure function of the graph; the oracle unrolls the identical rounds.
+    See operators.graph.bfs_hops for the per-round plan (one frontier
+    equi-join + one min-aggregate, checkpointed edges and labels)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import bfs_hops
+
+    l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = c.filter(F.col("c_custkey") % 500 == 0).select(
+        (F.col("c_custkey").cast("long") * 2).alias("vertex")
+    )
+    hops = bfs_hops(edges, seeds, iters=3)
+    return hops.select(
+        F.when(
+            F.col("vertex") % 2 == 0,
+            F.concat(F.lit("c:"), (F.col("vertex") / 2).cast("long").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), (F.col("vertex") / 2).cast("long").cast("string"))
+        )
+        .alias("node"),
+        "hop",
+    )
+
+
+def _label_prop_sql(iters: int = 2) -> str:
+    """Unrolled SQL replay of operators.graph.label_propagation: seeded
+    weighted-majority voting with (votes desc, label asc) tie-break —
+    integer votes, total-order rank, bit-replicable."""
+    parts = [
+        """WITH raw AS (
+  SELECT CAST(o.o_custkey AS BIGINT) * 2 AS a,
+    CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS b,
+    CAST(count(*) AS BIGINT) AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), sym AS (
+  SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT a, b, w FROM raw UNION ALL SELECT b AS a, a AS b, w FROM raw
+  ) GROUP BY a, b
+), seeds AS (
+  SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 AS vertex,
+    CAST(s_nationkey AS BIGINT) AS label
+  FROM supplier WHERE s_suppkey % 2 = 0
+), l0 AS (SELECT vertex, label FROM seeds)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""", v{t} AS (
+  SELECT s.b AS vertex, l.label, CAST(sum(s.w) AS BIGINT) AS votes
+  FROM l{t - 1} l JOIN sym s ON s.a = l.vertex
+  GROUP BY s.b, l.label
+), w{t} AS (
+  SELECT vertex, label FROM (
+    SELECT vertex, label,
+      row_number() OVER (PARTITION BY vertex
+                         ORDER BY votes DESC, label) AS rnk
+    FROM v{t}
+  ) WHERE rnk = 1
+), l{t} AS (
+  SELECT w.vertex, w.label FROM w{t} w
+  LEFT JOIN seeds sd ON sd.vertex = w.vertex WHERE sd.vertex IS NULL
+  UNION ALL SELECT vertex, label FROM seeds
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CASE WHEN l.vertex % 2 = 0
+  THEN concat('c:', CAST(l.vertex // 2 AS VARCHAR))
+  ELSE concat('s:', CAST(l.vertex // 2 AS VARCHAR)) END AS node,
+  l.label, sd.vertex IS NOT NULL AS is_seed
+FROM l{iters} l LEFT JOIN seeds sd ON sd.vertex = l.vertex"""
+    )
+    return "".join(parts)
+
+
+@_register("label_propagation_nations", sql=_label_prop_sql())
+def q_label_propagation_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded label propagation: half the suppliers carry their nation as
+    a fixed seed label; two weighted-majority rounds push labels through
+    the bipartite purchase graph — customers pick up labels in round 1,
+    the UNSEEDED suppliers get them back through labeled customers in
+    round 2 (real multi-hop semi-supervised propagation, not a one-shot
+    join). Integer votes with (votes desc, label asc) tie-break make
+    every round engine-exact; the oracle unrolls the same two rounds.
+    See operators.graph.label_propagation."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    l, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    edges = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            (F.col("o_custkey").cast("long") * 2).alias("src"),
+            (F.col("l_suppkey").cast("long") * 2 + 1).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    seeds = s.filter(F.col("s_suppkey") % 2 == 0).select(
+        (F.col("s_suppkey").cast("long") * 2 + 1).alias("vertex"),
+        F.col("s_nationkey").cast("long").alias("label"),
+    )
+    lab = label_propagation(edges, seeds, weight="w", iters=2)
+    return lab.select(
+        F.when(
+            F.col("vertex") % 2 == 0,
+            F.concat(F.lit("c:"), (F.col("vertex") / 2).cast("long").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("s:"), (F.col("vertex") / 2).cast("long").cast("string"))
+        )
+        .alias("node"),
+        "label",
+        "is_seed",
+    )
+
+
+@_register(
+    "benford_first_digit",
+    sql="""
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+    1, 1) AS INT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM d
+)
+SELECT digit, CAST(count(*) AS BIGINT) AS n,
+  CAST((count(*) * 1000000) // tot.n_total AS BIGINT) AS share_micro
+FROM d CROSS JOIN tot
+GROUP BY digit, tot.n_total
+""",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic screen: the leading-digit distribution of
+    order totals (fraud/fabrication detection flags distributions far
+    from log10(1+1/d)). Digit extraction via integer->string head — no
+    log10 anywhere, so there is no float-boundary hazard at powers of
+    ten; shares in exact integer micros. One map expression + one
+    9-bucket aggregate + a 1-row broadcast total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        d.join(F.broadcast(tot))
+        .groupBy("digit", "n_total")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div n_total").cast("long").alias("share_micro"),
+        )
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -175,3 +175,74 @@ def test_cc_restores_shuffle_conf(spark):
     edges = _edges(spark, [(1, 2), (2, 3)])
     connected_components(edges).count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# ------------------------------------------------------ round 4: BFS / LP
+
+def test_bfs_hops_chain_and_unreached(spark):
+    """Chain 1-2-3-4-5 seeded at 1: hops are the path distances, and a
+    vertex beyond `iters` hops (5 with iters=3... reachable at 4) is
+    absent; disconnected 9-10 never appears."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import bfs_hops
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)])
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    got = {r["vertex"]: r["hop"] for r in bfs_hops(edges, seeds, iters=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+    got4 = {r["vertex"]: r["hop"] for r in bfs_hops(edges, seeds, iters=4).collect()}
+    assert got4[5] == 4 and 9 not in got4
+
+
+def test_bfs_multi_source_takes_min(spark):
+    """Two seeds: every vertex gets the min distance over sources (3 is 1
+    hop from seed 4, not 2 hops from seed 1)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import bfs_hops
+
+    edges = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(1,), (4,)], "vertex long")
+    got = {r["vertex"]: r["hop"] for r in bfs_hops(edges, seeds, iters=2).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+def test_label_propagation_weighted_majority_and_tiebreak(spark):
+    """Vertex 3 hears label 'a' with weight 3 (from 1) and 'b' with
+    weight 1 (from 2) -> adopts a; vertex 4 hears equal votes -> ties to
+    the SMALLEST label; seeds never change."""
+    from pyspark.sql import functions as F
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 3, 3), (2, 3, 1), (1, 4, 2), (2, 4, 2), (2, 1, 9)],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1, 10), (2, 20)], "vertex long, label long")
+    got = {
+        r["vertex"]: (r["label"], r["is_seed"])
+        for r in label_propagation(edges, seeds, weight="w", iters=2).collect()
+    }
+    assert got[3] == (10, False)      # weighted majority
+    assert got[4] == (10, False)      # tie -> smallest label
+    assert got[1] == (10, True) and got[2] == (20, True)  # seeds pinned
+
+
+def test_label_propagation_reaches_two_hops_in_two_rounds(spark):
+    """Seed 1 -- 2 -- 3: vertex 3 has no labeled neighbor in round 1 and
+    gets the label through 2 in round 2."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = _edges(spark, [(1, 2), (2, 3)])
+    seeds = spark.createDataFrame([(1, 7)], "vertex long, label long")
+    one = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(edges, seeds, iters=1).collect()
+    }
+    assert 3 not in one
+    two = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(edges, seeds, iters=2).collect()
+    }
+    assert two[3] == 7 and two[2] == 7

@@ -738,3 +738,71 @@ def test_ivf_exact_replay_deterministic_and_probe_bounded(spark, sf_dir):
     assert len(lists) <= 4  # n_probe
     best = min(a, key=lambda r: r[3])  # rnk 1
     assert best[2] == max(r[2] for r in a)
+
+
+# ------------------------------------------------ round-4 new analytics
+
+def _events_fixture(spark, tmp_path, rows):
+    """Write a minimal events.parquet (full 6-col schema) for query-level
+    tests; rows = (event_id, ts, user_id, event_type, value)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def test_churn_label_gap_semantics(spark, tmp_path):
+    """User A: events 1 day apart (not churn) then a 20-day gap (churn)
+    then a final event (churn: no next). User B: single event (churn)."""
+    import datetime as dt
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, d0, 1, "t", 1.0),
+        (2, d0 + dt.timedelta(days=1), 1, "t", 1.0),
+        (3, d0 + dt.timedelta(days=21), 1, "t", 1.0),
+        (4, d0, 2, "t", 1.0),
+    ]
+    sf = _events_fixture(spark, tmp_path, rows)
+    out = SPARK_QUERIES["churn_label_next_gap"](spark, sf).collect()[0]
+    # churned: event 3 (no next), event 4 (no next); event 2's gap is 20d >= 14
+    assert out["n_events"] == 4
+    assert out["n_churn"] == 3
+    assert out["churn_rate"] == 0.75
+
+
+def test_rolling_distinct_users_window_edges(spark, tmp_path):
+    """Users active on day 1 contribute to report days 1..7 (clamped at
+    max observed day); WAU on day 8 excludes a user whose last activity
+    was day 1."""
+    import datetime as dt
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+
+    d0 = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (1, d0, 1, "t", 1.0),                         # user 1: day 1 only
+        (2, d0, 2, "t", 1.0),                         # user 2: day 1
+        (3, d0 + dt.timedelta(days=7), 2, "t", 1.0),  # user 2: day 8 too
+    ]
+    sf = _events_fixture(spark, tmp_path, rows)
+    out = {
+        r["day"]: r["wau"]
+        for r in SPARK_QUERIES["rolling_distinct_users"](spark, sf).collect()
+    }
+    assert out["2024-01-01"] == 2
+    assert out["2024-01-07"] == 2   # trailing 7-day window still sees day 1
+    assert out["2024-01-08"] == 1   # day-1 activity aged out; only user 2

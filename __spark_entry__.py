@@ -77,6 +77,12 @@ _PRIORITY = (
     "bfs_reachable_hops",
     "label_propagation_nations",
     "benford_first_digit",
+    "sessionize_gap_islands",
+    "time_weighted_average",
+    "join_key_skew_report",
+    "funnel_time_to_convert",
+    "association_rules_lift",
+    "lsh_recall_eval",
 )
 
 

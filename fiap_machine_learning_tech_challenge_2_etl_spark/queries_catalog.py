@@ -6666,6 +6666,408 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# Round-4 extension (2nd wave): sessionization, time-weighted averages,
+# skew diagnostics, funnel timing, association rules, LSH self-evaluation
+# ==========================================================================
+
+
+@_register(
+    "sessionize_gap_islands",
+    sql="""
+WITH s AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
+      OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+    THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), g AS (
+  SELECT user_id, event_type, us,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_type
+      ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM s
+)
+SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM g GROUP BY user_id, sess_idx
+""",
+)
+def q_sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (gaps-and-islands): a >30-minute
+    silence starts a new session; session index is the running sum of
+    new-session flags — the batch twin of the streaming session_window
+    agg, built from two same-key window passes (lag + cumulative sum)
+    that share ONE user-keyed exchange, then a per-session rollup on the
+    same key. All integer microsecond arithmetic: exact in any engine.
+
+    Note the cumsum ORDER BY (us, event_type): within one user,
+    microsecond timestamps are unique in practice, but the tiebreak
+    makes the plan correct even under collisions."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.when(
+            (us - F.lag(us).over(w) > 1800 * 1_000_000)
+            | F.lag(us).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_type")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = s.withColumn("sess_idx", F.sum("new_sess").over(w2).cast("long"))
+    return g.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("(max(us) - min(us)) div 1000000").cast("long").alias("duration_s"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+    )
+
+
+@_register(
+    "time_weighted_average",
+    sql="""
+WITH s AS (
+  SELECT user_id,
+    CAST(round(value * 100, 0) AS BIGINT) AS v_cents,
+    (lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+       ORDER BY CAST(ts AS TIMESTAMP), event_id)
+     - epoch_us(CAST(ts AS TIMESTAMP))) // 1000000 AS dt_s
+  FROM events
+)
+SELECT user_id,
+  CAST(sum(v_cents * dt_s) AS BIGINT) AS sum_wv,
+  CAST(sum(dt_s) AS BIGINT) AS sum_w,
+  CAST(sum(v_cents * dt_s) // sum(dt_s) AS BIGINT) AS twa_cents
+FROM s WHERE dt_s IS NOT NULL AND dt_s > 0
+GROUP BY user_id
+""",
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP-style): each observation holds until
+    the next one, so its weight is the holding duration — the correct
+    mean for irregularly-sampled state (prices, gauge metrics), where a
+    plain avg over-weights bursts. One lead() on the user-keyed window,
+    then integer products (cents x whole seconds — bounded, no int64
+    overflow at fixture scales) and a floor-div final average: exact in
+    any engine. Zero-duration observations (same-second repeats) carry
+    no weight and are excluded on both sides."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
+        ((F.lead(us).over(w) - us) / F.lit(1_000_000))
+        .cast("long")
+        .alias("dt_s"),
+    ).filter(F.col("dt_s").isNotNull() & (F.col("dt_s") > 0))
+    return s.groupBy("user_id").agg(
+        F.sum(F.col("v_cents") * F.col("dt_s")).cast("long").alias("sum_wv"),
+        F.sum("dt_s").cast("long").alias("sum_w"),
+        F.expr("sum(v_cents * dt_s) div sum(dt_s)").cast("long").alias("twa_cents"),
+    )
+
+
+@_register(
+    "join_key_skew_report",
+    sql="""
+WITH k AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n FROM lineitem
+  GROUP BY l_suppkey
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+    CAST(count(*) AS BIGINT) AS n_keys, CAST(max(n) AS BIGINT) AS max_n
+  FROM k
+)
+SELECT l_suppkey, n,
+  CAST((n * 1000000) // tot.n_total AS BIGINT) AS share_micro,
+  CAST((tot.max_n * tot.n_keys * 1000000) // tot.n_total AS BIGINT)
+    AS skew_ratio_micro
+FROM k CROSS JOIN tot
+ORDER BY n DESC, l_suppkey LIMIT 10
+""",
+)
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the top heavy-hitter keys with their
+    traffic share plus the global skew ratio (max/mean in micros) — what
+    you run BEFORE a big join to decide between AQE skew handling and
+    explicit salting. One partial-aggregated key count, a 1-row
+    broadcast total, TakeOrderedAndProject for the head; integer micro
+    arithmetic end to end."""
+    l = _t(spark, sf_dir, "lineitem")
+    k = l.groupBy("l_suppkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = k.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    return (
+        k.join(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "n",
+            F.expr("n * 1000000 div n_total").cast("long").alias("share_micro"),
+            F.expr("max_n * n_keys * 1000000 div n_total")
+            .cast("long")
+            .alias("skew_ratio_micro"),
+        )
+        .orderBy(F.col("n").desc(), "l_suppkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "funnel_time_to_convert",
+    sql="""
+WITH fv AS (
+  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS v_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), fc AS (
+  SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS c_us
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'click'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= fv.v_us
+  GROUP BY e.user_id
+), fp AS (
+  SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_us
+  FROM events e JOIN fc ON fc.user_id = e.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= fc.c_us
+  GROUP BY e.user_id
+), d AS (
+  SELECT 'view_to_click' AS stage, (fc.c_us - fv.v_us) // 1000000 AS dt_s
+  FROM fv JOIN fc USING (user_id)
+  UNION ALL
+  SELECT 'click_to_purchase' AS stage, (fp.p_us - fc.c_us) // 1000000 AS dt_s
+  FROM fc JOIN fp USING (user_id)
+)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_converted,
+  round(quantile_cont(dt_s, 0.5), 6) AS median_s,
+  round(quantile_cont(dt_s, 0.9), 6) AS p90_s
+FROM d GROUP BY stage
+""",
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: how long users take to move view -> click ->
+    purchase (first qualifying event after the prior stage), with exact
+    median/p90 of the stage transition time — the metric behind 'where
+    does the funnel stall'. Three user-keyed conditional min-aggregates
+    chained by broadcast join-backs (each stage's frame is |users|
+    rows), integer-second deltas, exact interpolated percentiles."""
+    e = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = e.select("user_id", "event_type", us.alias("us"))
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(fv), "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(fc), "user_id")
+        .filter(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    d = (
+        fv.join(fc, "user_id")
+        .select(
+            F.lit("view_to_click").alias("stage"),
+            F.expr("(c_us - v_us) div 1000000").cast("long").alias("dt_s"),
+        )
+        .unionByName(
+            fc.join(fp, "user_id").select(
+                F.lit("click_to_purchase").alias("stage"),
+                F.expr("(p_us - c_us) div 1000000").cast("long").alias("dt_s"),
+            )
+        )
+    )
+    return d.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(dt_s, 0.5)"), 6).alias("median_s"),
+        F.round(F.expr("percentile(dt_s, 0.9)"), 6).alias("p90_s"),
+    )
+
+
+@_register(
+    "association_rules_lift",
+    sql="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n1 AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+    CAST(count(*) AS BIGINT) AS n_ab
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT p.part_a, p.part_b, p.n_ab,
+  CAST((p.n_ab * 1000000) // na.n AS BIGINT) AS conf_a_to_b_micro,
+  CAST((p.n_ab * tot.n_orders * 1000000) // (na.n * nb.n) AS BIGINT)
+    AS lift_micro
+FROM pairs p
+JOIN n1 na ON na.l_partkey = p.part_a
+JOIN n1 nb ON nb.l_partkey = p.part_b
+CROSS JOIN tot
+ORDER BY lift_micro DESC, part_a, part_b LIMIT 25
+""",
+)
+def q_association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over market baskets: confidence and lift for
+    the co-purchased part pairs with support >= 3 orders — the classic
+    a-priori output head, in exact integer micros (lift = n_ab * N /
+    (n_a * n_b); all products bounded well inside BIGINT). The pair join
+    fans out O(basket^2) per order; item frequencies broadcast back onto
+    the (already support-pruned) pair frame; final cut is
+    TakeOrderedAndProject on a total order."""
+    l = _t(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    n1 = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = op.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.l_orderkey") == F.col("b.l_orderkey"),
+                F.col("a.l_partkey") < F.col("b.l_partkey"),
+            ],
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    na = n1.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    nb = n1.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.expr("n_ab * 1000000 div n_a")
+            .cast("long")
+            .alias("conf_a_to_b_micro"),
+            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_micro"),
+        )
+        .orderBy(F.col("lift_micro").desc(), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@_register(
+    "lsh_recall_eval",
+    sql=f"""
+WITH {_lsh_near_dup_ctes(threshold=0.4)}, ex AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                               CAST(a.embedding AS DOUBLE[])))
+       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])))), 6) >= 0.4
+), j AS (
+  SELECT coalesce(l.id_a, ex.id_a) AS id_a,
+    l.id_a IS NOT NULL AS in_lsh, ex.id_a IS NOT NULL AS in_exact
+  FROM lsh_pairs l FULL OUTER JOIN ex
+    ON l.id_a = ex.id_a AND l.id_b = ex.id_b
+)
+SELECT
+  CAST(count(*) FILTER (WHERE in_lsh AND in_exact) AS BIGINT) AS tp,
+  CAST(count(*) FILTER (WHERE in_lsh AND NOT in_exact) AS BIGINT) AS fp,
+  CAST(count(*) FILTER (WHERE in_exact AND NOT in_lsh) AS BIGINT) AS fn,
+  CAST((count(*) FILTER (WHERE in_lsh AND in_exact) * 1000000)
+    // greatest(count(*) FILTER (WHERE in_lsh), 1) AS BIGINT)
+    AS precision_micro,
+  CAST((count(*) FILTER (WHERE in_lsh AND in_exact) * 1000000)
+    // greatest(count(*) FILTER (WHERE in_exact), 1) AS BIGINT)
+    AS recall_micro
+FROM j
+""",
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating dedup: precision/recall of the LSH near-dup path
+    against the exact blocked-grid ground truth, as one query — the
+    eval a pipeline runs on a BOUNDED SAMPLE before trusting LSH at full
+    scale (here the whole sf table IS the sample). Both operands are the
+    production operators; the set comparison is one full-outer equi-join
+    on the pair key and the metrics are exact integer micros. The
+    oracle replays both paths (integer-exact LSH planes + brute-force
+    cosine) and the same join."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        exact_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    lsh = embedding_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    ex = exact_near_dup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+    j = lsh.withColumn("in_lsh", F.lit(True)).join(
+        ex.withColumn("in_exact", F.lit(True)),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    return j.agg(
+        F.count(F.when(F.col("in_lsh") & F.col("in_exact"), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("in_lsh") & F.col("in_exact").isNull(), 1))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when(F.col("in_exact") & F.col("in_lsh").isNull(), 1))
+        .cast("long")
+        .alias("fn"),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        F.expr("tp * 1000000 div greatest(tp + fp, 1)")
+        .cast("long")
+        .alias("precision_micro"),
+        F.expr("tp * 1000000 div greatest(tp + fn, 1)")
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -6676,7 +6676,8 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_gap_islands",
     sql="""
 WITH s AS (
-  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+  SELECT user_id, event_id, event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
     CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
       - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > 1800000000
       OR lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
@@ -6685,7 +6686,7 @@ WITH s AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
 ), g AS (
   SELECT user_id, event_type, us,
-    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_type
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
       ROWS UNBOUNDED PRECEDING) AS sess_idx
   FROM s
 )
@@ -6702,11 +6703,9 @@ def q_sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-session flags — the batch twin of the streaming session_window
     agg, built from two same-key window passes (lag + cumulative sum)
     that share ONE user-keyed exchange, then a per-session rollup on the
-    same key. All integer microsecond arithmetic: exact in any engine.
-
-    Note the cumsum ORDER BY (us, event_type): within one user,
-    microsecond timestamps are unique in practice, but the tiebreak
-    makes the plan correct even under collisions."""
+    same key. All integer microsecond arithmetic: exact in any engine;
+    both window orders carry the event_id tiebreak so the running sum is
+    over a TOTAL order even under timestamp collisions."""
     from pyspark.sql.window import Window
 
     e = _t(spark, sf_dir, "events")
@@ -6714,6 +6713,7 @@ def q_sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
         "user_id",
+        "event_id",
         "event_type",
         us.alias("us"),
         F.when(
@@ -6726,7 +6726,7 @@ def q_sessionize_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = (
         Window.partitionBy("user_id")
-        .orderBy("us", "event_type")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     g = s.withColumn("sess_idx", F.sum("new_sess").over(w2).cast("long"))

@@ -83,6 +83,8 @@ _PRIORITY = (
     "funnel_time_to_convert",
     "association_rules_lift",
     "lsh_recall_eval",
+    "stream_session_window_roundtrip",
+    "quantile_normalize_by_lang",
 )
 
 

@@ -7068,6 +7068,85 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "quantile_normalize_by_lang",
+    sql="""
+WITH base AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents WHERE lang IS NOT NULL
+), lr AS (
+  SELECT doc_id, lang, n_chars,
+    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n_l
+  FROM base
+), gr AS (
+  SELECT n_chars AS gv,
+    row_number() OVER (ORDER BY n_chars, doc_id) AS pos
+  FROM base
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m FROM base
+), t AS (
+  SELECT lr.doc_id, lr.lang, lr.n_chars,
+    ((lr.rn - 1) * 1000000 // greatest(lr.n_l - 1, 1) * (m.m - 1))
+      // 1000000 + 1 AS target_pos
+  FROM lr CROSS JOIN m
+)
+SELECT t.doc_id, t.lang, t.n_chars, CAST(gr.gv AS BIGINT) AS norm_chars
+FROM t JOIN gr ON gr.pos = t.target_pos
+""",
+)
+def q_quantile_normalize_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (batch-effect removal): map
+    each document's within-language length rank onto the GLOBAL length
+    distribution, so every language's metric becomes comparable — the
+    standard fix when one source's distribution is shifted (here: doc
+    length; in production: quality scores across crawls). All-integer
+    rank arithmetic (micro-quantile -> nearest-below global position),
+    so the mapping is engine-exact with zero interpolation hazards.
+
+    Scale shape: per-lang ranks are keyed windows; the GLOBAL rank uses
+    the distributed two-pass global_row_number (range exchange +
+    partitioned window + broadcast offsets — never a single-task global
+    window); the position lookup is a plain equi-join."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import (
+        global_row_number,
+    )
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isNotNull())
+    base = d.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    )
+    wl = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    lr = base.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.row_number().over(wl).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n_l"),
+    )
+    gr = global_row_number(
+        base.select(F.col("n_chars").alias("gv"), "doc_id"),
+        ["gv", "doc_id"],
+        out_col="pos",
+    ).select("gv", "pos")
+    m = base.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    t = lr.join(F.broadcast(m)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            "((rn - 1) * 1000000 div greatest(n_l - 1, 1) * (m - 1))"
+            " div 1000000 + 1"
+        )
+        .cast("long")
+        .alias("target_pos"),
+    )
+    return t.join(gr, F.col("target_pos") == F.col("pos")).select(
+        "doc_id", "lang", "n_chars", F.col("gv").cast("long").alias("norm_chars")
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

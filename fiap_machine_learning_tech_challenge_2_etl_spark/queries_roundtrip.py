@@ -568,6 +568,104 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_session_window_roundtrip",
+    sql="""
+WITH src AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE user_id % 6 = 0
+), s AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts, value,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+)
+SELECT min(ts) AS session_start,
+  max(ts) + INTERVAL 30 MINUTE AS session_end,
+  user_id, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(round(sum(value) * 100) AS BIGINT) AS sum_cents
+FROM g GROUP BY user_id, sid
+""",
+)
+@_with_stream_shuffle
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming SESSION windows (streaming/incremental.py
+    sessionized_counts, Spark-native session_window) attested against the
+    batch gaps-and-islands oracle: gap-merged sessions are the same
+    mathematical object whether computed by streaming state or by a batch
+    lag+cumsum, so the emitted (start, end=last+gap, n, sum) rows must
+    match exactly.
+
+    The roundtrip exercises the APPEND-MODE TAIL: after run 1 delivers
+    all real events, every user's final session is still open in state
+    (the watermark can't prove it over). Run 2 delivers one far-future
+    sentinel event per user over the SAME checkpoint, advancing the
+    watermark past every real session end — the held sessions flush.
+    That is the production pattern for draining session state in
+    file-replay pipelines; the sentinels' own sessions stay unemitted in
+    state and are excluded by construction (nothing is filtered from the
+    output)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        sessionized_counts,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 6 == 0).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    d = _scratch("stream_session", sf_dir)
+    inp = os.path.join(d, "in")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    schema = e.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(inp)
+        sess = sessionized_counts(stream, gap="30 minutes", watermark="10 minutes")
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(outp)
+
+        (
+            sess.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    e.repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    # ONE sentinel row, 2 days past the corpus end: the watermark is
+    # GLOBAL (max event time minus delay), so a single future event
+    # advances it past every real session's end and run 2 flushes them
+    # all — while the sentinel's own session (ending 30 min after the
+    # new watermark base) provably cannot emit, so nothing needs to be
+    # filtered from the output.
+    sentinel = e.agg((F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "ts",
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    back = read_parquet_dir(spark, outp)
+    return back.select(
+        "session_start",
+        "session_end",
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+    )
+
+
+@_register(
     "stream_running_stats_roundtrip",
     sql="""
 SELECT user_id,

@@ -85,6 +85,8 @@ _PRIORITY = (
     "lsh_recall_eval",
     "stream_session_window_roundtrip",
     "quantile_normalize_by_lang",
+    "msck_repair_discovery",
+    "runner_batch_roundtrip",
 )
 
 

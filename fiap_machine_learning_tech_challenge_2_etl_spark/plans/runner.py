@@ -22,7 +22,11 @@ import argparse
 from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, spark=None) -> None:
+    """CLI entry. ``spark``: inject an existing session (tests / the
+    runner round-trip query) — the runner then neither creates nor stops
+    it, mirroring how a real orchestrator owns the session lifecycle
+    around job submissions."""
     p = argparse.ArgumentParser(prog="fiap-machine-learning-tech-challenge-2-etl-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -39,7 +43,9 @@ def main(argv: list[str] | None = None) -> None:
     i.add_argument("--max-files-per-trigger", type=int, default=None)
 
     args = p.parse_args(argv)
-    spark = get_session("pipeline-runner")
+    owns_session = spark is None
+    if owns_session:
+        spark = get_session("pipeline-runner")
     try:
         if args.cmd == "batch":
             from fiap_machine_learning_tech_challenge_2_etl_spark.plans.pipeline import run_batch_pipeline
@@ -95,7 +101,8 @@ def main(argv: list[str] | None = None) -> None:
                 max_files_per_trigger=args.max_files_per_trigger,
             )
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":

@@ -59,9 +59,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ==========================================================================
 
 
-@_register(
-    "flagship_pipeline",
-    sql="""
+# Shared by the flagship query's oracle and the CLI-runner round-trip
+# (queries_roundtrip.runner_batch_roundtrip aggregates over this result).
+_FLAGSHIP_SQL = """
 WITH e AS (
   SELECT *, CAST(ts AS DATE) AS event_date,
          row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
@@ -91,8 +91,10 @@ SELECT user_id, strftime(event_date, '%Y-%m-%d') AS event_date, event_type, valu
   strftime(initial_d, '%Y-%m-%d') AS initial_date,
   round(tot_raw, 6)  AS total_value_type_day
 FROM w
-""",
-)
+"""
+
+
+@_register("flagship_pipeline", sql=_FLAGSHIP_SQL)
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1/EP3 — the full reference clean->window pipeline over events."""
     return flagship_events_pipeline(spark, sf_dir)

@@ -46,7 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import _register, _t
+from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import (
+    _FLAGSHIP_SQL,
+    _register,
+    _t,
+)
 from fiap_machine_learning_tech_challenge_2_etl_spark.sources.catalog import (
     add_partitions,
     ensure_database,
@@ -248,6 +252,94 @@ def q_catalog_partition_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
             seen.add(key)
             specs.append(spec)
     add_partitions(spark, db, tbl, specs)
+    n_parts = len(list_partitions(spark, db, tbl))
+    t = read_table(spark, tbl, db)
+    return (
+        t.groupBy(*pcols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(_cents("o_totalprice")).alias("sum_cents"),
+        )
+        .withColumn("n_parts", F.lit(n_parts).cast("long"))
+    )
+
+
+@_register(
+    "runner_batch_roundtrip",
+    sql="WITH f AS (" + _FLAGSHIP_SQL + """
+)
+SELECT event_date, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+  CAST(sum(CAST(round(median_value_7d * 100) AS BIGINT)) AS BIGINT)
+    AS median_cents,
+  CAST(sum(CAST(round(total_value_type_day * 100) AS BIGINT)) AS BIGINT)
+    AS tot_cents
+FROM f GROUP BY event_date
+""",
+)
+def q_runner_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2-O5 — the CLI runner driven END TO END through its argparse
+    surface (``runner.main(["batch", ...])`` with an injected session):
+    the runner sequences the flagship transform + partitioned load in
+    one process (the reference's Lambda/StepFn control plane flattened,
+    infra/glue.tf:99-156), and what lands on disk must reproduce the
+    flagship pipeline's values exactly — aggregated per written
+    event_date partition in integer cents. Turns the last pytest-only
+    control-plane surface into a driver-attested row."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.plans import runner
+
+    d = _scratch("runner_batch", sf_dir)
+    outp = os.path.join(d, "refined")
+    runner.main(["batch", "--sf-dir", sf_dir, "--out", outp], spark=spark)
+    back = read_parquet_dir(spark, outp)
+    return back.groupBy(
+        F.date_format("event_date", "yyyy-MM-dd").alias("event_date")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(_cents("value")).cast("long").alias("value_cents"),
+        F.sum(_cents("median_value_7d")).cast("long").alias("median_cents"),
+        F.sum(_cents("total_value_type_day")).cast("long").alias("tot_cents"),
+    )
+
+
+@_register(
+    "msck_repair_discovery",
+    sql="""
+SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  (SELECT CAST(count(*) AS BIGINT) FROM
+     (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders) d) AS n_parts
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def q_msck_repair_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — partition discovery FROM STORAGE LAYOUT (the reference lists
+    S3 keys against a regex, etl/extract.py:116-125; Spark-native form is
+    MSCK REPAIR walking the table location): write the partitioned data,
+    register the external table with ZERO partitions, then let
+    repair_table discover every key=value directory — no per-partition
+    ALTER statements, no URI parsing. ``n_parts`` pins that discovery
+    found exactly the data's true partition count, and the catalog scan
+    pins that every discovered partition resolves to the right files.
+    The companion catalog_partition_registry query attests the
+    incremental G5-G7 path (per-URI inference + batched ALTER); this one
+    attests the full-rescan path used for backfills/recovery — both are
+    metadata-only, O(partitions + files) listing work at any data
+    scale."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.catalog import repair_table
+
+    o = _t(spark, sf_dir, "orders")
+    d = _scratch("msck_repair", sf_dir)
+    pcols = ["o_orderstatus", "o_orderpriority"]
+    write_partitioned_parquet(o, d, pcols)
+    db, tbl = "rt_msck", "orders_msck"
+    spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+    ensure_database(spark, db)
+    ensure_external_table(spark, db, tbl, o.schema, pcols, d)
+    assert len(list_partitions(spark, db, tbl)) == 0  # nothing registered yet
+    repair_table(spark, db, tbl)
     n_parts = len(list_partitions(spark, db, tbl))
     t = read_table(spark, tbl, db)
     return (

@@ -87,6 +87,7 @@ _PRIORITY = (
     "quantile_normalize_by_lang",
     "msck_repair_discovery",
     "runner_batch_roundtrip",
+    "minhash_recall_eval",
 )
 
 

@@ -7071,6 +7071,88 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "minhash_recall_eval",
+    sql=f"""
+WITH lsh AS (
+  SELECT id_a, id_b FROM ({_minhash_lsh_sql(num_perm=16, bands=8, threshold=0.2)}) t1
+), ex AS (
+  SELECT id_a, id_b FROM (
+    WITH sh0 AS (
+      SELECT doc_id, {_SQL_SHINGLES3} AS shingles
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ), h AS (
+      SELECT DISTINCT doc_id, {_SQL_H60.format(x='s')} AS h
+      FROM (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh0)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE round(c.n_common / (sa.sz + sb.sz - c.n_common), 6) >= 0.2
+  ) t2
+), j AS (
+  SELECT l.id_a IS NOT NULL AS in_lsh, e.id_a IS NOT NULL AS in_exact
+  FROM lsh l FULL OUTER JOIN ex e
+    ON l.id_a = e.id_a AND l.id_b = e.id_b
+)
+SELECT
+  CAST(count(*) FILTER (WHERE in_lsh AND in_exact) AS BIGINT) AS tp,
+  CAST(count(*) FILTER (WHERE in_lsh AND NOT in_exact) AS BIGINT) AS fp,
+  CAST(count(*) FILTER (WHERE in_exact AND NOT in_lsh) AS BIGINT) AS fn,
+  CAST((count(*) FILTER (WHERE in_lsh AND in_exact) * 1000000)
+    // greatest(count(*) FILTER (WHERE in_exact), 1) AS BIGINT)
+    AS recall_micro
+FROM j
+""",
+)
+def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-dedup self-evaluation, the MinHash twin of lsh_recall_eval:
+    banded MinHash-LSH pairs vs the exact inverted-index Jaccard ground
+    truth at the same threshold, one full-outer pair join, integer-micro
+    recall. fp is 0 BY CONSTRUCTION (the LSH path verifies exact Jaccard
+    on its candidates), so the number under test is candidate recall —
+    the quantity you estimate on a bounded sample before trusting the
+    banding parameters (b=8, r=2 here) on the full corpus."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lsh = minhash_near_dup_pairs(
+        d, threshold=0.2, num_perm=16, bands=8
+    ).select("id_a", "id_b")
+    ex = ngram_jaccard_pairs(d, min_jaccard=0.2).select("id_a", "id_b")
+    j = lsh.withColumn("in_lsh", F.lit(True)).join(
+        ex.withColumn("in_exact", F.lit(True)), ["id_a", "id_b"], "full_outer"
+    )
+    return j.agg(
+        F.count(F.when(F.col("in_lsh") & F.col("in_exact"), 1))
+        .cast("long")
+        .alias("tp"),
+        F.count(F.when(F.col("in_lsh") & F.col("in_exact").isNull(), 1))
+        .cast("long")
+        .alias("fp"),
+        F.count(F.when(F.col("in_exact") & F.col("in_lsh").isNull(), 1))
+        .cast("long")
+        .alias("fn"),
+    ).select(
+        "tp",
+        "fp",
+        "fn",
+        F.expr("tp * 1000000 div greatest(tp + fn, 1)")
+        .cast("long")
+        .alias("recall_micro"),
+    )
+
+
+@_register(
     "quantile_normalize_by_lang",
     sql="""
 WITH base AS (

@@ -88,6 +88,7 @@ _PRIORITY = (
     "msck_repair_discovery",
     "runner_batch_roundtrip",
     "minhash_recall_eval",
+    "stream_tumbling_late_data_roundtrip",
 )
 
 

@@ -758,6 +758,84 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_tumbling_late_data_roundtrip",
+    sql="""
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+    AS window_start,
+  event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE user_id % 4 = 0
+  AND day(CAST(ts AS TIMESTAMP)) >= 6  -- the late-delivered rows are DROPPED
+GROUP BY 1, 2
+""",
+)
+@_with_stream_shuffle
+def q_stream_tumbling_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked TUMBLING-window aggregation (streaming/incremental.py
+    windowed_event_counts) with the late-data contract attested end to
+    end: run 1 delivers days >= 6 (the checkpoint then holds watermark =
+    max ts - 10 min); run 2 delivers days 1-5 — all of it further past
+    the watermark than the 10-minute lateness bound, so the engine MUST
+    drop every row (their windows were finalized and evicted); run 3
+    delivers one far-future sentinel to flush the held tail windows.
+    The oracle counts ONLY the on-time rows — if late data leaked into
+    any window, counts and cents diverge. This is the semantics a
+    100 TB file-replay pipeline depends on: bounded state via eviction,
+    deterministic exclusion of too-late arrivals."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 4 == 0).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    d = _scratch("stream_tumbling_late", sf_dir)
+    inp = os.path.join(d, "in")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    schema = e.schema
+    day = F.dayofmonth(F.col("ts").cast("timestamp"))
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = windowed_event_counts(stream, window="1 hour", watermark="10 minutes")
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(outp)
+
+        (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    e.filter(day >= 6).repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    e.filter(day <= 5).repartition(1).write.mode("append").parquet(inp)  # late
+    run_once()
+    sentinel = e.agg((F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "ts",
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    back = read_parquet_dir(spark, outp)
+    return back.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n"),
+        F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+    )
+
+
+@_register(
     "stream_running_stats_roundtrip",
     sql="""
 SELECT user_id,

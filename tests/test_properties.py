@@ -230,3 +230,106 @@ def test_rebalance_matches_python_md5_model(spark, sizes):
         if bucket < thr:
             expect.add(i)
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sets(st.integers(min_value=0, max_value=14), min_size=1, max_size=4),
+)
+def test_bfs_hops_matches_python_bfs(spark, edges, seeds):
+    """bfs_hops on random graphs == a plain Python BFS truncated at the
+    iteration budget (vertices beyond it absent)."""
+    from collections import deque
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import bfs_hops
+
+    iters = 3
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        v = dq.popleft()
+        if want[v] >= iters:
+            continue
+        for n in adj.get(v, ()):
+            if n not in want:
+                want[n] = want[v] + 1
+                dq.append(n)
+    edf = spark.createDataFrame(list(edges), "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "vertex long")
+    got = {
+        r["vertex"]: r["hop"] for r in bfs_hops(edf, sdf, iters=iters).collect()
+    }
+    # seeds not present in the edge list are still reported at hop 0;
+    # python model above already includes them
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),     # user
+            st.integers(min_value=0, max_value=50_000),  # offset seconds
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_sessionize_islands_match_python_model(spark, rows):
+    """sessionize_gap_islands' (user, session) partitioning == a Python
+    sweep with the same 30-minute gap rule, on synthetic event tables."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    recs = sorted(
+        (u, base + dt.timedelta(seconds=s), i)
+        for i, (u, s) in enumerate(rows)
+    )
+    # python model: per user, order by (ts, event_id), split on gap > 1800 s
+    want: dict[tuple[int, int], int] = {}
+    per_user: dict[int, list] = {}
+    for u, ts, eid in recs:
+        per_user.setdefault(u, []).append((ts, eid))
+    for u, evs in per_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, _ in evs:
+            if prev is not None and (ts - prev).total_seconds() > 1800:
+                sid += 1
+            want[(u, sid)] = want.get((u, sid), 0) + 1
+            prev = ts
+    with tempfile.TemporaryDirectory() as d:
+        tbl = pa.table(
+            {
+                "event_id": pa.array([e for _, _, e in recs], pa.int64()),
+                "ts": pa.array([t for _, t, _ in recs], pa.timestamp("us")),
+                "user_id": pa.array([u for u, _, _ in recs], pa.int64()),
+                "event_type": pa.array(["t"] * len(recs)),
+                "value": pa.array([1.0] * len(recs), pa.float64()),
+                "props": pa.array(["{}"] * len(recs)),
+            }
+        )
+        pq.write_table(tbl, d + "/events.parquet")
+        out = SPARK_QUERIES["sessionize_gap_islands"](spark, d).collect()
+    got = {(r["user_id"], r["sess_idx"] - 1): r["n_events"] for r in out}
+    assert got == want

@@ -89,6 +89,7 @@ _PRIORITY = (
     "runner_batch_roundtrip",
     "minhash_recall_eval",
     "stream_tumbling_late_data_roundtrip",
+    "multimodal_audio_energy",
 )
 
 

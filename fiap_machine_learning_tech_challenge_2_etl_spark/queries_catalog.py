@@ -7071,6 +7071,42 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "multimodal_audio_energy",
+    sql="""
+WITH a AS (
+  SELECT doc_id AS asset_id, substring(text, 1, 4096) AS t
+  FROM documents WHERE length(text) > 0
+), pos AS (
+  SELECT asset_id, t, unnest(generate_series(1, length(t))) AS p FROM a
+), b AS (
+  SELECT asset_id, CAST((p - 1) // 256 AS INT) AS frame_idx,
+    (unicode(t[p]) - 128) AS c
+  FROM pos
+)
+SELECT asset_id, frame_idx,
+  CAST(count(*) AS BIGINT) AS n_frame_bytes,
+  CAST(sum(c * c) AS BIGINT) AS energy
+FROM b GROUP BY asset_id, frame_idx
+""",
+)
+def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped multimodal kernel: per-frame signal energy over the
+    binary payload (256-byte frames, sum of centered squares — the
+    PCM-8 energy a hop-based audio featurizer computes), as a fully
+    vectorized Arrow-batched mapInPandas — numpy frombuffer/reshape, no
+    per-byte Python — with an exact int64 oracle (docs are ASCII, so
+    UTF-8 payload bytes == code points on the SQL side). Rounds out the
+    modality plumbing: features (stats), frames (offsets), thumbnails
+    (decimation), energy (signal)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import (
+        documents_as_assets,
+        frame_energy,
+    )
+
+    return frame_energy(documents_as_assets(_t(spark, sf_dir, "documents")))
+
+
+@_register(
     "minhash_recall_eval",
     sql=f"""
 WITH lsh AS (

@@ -445,3 +445,23 @@ def test_dedup_canonical_one_per_cluster_richest_wins(spark, sf_dir):
         assert mismatches.count() == 0
     finally:
         out.unpersist()
+
+
+def test_multimodal_frame_energy_hand_computed(spark):
+    """'ab' -> one frame: (97-128)^2 + (98-128)^2 = 961 + 900 = 1861;
+    a 300-char payload with frame_bytes=256 splits 256+44, padding adds
+    zero energy; empty payloads yield no rows."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "a" * 300), (3, "")], ["doc_id", "text"]
+    )
+    rows = MM.frame_energy(MM.documents_as_assets(df)).collect()
+    by = {(r["asset_id"], r["frame_idx"]): r for r in rows}
+    assert by[(1, 0)]["energy"] == (97 - 128) ** 2 + (98 - 128) ** 2
+    assert by[(1, 0)]["n_frame_bytes"] == 2
+    e_a = (97 - 128) ** 2
+    assert by[(2, 0)]["energy"] == 256 * e_a
+    assert by[(2, 1)]["energy"] == 44 * e_a
+    assert by[(2, 1)]["n_frame_bytes"] == 44
+    assert not any(a == 3 for a, _ in by)

@@ -90,6 +90,7 @@ _PRIORITY = (
     "minhash_recall_eval",
     "stream_tumbling_late_data_roundtrip",
     "multimodal_audio_energy",
+    "jsonl_quarantine_roundtrip",
 )
 
 

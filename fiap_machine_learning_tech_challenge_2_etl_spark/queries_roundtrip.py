@@ -303,6 +303,59 @@ def q_runner_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "jsonl_quarantine_roundtrip",
+    sql="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+  CAST(3 AS BIGINT) AS n_rejects
+FROM documents WHERE doc_id % 7 = 0
+GROUP BY lang
+""",
+)
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant JSONL ingest round-trip (sources/text_formats.py):
+    documents are exported to gzip JSON-lines (the LLM-corpus
+    interchange format), THREE malformed lines are injected into the
+    landing directory, and the permissive read + quarantine split must
+    (a) recover every clean row byte-exactly — per-lang doc counts and
+    char sums match the source — and (b) route exactly the injected
+    lines to the reject frame, never aborting the job. The quarantine
+    failure mode is the 100 TB contract: a bad file costs its rows, not
+    the pipeline."""
+    from pyspark.sql import types as TT
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.text_formats import (
+        quarantine_corrupt,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    d0 = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", "lang", "text"
+    )
+    d = _scratch("jsonl_quarantine", sf_dir)
+    land = os.path.join(d, "landing")
+    write_jsonl(d0, land)
+    bad = spark.createDataFrame(
+        [("{not json",), ("definitely not a record",), ("}{",)], "value string"
+    )
+    bad.repartition(1).write.mode("append").text(land)
+    schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("lang", TT.StringType()),
+            TT.StructField("text", TT.StringType()),
+        ]
+    )
+    clean, rejects = quarantine_corrupt(read_jsonl(spark, land, schema))
+    n_rejects = rejects.count()  # metadata-class driver scalar, like n_parts
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+    ).withColumn("n_rejects", F.lit(n_rejects).cast("long"))
+
+
+@_register(
     "msck_repair_discovery",
     sql="""
 SELECT o_orderstatus, o_orderpriority,

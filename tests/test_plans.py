@@ -426,6 +426,32 @@ def test_ivf_replay_probe_is_map_side(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_sessionize_single_user_exchange(spark, sf_dir):
+    """Gap sessionization: the lag window, the cumulative-sum window and
+    the per-session rollup all ride ONE user-keyed hash exchange — the
+    whole islands computation is a single shuffle at any corpus size."""
+    plan = _plan(SPARK_QUERIES["sessionize_gap_islands"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_audio_energy_is_pure_arrow_kernel(spark, sf_dir):
+    """Frame-energy extraction is one Arrow-batched kernel over the
+    pruned (id, payload) projection: no exchange, no join — payload
+    bytes cross to Python exactly once."""
+    plan = _plan(SPARK_QUERIES["multimodal_audio_energy"](spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_funnel_stages_broadcast_back(spark, sf_dir):
+    """Funnel latency chains its per-stage frames as broadcast
+    join-backs onto the event scan — a sort-merge join would shuffle the
+    fact table once per stage."""
+    plan = _plan(SPARK_QUERIES["funnel_time_to_convert"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_registry_wide_no_cartesian_product(spark, sf_dir):
     """Structural gate over the WHOLE batch registry: no query may plan a
     CartesianProduct — the silent O(n*m) killer a refactor can introduce

@@ -91,6 +91,13 @@ _PRIORITY = (
     "stream_tumbling_late_data_roundtrip",
     "multimodal_audio_energy",
     "jsonl_quarantine_roundtrip",
+    # ROUND-5 NOTE: 46 entries above; the 4 spare window slots fall to
+    # the head of the remaining registry (all r03-green). Every query
+    # added or changed in round 4 is inside this round's window, so if
+    # CORRECTNESS_r04 comes back fully green the union over r01-r04
+    # attests the complete 180-query registry. Next round: lead with any
+    # new/changed queries, keep <= 50, drop this round's (a)-(d) groups
+    # down into the unlisted remainder.
 )
 
 

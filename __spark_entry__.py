@@ -91,6 +91,7 @@ _PRIORITY = (
     "stream_tumbling_late_data_roundtrip",
     "multimodal_audio_energy",
     "jsonl_quarantine_roundtrip",
+    "cusum_drift_detection",
     # ROUND-5 NOTE: 46 entries above; the 4 spare window slots fall to
     # the head of the remaining registry (all r03-green). Every query
     # added or changed in round 4 is inside this round's window, so if

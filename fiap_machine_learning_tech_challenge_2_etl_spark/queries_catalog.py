@@ -7189,6 +7189,92 @@ def q_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cusum_drift_detection",
+    sql="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), ref AS (
+  SELECT event_type, CAST(sum(v) // count(*) AS BIGINT) AS mu
+  FROM daily GROUP BY event_type
+), p AS (
+  SELECT d.event_type, d.day, d.v, r.mu,
+    sum(d.v - r.mu) OVER w AS pref
+  FROM daily d JOIN ref r USING (event_type)
+  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+               ROWS UNBOUNDED PRECEDING)
+), c AS (
+  -- least/greatest with 0: the identity's prefix minimum ranges over
+  -- P_0..P_t with P_0 = 0 (the empty prefix), not just observed rows
+  SELECT event_type, day, v,
+    pref - least(min(pref) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING), 0) AS cusum_pos,
+    greatest(max(pref) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS UNBOUNDED PRECEDING), 0) - pref AS cusum_neg
+  FROM p
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  CAST(cusum_pos AS BIGINT) AS cusum_pos,
+  CAST(cusum_neg AS BIGINT) AS cusum_neg,
+  cusum_pos > 5000000 OR cusum_neg > 5000000 AS drifted
+FROM c
+""",
+)
+def q_cusum_drift_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on per-type daily totals — the
+    sequential drift alarm (upward and downward pages of Page's test).
+    The textbook form is a recurrence (s_t = max(0, s_{t-1} + x_t - mu))
+    that plain windows can't express — but it equals prefix_sum(t) -
+    running_min(prefix_sum) EXACTLY (and the downward page is
+    running_max - prefix), so the whole detector becomes three shared-key
+    window passes over ONE exchange: fully distributed, no segmented
+    scan, no Python. Integer cents end to end — bit-exact anywhere."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    ref = daily.groupBy("event_type").agg(
+        F.expr("sum(v) div count(*)").cast("long").alias("mu")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = (
+        daily.join(F.broadcast(ref), "event_type")
+        .withColumn("pref", F.sum(F.col("v") - F.col("mu")).over(w))
+    )
+    c = p.select(
+        "event_type",
+        "day",
+        "v",
+        (F.col("pref") - F.least(F.min("pref").over(w), F.lit(0)))
+        .cast("long")
+        .alias("cusum_pos"),
+        (F.greatest(F.max("pref").over(w), F.lit(0)) - F.col("pref"))
+        .cast("long")
+        .alias("cusum_neg"),
+    )
+    return c.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cusum_pos",
+        "cusum_neg",
+        (
+            (F.col("cusum_pos") > 5_000_000) | (F.col("cusum_neg") > 5_000_000)
+        ).alias("drifted"),
+    )
+
+
+@_register(
     "quantile_normalize_by_lang",
     sql="""
 WITH base AS (

@@ -806,3 +806,45 @@ def test_rolling_distinct_users_window_edges(spark, tmp_path):
     assert out["2024-01-01"] == 2
     assert out["2024-01-07"] == 2   # trailing 7-day window still sees day 1
     assert out["2024-01-08"] == 1   # day-1 activity aged out; only user 2
+
+
+def test_cusum_identity_matches_recurrence(spark, tmp_path):
+    """The windowed form (prefix - min(0, running-min prefix)) must equal
+    the textbook recurrence s_t = max(0, s_{t-1} + (x_t - mu)) — checked
+    per event type on a fixture with a planted level shift."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # type 'a': flat 10.0 for 6 days then shifted to 20.0 for 6 days
+    vals = [10.0] * 6 + [20.0] * 6
+    rows = [(i, dt.datetime(2024, 1, 1 + i), 1, "a", v) for i, v in enumerate(vals)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
+
+    out = {
+        r["day"]: (r["cusum_pos"], r["cusum_neg"])
+        for r in SPARK_QUERIES["cusum_drift_detection"](spark, str(tmp_path)).collect()
+    }
+    # python recurrence in integer cents, mu = floor-div mean
+    cents = [int(round(v * 100)) for v in vals]
+    mu = sum(cents) // len(cents)
+    sp = sn = 0
+    for i, c in enumerate(cents):
+        sp = max(0, sp + (c - mu))
+        sn = max(0, sn + (mu - c))
+        day = f"2024-01-{1 + i:02d}"
+        assert out[day] == (sp, sn), (day, out[day], (sp, sn))
+    # the level shift must push the upward page positive
+    assert out["2024-01-12"][0] > 0

@@ -6078,11 +6078,15 @@ WITH mx AS (
   FROM customer c
   CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS r) r
   CROSS JOIN mx
+), realc AS (
+  -- keep only candidates that are REAL part keys: with a sparse key
+  -- space, hash mod (max+1) can land on a hole
+  SELECT c.* FROM cand c JOIN part p ON p.p_partkey = c.cand_part
 ), bought AS (
   SELECT DISTINCT o.o_custkey, l.l_partkey
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 ), neg AS (
-  SELECT c.c_custkey, c.r, c.cand_part FROM cand c
+  SELECT c.c_custkey, c.r, c.cand_part FROM realc c
   LEFT JOIN bought b
     ON b.o_custkey = c.c_custkey AND b.l_partkey = c.cand_part
   WHERE b.o_custkey IS NULL
@@ -6133,6 +6137,12 @@ def q_recsys_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 % F.col("n_parts")
             ).alias("cand_part"),
         )
+    )
+    # validate against real part keys (sparse key spaces leave holes
+    # under hash mod max+1); dims broadcast
+    cand = cand.join(
+        F.broadcast(p.select(F.col("p_partkey").alias("cand_part"))),
+        "cand_part",
     )
     bought = (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])

@@ -92,13 +92,15 @@ _PRIORITY = (
     "multimodal_audio_energy",
     "jsonl_quarantine_roundtrip",
     "cusum_drift_detection",
-    # ROUND-5 NOTE: 46 entries above; the 4 spare window slots fall to
-    # the head of the remaining registry (all r03-green). Every query
-    # added or changed in round 4 is inside this round's window, so if
+    "theta_sketch_overlap",
+    "hll_distinct_rollup",
+    "shortest_path_weighted",
+    # ROUND-5 NOTE: exactly 50 entries above — the window is full. Every
+    # query added or changed in round 4 is inside it, so if
     # CORRECTNESS_r04 comes back fully green the union over r01-r04
-    # attests the complete 180-query registry. Next round: lead with any
-    # new/changed queries, keep <= 50, drop this round's (a)-(d) groups
-    # down into the unlisted remainder.
+    # attests the complete 184-query registry. Next round: lead with any
+    # new/changed queries, keep <= 50, drop this round's groups down
+    # into the unlisted remainder.
 )
 
 

@@ -15,6 +15,14 @@ sessionized aggregations and the custom stateful operator below are the
 streaming extension surface: watermarks bound state for late data; the
 session window is Spark-native; the running-stats operator shows
 ``applyInPandasWithState`` for semantics the built-ins don't cover.
+
+Spark 4's ``transformWithStateInPandas`` (the successor API: typed
+value/list/map state, timers, TTL) is exercised by a GATED test
+(tests/test_catalog_streaming.py::test_transform_with_state_running_sum):
+its state-server protocol needs ``google.protobuf``, which this container
+lacks and cannot install, so the test skips here and runs wherever the
+dependency exists. applyInPandasWithState remains the hermetic custom-
+stateful path.
 """
 
 from __future__ import annotations

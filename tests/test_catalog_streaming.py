@@ -497,3 +497,84 @@ def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
         for r in e.join(cust, e["user_id"] == cust["c_custkey"], "inner").collect()
     }
     assert got == want and len(got) > 0
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf for its "
+    "state-server protocol; not installed in this container (and installs "
+    "are out of scope). applyInPandasWithState covers the custom-stateful "
+    "surface — see test_stateful_running_stats_stream.",
+)
+def test_transform_with_state_running_sum(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas (the applyInPandasWithState
+    successor: typed value/list/map state, timers, TTL): per-key running
+    sum must survive across micro-batches. Gated on protobuf — runs
+    wherever the dependency exists, documents the API either way."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningSum(StatefulProcessor):
+        def init(self, handle) -> None:
+            self.state = handle.getValueState(
+                "s", T.StructType([T.StructField("total", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self.state.get()[0] if self.state.exists() else 0
+            for pdf in rows:
+                total += int(pdf["v"].sum())
+            self.state.update((total,))
+            yield pd.DataFrame({"k": [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "tws")
+        spark.range(0, 100).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+        ).repartition(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        out = stream.groupBy("k").transformWithStateInPandas(
+            statefulProcessor=RunningSum(),
+            outputStructType="k long, total long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_sum")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["k"]: r["total"]
+                for r in spark.sql(
+                    "SELECT k, max(total) AS total FROM tws_sum GROUP BY k"
+                ).collect()
+            }
+            assert got == {k: sum(range(k, 100, 5)) for k in range(5)}
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)

@@ -246,3 +246,95 @@ def test_label_propagation_reaches_two_hops_in_two_rounds(spark):
         for r in label_propagation(edges, seeds, iters=2).collect()
     }
     assert two[3] == 7 and two[2] == 7
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src long, dst long, w long")
+
+
+def test_sssp_chain_prefers_cheap_detour(spark):
+    """1-2-3 direct costs 10+10=20; the 1-4-5-3 detour costs 1+1+1=3.
+    Bellman-Ford with iters >= 3 must take the detour; with iters=2 the
+    3-edge detour is not yet relaxed and the 2-edge path wins."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        shortest_paths_weighted,
+    )
+
+    edges = _wedges(
+        spark, [(1, 2, 10), (2, 3, 10), (1, 4, 1), (4, 5, 1), (5, 3, 1)]
+    )
+    seeds = spark.createDataFrame([(1,)], "vertex long")
+    got3 = {
+        r["vertex"]: r["cost"]
+        for r in shortest_paths_weighted(edges, seeds, iters=3).collect()
+    }
+    assert got3 == {1: 0, 2: 10, 3: 3, 4: 1, 5: 2}
+    got2 = {
+        r["vertex"]: r["cost"]
+        for r in shortest_paths_weighted(edges, seeds, iters=2).collect()
+    }
+    assert got2[3] == 20 and got2[5] == 2
+
+
+def test_sssp_multi_source_symmetrized_min_weight(spark):
+    """Two seeds race toward vertex 3; parallel edges between a pair
+    collapse to the MIN weight during symmetrization, and edges are
+    traversable in both directions."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        shortest_paths_weighted,
+    )
+
+    edges = _wedges(
+        spark,
+        [(1, 2, 5), (1, 2, 2), (2, 3, 4), (3, 9, 1), (9, 3, 7)],
+    )
+    seeds = spark.createDataFrame([(1,), (9,)], "vertex long")
+    got = {
+        r["vertex"]: r["cost"]
+        for r in shortest_paths_weighted(edges, seeds, iters=3).collect()
+    }
+    # 3 via seed 9 costs min(1,7)=1, beating 1->2->3 = 2+4
+    assert got == {1: 0, 9: 0, 2: 2, 3: 1}
+
+
+def test_sssp_matches_dijkstra_on_random_graphs(spark):
+    """shortest_paths_weighted with iters >= n equals single-source
+    Dijkstra run in Python on random weighted graphs."""
+    import heapq
+    import random
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        shortest_paths_weighted,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 12
+        triples = [
+            (rng.randrange(n), rng.randrange(n), rng.randrange(1, 20))
+            for _ in range(22)
+        ]
+        triples = [(a, b, w) for a, b, w in triples if a != b]
+        adj: dict[int, list[tuple[int, int]]] = {}
+        for a, b, w in triples:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+        dist = {0: 0}
+        pq = [(0, 0)]
+        while pq:
+            d, v = heapq.heappop(pq)
+            if d > dist.get(v, 1 << 60):
+                continue
+            for to, w in adj.get(v, []):
+                nd = d + w
+                if nd < dist.get(to, 1 << 60):
+                    dist[to] = nd
+                    heapq.heappush(pq, (nd, to))
+        seeds = spark.createDataFrame([(0,)], "vertex long")
+        got = {
+            r["vertex"]: r["cost"]
+            for r in shortest_paths_weighted(
+                _wedges(spark, triples), seeds, iters=n
+            ).collect()
+        }
+        assert got == dist, f"trial {trial}: {got} != {dist}"

@@ -333,3 +333,36 @@ def test_sessionize_islands_match_python_model(spark, rows):
         out = SPARK_QUERIES["sessionize_gap_islands"](spark, d).collect()
     got = {(r["user_id"], r["sess_idx"] - 1): r["n_events"] for r in out}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=80),
+    st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=80),
+)
+def test_theta_sketch_algebra_exact_below_capacity(spark, xs, ys):
+    """theta union/intersection/difference estimates equal exact Python
+    set algebra whenever both sketches hold fewer than 2^lgK hashes
+    (exact mode) — the property theta_sketch_overlap's oracle relies on."""
+    from pyspark.sql import functions as F
+
+    a, b = set(xs), set(ys)
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v long"
+    )
+    row = (
+        df.groupBy("g")
+        .agg(F.expr("theta_sketch_agg(v, 12)").alias("sk"))
+        .groupBy()
+        .pivot("g", ["a", "b"])
+        .agg(F.first("sk"))
+        .select(
+            F.expr("theta_sketch_estimate(theta_union(a, b))").alias("u"),
+            F.expr("theta_sketch_estimate(theta_intersection(a, b))").alias("i"),
+            F.expr("theta_sketch_estimate(theta_difference(a, b))").alias("d"),
+        )
+        .collect()[0]
+    )
+    assert row["u"] == len(a | b)
+    assert row["i"] == len(a & b)
+    assert row["d"] == len(a - b)

@@ -73,3 +73,49 @@ def test_variant_parse_and_typed_get(spark):
         F.expr("try_variant_get(parse_json(j), '$.tags[0]', 'string')").alias("t0"),
     ).collect()
     assert [(r["k"], r["t0"]) for r in out] == [(5, "a"), (None, None)]
+
+
+def test_theta_sketch_exact_mode_set_algebra(spark):
+    """Theta sketches below 2^lgK retained hashes are in EXACT mode:
+    union/intersection/difference estimates equal the true set-algebra
+    cardinalities on constructed overlapping sets (A=0..599, B=400..999:
+    |A u B|=1000, |A n B|=200, |A \\ B|=400)."""
+    a = spark.range(0, 600).select(F.lit("a").alias("g"), F.col("id"))
+    b = spark.range(400, 1000).select(F.lit("b").alias("g"), F.col("id"))
+    sk = (
+        a.unionByName(b)
+        .groupBy("g")
+        .agg(F.expr("theta_sketch_agg(id, 14)").alias("sk"))
+    )
+    row = (
+        sk.groupBy()
+        .pivot("g", ["a", "b"])
+        .agg(F.first("sk"))
+        .select(
+            F.expr("theta_sketch_estimate(theta_union(a, b))").alias("u"),
+            F.expr("theta_sketch_estimate(theta_intersection(a, b))").alias("i"),
+            F.expr("theta_sketch_estimate(theta_difference(a, b))").alias("d"),
+        )
+        .collect()[0]
+    )
+    assert (row["u"], row["i"], row["d"]) == (1000, 200, 400)
+
+
+def test_hll_union_of_partials_equals_direct_sketch(spark):
+    """The HLL mergeability invariant the hll_distinct_rollup query
+    attests: unioning per-bucket partial sketches yields the same
+    estimate as sketching the whole column directly, for any bucketing
+    (register-wise MAX is associative and order-free)."""
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("bucket"), (F.col("id") % 1900).alias("v")
+    )
+    partial = df.groupBy("bucket").agg(F.expr("hll_sketch_agg(v, 14)").alias("sk"))
+    merged = partial.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0]["est"]
+    direct = df.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(v, 14))").alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct
+    # lgK=14 relative error ~0.8%; observed 1903/1900 = 0.16%
+    assert abs(merged - 1900) * 100 <= 1900

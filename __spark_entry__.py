@@ -95,12 +95,14 @@ _PRIORITY = (
     "theta_sketch_overlap",
     "hll_distinct_rollup",
     "shortest_path_weighted",
-    # ROUND-5 NOTE: exactly 50 entries above — the window is full. Every
-    # query added or changed in round 4 is inside it, so if
-    # CORRECTNESS_r04 comes back fully green the union over r01-r04
-    # attests the complete 184-query registry. Next round: lead with any
-    # new/changed queries, keep <= 50, drop this round's groups down
-    # into the unlisted remainder.
+    # ROUND-5 NOTE: exactly 50 entries above — the window is full. TWO
+    # round-4 queries landed after it filled and are the only registry
+    # rows without a driver attestation: seasonal_decompose_daily and
+    # attribution_first_last_touch (both locally hash-verified at sf0.01
+    # AND sf0.1). Round 5 must lead _PRIORITY with those two, then any
+    # new/changed queries, keep <= 50; a fully-green r05 then attests
+    # the complete 186-query registry (r04 green covers the other 184
+    # via the r01-r04 union).
 )
 
 

@@ -7597,6 +7597,174 @@ def q_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "seasonal_decompose_daily",
+    sql="""
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_cents
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), t AS (
+  SELECT *,
+    CAST(sum(v_cents) OVER w * 1000000 // count(*) OVER w AS BIGINT)
+      AS trend_micro,
+    CAST(count(*) OVER w AS BIGINT) AS n_win
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), s AS (
+  SELECT *, v_cents * 1000000 - trend_micro AS detrended_micro,
+    CAST(dayofweek(day) + 1 AS BIGINT) AS dow
+  FROM t
+), f AS (
+  SELECT *,
+    CAST(sum(detrended_micro) OVER wd AS BIGINT) AS seasonal_sum_micro,
+    CAST(count(*) OVER wd AS BIGINT) AS n_dow
+  FROM s WINDOW wd AS (PARTITION BY event_type, dow)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, v_cents, n_win,
+  trend_micro, CAST(detrended_micro AS BIGINT) AS detrended_micro, dow,
+  n_dow, seasonal_sum_micro,
+  CAST(detrended_micro * n_dow - seasonal_sum_micro AS BIGINT)
+    AS resid_scaled_micro
+FROM f
+""",
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style seasonal decomposition of the daily value series, in
+    EXACT integer arithmetic: trend = centered 7-day moving average
+    (floor-div micros — numerator/denominator both non-negative, so
+    Spark's truncate-toward-zero `div` and DuckDB's floor `//` agree),
+    detrended = value - trend (integer, sign-safe because it's never
+    divided), day-of-week seasonal component carried as (sum, n) instead
+    of a mean, and the residual emitted SCALED by n_dow
+    (detrended*n - seasonal_sum = n*residual) so no division ever
+    touches a possibly-negative operand — the trick that keeps a
+    classically float-order-dependent decomposition bit-replicable
+    across engines. Three window passes, each a single exchange family:
+    the per-day pre-aggregate shrinks events to one row per
+    (type, day) BEFORE any window runs, which is what makes this viable
+    on a 100 TB event log (windows run over ~10^3-row series, not raw
+    events)."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    d = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("v_cents")
+    )
+    w7 = (
+        Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    )
+    t = d.select(
+        "*",
+        F.expr("sum(v_cents) OVER (PARTITION BY event_type ORDER BY day "
+               "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)").alias("_sw"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n_win"),
+    ).select(
+        "event_type",
+        "day",
+        "v_cents",
+        "n_win",
+        F.expr("_sw * 1000000 div n_win").cast("long").alias("trend_micro"),
+    )
+    s = t.select(
+        "*",
+        (F.col("v_cents") * 1000000 - F.col("trend_micro")).alias(
+            "detrended_micro"
+        ),
+        F.dayofweek("day").cast("long").alias("dow"),
+    )
+    wd = Window.partitionBy("event_type", "dow")
+    f = s.select(
+        "*",
+        F.sum("detrended_micro").over(wd).cast("long").alias(
+            "seasonal_sum_micro"
+        ),
+        F.count(F.lit(1)).over(wd).cast("long").alias("n_dow"),
+    )
+    return f.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "v_cents",
+        "n_win",
+        "trend_micro",
+        "detrended_micro",
+        "dow",
+        "n_dow",
+        "seasonal_sum_micro",
+        (
+            F.col("detrended_micro") * F.col("n_dow")
+            - F.col("seasonal_sum_micro")
+        )
+        .cast("long")
+        .alias("resid_scaled_micro"),
+    )
+
+
+@_register(
+    "attribution_first_last_touch",
+    sql="""
+WITH s AS (
+  SELECT event_type, user_id, value,
+    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                IGNORE NULLS) OVER w AS first_touch,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+               IGNORE NULLS) OVER w AS last_touch
+  FROM events
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT first_touch, last_touch,
+  CAST(count(*) AS BIGINT) AS n_purchases,
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+    AS attributed_cents
+FROM s WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style purchase attribution: each purchase credits the
+    FIRST and the LAST non-purchase event the user emitted before it
+    (first-touch / last-touch), aggregated into a first x last channel
+    matrix with purchase counts and value. One user-keyed window with an
+    ignore-nulls first/last over the strictly-preceding frame — the
+    running carry-forward idiom — then a hash aggregate; ties broken by
+    (ts, event_id) for a total order on both engines. Purchases with no
+    preceding touch are excluded by contract on both sides."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    s = e.select(
+        "event_type",
+        "value",
+        F.first(ch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(ch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        s.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_touch").isNotNull()
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("attributed_cents"),
+        )
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

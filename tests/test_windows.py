@@ -113,3 +113,84 @@ def test_ewma_matches_recurrence_and_validates_alpha(spark):
 
     with pytest.raises(ValueError):
         ewma(df, key="uid", order_by="t", value="x", alpha=0.0)
+
+
+def test_attribution_first_last_touch_hand_case(spark, sf_dir):
+    """Hand-built journey: view -> click -> purchase(10) -> purchase(20)
+    with an orphan purchase for another user. First purchase attributes
+    (first=view, last=click); the second's preceding frame now contains
+    the first purchase but CASE nulls it out, so last stays 'click'; the
+    orphan (no prior touch) is excluded."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import (
+        SPARK_QUERIES,
+    )
+
+    d = tempfile.mkdtemp()
+    try:
+        rows = [
+            (1, "2024-01-01 10:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 11:00:00", 1, "click", 2.0),
+            (3, "2024-01-01 12:00:00", 1, "purchase", 10.0),
+            (4, "2024-01-01 13:00:00", 1, "purchase", 20.0),
+            (5, "2024-01-02 09:00:00", 2, "purchase", 99.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            df.write.parquet(os.path.join(d, "events.parquet"))
+        finally:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        got = {
+            (r["first_touch"], r["last_touch"]): (
+                r["n_purchases"],
+                r["attributed_cents"],
+            )
+            for r in SPARK_QUERIES["attribution_first_last_touch"](
+                spark, d
+            ).collect()
+        }
+        assert got == {("view", "click"): (2, 3000)}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_seasonal_decompose_identities(spark, sf_dir):
+    """Decomposition invariants on the real fixture: trend equals the
+    floor-div centered mean recomputed in Python, detrended = v - trend,
+    and within every (type, dow) group the scaled residuals sum to 0
+    exactly (sum(det*n - seasonal_sum) = n*sum(det) - n*sum(det))."""
+    from collections import defaultdict
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import (
+        SPARK_QUERIES,
+    )
+
+    rows = SPARK_QUERIES["seasonal_decompose_daily"](spark, sf_dir).collect()
+    assert rows
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r)
+    resid = defaultdict(int)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r["day"])
+        for i, r in enumerate(rs):
+            lo, hi = max(0, i - 3), min(len(rs), i + 4)
+            win = [x["v_cents"] for x in rs[lo:hi]]
+            assert r["n_win"] == len(win)
+            assert r["trend_micro"] == sum(win) * 1_000_000 // len(win)
+            assert (
+                r["detrended_micro"] == r["v_cents"] * 1_000_000 - r["trend_micro"]
+            )
+            resid[(et, r["dow"])] += r["resid_scaled_micro"]
+    assert all(v == 0 for v in resid.values())

@@ -110,9 +110,12 @@ class _stream_shuffle:
     bench-scale stream, and at production scale the right value is sized to
     the KEY CARDINALITY of the stream, not to the batch engine's shuffle
     width. Results are partitioning-invariant (keyed state, deterministic
-    emissions), only the state fan-out changes."""
+    emissions), only the state fan-out changes. Default 4: measured
+    min-of-2 at sf0.1, 8 -> 4 cut the tumbling-late-data roundtrip
+    3.81 -> 3.01 s and the session-window roundtrip 2.71 -> 2.20 s (fewer
+    state dirs to commit per micro-batch); values identical."""
 
-    def __init__(self, spark: SparkSession, n: int = 8):
+    def __init__(self, spark: SparkSession, n: int = 4):
         self.spark, self.n = spark, n
 
     def __enter__(self):

@@ -474,3 +474,39 @@ def test_registry_wide_no_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_theta_overlap_broadcast_equi_joins_only(spark, sf_dir):
+    """The pair expansion joins the 10-row literal pair frame to the
+    5-row sketch frame with broadcast HASH equi-joins — never a
+    nested-loop/cartesian pair enumeration (which would also be wrong at
+    a 10^4-type catalog scale)."""
+    plan = _plan(SPARK_QUERIES["theta_sketch_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hll_rollup_two_level_hash_agg(spark, sf_dir):
+    """Both legs of the rollup (daily partials -> union; direct sketch)
+    are hash aggregates with map-side partial merge — HashAggregate with
+    partial_ sketch functions present, no sort-based fallback."""
+    plan = _plan(SPARK_QUERIES["hll_distinct_rollup"](spark, sf_dir))
+    assert "HashAggregate" in plan, plan
+    assert "SortAggregate" not in plan, plan
+
+
+def test_seasonal_decompose_exchange_budget(spark, sf_dir):
+    """Per-day pre-aggregate + two window families = bounded exchanges
+    (pre-agg hash, trend window sort on event_type, dow window) — the
+    windows run over the ~150-row daily series, never raw events."""
+    plan = _plan(SPARK_QUERIES["seasonal_decompose_daily"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_single_user_window_exchange(spark, sf_dir):
+    """First/last-touch share ONE user-keyed window exchange; the final
+    channel-matrix aggregate adds one more — 2 hash exchanges total."""
+    plan = _plan(SPARK_QUERIES["attribution_first_last_touch"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

@@ -17,6 +17,13 @@ Two paths over an ``array<float>`` column:
 
 Also ``embedding_near_dup_pairs`` — cosine near-duplicate pairs via the
 same banding idea (exact within-bucket verify).
+
+PRECONDITION (all cosine paths): embeddings must have non-zero norm.
+The session runs ANSI mode, where the JVM-side ``dot/(|a||b|)`` raises
+DIVIDE_BY_ZERO on a zero vector (fail-loud is the right default: a
+zero embedding upstream means a broken encoder, not a similarity of 0).
+Corpora that may legitimately contain zero vectors (e.g. failed-encode
+sentinels) should be pre-filtered with ``drop_zero_norm`` below.
 """
 
 from __future__ import annotations
@@ -46,6 +53,16 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def drop_zero_norm(df: DataFrame, column: str = "embedding") -> DataFrame:
+    """Remove rows whose embedding has zero norm (or is NULL/empty) —
+    the documented precondition of every cosine path in this module.
+    A single codegen'd aggregate per row, prunable at the scan when the
+    corpus stores a precomputed norm column instead."""
+    return df.filter(
+        F.col(column).isNotNull() & (_dot(F.col(column), F.col(column)) > 0.0)
+    )
 
 
 def cosine_topk(

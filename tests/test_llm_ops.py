@@ -465,3 +465,39 @@ def test_multimodal_frame_energy_hand_computed(spark):
     assert by[(2, 1)]["energy"] == 44 * e_a
     assert by[(2, 1)]["n_frame_bytes"] == 44
     assert not any(a == 3 for a, _ in by)
+
+
+def test_drop_zero_norm_enforces_cosine_precondition(spark):
+    """ANSI mode turns a zero-norm embedding into a DIVIDE_BY_ZERO crash
+    inside any cosine expression (fail-loud contract for broken
+    encoders); drop_zero_norm is the documented pre-filter — it removes
+    zero, NULL, and empty vectors and leaves the rest untouched."""
+    import pytest as _pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
+        cosine,
+        drop_zero_norm,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [0.0, 0.0]),
+            (3, None),
+            (4, []),
+            (5, [3.0, 4.0]),
+        ],
+        "id long, embedding array<double>",
+    )
+    kept = drop_zero_norm(df)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 5]
+    # the precondition is real: cosine over the unfiltered frame raises
+    with _pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        df.filter(F.col("embedding").isNotNull()).select(
+            cosine(F.col("embedding"), F.col("embedding"))
+        ).collect()
+    # and over the filtered frame it is total
+    vals = kept.select(
+        F.round(cosine(F.col("embedding"), F.col("embedding")), 6).alias("c")
+    ).collect()
+    assert all(abs(r["c"] - 1.0) < 1e-6 for r in vals)

@@ -223,3 +223,20 @@ def test_zorder_layout_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
         .count()
     )
     assert back == src > 0
+
+
+def test_priority_window_invariants():
+    """The driver attests the first 50 queries() entries; a typo'd or
+    duplicated _PRIORITY name silently wastes a window slot. Pin: every
+    priority name resolves, no duplicates, window <= 50, and the full
+    ordered registry starts with exactly the priority list."""
+    import __spark_entry__ as ent
+
+    pri = list(ent._PRIORITY)
+    assert len(pri) <= 50
+    assert len(set(pri)) == len(pri), "duplicate _PRIORITY entries"
+    qs = ent.queries()
+    missing = [p for p in pri if p not in qs]
+    assert not missing, f"_PRIORITY names not in registry: {missing}"
+    assert list(qs)[: len(pri)] == pri
+    assert set(qs) == set(ent.oracle_sql()), "registry/oracle key mismatch"

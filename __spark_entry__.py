@@ -29,80 +29,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_events_pipeline(spark, "/root/testdata/sf0.001")
 
 
-# The driver attests 50 queries per round (registry order). Round 4 leads
-# with (a) the 9 round-3 queries that landed after that round's cap
-# filled (the only registry rows with no driver attestation yet — all
-# locally hash-verified at sf0.01 each round), (b) the 2 queries that
-# GAINED a full value oracle this round (embedding_ann_ivf via the
-# integer-exact k-means replay; frequent_tokens_sketch via the
-# capacity>=vocab exactness contract), and (c) queries whose operator or
-# oracle changed this round (ADVICE fixes: robust-MAD try_divide,
-# NULL-group oracle mirror, NULL-label hard negatives, pinned-partition
-# global rank/cumsum) and deserve a FRESH green row. Everything else
-# already carries a green row in CORRECTNESS_r01-r03. Keep <= 50.
+# The driver attests 50 queries per round (registry order). Round 5 leads
+# with (a) the only 2 registry rows without ANY driver attestation
+# (landed after round 4's 50-slot window filled) — a green r05 row for
+# each completes driver attestation of the full registry; (b) the one
+# query whose plan changed this round (theta_sketch_overlap: pair frame
+# now derived relationally instead of a driver-side Python list, per
+# round-4 ADVICE) and so needs a FRESH green row; then (c) rotates the
+# STALEST green rows back through the window — the 46 queries whose
+# latest attestation is still round 1 (operators under them — windows,
+# dedup, similarity, text — have been refactored since) plus the oldest
+# round-2 row touched by dedup refactors (minhash_lsh_near_dup). Note
+# seasonal_decompose_daily also changed this round (explicit
+# floor-division replaces the sign-fragile `div`, per round-4 ADVICE),
+# which its lead slot covers. Keep <= 50.
 _PRIORITY = (
-    # (a) never attested in r01-r03 (round-3 50-cap misses)
-    "psi_drift_report",
-    "triangle_count_near_dup",
-    "shingle_containment_pairs",
-    "knn_label_noise",
-    "robust_mad_scores",
-    "co_purchase_pairs",
-    "event_transition_matrix",
-    "cohort_retention",
-    "multimodal_resize_thumb",
-    # (b) newly oracle'd this round (were rows-only by design in r03)
-    "embedding_ann_ivf",
-    "frequent_tokens_sketch",
-    # (c) operator/oracle changed this round (ADVICE fixes)
-    "mixture_rebalance_downsample",
-    "corpus_curation_pipeline",
-    "hard_negative_mining",
-    "equidepth_binning",
-    "token_budget_select",
-    # (d) new queries added in round 4 (each needs its first driver row)
-    "rolling_distinct_users",
-    "churn_label_next_gap",
-    "seasonal_naive_error",
-    "histogram2d_heatmap",
-    "feature_hashing_cross",
-    "recsys_negative_sampling",
-    "stratified_kfold",
-    "class_balance_weights",
-    "winsorized_stats",
-    "string_agg_family",
-    "mode_per_group",
-    "lateral_join_topk",
-    "sql_pipe_syntax_entry",
-    "bfs_reachable_hops",
-    "label_propagation_nations",
-    "benford_first_digit",
-    "sessionize_gap_islands",
-    "time_weighted_average",
-    "join_key_skew_report",
-    "funnel_time_to_convert",
-    "association_rules_lift",
-    "lsh_recall_eval",
-    "stream_session_window_roundtrip",
-    "quantile_normalize_by_lang",
-    "msck_repair_discovery",
-    "runner_batch_roundtrip",
-    "minhash_recall_eval",
-    "stream_tumbling_late_data_roundtrip",
-    "multimodal_audio_energy",
-    "jsonl_quarantine_roundtrip",
-    "cusum_drift_detection",
+    # (a) the last 2 never-attested rows (round-4 50-cap misses)
+    "seasonal_decompose_daily",
+    "attribution_first_last_touch",
+    # (b) plan changed this round (relational pair frame, ADVICE fix)
     "theta_sketch_overlap",
-    "hll_distinct_rollup",
-    "shortest_path_weighted",
-    # ROUND-5 NOTE: exactly 50 entries above — the window is full. TWO
-    # round-4 queries landed after it filled and are the only registry
-    # rows without a driver attestation: seasonal_decompose_daily and
-    # attribution_first_last_touch (both locally hash-verified at sf0.01
-    # AND sf0.1). Round 5 must lead _PRIORITY with those two, then any
-    # new/changed queries, keep <= 50; a fully-green r05 then attests
-    # the complete 186-query registry (r04 green covers the other 184
-    # via the r01-r04 union).
+    # (c) stale rotation: latest attestation r01, oldest first
+    "flagship_pipeline",
+    "tpch_q1_agg",
+    "select_filter_project",
+    "all_null_column_drop",
+    "fill_defaults",
+    "sanitize_numeric",
+    "distinct_rows",
+    "dedup_keep_first",
+    "moving_average",
+    "group_total",
+    "rank_in_group",
+    "group_min_date",
+    "rolling_stats",
+    "top_k_orders",
+    "join_topk_revenue",
+    "star_join_agg",
+    "semi_join_customers",
+    "anti_join_customers",
+    "asof_join_events",
+    "range_join_shipments",
+    "skew_salted_agg",
+    "pivot_event_counts",
+    "unpivot_stats",
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets_agg",
+    "distinct_agg",
+    "set_ops",
+    "session_window_agg",
+    "tumbling_window_agg",
+    "json_extract_agg",
+    "exact_dedup_docs",
+    "minhash_signatures",
+    "ngram_jaccard_topk",
+    "simhash_docs",
+    "doc_fingerprint",
+    "winnowing_fingerprints",
+    "text_stats",
+    "text_quality",
+    "language_id",
+    "corpus_clean_pipeline",
+    "embedding_cosine_topk",
+    "embedding_topk_pairs",
+    "embedding_near_dup_exact",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    # (c cont.) oldest r02 row under refactored dedup operators
+    "minhash_lsh_near_dup",
+    # ROUND-6 NOTE: exactly 50 entries above. After a green r05, EVERY
+    # registry query has a driver attestation (the r01-r05 union) and no
+    # green row is older than r02. Round 6 should lead with any new or
+    # operator/oracle-changed queries, then continue the stale rotation:
+    # the remaining 42 r02 rows (bitwise_functions ... word_count_topk,
+    # minus minhash_lsh_near_dup attested here), then r03 rows. Registry
+    # growth is deliberately stopped per the round-4 verdict — depth
+    # (scale evidence, plan pins) over breadth.
 )
 
 

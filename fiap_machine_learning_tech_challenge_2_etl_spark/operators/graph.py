@@ -39,6 +39,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     vertex_col: str = "vertex",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every vertex with the smallest vertex id in its component.
 
@@ -46,7 +47,10 @@ def connected_components(
     direction). ``vertices`` optionally supplies the full vertex universe
     (single-column DataFrame named ``vertex_col``) so isolated vertices
     surface as singleton components; otherwise the universe is the set of
-    edge endpoints. Returns ``(vertex, component)``.
+    edge endpoints. Returns ``(vertex, component)``. Pass a ``stats``
+    dict to receive ``stats["rounds"]`` — the number of label rounds
+    until convergence (a pure function of component STRUCTURE, so the
+    10x/100x stress gates pin it as scale-invariant).
     """
     # checkpoint the symmetrized edge list FIRST: the upstream pair
     # generation (e.g. a thresholded block matmul) can be the most
@@ -74,16 +78,21 @@ def connected_components(
     width = max(8, min(int(prev_width), n_edges // 100_000 + 1))
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
-        labels = _cc_loop(sym, universe, max_iter)
+        labels = _cc_loop(sym, universe, max_iter, stats)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_width)
     return labels
 
 
-def _cc_loop(sym: DataFrame, universe: DataFrame, max_iter: int) -> DataFrame:
+def _cc_loop(
+    sym: DataFrame,
+    universe: DataFrame,
+    max_iter: int,
+    stats: dict | None = None,
+) -> DataFrame:
     labels = universe.withColumn("component", F.col("vertex")).localCheckpoint()
 
-    for _ in range(max_iter):
+    for _round in range(max_iter):
         # candidate label for a = min over neighbors b of label(b)
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["vertex"], "inner")
@@ -127,6 +136,8 @@ def _cc_loop(sym: DataFrame, universe: DataFrame, max_iter: int) -> DataFrame:
         n_changed = updated.agg(F.sum("changed")).first()[0] or 0
         labels = updated.drop("changed")
         if n_changed == 0:
+            if stats is not None:
+                stats["rounds"] = _round + 1
             break
     else:
         # exhausting max_iter with labels still moving means the returned

@@ -7405,11 +7405,16 @@ def q_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw events per pair — the pattern that answers "how many users do
     segments A and B share?" at 100 TB from kilobyte pre-aggregates. The
     per-type sketch build is one hash aggregate with map-side partials
-    (sketches merge associatively); the pair expansion joins the literal
-    pair frame to the 5-row sketch frame by broadcast hash equi-join (no
-    nested-loop). The distinct type list is collected driver-side first —
-    metadata-class, identical to what Spark's own ``pivot()`` without
-    explicit values does; group-label cardinality, not data cardinality.
+    (sketches merge associatively); the pair expansion is a RELATIONAL
+    self-join of the sketch frame on ``type_a < type_b`` — nothing is
+    collected driver-side, so a 10^4-type catalog generates its 5x10^7
+    pairs inside tasks, never as a Python list. The inequality alone
+    would plan a nested-loop join, so the join carries a zero-valued
+    NON-FOLDABLE equi-key (``length(event_type)*0`` — constant at
+    runtime, opaque to constant folding), keeping it a broadcast HASH
+    equi-join of the kilobyte sketch side with the inequality as the
+    residual condition; pair generation parallelizes across the stream
+    side's partitions.
     Theta sketches (lgK=14) are in EXACT mode below 2^14 retained
     hashes, so at attestation scale the estimates ARE the exact distinct
     counts and the oracle computes them relationally; at true 100 TB the
@@ -7422,20 +7427,16 @@ def q_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = e.groupBy("event_type").agg(
         F.expr("theta_sketch_agg(user_id, 14)").alias("sk")
     )
-    types = sorted(r[0] for r in sk.select("event_type").collect())
-    pairs = spark.createDataFrame(
-        [(a, b) for ii, a in enumerate(types) for b in types[ii + 1 :]],
-        "type_a string, type_b string",
+    zero_k = (F.length("event_type") * 0).alias("_k")
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"), zero_k
     )
-    j = (
-        pairs.join(
-            F.broadcast(sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))),
-            "type_a",
-        )
-        .join(
-            F.broadcast(sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))),
-            "type_b",
-        )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"), zero_k
+    )
+    j = a.join(
+        F.broadcast(b),
+        (a["_k"] == b["_k"]) & (F.col("type_a") < F.col("type_b")),
     )
     return j.select(
         "type_a",
@@ -7632,8 +7633,11 @@ FROM f
 def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-style seasonal decomposition of the daily value series, in
     EXACT integer arithmetic: trend = centered 7-day moving average
-    (floor-div micros — numerator/denominator both non-negative, so
-    Spark's truncate-toward-zero `div` and DuckDB's floor `//` agree),
+    (floor-div micros — Spark's truncate-toward-zero ``div`` is
+    corrected to FLOOR semantics with an explicit
+    ``- 1 when remainder != 0 and numerator < 0`` term, so it matches
+    DuckDB's floor ``//`` for ANY sign of the daily sums, not just the
+    non-negative fixture range),
     detrended = value - trend (integer, sign-safe because it's never
     divided), day-of-week seasonal component carried as (sum, n) instead
     of a mean, and the residual emitted SCALED by n_dow
@@ -7668,7 +7672,12 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "v_cents",
         "n_win",
-        F.expr("_sw * 1000000 div n_win").cast("long").alias("trend_micro"),
+        F.expr(
+            "(_sw * 1000000) div n_win - (CASE WHEN (_sw * 1000000) % n_win != 0"
+            " AND _sw < 0 THEN 1 ELSE 0 END)"
+        )
+        .cast("long")
+        .alias("trend_micro"),
     )
     s = t.select(
         "*",

@@ -510,3 +510,38 @@ def test_attribution_single_user_window_exchange(spark, sf_dir):
     channel-matrix aggregate adds one more — 2 hash exchanges total."""
     plan = _plan(SPARK_QUERIES["attribution_first_last_touch"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def _logical_rdd_ids(df) -> list[int]:
+    """Ids of the RDDs behind every LogicalRDD leaf (localCheckpoint scans)."""
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    return [
+        leaves.apply(i).rdd().id()
+        for i in range(leaves.size())
+        if leaves.apply(i).getClass().getSimpleName() == "LogicalRDD"
+    ]
+
+
+def test_global_rank_cumsum_single_pinned_range_exchange(spark, sf_dir):
+    """The distributed global rank/cumsum (windows.global_row_number /
+    global_cumsum) runs its range exchange EXACTLY ONCE: the
+    repartitionByRange frame is pinned by a lazy localCheckpoint, so in
+    the SQL plan the exchange is invisible (zero `Exchange
+    rangepartitioning` — it lives inside the checkpointed RDD) and BOTH
+    consumers (the per-partition rank branch and the broadcast-offsets
+    branch) appear as LogicalRDD scans of the SAME RDD id. A refactor
+    that drops the checkpoint would resurface rangepartitioning in the
+    plan (boundary sampling then re-runs per branch — the silent
+    offset/rank mismatch hazard); one that checkpoints twice would show
+    two distinct RDD ids. Either way this fails."""
+    for name in (
+        "token_budget_select",  # global_cumsum
+        "equidepth_binning",  # global_row_number -> exact ntile
+        "quantile_normalize_by_lang",  # global_row_number per reference frame
+    ):
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("Exchange rangepartitioning") == 0, (name, plan)
+        ids = _logical_rdd_ids(df)
+        assert len(ids) == 2, (name, ids, plan)
+        assert len(set(ids)) == 1, (name, ids, plan)

@@ -1,0 +1,78 @@
+"""Replica-scale stress gates (``pytest -m slow``).
+
+The ad-hoc smokes in tools/stress_*.py carry the repo's empirical scale
+story (BENCH_NOTES.md); these wrappers run the same code at the 10x
+replica scale with the structural invariants ASSERTED, so a regression
+in the scale story fails a gate instead of only drifting a doc table:
+
+- graph ops: result rows scale EXACTLY x-reps over disjoint congruent
+  replicas (any deviation = cross-replica label/frontier leakage) and
+  connected_components converges in the SAME round count on both legs
+  (rounds are a function of structure, not size);
+- dedup pair ops: ZERO cross-replica pairs (banding/blocking never
+  proposes a candidate across disjoint vocabularies);
+- quadratic embedding kernels: the sqrt-scaled n_blocks guidance holds
+  per-task memory flat — completing the 10x leg on a bounded heap IS
+  the invariant (an OOM or task blowup fails the run).
+
+Timings are recorded but never asserted: this VM's wall-clock swings
+10-30% with ambient load, so time-ratio regressions are adjudicated by
+min-of-3 manual re-measure (see BENCH_NOTES.md), not a CI gate.
+
+Base fixture defaults to sf0.01 for gate runtime; set
+SPARK_GRAFT_STRESS_SF_DIR=/root/testdata/sf0.1 to reproduce the
+BENCH_NOTES evidence scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tools import stress_dedup, stress_graph, stress_quadratic
+
+STRESS_DIR = os.environ.get(
+    "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _quiet(*_args, **_kw):  # suppress the scripts' markdown tables under pytest
+    pass
+
+
+@pytest.mark.slow
+def test_graph_ops_replica_invariants_10x(spark):
+    rows = stress_graph.run_stress(spark, STRESS_DIR, reps=10, emit=_quiet)
+    # run_stress already asserts exact x10 row scaling + equal CC rounds;
+    # re-check the shape here so a silent no-op refactor can't pass.
+    assert {r["op"] for r in rows} == {
+        "connected_components",
+        "pagerank_fixed(3)",
+        "bfs_hops(3)",
+        "label_propagation(2)",
+    }
+    for r in rows:
+        assert r["rows_scaled"] == 10 * r["rows_base"], r
+
+
+@pytest.mark.slow
+def test_dedup_pair_ops_zero_cross_replica_10x(spark):
+    rows = stress_dedup.run_stress(spark, STRESS_DIR, reps=10, emit=_quiet)
+    pair_rows = [r for r in rows if r["cross_replica_pairs"] is not None]
+    assert len(pair_rows) == 4, rows  # minhash, simhash, ngram, containment
+    for r in pair_rows:
+        assert r["cross_replica_pairs"] == 0, r
+
+
+@pytest.mark.slow
+def test_quadratic_kernels_sqrt_blocking_10x(spark):
+    rows = stress_quadratic.run_stress(spark, STRESS_DIR, reps=10, emit=_quiet)
+    assert {r["kernel"] for r in rows} == {
+        "all_pairs_cosine_topk",
+        "exact_near_dup_pairs",
+        "hard_negative_topk",
+        "knn_neighbors",
+    }
+    for r in rows:  # completed both legs; exponent recorded for the notes
+        assert r["t_scaled"] > 0, r

@@ -1,15 +1,24 @@
-"""10x-scale stress smoke for the iterative graph operators.
+"""Replica-scale stress smoke for the iterative graph operators.
 
-Replicates the sf0.1 customer-supplier edge list 10x as DISJOINT copies
-(vertex ids shifted per replica), so the graph's diameter and component
-structure are unchanged while edge/vertex volume grows 10x. The things
-being validated: (a) iteration count stays constant (rounds are a
-function of structure, not size — the O(log d) / fixed-iter design
-claims), (b) wall time grows ~linearly (each round is one equi-join +
-one hash agg over the edge list), (c) no OOM and no lineage blowup (the
-per-round localCheckpoint bounds plan size).
+Replicates the sf0.1 customer-supplier edge list N times as DISJOINT
+copies (vertex ids shifted per replica), so the graph's diameter and
+component structure are unchanged while edge/vertex volume grows Nx.
+The things being validated: (a) iteration count stays constant (rounds
+are a function of structure, not size — the O(log d) / fixed-iter
+design claims; connected_components reports its observed round count
+via the ``stats`` out-param and the two legs must match), (b) wall
+time grows ~linearly (each round is one equi-join + one hash agg over
+the edge list), (c) no OOM and no lineage blowup (the per-round
+localCheckpoint bounds plan size), (d) replica isolation: seeds are
+replica-ALIGNED (the same base seeds shifted into every replica), so
+every per-vertex result row count must scale by EXACTLY the replica
+factor — any cross-replica label/frontier leakage breaks the equality.
 
-Usage: python tools/stress_graph.py [base_sf_dir]
+``run_stress`` is importable (tests/test_stress_slow.py wraps it as a
+``pytest -m slow`` gate at 10x); the CLI takes an optional replica
+count for the 100x evidence runs recorded in BENCH_NOTES.md.
+
+Usage: python tools/stress_graph.py [base_sf_dir] [reps]
 Prints a markdown table; paste into BENCH_NOTES.md.
 """
 
@@ -23,14 +32,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+SHIFT = 10**9  # replica r occupies vertex-id range [r*SHIFT, (r+1)*SHIFT)
 
-def main() -> None:
-    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
+
+def run_stress(spark, base_dir: str, reps: int = 10, emit=print) -> list[dict]:
+    """Run each graph op on the 1x and the ``reps``x edge list; return one
+    dict per op with timings, row counts and the scale invariants already
+    ASSERTED (row count x reps; CC round count equal on both legs)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators import graph as G
 
-    spark = get_session("stress-graph")
     t = load_testdata(spark, base_dir, ["lineitem", "orders"])
     l, o = t["lineitem"], t["orders"]
     edges1 = (
@@ -43,9 +54,9 @@ def main() -> None:
         .localCheckpoint()
     )
     n1 = edges1.count()
-    reps = spark.range(10).select((F.col("id") * F.lit(10**9)).alias("shift"))
-    edges10 = (
-        edges1.crossJoin(F.broadcast(reps))
+    shifts = spark.range(reps).select((F.col("id") * F.lit(SHIFT)).alias("shift"))
+    edgesN = (
+        edges1.crossJoin(F.broadcast(shifts))
         .select(
             (F.col("src") + F.col("shift")).alias("src"),
             (F.col("dst") + F.col("shift")).alias("dst"),
@@ -53,43 +64,97 @@ def main() -> None:
         )
         .localCheckpoint()
     )
-    n10 = edges10.count()
-    assert n10 == 10 * n1
+    nN = edgesN.count()
+    assert nN == reps * n1, (nN, reps, n1)
 
-    def run(name, fn):
+    # replica-ALIGNED seeds: the same 5 base vertices shifted into every
+    # replica, so per-seed frontiers are congruent across replicas and the
+    # scaled result row count must be exactly reps x the base row count.
+    seeds1 = (
+        edges1.select(F.col("src").alias("vertex"))
+        .distinct()
+        .orderBy("vertex")
+        .limit(5)
+        .localCheckpoint()
+    )
+    seedsN = (
+        seeds1.crossJoin(F.broadcast(shifts))
+        .select((F.col("vertex") + F.col("shift")).alias("vertex"))
+        .localCheckpoint()
+    )
+
+    results: list[dict] = []
+    emit(f"| op | n={n1} edges | n={nN} edges ({reps}x) | time ratio |")
+    emit("|---|---|---|---|")
+
+    def run(name, fn, exact_scale=True, extra=None):
         ts = {}
-        for e, n in ((edges1, n1), (edges10, n10)):
+        for tag, e, n in (("base", edges1, n1), ("scaled", edgesN, nN)):
             t0 = time.time()
-            cnt = fn(e).count()
-            ts[n] = (time.time() - t0, cnt)
-        r = ts[n10][0] / ts[n1][0]
-        print(
+            cnt = fn(e, tag).count()
+            ts[tag] = (time.time() - t0, cnt)
+        r = ts["scaled"][0] / ts["base"][0]
+        row = {
+            "op": name,
+            "reps": reps,
+            "t_base": ts["base"][0],
+            "rows_base": ts["base"][1],
+            "t_scaled": ts["scaled"][0],
+            "rows_scaled": ts["scaled"][1],
+            "ratio": r,
+        }
+        if extra:
+            row.update(extra)
+        if exact_scale:
+            # disjoint congruent replicas: any deviation = replica leakage
+            assert ts["scaled"][1] == reps * ts["base"][1], row
+        results.append(row)
+        emit(
             "| %s | %.2f s (%d rows) | %.2f s (%d rows) | %.2fx |"
-            % (name, ts[n1][0], ts[n1][1], ts[n10][0], ts[n10][1], r),
-            flush=True,
+            % (name, ts["base"][0], ts["base"][1], ts["scaled"][0], ts["scaled"][1], r)
         )
 
-    seeds1 = edges1.select(F.col("src").alias("vertex")).distinct().limit(5)
-    seeds10 = edges10.select(F.col("src").alias("vertex")).distinct().limit(50)
-    print("| op | n=%d edges | n=%d edges | time ratio |" % (n1, n10))
-    print("|---|---|---|---|")
-    run("connected_components", lambda e: G.connected_components(e))
-    run("pagerank_fixed(3)", lambda e: G.pagerank_fixed(e, weight="w", iters=3))
+    cc_stats = {"base": {}, "scaled": {}}
+    run(
+        "connected_components",
+        lambda e, tag: G.connected_components(e, stats=cc_stats[tag]),
+        extra={"rounds": cc_stats},
+    )
+    # structure-invariant round count: the replicas are disjoint congruent
+    # copies, so pointer-jumping must converge in the SAME number of rounds
+    assert cc_stats["base"].get("rounds") == cc_stats["scaled"].get("rounds"), cc_stats
+    emit(
+        "| ^ cc rounds | %d | %d | equal (structure-invariant) |"
+        % (cc_stats["base"]["rounds"], cc_stats["scaled"]["rounds"])
+    )
+    run("pagerank_fixed(3)", lambda e, tag: G.pagerank_fixed(e, weight="w", iters=3))
     run(
         "bfs_hops(3)",
-        lambda e: G.bfs_hops(e, seeds1 if e is edges1 else seeds10, iters=3),
+        lambda e, tag: G.bfs_hops(e, seeds1 if tag == "base" else seedsN, iters=3),
     )
     run(
         "label_propagation(2)",
-        lambda e: G.label_propagation(
+        lambda e, tag: G.label_propagation(
             e,
-            (seeds1 if e is edges1 else seeds10).withColumn(
-                "label", F.col("vertex") % 100
+            (seeds1 if tag == "base" else seedsN).withColumn(
+                # label is replica-invariant (mod SHIFT strips the shift)
+                "label",
+                (F.col("vertex") % SHIFT) % 100,
             ),
             weight="w",
             iters=2,
         ),
     )
+    return results
+
+
+def main() -> None:
+    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
+
+    spark = get_session("stress-graph")
+    run_stress(spark, base_dir, reps=reps)
     spark.stop()
 
 

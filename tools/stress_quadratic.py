@@ -1,19 +1,22 @@
-"""sf1-scale stress smoke for the O(n^2) exact embedding kernels.
+"""Replica-scale stress smoke for the O(n^2) exact embedding kernels.
 
-There is no driver-generated sf1 fixture, so this script synthesizes one:
-sf0.1 embeddings (2,000 x 64) replicated 10x with distinct vec_ids and a
-deterministic per-replica rotation of the id space (so duplicates don't
-collapse the top-k structure). It then runs each exact kernel at BOTH
-scales and reports wall time and the observed scaling exponent — the
-kernels are inherently O(n^2 d), so the expected exponent is ~2; the
-things being validated are (a) no OOM with the default ``n_blocks``
-guidance scaled as sqrt(n-ratio) (per-task memory is
-corpus/n_blocks * 2 rows — keeping n_blocks proportional to sqrt(n)
-holds per-cell work and memory constant-ish), and (b) no driver
-collect / cartesian anywhere (the plan gates in tests/test_plans.py pin
-that; this script pins the runtime side).
+There is no driver-generated sf1 fixture, so this script synthesizes
+one: base embeddings replicated N times with distinct vec_ids and a
+deterministic per-replica perturbation (so duplicates don't collapse
+the top-k structure). It then runs each exact kernel at BOTH scales and
+reports wall time and the observed scaling exponent — the kernels are
+inherently O(n^2 d), so the expected exponent is ~2; the things being
+validated are (a) no OOM with the default ``n_blocks`` guidance scaled
+as sqrt(n-ratio) (per-task memory is corpus/n_blocks * 2 rows —
+keeping n_blocks proportional to sqrt(n) holds per-cell work and
+memory constant-ish), and (b) no driver collect / cartesian anywhere
+(the plan gates in tests/test_plans.py pin that; this script pins the
+runtime side).
 
-Usage: python tools/stress_quadratic.py  [base_sf_dir]
+``run_stress`` is importable (tests/test_stress_slow.py wraps it as a
+``pytest -m slow`` gate at 10x).
+
+Usage: python tools/stress_quadratic.py [base_sf_dir] [reps]
 Appends a markdown row per kernel to stdout; paste into BENCH_NOTES.md.
 """
 
@@ -44,18 +47,20 @@ def replicate(emb, times: int):
     )
 
 
-def main() -> None:
-    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
+def run_stress(spark, base_dir: str, reps: int = 10, emit=print) -> list[dict]:
+    """Run each exact quadratic kernel at 1x and ``reps``x (with n_blocks
+    scaled ~sqrt(reps)); return one dict per kernel with timings and the
+    observed scaling exponent. Completing the scaled leg IS the memory
+    invariant — per-cell task memory is held constant by the n_blocks
+    scaling, so an OOM/regression fails the run rather than a number."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators import similarity as S
 
-    spark = get_session("stress-quadratic")
     emb1 = load_testdata(spark, base_dir, ["embeddings"])["embeddings"]
     n1 = emb1.count()
-    emb10 = replicate(emb1, 10).localCheckpoint()  # materialize the 10x input
-    n10 = emb10.count()
-    assert n10 == 10 * n1
+    embN = replicate(emb1, reps).localCheckpoint()  # materialize the Nx input
+    nN = embN.count()
+    assert nN == reps * n1, (nN, reps, n1)
     # warm python workers
     spark.range(256).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
@@ -63,6 +68,8 @@ def main() -> None:
 
     # n_blocks guidance: per-cell work/memory ~ (n/n_blocks)^2; scale
     # n_blocks with sqrt(n-ratio) to keep cells constant-sized.
+    nb1 = 16
+    nbN = max(nb1, int(round(nb1 * math.sqrt(reps))))
     kernels = {
         "all_pairs_cosine_topk": lambda df, nb: S.all_pairs_cosine_topk(
             df, k=20, n_blocks=nb
@@ -75,22 +82,41 @@ def main() -> None:
         ),
         "knn_neighbors": lambda df, nb: S.knn_neighbors(df, k=5, n_blocks=nb),
     }
-    print("| kernel | n=%d (nb=16) | n=%d (nb=48) | exponent |" % (n1, n10))
-    print("|---|---|---|---|")
+    results: list[dict] = []
+    emit("| kernel | n=%d (nb=%d) | n=%d (nb=%d) | exponent |" % (n1, nb1, nN, nbN))
+    emit("|---|---|---|---|")
     for name, fn in kernels.items():
         ts = {}
-        for df, n, nb in ((emb1, n1, 16), (emb10, n10, 48)):
+        for df, n, nb in ((emb1, n1, nb1), (embN, nN, nbN)):
             best = None
             for _ in range(2):
                 t0 = time.time()
                 fn(df, nb).write.mode("overwrite").format("noop").save()
                 best = min(best or 9e9, time.time() - t0)
             ts[n] = best
-        expo = math.log(ts[n10] / ts[n1]) / math.log(10)
-        print(
-            "| %s | %.2f s | %.2f s | %.2f |" % (name, ts[n1], ts[n10], expo),
-            flush=True,
+        expo = math.log(ts[nN] / ts[n1]) / math.log(reps)
+        results.append(
+            {
+                "kernel": name,
+                "reps": reps,
+                "t_base": ts[n1],
+                "t_scaled": ts[nN],
+                "exponent": expo,
+            }
         )
+        emit(
+            "| %s | %.2f s | %.2f s | %.2f |" % (name, ts[n1], ts[nN], expo),
+        )
+    return results
+
+
+def main() -> None:
+    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
+
+    spark = get_session("stress-quadratic")
+    run_stress(spark, base_dir, reps=reps)
     spark.stop()
 
 

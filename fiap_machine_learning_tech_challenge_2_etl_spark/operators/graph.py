@@ -28,8 +28,58 @@ all (SURVEY.md §2.13) — this is extension surface, built Spark-first:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _free_checkpoint(df: DataFrame) -> None:
+    """Unpersist the block-cached RDD behind a localCheckpoint'ed frame.
+
+    The iterative loops below checkpoint their label/frontier frame every
+    round; without explicit freeing, the superseded rounds' blocks sit in
+    storage memory until Python GC + the async ContextCleaner get to them,
+    and at 100x-edge scale (~0.4 GB/round x 17 rounds) that starves the
+    unified execution pool mid-round (observed: UNABLE_TO_ACQUIRE_MEMORY
+    in the 100x stress before this fix — see BENCH_NOTES.md). Called only
+    on frames whose plan is a (projection of a) SINGLE checkpoint; frames
+    with extra leaves (e.g. anything joined with the shared edge list) are
+    left alone so a shared checkpoint is never freed by accident.
+    """
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    if leaves.size() != 1:
+        return
+    leaf = leaves.apply(0)
+    if leaf.getClass().getSimpleName() == "LogicalRDD":
+        leaf.rdd().unpersist(False)
+
+
+@contextmanager
+def _round_shuffle_width(spark, n_edges: int):
+    """Problem-sized shuffle width for the per-round joins/aggregates.
+
+    Two regimes: on SMALL graphs a wide session conf means O(rounds x
+    width) near-empty tasks dominating wall-clock, so width shrinks to
+    ~100k edges/partition; on HUGE graphs the session conf itself is the
+    hazard — at 100x-replica scale (117M symmetrized edges) 32 partitions
+    put ~3.7M rows in every concurrent join/agg task and the unified pool
+    OOMs — so width may also EXCEED the session conf, targeting <=1M
+    edges/partition (tasks still run cores-at-a-time; extra partitions
+    trade scheduler overhead for bounded per-task memory, exactly what a
+    real cluster's larger shuffle.partitions would do). Restored on exit.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    width = max(
+        8,
+        min(int(prev), n_edges // 100_000 + 1),
+        n_edges // 1_000_000 + 1,
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield width
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components(
@@ -66,21 +116,19 @@ def connected_components(
             vertices.select(F.col(vertex_col).alias("vertex")).union(universe).distinct()
         )
 
-    # Size the per-round shuffle width to the PROBLEM, not the session: each
-    # round is two label-frame joins + a checkpoint, and on a small graph a
-    # wide conf means O(rounds x width) near-empty tasks dominating the
-    # wall-clock. One metadata count (sym is already materialized) picks
-    # ~100k edges/partition, clamped to the session conf so a genuinely
-    # large graph keeps the session's full width. Restored on exit.
+    # Size the per-round shuffle width to the PROBLEM, not the session
+    # (see _round_shuffle_width): one metadata count on the materialized
+    # edge list, width restored on exit.
     spark = edges.sparkSession
     n_edges = sym.count()
-    prev_width = spark.conf.get("spark.sql.shuffle.partitions")
-    width = max(8, min(int(prev_width), n_edges // 100_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
+    with _round_shuffle_width(spark, n_edges):
         labels = _cc_loop(sym, universe, max_iter, stats)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+    # labels is its own checkpoint; the symmetrized edge blocks (the
+    # biggest storage consumer at 100x scale) are dead weight the moment
+    # the loop ends — free them now instead of waiting for the async
+    # py4j/ContextCleaner chain (back-to-back graph ops each build their
+    # own edge list, and the stale ones stacking up was half the 100x OOM)
+    _free_checkpoint(sym)
     return labels
 
 
@@ -134,7 +182,12 @@ def _cc_loop(
             .localCheckpoint(eager=False)
         )
         n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        # the count above materialized the new checkpoint; the previous
+        # round's label blocks are now dead weight — free them eagerly so
+        # storage never accumulates O(rounds) label frames (the 100x OOM)
+        prev_labels = labels
         labels = updated.drop("changed")
+        _free_checkpoint(prev_labels)
         if n_changed == 0:
             if stats is not None:
                 stats["rounds"] = _round + 1
@@ -287,20 +340,24 @@ def bfs_hops(
     reached = seeds.select(
         F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("hop")
     ).localCheckpoint()
-    for _ in range(iters):
-        nxt = (
-            reached.join(sym, reached["vertex"] == sym["a"])
-            .select(
-                F.col("b").alias("vertex"),
-                (F.col("hop") + F.lit(1)).cast("long").alias("hop"),
+    with _round_shuffle_width(edges.sparkSession, sym.count()):
+        for _ in range(iters):
+            nxt = (
+                reached.join(sym, reached["vertex"] == sym["a"])
+                .select(
+                    F.col("b").alias("vertex"),
+                    (F.col("hop") + F.lit(1)).cast("long").alias("hop"),
+                )
             )
-        )
-        reached = (
-            reached.unionByName(nxt)
-            .groupBy("vertex")
-            .agg(F.min("hop").cast("long").alias("hop"))
-            .localCheckpoint()
-        )
+            prev = reached
+            reached = (
+                reached.unionByName(nxt)
+                .groupBy("vertex")
+                .agg(F.min("hop").cast("long").alias("hop"))
+                .localCheckpoint()
+            )
+            _free_checkpoint(prev)
+    _free_checkpoint(sym)  # reached is independent; see connected_components
     return reached
 
 
@@ -351,24 +408,29 @@ def label_propagation(
     ).localCheckpoint()
     labels = seeds
     win = Window.partitionBy("vertex").orderBy(F.col("votes").desc(), "label")
-    for _ in range(iters):
-        votes = (
-            labels.join(sym, labels["vertex"] == sym["a"])
-            .groupBy(F.col("b").alias("dst"), "label")
-            .agg(F.sum("w").cast("long").alias("votes"))
-        )
-        winner = (
-            votes.select(F.col("dst").alias("vertex"), "label", "votes")
-            .withColumn("rnk", F.row_number().over(win))
-            .filter(F.col("rnk") == 1)
-            .select("vertex", "label")
-        )
-        # seeds override propagated labels; everyone else takes the vote
-        labels = (
-            winner.join(seeds.select("vertex"), "vertex", "left_anti")
-            .unionByName(seeds)
-            .localCheckpoint()
-        )
+    with _round_shuffle_width(edges.sparkSession, sym.count()):
+        for _ in range(iters):
+            votes = (
+                labels.join(sym, labels["vertex"] == sym["a"])
+                .groupBy(F.col("b").alias("dst"), "label")
+                .agg(F.sum("w").cast("long").alias("votes"))
+            )
+            winner = (
+                votes.select(F.col("dst").alias("vertex"), "label", "votes")
+                .withColumn("rnk", F.row_number().over(win))
+                .filter(F.col("rnk") == 1)
+                .select("vertex", "label")
+            )
+            # seeds override propagated labels; everyone else takes the vote
+            prev = labels
+            labels = (
+                winner.join(seeds.select("vertex"), "vertex", "left_anti")
+                .unionByName(seeds)
+                .localCheckpoint()
+            )
+            if prev is not seeds:  # round 1's "previous" IS the seed frame
+                _free_checkpoint(prev)
+    _free_checkpoint(sym)  # result joins labels+seeds only; see connected_components
     return labels.join(
         seeds.select("vertex").withColumn("is_seed", F.lit(True)),
         "vertex",
@@ -420,15 +482,19 @@ def shortest_paths_weighted(
     costs = seeds.select(
         F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("cost")
     ).localCheckpoint()
-    for _ in range(iters):
-        relaxed = costs.join(sym, costs["vertex"] == sym["a"]).select(
-            F.col("b").alias("vertex"),
-            (F.col("cost") + F.col("w")).cast("long").alias("cost"),
-        )
-        costs = (
-            costs.unionByName(relaxed)
-            .groupBy("vertex")
-            .agg(F.min("cost").cast("long").alias("cost"))
-            .localCheckpoint()
-        )
+    with _round_shuffle_width(edges.sparkSession, sym.count()):
+        for _ in range(iters):
+            relaxed = costs.join(sym, costs["vertex"] == sym["a"]).select(
+                F.col("b").alias("vertex"),
+                (F.col("cost") + F.col("w")).cast("long").alias("cost"),
+            )
+            prev = costs
+            costs = (
+                costs.unionByName(relaxed)
+                .groupBy("vertex")
+                .agg(F.min("cost").cast("long").alias("cost"))
+                .localCheckpoint()
+            )
+            _free_checkpoint(prev)
+    _free_checkpoint(sym)  # costs is independent; see connected_components
     return costs

@@ -194,3 +194,25 @@ def test_seasonal_decompose_identities(spark, sf_dir):
             )
             resid[(et, r["dow"])] += r["resid_scaled_micro"]
     assert all(v == 0 for v in resid.values())
+
+
+def test_seasonal_trend_floor_div_matches_python_floor_for_negatives(spark):
+    """The trend expression in seasonal_decompose_daily corrects Spark's
+    truncate-toward-zero `div` to FLOOR semantics (round-4 ADVICE: the
+    old form silently diverged from DuckDB's `//` whenever a windowed
+    sum went negative). Pin the exact expression against Python's floor
+    `//` across sign combinations so the parity is proven, not assumed
+    from a non-negative fixture."""
+    from pyspark.sql import functions as F
+
+    cases = [(s, n) for s in (-13, -7, -1, 0, 1, 7, 13) for n in (1, 2, 3, 7)]
+    df = spark.createDataFrame(cases, "_sw long, n_win long")
+    out = df.withColumn(
+        "trend_micro",
+        F.expr(
+            "(_sw * 1000000) div n_win - (CASE WHEN (_sw * 1000000) % n_win != 0"
+            " AND _sw < 0 THEN 1 ELSE 0 END)"
+        ).cast("long"),
+    ).collect()
+    for r in out:
+        assert r["trend_micro"] == (r["_sw"] * 1_000_000) // r["n_win"], r

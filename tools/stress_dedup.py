@@ -164,6 +164,9 @@ def main() -> None:
     dense = "--dense" in sys.argv[1:]
     base_dir = args[0] if args else "/root/testdata/sf0.1"
     reps = int(args[1]) if len(args) > 1 else 10
+    # replica-scale runs hold multiple 10^8-row checkpoints; default the
+    # single-JVM heap to a size that fits them (still overridable via env)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
 
     spark = get_session("stress-dedup")

@@ -113,6 +113,9 @@ def run_stress(spark, base_dir: str, reps: int = 10, emit=print) -> list[dict]:
 def main() -> None:
     base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    # replica-scale runs hold multiple 10^8-row checkpoints; default the
+    # single-JVM heap to a size that fits them (still overridable via env)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
 
     spark = get_session("stress-quadratic")

@@ -338,3 +338,51 @@ def test_sssp_matches_dijkstra_on_random_graphs(spark):
             ).collect()
         }
         assert got == dist, f"trial {trial}: {got} != {dist}"
+
+
+def _cached_rdd_ids(spark) -> set[int]:
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    return {infos[i].id() for i in range(len(infos))}
+
+
+def test_iterative_loops_free_superseded_checkpoints(spark):
+    """The 100x stress OOM'd because superseded per-round localCheckpoint
+    blocks waited on the async ContextCleaner (BENCH_NOTES round 5). Pin
+    the fix: after connected_components returns, storage may hold the
+    RESULT checkpoint but none of the per-round label frames or the
+    symmetrized edge list — at most 2 new cached RDDs (result + at most
+    one in-flight cleanup), never O(rounds)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        connected_components as cc,
+    )
+
+    # chain graph => several pointer-jumping rounds => several round frames
+    edges = _edges(spark, [(i, i + 1) for i in range(1, 40)])
+    before = _cached_rdd_ids(spark)
+    stats: dict = {}
+    out = cc(edges, stats=stats)
+    out.count()
+    assert stats["rounds"] >= 3  # the loop really iterated
+    new = _cached_rdd_ids(spark) - before
+    assert len(new) <= 2, (
+        f"{len(new)} new cached RDDs after {stats['rounds']} rounds — "
+        "superseded round checkpoints are leaking again"
+    )
+
+
+def test_free_checkpoint_leaves_multi_leaf_frames_alone(spark):
+    """_free_checkpoint must never unpersist through a frame whose plan
+    has extra leaves (it could free a SHARED checkpoint): joining two
+    checkpointed frames and 'freeing' the join must leave both inputs'
+    blocks cached and usable."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import (
+        _free_checkpoint,
+    )
+
+    a = spark.range(100).localCheckpoint()
+    b = spark.range(50).localCheckpoint()
+    j = a.join(b, "id")
+    _free_checkpoint(j)  # two leaves -> no-op by contract
+    assert a.count() == 100 and b.count() == 50 and j.count() == 50
+    _free_checkpoint(a)  # single leaf -> frees a's blocks; b stays untouched
+    assert b.count() == 50

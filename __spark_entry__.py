@@ -36,19 +36,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # query whose plan changed this round (theta_sketch_overlap: pair frame
 # now derived relationally instead of a driver-side Python list, per
 # round-4 ADVICE) and so needs a FRESH green row; then (c) rotates the
-# STALEST green rows back through the window — the 46 queries whose
-# latest attestation is still round 1 (operators under them — windows,
-# dedup, similarity, text — have been refactored since) plus the oldest
-# round-2 row touched by dedup refactors (minhash_lsh_near_dup). Note
+# STALEST green rows back through the window — 39 of the 46 queries
+# whose latest attestation is still round 1 (operators under them —
+# windows, dedup, similarity, text — have been refactored since) plus
+# the oldest round-2 row touched by dedup refactors
+# (minhash_lsh_near_dup). Note
 # seasonal_decompose_daily also changed this round (explicit
 # floor-division replaces the sign-fragile `div`, per round-4 ADVICE),
-# which its lead slot covers. Keep <= 50.
+# which its lead slot covers; and operators/graph.py gained 100x-scale
+# memory fixes (per-round checkpoint freeing + problem-sized shuffle
+# width — value-neutral, full 186-query oracle sweep green), so the 7
+# registry queries riding it get fresh rows in section (b2) ahead of
+# freshness-only rotations. Keep <= 50.
 _PRIORITY = (
     # (a) the last 2 never-attested rows (round-4 50-cap misses)
     "seasonal_decompose_daily",
     "attribution_first_last_touch",
     # (b) plan changed this round (relational pair frame, ADVICE fix)
     "theta_sketch_overlap",
+    # (b2) operator under them changed this round (graph.py scale fixes)
+    "dedup_cluster_cc",
+    "dedup_canonical_docs",
+    "leakage_safe_split",
+    "pagerank_supply_graph",
+    "bfs_reachable_hops",
+    "label_propagation_nations",
+    "shortest_path_weighted",
     # (c) stale rotation: latest attestation r01, oldest first
     "flagship_pipeline",
     "tpch_q1_agg",
@@ -71,13 +84,6 @@ _PRIORITY = (
     "asof_join_events",
     "range_join_shipments",
     "skew_salted_agg",
-    "pivot_event_counts",
-    "unpivot_stats",
-    "cube_agg",
-    "rollup_agg",
-    "grouping_sets_agg",
-    "distinct_agg",
-    "set_ops",
     "session_window_agg",
     "tumbling_window_agg",
     "json_extract_agg",
@@ -99,13 +105,17 @@ _PRIORITY = (
     # (c cont.) oldest r02 row under refactored dedup operators
     "minhash_lsh_near_dup",
     # ROUND-6 NOTE: exactly 50 entries above. After a green r05, EVERY
-    # registry query has a driver attestation (the r01-r05 union) and no
-    # green row is older than r02. Round 6 should lead with any new or
-    # operator/oracle-changed queries, then continue the stale rotation:
-    # the remaining 42 r02 rows (bitwise_functions ... word_count_topk,
-    # minus minhash_lsh_near_dup attested here), then r03 rows. Registry
-    # growth is deliberately stopped per the round-4 verdict — depth
-    # (scale evidence, plan pins) over breadth.
+    # registry query has a driver attestation (the r01-r05 union), every
+    # query riding a round-5-changed operator has a fresh row, and the
+    # only r01-stale greens left are 7 pure built-in-SQL surfaces
+    # (pivot_event_counts, unpivot_stats, cube_agg, rollup_agg,
+    # grouping_sets_agg, distinct_agg, set_ops — swapped out for the
+    # graph.py-dependent rows, which the changed-operator rule outranks).
+    # Round 6 should lead with any new or operator/oracle-changed
+    # queries, then rotate: those 7 r01 rows first, then the remaining
+    # 42 r02 rows (bitwise_functions ... word_count_topk, minus
+    # minhash_lsh_near_dup attested here), then r03. Registry growth is
+    # deliberately stopped per the round-4 verdict — depth over breadth.
 )
 
 

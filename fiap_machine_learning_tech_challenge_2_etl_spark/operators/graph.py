@@ -52,7 +52,35 @@ def _free_checkpoint(df: DataFrame) -> None:
         return
     leaf = leaves.apply(0)
     if leaf.getClass().getSimpleName() == "LogicalRDD":
+        _silence_unpersist_warn(df.sparkSession)
         leaf.rdd().unpersist(False)
+
+
+_WARN_SILENCED = False
+
+
+def _silence_unpersist_warn(spark) -> None:
+    """Demote the per-unpersist "lineage has been truncated and cannot be
+    recomputed" WARN to ERROR-only for the one RDD class involved.
+
+    The warning is a false alarm for this module's pattern — frames are
+    freed strictly AFTER their last consumer materialized, and a genuine
+    premature free would surface as a hard "checkpoint block not found"
+    job failure, not silently — while at 100x scale the loops emit it
+    once per freed round and drown the driver log. Scoped to the single
+    log4j2 category; best-effort (log cosmetics never fail a job)."""
+    global _WARN_SILENCED
+    if _WARN_SILENCED:
+        return
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+        _WARN_SILENCED = True
+    except Exception:  # pragma: no cover - alternative logging backends
+        _WARN_SILENCED = True
 
 
 @contextmanager

@@ -52,35 +52,46 @@ def _free_checkpoint(df: DataFrame) -> None:
         return
     leaf = leaves.apply(0)
     if leaf.getClass().getSimpleName() == "LogicalRDD":
-        _silence_unpersist_warn(df.sparkSession)
-        leaf.rdd().unpersist(False)
+        with _unpersist_warn_silenced(df.sparkSession):
+            leaf.rdd().unpersist(False)
 
 
-_WARN_SILENCED = False
-
-
-def _silence_unpersist_warn(spark) -> None:
-    """Demote the per-unpersist "lineage has been truncated and cannot be
-    recomputed" WARN to ERROR-only for the one RDD class involved.
+@contextmanager
+def _unpersist_warn_silenced(spark):
+    """Demote the "lineage has been truncated and cannot be recomputed"
+    WARN to ERROR-only for the one RDD class involved, ONLY for the
+    duration of this module's own unpersist call (the message is logged
+    synchronously inside RDD.unpersist), then restore the level.
 
     The warning is a false alarm for this module's pattern — frames are
     freed strictly AFTER their last consumer materialized, and a genuine
     premature free would surface as a hard "checkpoint block not found"
     job failure, not silently — while at 100x scale the loops emit it
-    once per freed round and drown the driver log. Scoped to the single
-    log4j2 category; best-effort (log cosmetics never fail a job)."""
-    global _WARN_SILENCED
-    if _WARN_SILENCED:
-        return
+    once per freed round and drown the driver log. Restoring the level
+    keeps the warning alive for every OTHER caller that unpersists a
+    checkpoint (where it may be legitimate). Best-effort: log cosmetics
+    never fail a job."""
+    cat = "org.apache.spark.rdd.MapPartitionsRDD"
+    jvm = lm = prev = None
     try:
         jvm = spark._jvm
+        lm = jvm.org.apache.logging.log4j.LogManager
+        prev = lm.getLogger(cat).getLevel()
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd.MapPartitionsRDD",
-            jvm.org.apache.logging.log4j.Level.ERROR,
+            cat, jvm.org.apache.logging.log4j.Level.ERROR
         )
-        _WARN_SILENCED = True
     except Exception:  # pragma: no cover - alternative logging backends
-        _WARN_SILENCED = True
+        jvm = None
+    try:
+        yield
+    finally:
+        if jvm is not None:
+            try:
+                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                    cat, prev
+                )
+            except Exception:  # pragma: no cover
+                pass
 
 
 @contextmanager
@@ -168,6 +179,7 @@ def _cc_loop(
 ) -> DataFrame:
     labels = universe.withColumn("component", F.col("vertex")).localCheckpoint()
 
+    n_changed = -1  # max_iter=0 must reach the loud for-else raise below
     for _round in range(max_iter):
         # candidate label for a = min over neighbors b of label(b)
         neighbor_min = (
@@ -224,9 +236,10 @@ def _cc_loop(
         # exhausting max_iter with labels still moving means the returned
         # components are WRONG (downstream dedup would merge on partial
         # labels with no signal) — fail loudly instead.
+        still = f"{n_changed} labels still changing" if n_changed >= 0 else "loop never ran"
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            f"({n_changed} labels still changing); raise max_iter"
+            f"({still}); raise max_iter"
         )
     return labels
 

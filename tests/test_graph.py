@@ -363,7 +363,17 @@ def test_iterative_loops_free_superseded_checkpoints(spark):
     out = cc(edges, stats=stats)
     out.count()
     assert stats["rounds"] >= 3  # the loop really iterated
-    new = _cached_rdd_ids(spark) - before
+    # unpersist(blocking=False) is async: the tail-end frees (last round
+    # frame + edge list) may still be in flight — poll briefly instead of
+    # flaking on scheduler timing; a real leak is O(rounds) and never drains
+    import time as _time
+
+    deadline = _time.time() + 10
+    while True:
+        new = _cached_rdd_ids(spark) - before
+        if len(new) <= 2 or _time.time() > deadline:
+            break
+        _time.sleep(0.2)
     assert len(new) <= 2, (
         f"{len(new)} new cached RDDs after {stats['rounds']} rounds — "
         "superseded round checkpoints are leaking again"

@@ -250,7 +250,9 @@ def test_multimodal_feature_extraction(spark, sf_dir):
 
 def test_multimodal_decode_stub_raises(spark):
     """Real decode imports Pillow lazily; in this container (no Pillow)
-    the stub contract still holds: NotImplementedError."""
+    the stub contract still holds: NotImplementedError. (Complementary
+    skipif pair: test_multimodal_decode_real_path below covers the real
+    branch wherever Pillow IS installed.)"""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import decode_image
 
     try:
@@ -261,6 +263,24 @@ def test_multimodal_decode_stub_raises(spark):
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake_decoder=False)
+
+
+def test_multimodal_decode_real_path(spark):
+    """Where Pillow exists, the real branch must round-trip an actual
+    encoded image: a 2x2 PNG with known grayscale values decodes to
+    exactly those pixels (flat row-major list) — so an environment WITH
+    image libs exercises the real decode for free while this container
+    runs the stub-contract twin above."""
+    pil = pytest.importorskip("PIL.Image")
+    import io
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import decode_image
+
+    img = pil.new("L", (2, 2))
+    img.putdata([0, 64, 128, 255])
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    assert decode_image(buf.getvalue(), fake_decoder=False) == [0, 64, 128, 255]
 
 
 def test_multimodal_byte_stats_hand_computed(spark):

@@ -99,22 +99,36 @@ def run_stress(
         ts = {}
         cross = None
         for tag, df in (("base", docs1), ("scaled", docsN)):
-            best = best_out = None
+            best = None
+            cnt = 0
             for _ in range(2):
                 t0 = time.time()
                 out = fn(df)
-                cnt = out.count()
+                if pair_cols:
+                    # total AND cross-replica count in the SAME timed pass
+                    # (a separate verification count would re-execute the
+                    # whole uncached pipeline a third time)
+                    a, b = pair_cols
+                    row = out.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            (
+                                (F.col(a) / SHIFT).cast("long")
+                                != (F.col(b) / SHIFT).cast("long")
+                            ).cast("long")
+                        ).alias("x"),
+                    ).first()
+                    cnt, run_cross = row["n"], row["x"] or 0
+                    if tag == "scaled":
+                        cross = run_cross
+                        if not dense:
+                            assert cross == 0, (name, cross)
+                else:
+                    cnt = out.count()
                 dt = time.time() - t0
                 if best is None or dt < best:
-                    best, best_out = dt, out
+                    best = dt
             ts[tag] = (best, cnt)
-            if tag == "scaled" and pair_cols and not dense:
-                a, b = pair_cols
-                cross = best_out.filter(
-                    (F.col(a) / SHIFT).cast("long")
-                    != (F.col(b) / SHIFT).cast("long")
-                ).count()
-                assert cross == 0, (name, cross)
         r = ts["scaled"][0] / ts["base"][0]
         results.append(
             {

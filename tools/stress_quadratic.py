@@ -87,25 +87,32 @@ def run_stress(spark, base_dir: str, reps: int = 10, emit=print) -> list[dict]:
     emit("|---|---|---|---|")
     for name, fn in kernels.items():
         ts = {}
-        for df, n, nb in ((emb1, n1, nb1), (embN, nN, nbN)):
+        for tag, df, nb in (("base", emb1, nb1), ("scaled", embN, nbN)):
             best = None
             for _ in range(2):
                 t0 = time.time()
                 fn(df, nb).write.mode("overwrite").format("noop").save()
                 best = min(best or 9e9, time.time() - t0)
-            ts[n] = best
-        expo = math.log(ts[nN] / ts[n1]) / math.log(reps)
+            ts[tag] = best
+        # reps=1 is a legal smoke invocation: both legs identical, no
+        # defined exponent (log 1 = 0 would divide by zero)
+        expo = (
+            math.log(ts["scaled"] / ts["base"]) / math.log(reps)
+            if reps > 1
+            else float("nan")
+        )
         results.append(
             {
                 "kernel": name,
                 "reps": reps,
-                "t_base": ts[n1],
-                "t_scaled": ts[nN],
+                "t_base": ts["base"],
+                "t_scaled": ts["scaled"],
                 "exponent": expo,
             }
         )
         emit(
-            "| %s | %.2f s | %.2f s | %.2f |" % (name, ts[n1], ts[nN], expo),
+            "| %s | %.2f s | %.2f s | %.2f |"
+            % (name, ts["base"], ts["scaled"], expo),
         )
     return results
 

@@ -306,8 +306,14 @@ def pagerank_fixed(
         .agg(F.sum("w").cast("long").alias("w"))
         .localCheckpoint()
     )
-    deg = sym.groupBy("a").agg(F.sum("w").cast("long").alias("wdeg"))
+    n_edges = sym.count()
+    # deg is vertex-sized — checkpointing it lets the (edge-sized) sym
+    # blocks be freed as soon as edg materializes, instead of holding TWO
+    # full edge frames for the whole call (the 200x-scale OOM: sym + edg
+    # together exceeded the heap before the first round ran)
+    deg = sym.groupBy("a").agg(F.sum("w").cast("long").alias("wdeg")).localCheckpoint()
     edg = sym.join(deg, "a").localCheckpoint()
+    _free_checkpoint(sym)
 
     universe = edg.select(F.col("a").alias("vertex")).distinct().localCheckpoint()
     n = universe.count()
@@ -320,31 +326,42 @@ def pagerank_fixed(
     teleport6 = (150_000 * 1_000_000) // n
 
     ranks = universe.withColumn("rank6", F.lit(1_000_000 // n).cast("long"))
-    for _ in range(iters):
-        # with broadcast_ranks the per-round edge-side shuffle disappears
-        # entirely: the vertex-sized rank frame ships to the (checkpointed,
-        # in-place) edge partitions and each round costs ONE destination-
-        # keyed aggregate. Right whenever |V| fits a broadcast (bipartite
-        # dim graphs, near-dup clusters); leave False for web-scale vertex
-        # sets, where the shuffle join is the honest plan.
-        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = edg.join(rank_side, edg["a"] == rank_side["vertex"]).select(
-            F.col("b").alias("vertex"),
-            F.expr("rank6 * w div wdeg").cast("long").alias("c6"),
-        )
-        inflow = contrib.groupBy("vertex").agg(
-            F.sum("c6").cast("long").alias("s6")
-        )
-        ranks = (
-            universe.join(inflow, "vertex", "left")
-            .select(
-                "vertex",
-                F.expr(
-                    f"CAST(({teleport6} + 850000 * coalesce(s6, 0)) "
-                    "div 1000000 AS BIGINT)"
-                ).alias("rank6"),
+    spark = edges.sparkSession
+    with _round_shuffle_width(spark, n_edges):
+        for _ in range(iters):
+            # with broadcast_ranks the per-round edge-side shuffle
+            # disappears entirely: the vertex-sized rank frame ships to
+            # the (checkpointed, in-place) edge partitions and each round
+            # costs ONE destination-keyed aggregate. Right whenever |V|
+            # fits a broadcast (bipartite dim graphs, near-dup clusters);
+            # leave False for web-scale vertex sets, where the shuffle
+            # join is the honest plan.
+            rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+            contrib = edg.join(rank_side, edg["a"] == rank_side["vertex"]).select(
+                F.col("b").alias("vertex"),
+                F.expr("rank6 * w div wdeg").cast("long").alias("c6"),
             )
-        )
+            inflow = contrib.groupBy("vertex").agg(
+                F.sum("c6").cast("long").alias("s6")
+            )
+            ranks = (
+                universe.join(inflow, "vertex", "left")
+                .select(
+                    "vertex",
+                    F.expr(
+                        f"CAST(({teleport6} + 850000 * coalesce(s6, 0)) "
+                        "div 1000000 AS BIGINT)"
+                    ).alias("rank6"),
+                )
+            )
+        # materialize the whole round chain INSIDE the width context: the
+        # rounds are lazy plans, so without this they would execute at the
+        # caller's session width whenever the result is first consumed —
+        # exactly the unbounded-task-memory hazard the context exists to
+        # prevent. One eager checkpoint of a VERTEX-sized frame (cheap;
+        # the per-round edge frames stay lazy, per the negative result on
+        # per-round checkpoints in BENCH_NOTES).
+        ranks = ranks.localCheckpoint()
     return ranks.join(
         deg.select(F.col("a").alias("vertex"), "wdeg"), "vertex"
     ).select("vertex", "wdeg", "rank6")

@@ -141,26 +141,32 @@ def connected_components(
     until convergence (a pure function of component STRUCTURE, so the
     10x/100x stress gates pin it as scale-invariant).
     """
-    # checkpoint the symmetrized edge list FIRST: the upstream pair
-    # generation (e.g. a thresholded block matmul) can be the most
-    # expensive plan in the job, and labels/universe both derive from it —
-    # without this it would be recomputed once per downstream checkpoint.
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint()
-
-    universe = sym.select(F.col("a").alias("vertex")).distinct()
-    if vertices is not None:
-        universe = (
-            vertices.select(F.col(vertex_col).alias("vertex")).union(universe).distinct()
-        )
-
-    # Size the per-round shuffle width to the PROBLEM, not the session
-    # (see _round_shuffle_width): one metadata count on the materialized
-    # edge list, width restored on exit.
+    # TWO-PHASE edge materialization. Phase 1 checkpoints the RAW pair
+    # list: map-side only (no shuffle, so no per-task memory hazard at
+    # any width), it runs the expensive upstream pair generation (e.g. a
+    # thresholded block matmul) exactly once, and its count sizes the
+    # shuffle width. Phase 2 — the symmetrize+distinct shuffle AND every
+    # round — then runs INSIDE the width context: the 200x stress showed
+    # the edge-build aggregate itself OOMs at session width (234M rows /
+    # 32 partitions) before any round starts, so the width must cover it.
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
     spark = edges.sparkSession
-    n_edges = sym.count()
-    with _round_shuffle_width(spark, n_edges):
+    n_raw = raw.count()
+    with _round_shuffle_width(spark, 2 * n_raw):
+        sym = (
+            raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        _free_checkpoint(raw)
+
+        universe = sym.select(F.col("a").alias("vertex")).distinct()
+        if vertices is not None:
+            universe = (
+                vertices.select(F.col(vertex_col).alias("vertex"))
+                .union(universe)
+                .distinct()
+            )
         labels = _cc_loop(sym, universe, max_iter, stats)
     # labels is its own checkpoint; the symmetrized edge blocks (the
     # biggest storage consumer at 100x scale) are dead weight the moment
@@ -296,38 +302,48 @@ def pagerank_fixed(
         else F.lit(1).cast("long")
     )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
-    # checkpoint the symmetrized edge list FIRST: everything downstream
-    # (degrees, the normalized edge frame, the final output join) derives
-    # from it, and without the cut the union+agg subtree would run once
-    # per consumer (measured 2x the edge-build cost at sf0.1)
-    sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
-        .groupBy("a", "b")
-        .agg(F.sum("w").cast("long").alias("w"))
-        .localCheckpoint()
-    )
-    n_edges = sym.count()
-    # deg is vertex-sized — checkpointing it lets the (edge-sized) sym
-    # blocks be freed as soon as edg materializes, instead of holding TWO
-    # full edge frames for the whole call (the 200x-scale OOM: sym + edg
-    # together exceeded the heap before the first round ran)
-    deg = sym.groupBy("a").agg(F.sum("w").cast("long").alias("wdeg")).localCheckpoint()
-    edg = sym.join(deg, "a").localCheckpoint()
-    _free_checkpoint(sym)
-
-    universe = edg.select(F.col("a").alias("vertex")).distinct().localCheckpoint()
-    n = universe.count()
-    if n == 0:
-        # empty graph: empty result with the contract schema, not a
-        # ZeroDivisionError out of the teleport term
-        return universe.withColumn("wdeg", F.lit(0).cast("long")).withColumn(
-            "rank6", F.lit(0).cast("long")
-        )
-    teleport6 = (150_000 * 1_000_000) // n
-
-    ranks = universe.withColumn("rank6", F.lit(1_000_000 // n).cast("long"))
+    # TWO-PHASE edge materialization (same rationale as
+    # connected_components): phase 1 checkpoints the raw directed pair
+    # list map-side only — it runs the upstream pair generation exactly
+    # once and its count sizes the shuffle width; phase 2 (the
+    # symmetrize+sum aggregate, the degree join, and every rank round)
+    # runs INSIDE the width context. The 200x stress OOM'd in the edge
+    # aggregate itself at session width, before the first round.
+    raw = e.localCheckpoint()
     spark = edges.sparkSession
-    with _round_shuffle_width(spark, n_edges):
+    n_raw = raw.count()
+    with _round_shuffle_width(spark, 2 * n_raw):
+        sym = (
+            raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+            .groupBy("a", "b")
+            .agg(F.sum("w").cast("long").alias("w"))
+            .localCheckpoint()
+        )
+        _free_checkpoint(raw)
+        # deg is vertex-sized — checkpointing it lets the (edge-sized)
+        # sym blocks be freed as soon as edg materializes, instead of
+        # holding TWO full edge frames for the whole call
+        deg = (
+            sym.groupBy("a")
+            .agg(F.sum("w").cast("long").alias("wdeg"))
+            .localCheckpoint()
+        )
+        edg = sym.join(deg, "a").localCheckpoint()
+        _free_checkpoint(sym)
+
+        universe = (
+            edg.select(F.col("a").alias("vertex")).distinct().localCheckpoint()
+        )
+        n = universe.count()
+        if n == 0:
+            # empty graph: empty result with the contract schema, not a
+            # ZeroDivisionError out of the teleport term
+            return universe.withColumn("wdeg", F.lit(0).cast("long")).withColumn(
+                "rank6", F.lit(0).cast("long")
+            )
+        teleport6 = (150_000 * 1_000_000) // n
+
+        ranks = universe.withColumn("rank6", F.lit(1_000_000 // n).cast("long"))
         for _ in range(iters):
             # with broadcast_ranks the per-round edge-side shuffle
             # disappears entirely: the vertex-sized rank frame ships to
@@ -389,16 +405,21 @@ def bfs_hops(
 
     Returns ``(vertex, hop)`` with hop in [0, iters].
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint()
-    )
-    reached = seeds.select(
-        F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("hop")
-    ).localCheckpoint()
-    with _round_shuffle_width(edges.sparkSession, sym.count()):
+    # two-phase edge materialization: raw pair checkpoint map-side, then
+    # the symmetrize shuffle and every round inside the width context
+    # (see connected_components)
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    n_raw = raw.count()
+    with _round_shuffle_width(edges.sparkSession, 2 * n_raw):
+        sym = (
+            raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        _free_checkpoint(raw)
+        reached = seeds.select(
+            F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("hop")
+        ).localCheckpoint()
         for _ in range(iters):
             nxt = (
                 reached.join(sym, reached["vertex"] == sym["a"])
@@ -454,19 +475,24 @@ def label_propagation(
         if weight is not None
         else F.lit(1).cast("long")
     )
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w"))
-    sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
-        .groupBy("a", "b")
-        .agg(F.sum("w").cast("long").alias("w"))
-        .localCheckpoint()
-    )
+    # two-phase edge materialization (see connected_components)
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
+    ).localCheckpoint()
+    n_raw = raw.count()
     seeds = seed_labels.select(
         F.col(vertex_col).alias("vertex"), F.col(label_col).alias("label")
     ).localCheckpoint()
     labels = seeds
     win = Window.partitionBy("vertex").orderBy(F.col("votes").desc(), "label")
-    with _round_shuffle_width(edges.sparkSession, sym.count()):
+    with _round_shuffle_width(edges.sparkSession, 2 * n_raw):
+        sym = (
+            raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+            .groupBy("a", "b")
+            .agg(F.sum("w").cast("long").alias("w"))
+            .localCheckpoint()
+        )
+        _free_checkpoint(raw)
         for _ in range(iters):
             votes = (
                 labels.join(sym, labels["vertex"] == sym["a"])
@@ -526,21 +552,24 @@ def shortest_paths_weighted(
 
     Returns ``(vertex, cost)`` with cost the minimal path weight.
     """
-    e = edges.select(
+    # two-phase edge materialization (see connected_components)
+    raw = edges.select(
         F.col(src).alias("a"),
         F.col(dst).alias("b"),
         F.col(weight).cast("long").alias("w"),
-    )
-    sym = (
-        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
-        .groupBy("a", "b")
-        .agg(F.min("w").cast("long").alias("w"))
-        .localCheckpoint()
-    )
+    ).localCheckpoint()
+    n_raw = raw.count()
     costs = seeds.select(
         F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("cost")
     ).localCheckpoint()
-    with _round_shuffle_width(edges.sparkSession, sym.count()):
+    with _round_shuffle_width(edges.sparkSession, 2 * n_raw):
+        sym = (
+            raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
+            .groupBy("a", "b")
+            .agg(F.min("w").cast("long").alias("w"))
+            .localCheckpoint()
+        )
+        _free_checkpoint(raw)
         for _ in range(iters):
             relaxed = costs.join(sym, costs["vertex"] == sym["a"]).select(
                 F.col("b").alias("vertex"),

@@ -29,93 +29,75 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship_events_pipeline(spark, "/root/testdata/sf0.001")
 
 
-# The driver attests 50 queries per round (registry order). Round 5 leads
-# with (a) the only 2 registry rows without ANY driver attestation
-# (landed after round 4's 50-slot window filled) — a green r05 row for
-# each completes driver attestation of the full registry; (b) the one
-# query whose plan changed this round (theta_sketch_overlap: pair frame
-# now derived relationally instead of a driver-side Python list, per
-# round-4 ADVICE) and so needs a FRESH green row; then (c) rotates the
-# STALEST green rows back through the window — 39 of the 46 queries
-# whose latest attestation is still round 1 (operators under them —
-# windows, dedup, similarity, text — have been refactored since) plus
-# the oldest round-2 row touched by dedup refactors
-# (minhash_lsh_near_dup). Note
-# seasonal_decompose_daily also changed this round (explicit
-# floor-division replaces the sign-fragile `div`, per round-4 ADVICE),
-# which its lead slot covers; and operators/graph.py gained 100x-scale
-# memory fixes (per-round checkpoint freeing + problem-sized shuffle
-# width — value-neutral, full 186-query oracle sweep green), so the 7
-# registry queries riding it get fresh rows in section (b2) ahead of
-# freshness-only rotations. Keep <= 50.
+# The driver attests the FIRST 50 queries() entries per round. This
+# window is GENERATED from the CORRECTNESS_r*.json history by
+#   python tools/attestation_ledger.py --changed dedup_cluster_cc,\
+#     dedup_canonical_docs,leakage_safe_split,pagerank_supply_graph,\
+#     bfs_reachable_hops,label_propagation_nations,shortest_path_weighted
+# (the 7 queries riding operators/graph.py, which took round-6 ADVICE
+# fixes — failure-path checkpoint freeing, pagerank edg/universe freeing,
+# explicit-level log4j restore; all value-neutral, but the
+# changed-operator rule outranks freshness, so they lead). Then the
+# stalest greens rotate in: the 7 r01 pure-SQL rows + the 36 oldest r02
+# rows. Registry growth is deliberately stopped per the round-4 verdict.
+# ``attestation_ledger.py --check --changed ...`` verifies this tuple.
+# ROUND-7 NOTE: lead with any new/operator-changed queries, then
+# regenerate via the ledger tool — expected window if nothing changes:
+# the 5 remaining r02 rows (incremental_stream_roundtrip,
+# stream_upsert_cdc_roundtrip, stream_dedup_roundtrip,
+# stream_running_stats_roundtrip, stream_interval_join_roundtrip) +
+# the 42 r03 rows + the 3 oldest r04 rows.
 _PRIORITY = (
-    # (a) the last 2 never-attested rows (round-4 50-cap misses)
-    "seasonal_decompose_daily",
-    "attribution_first_last_touch",
-    # (b) plan changed this round (relational pair frame, ADVICE fix)
-    "theta_sketch_overlap",
-    # (b2) operator under them changed this round (graph.py scale fixes)
-    "dedup_cluster_cc",
-    "dedup_canonical_docs",
-    "leakage_safe_split",
-    "pagerank_supply_graph",
-    "bfs_reachable_hops",
-    "label_propagation_nations",
-    "shortest_path_weighted",
-    # (c) stale rotation: latest attestation r01, oldest first
-    "flagship_pipeline",
-    "tpch_q1_agg",
-    "select_filter_project",
-    "all_null_column_drop",
-    "fill_defaults",
-    "sanitize_numeric",
-    "distinct_rows",
-    "dedup_keep_first",
-    "moving_average",
-    "group_total",
-    "rank_in_group",
-    "group_min_date",
-    "rolling_stats",
-    "top_k_orders",
-    "join_topk_revenue",
-    "star_join_agg",
-    "semi_join_customers",
-    "anti_join_customers",
-    "asof_join_events",
-    "range_join_shipments",
-    "skew_salted_agg",
-    "session_window_agg",
-    "tumbling_window_agg",
-    "json_extract_agg",
-    "exact_dedup_docs",
-    "minhash_signatures",
-    "ngram_jaccard_topk",
-    "simhash_docs",
-    "doc_fingerprint",
-    "winnowing_fingerprints",
-    "text_stats",
-    "text_quality",
-    "language_id",
-    "corpus_clean_pipeline",
-    "embedding_cosine_topk",
-    "embedding_topk_pairs",
-    "embedding_near_dup_exact",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # (c cont.) oldest r02 row under refactored dedup operators
-    "minhash_lsh_near_dup",
-    # ROUND-6 NOTE: exactly 50 entries above. After a green r05, EVERY
-    # registry query has a driver attestation (the r01-r05 union), every
-    # query riding a round-5-changed operator has a fresh row, and the
-    # only r01-stale greens left are 7 pure built-in-SQL surfaces
-    # (pivot_event_counts, unpivot_stats, cube_agg, rollup_agg,
-    # grouping_sets_agg, distinct_agg, set_ops — swapped out for the
-    # graph.py-dependent rows, which the changed-operator rule outranks).
-    # Round 6 should lead with any new or operator/oracle-changed
-    # queries, then rotate: those 7 r01 rows first, then the remaining
-    # 42 r02 rows (bitwise_functions ... word_count_topk, minus
-    # minhash_lsh_near_dup attested here), then r03. Registry growth is
-    # deliberately stopped per the round-4 verdict — depth over breadth.
+    "dedup_cluster_cc",  # changed r05 -> fresh
+    "dedup_canonical_docs",  # changed r05 -> fresh
+    "leakage_safe_split",  # changed r05 -> fresh
+    "pagerank_supply_graph",  # changed r05 -> fresh
+    "bfs_reachable_hops",  # changed r05 -> fresh
+    "label_propagation_nations",  # changed r05 -> fresh
+    "shortest_path_weighted",  # changed r05 -> fresh
+    "set_ops",  # r01
+    "rollup_agg",  # r01
+    "cube_agg",  # r01
+    "grouping_sets_agg",  # r01
+    "pivot_event_counts",  # r01
+    "unpivot_stats",  # r01
+    "distinct_agg",  # r01
+    "simhash_near_dup",  # r02
+    "window_ranking_family",  # r02
+    "string_functions",  # r02
+    "date_functions",  # r02
+    "sql_entry_tpch_q3",  # r02
+    "label_centroids",  # r02
+    "word_count_topk",  # r02
+    "stats_agg_family",  # r02
+    "regr_agg_family",  # r02
+    "conditional_agg_family",  # r02
+    "percentile_agg_family",  # r02
+    "range_frame_window",  # r02
+    "gapfill_forward_fill",  # r02
+    "exists_subquery_agg",  # r02
+    "scalar_subquery_agg",  # r02
+    "hash_split_corpus",  # r02
+    "stratified_sample_docs",  # r02
+    "gapfill_interpolate",  # r02
+    "profile_documents",  # r02
+    "value_histogram",  # r02
+    "chunk_documents",  # r02
+    "min_cost_supplier",  # r02
+    "map_functions",  # r02
+    "ewma_user_daily",  # r02
+    "null_semantics_family",  # r02
+    "fuzzy_match_levenshtein",  # r02
+    "bitwise_functions",  # r02
+    "event_sequence_assembly",  # r02
+    "pii_redaction",  # r02
+    "repetition_ngram_stats",  # r02
+    "sink_partition_overwrite_roundtrip",  # r02
+    "sink_upsert_merge_roundtrip",  # r02
+    "catalog_partition_registry",  # r02
+    "file_list_scan",  # r02
+    "bucketed_join_colocated",  # r02
+    "range_clustered_pruned_scan",  # r02
 )
 
 

@@ -1,0 +1,76 @@
+"""Unit tests for tools/attestation_ledger.py — the machine-readable
+attestation ledger that generates ``__spark_entry__._PRIORITY``. Pure
+Python (no Spark session): the window-rotation policy is driver-facing
+bookkeeping and must be deterministic and auditable."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from attestation_ledger import WINDOW, is_green, load_ledger, proposed_window
+
+
+def test_is_green_semantics():
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    assert is_green(ok)
+    assert not is_green({**ok, "err": "boom"})
+    assert not is_green({**ok, "rows_match": False})
+    assert not is_green({**ok, "hash_match": False})
+    assert not is_green({**ok, "schema_match": False})
+    # rows-only records (hash/schema absent) still count as green
+    assert is_green({"rows_match": True, "err": None})
+
+
+def test_proposed_window_orders_stalest_first():
+    registry = [f"q{i}" for i in range(60)]
+    ledger = {q: {"latest_green": 2} for q in registry}
+    for q in registry[:5]:
+        ledger[q] = {"latest_green": 3}  # freshest
+    ledger["q10"] = {"latest_green": None}  # never attested
+    ledger["q20"] = {"latest_green": 1}  # stalest green
+    win = proposed_window(ledger, registry)
+    assert len(win) == WINDOW
+    assert win[0] == "q10"  # never-attested leads
+    assert win[1] == "q20"  # then stalest green
+    # the 5 freshest rows are the ones squeezed out (60 - 50 = 10 cut,
+    # cut from the r3 set first, then the newest-position r2 rows)
+    assert not set(registry[:5]) & set(win)
+
+
+def test_proposed_window_changed_outranks_freshness():
+    registry = [f"q{i}" for i in range(60)]
+    ledger = {q: {"latest_green": 2} for q in registry}
+    ledger["q59"] = {"latest_green": 5}  # freshest, but changed
+    win = proposed_window(ledger, registry, changed=["q59"])
+    assert win[0] == "q59"
+    # never-attested still outranks changed
+    ledger["q58"] = {"latest_green": None}
+    win = proposed_window(ledger, registry, changed=["q59"])
+    assert win[:2] == ["q58", "q59"]
+
+
+def test_proposed_window_rejects_unknown_changed():
+    registry = ["a", "b"]
+    ledger = {q: {"latest_green": 1} for q in registry}
+    try:
+        proposed_window(ledger, registry, changed=["nope"])
+    except SystemExit as e:
+        assert "nope" in str(e)
+    else:
+        raise AssertionError("expected SystemExit for unknown --changed name")
+
+
+def test_committed_ledger_matches_correctness_files():
+    """The committed ATTESTATION_LEDGER.json must be reproducible from
+    the CORRECTNESS_r*.json files it claims to summarize."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    path = os.path.join(repo, "ATTESTATION_LEDGER.json")
+    if not os.path.exists(path):
+        return
+    committed = json.load(open(path))
+    fresh = load_ledger()
+    for q, rec in committed["queries"].items():
+        assert q in fresh, f"{q} in ledger but in no CORRECTNESS file"
+        assert rec["latest_green"] == fresh[q]["latest_green"], q

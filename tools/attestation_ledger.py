@@ -1,0 +1,160 @@
+"""Machine-readable attestation ledger + window rotation.
+
+Reads every ``CORRECTNESS_r*.json`` the driver has written, computes each
+registry query's latest GREEN attestation round (rows+schema+hash all pass,
+no error), writes ``ATTESTATION_LEDGER.json``, and prints the proposed next
+50-slot ``_PRIORITY`` window: stalest rounds first, ties broken by registry
+order, never-attested queries ahead of everything.
+
+Never-attested and operator/oracle-CHANGED queries outrank freshness: a
+query whose operator changed after its attestation round needs a fresh
+slot even if its last green is recent. Pass the changed set with
+``--changed name1,name2`` — it leads the window (registry order).
+
+Usage:
+
+    python tools/attestation_ledger.py [--changed a,b]  # write ledger, print window
+    python tools/attestation_ledger.py --check [--changed a,b]
+        # exit 1 if __spark_entry__._PRIORITY != computed window
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WINDOW = 50  # the driver attests the first 50 queries() entries per round
+
+
+def is_green(rec: dict) -> bool:
+    if rec.get("err"):
+        return False
+    if not rec.get("rows_match"):
+        return False
+    # hash/schema may be absent for rows-only (non-SQL-expressible) checks;
+    # an explicit False is a failure, absence is not.
+    if rec.get("schema_match") is False or rec.get("hash_match") is False:
+        return False
+    return True
+
+
+def load_ledger() -> dict[str, dict]:
+    """query -> {latest_green: int|None, latest_seen: int|None, hash_checked: bool}"""
+    ledger: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for q, rec in data.items():
+            entry = ledger.setdefault(
+                q, {"latest_green": None, "latest_seen": None, "hash_checked": False}
+            )
+            entry["latest_seen"] = max(entry["latest_seen"] or 0, rnd)
+            if is_green(rec):
+                entry["latest_green"] = max(entry["latest_green"] or 0, rnd)
+                if rec.get("hash_match"):
+                    entry["hash_checked"] = True
+    return ledger
+
+
+def registry_order() -> list[str]:
+    from fiap_machine_learning_tech_challenge_2_etl_spark import queries_catalog
+
+    return list(queries_catalog.SPARK_QUERIES)
+
+
+def proposed_window(
+    ledger: dict[str, dict],
+    registry: list[str],
+    changed: list[str] | None = None,
+) -> list[str]:
+    """Stalest-first rotation: never-attested queries lead (registry
+    order), then operator/oracle-changed queries (they need a FRESH row
+    regardless of freshness), then ascending latest_green round, ties in
+    registry order, capped at 50."""
+    pos = {q: i for i, q in enumerate(registry)}
+    changed_set = set(changed or [])
+    unknown = changed_set - set(registry)
+    if unknown:
+        raise SystemExit(f"--changed names not in registry: {sorted(unknown)}")
+
+    def key(q: str):
+        lg = ledger.get(q, {}).get("latest_green")
+        never = lg is None
+        return (0 if never else 1, 0 if q in changed_set else 1, lg or 0, pos[q])
+
+    return sorted(registry, key=key)[:WINDOW]
+
+
+def current_priority() -> list[str]:
+    import __spark_entry__
+
+    return list(__spark_entry__._PRIORITY)
+
+
+def main(argv: list[str]) -> int:
+    changed: list[str] = []
+    if "--changed" in argv:
+        i = argv.index("--changed")
+        changed = [q for q in argv[i + 1].split(",") if q]
+    ledger = load_ledger()
+    registry = registry_order()
+    unknown = sorted(set(ledger) - set(registry))
+    if unknown:
+        print(f"WARNING: {len(unknown)} attested queries not in registry: {unknown}")
+
+    out = {
+        "window": WINDOW,
+        "queries": {
+            q: ledger.get(
+                q, {"latest_green": None, "latest_seen": None, "hash_checked": False}
+            )
+            for q in registry
+        },
+    }
+    window = proposed_window(ledger, registry, changed)
+    out["changed_lead"] = changed
+    out["proposed_priority"] = window
+    path = os.path.join(REPO, "ATTESTATION_LEDGER.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+        f.write("\n")
+    greens = [v["latest_green"] for v in out["queries"].values()]
+    print(
+        f"ledger: {len(registry)} registry queries, "
+        f"{sum(1 for g in greens if g is not None)} green, "
+        f"oldest green round {min((g for g in greens if g is not None), default=None)}"
+    )
+    print(f"wrote {os.path.relpath(path, REPO)}")
+
+    if "--check" in argv:
+        cur = current_priority()
+        if cur != window:
+            diff = [
+                (i, a, b) for i, (a, b) in enumerate(zip(cur, window)) if a != b
+            ]
+            print(f"MISMATCH: _PRIORITY differs from computed window at {len(diff)} slots")
+            for i, a, b in diff[:10]:
+                print(f"  slot {i}: _PRIORITY={a!r} computed={b!r}")
+            return 1
+        print("_PRIORITY matches computed window")
+        return 0
+
+    print("proposed _PRIORITY window (stalest first):")
+    for q in window:
+        lg = ledger.get(q, {}).get("latest_green")
+        print(f"  r{lg or '--'}: {q}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))

@@ -72,11 +72,23 @@ def _unpersist_warn_silenced(spark):
     checkpoint (where it may be legitimate). Best-effort: log cosmetics
     never fail a job."""
     cat = "org.apache.spark.rdd.MapPartitionsRDD"
-    jvm = lm = prev = None
+    jvm = None
+    had_explicit = False
+    prev = None
     try:
         jvm = spark._jvm
-        lm = jvm.org.apache.logging.log4j.LogManager
-        prev = lm.getLogger(cat).getLevel()
+        # Restore the EXPLICIT configured level, not the effective one:
+        # getLevel() on the Logger reports the inherited level for a
+        # category with no LoggerConfig of its own, and pinning that back
+        # would permanently detach the logger from its parent. Capture
+        # whether an exact-name LoggerConfig exists; if not, restore by
+        # removing the one Configurator.setLevel creates.
+        ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+        cfg = ctx.getConfiguration()
+        lc = cfg.getLoggerConfig(cat)
+        had_explicit = lc.getName() == cat
+        if had_explicit:
+            prev = lc.getLevel()
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
             cat, jvm.org.apache.logging.log4j.Level.ERROR
         )
@@ -87,9 +99,15 @@ def _unpersist_warn_silenced(spark):
     finally:
         if jvm is not None:
             try:
-                jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-                    cat, prev
-                )
+                if had_explicit:
+                    jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                        cat, prev
+                    )
+                else:
+                    ctx = jvm.org.apache.logging.log4j.LogManager.getContext(False)
+                    cfg = ctx.getConfiguration()
+                    cfg.removeLogger(cat)
+                    ctx.updateLoggers()
             except Exception:  # pragma: no cover
                 pass
 
@@ -149,7 +167,15 @@ def connected_components(
     # round — then runs INSIDE the width context: the 200x stress showed
     # the edge-build aggregate itself OOMs at session width (234M rows /
     # 32 partitions) before any round starts, so the width must cover it.
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    # The checkpoint is LAZY (eager=False): the count right after is the
+    # materializing action, so checkpoint+count costs ONE pass over the
+    # pair generation instead of two jobs. Back-to-back min-of-4 A/B at
+    # bench scale (sf0.1, dedup_cluster_cc): lazy 3.91 s vs eager
+    # 4.20 s — a ~0.3 s edge, within this VM's recorded load variance,
+    # kept because one job is structurally right. Semantics identical at
+    # any scale: materialization still happens at the count, before the
+    # width context and before any shuffle.
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=False)
     spark = edges.sparkSession
     n_raw = raw.count()
     with _round_shuffle_width(spark, 2 * n_raw):
@@ -167,13 +193,17 @@ def connected_components(
                 .union(universe)
                 .distinct()
             )
-        labels = _cc_loop(sym, universe, max_iter, stats)
-    # labels is its own checkpoint; the symmetrized edge blocks (the
-    # biggest storage consumer at 100x scale) are dead weight the moment
-    # the loop ends — free them now instead of waiting for the async
-    # py4j/ContextCleaner chain (back-to-back graph ops each build their
-    # own edge list, and the stale ones stacking up was half the 100x OOM)
-    _free_checkpoint(sym)
+        # labels is its own checkpoint; the symmetrized edge blocks (the
+        # biggest storage consumer at 100x scale) are dead weight the
+        # moment the loop ends — free them now instead of waiting for the
+        # async py4j/ContextCleaner chain (back-to-back graph ops each
+        # build their own edge list, and the stale ones stacking up was
+        # half the 100x OOM). finally: the non-convergence raise must not
+        # leak the biggest checkpoint either.
+        try:
+            labels = _cc_loop(sym, universe, max_iter, stats)
+        finally:
+            _free_checkpoint(sym)
     return labels
 
 
@@ -241,7 +271,9 @@ def _cc_loop(
     else:
         # exhausting max_iter with labels still moving means the returned
         # components are WRONG (downstream dedup would merge on partial
-        # labels with no signal) — fail loudly instead.
+        # labels with no signal) — fail loudly instead. The final round's
+        # label checkpoint has no consumer on this path — free it too.
+        _free_checkpoint(labels)
         still = f"{n_changed} labels still changing" if n_changed >= 0 else "loop never ran"
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
@@ -309,7 +341,7 @@ def pagerank_fixed(
     # symmetrize+sum aggregate, the degree join, and every rank round)
     # runs INSIDE the width context. The 200x stress OOM'd in the edge
     # aggregate itself at session width, before the first round.
-    raw = e.localCheckpoint()
+    raw = e.localCheckpoint(eager=False)
     spark = edges.sparkSession
     n_raw = raw.count()
     with _round_shuffle_width(spark, 2 * n_raw):
@@ -378,6 +410,12 @@ def pagerank_fixed(
         # the per-round edge frames stay lazy, per the negative result on
         # per-round checkpoints in BENCH_NOTES).
         ranks = ranks.localCheckpoint()
+        # ranks is now self-contained: the edge-sized edg checkpoint and
+        # the vertex-sized universe are dead weight — free them so
+        # back-to-back pagerank-heavy calls don't accumulate edge-scale
+        # cached blocks until GC (deg stays live for the return join).
+        _free_checkpoint(edg)
+        _free_checkpoint(universe)
     return ranks.join(
         deg.select(F.col("a").alias("vertex"), "wdeg"), "vertex"
     ).select("vertex", "wdeg", "rank6")
@@ -408,7 +446,7 @@ def bfs_hops(
     # two-phase edge materialization: raw pair checkpoint map-side, then
     # the symmetrize shuffle and every round inside the width context
     # (see connected_components)
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(eager=False)
     n_raw = raw.count()
     with _round_shuffle_width(edges.sparkSession, 2 * n_raw):
         sym = (
@@ -478,7 +516,7 @@ def label_propagation(
     # two-phase edge materialization (see connected_components)
     raw = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_raw = raw.count()
     seeds = seed_labels.select(
         F.col(vertex_col).alias("vertex"), F.col(label_col).alias("label")
@@ -557,7 +595,7 @@ def shortest_paths_weighted(
         F.col(src).alias("a"),
         F.col(dst).alias("b"),
         F.col(weight).cast("long").alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     n_raw = raw.count()
     costs = seeds.select(
         F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("cost")

@@ -18,7 +18,7 @@ factor — any cross-replica label/frontier leakage breaks the equality.
 ``pytest -m slow`` gate at 10x); the CLI takes an optional replica
 count for the 100x evidence runs recorded in BENCH_NOTES.md.
 
-Usage: python tools/stress_graph.py [base_sf_dir] [reps]
+Usage: python tools/stress_graph.py [--ops cc,pagerank,bfs,label_prop] [base_sf_dir] [reps]
 Prints a markdown table; paste into BENCH_NOTES.md.
 """
 
@@ -35,10 +35,17 @@ from pyspark.sql import functions as F
 SHIFT = 10**9  # replica r occupies vertex-id range [r*SHIFT, (r+1)*SHIFT)
 
 
-def run_stress(spark, base_dir: str, reps: int = 10, emit=print) -> list[dict]:
+def run_stress(
+    spark, base_dir: str, reps: int = 10, emit=print, ops: set[str] | None = None
+) -> list[dict]:
     """Run each graph op on the 1x and the ``reps``x edge list; return one
     dict per op with timings, row counts and the scale invariants already
-    ASSERTED (row count x reps; CC round count equal on both legs)."""
+    ASSERTED (row count x reps; CC round count equal on both legs).
+
+    ``ops`` optionally restricts which ops run (names: cc, pagerank,
+    bfs, label_prop) — the 200x envelope runs target single ops because
+    the full sequence at that scale holds edge-sized checkpoints the
+    48 GiB heap cannot fit all of (pagerank needs 80g there)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators import graph as G
 
@@ -114,50 +121,64 @@ def run_stress(spark, base_dir: str, reps: int = 10, emit=print) -> list[dict]:
             % (name, ts["base"][0], ts["base"][1], ts["scaled"][0], ts["scaled"][1], r)
         )
 
-    cc_stats = {"base": {}, "scaled": {}}
-    run(
-        "connected_components",
-        lambda e, tag: G.connected_components(e, stats=cc_stats[tag]),
-        extra={"rounds": cc_stats},
-    )
-    # structure-invariant round count: the replicas are disjoint congruent
-    # copies, so pointer-jumping must converge in the SAME number of rounds
-    assert cc_stats["base"].get("rounds") == cc_stats["scaled"].get("rounds"), cc_stats
-    emit(
-        "| ^ cc rounds | %d | %d | equal (structure-invariant) |"
-        % (cc_stats["base"]["rounds"], cc_stats["scaled"]["rounds"])
-    )
-    run("pagerank_fixed(3)", lambda e, tag: G.pagerank_fixed(e, weight="w", iters=3))
-    run(
-        "bfs_hops(3)",
-        lambda e, tag: G.bfs_hops(e, seeds1 if tag == "base" else seedsN, iters=3),
-    )
-    run(
-        "label_propagation(2)",
-        lambda e, tag: G.label_propagation(
-            e,
-            (seeds1 if tag == "base" else seedsN).withColumn(
-                # label is replica-invariant (mod SHIFT strips the shift)
-                "label",
-                (F.col("vertex") % SHIFT) % 100,
+    def wants(name):
+        return ops is None or name in ops
+
+    if wants("cc"):
+        cc_stats = {"base": {}, "scaled": {}}
+        run(
+            "connected_components",
+            lambda e, tag: G.connected_components(e, stats=cc_stats[tag]),
+            extra={"rounds": cc_stats},
+        )
+        # structure-invariant round count: the replicas are disjoint
+        # congruent copies, so pointer-jumping must converge in the SAME
+        # number of rounds
+        assert cc_stats["base"].get("rounds") == cc_stats["scaled"].get("rounds"), cc_stats
+        emit(
+            "| ^ cc rounds | %d | %d | equal (structure-invariant) |"
+            % (cc_stats["base"]["rounds"], cc_stats["scaled"]["rounds"])
+        )
+    if wants("pagerank"):
+        run("pagerank_fixed(3)", lambda e, tag: G.pagerank_fixed(e, weight="w", iters=3))
+    if wants("bfs"):
+        run(
+            "bfs_hops(3)",
+            lambda e, tag: G.bfs_hops(e, seeds1 if tag == "base" else seedsN, iters=3),
+        )
+    if wants("label_prop"):
+        run(
+            "label_propagation(2)",
+            lambda e, tag: G.label_propagation(
+                e,
+                (seeds1 if tag == "base" else seedsN).withColumn(
+                    # label is replica-invariant (mod SHIFT strips the shift)
+                    "label",
+                    (F.col("vertex") % SHIFT) % 100,
+                ),
+                weight="w",
+                iters=2,
             ),
-            weight="w",
-            iters=2,
-        ),
-    )
+        )
     return results
 
 
 def main() -> None:
-    base_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    argv = list(sys.argv[1:])
+    ops = None
+    if "--ops" in argv:
+        i = argv.index("--ops")
+        ops = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    base_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    reps = int(argv[1]) if len(argv) > 1 else 10
     # replica-scale runs hold multiple 10^8-row checkpoints; default the
     # single-JVM heap to a size that fits them (still overridable via env)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
 
     spark = get_session("stress-graph")
-    run_stress(spark, base_dir, reps=reps)
+    run_stress(spark, base_dir, reps=reps, ops=ops)
     spark.stop()
 
 

@@ -7419,6 +7419,13 @@ def q_theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes, so at attestation scale the estimates ARE the exact distinct
     counts and the oracle computes them relationally; at true 100 TB the
     same query degrades gracefully to +/-1%-bounded estimates."""
+    # NULL event_type is excluded DELIBERATELY here (a NULL segment name
+    # is not an audience), and the exclusion must stay explicit: were a
+    # NULL type to reach the pair expansion, its `_k` key
+    # (length(event_type)*0) would be NULL, so both the equi-key
+    # comparison and the `type_a < type_b` residual evaluate to NULL and
+    # the row would vanish silently — this filter makes that a contract,
+    # not a NULL-semantics side effect.
     e = (
         _t(spark, sf_dir, "events")
         .filter(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())

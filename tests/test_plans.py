@@ -477,10 +477,13 @@ def test_registry_wide_no_cartesian_product(spark, sf_dir):
 
 
 def test_theta_overlap_broadcast_equi_joins_only(spark, sf_dir):
-    """The pair expansion joins the 10-row literal pair frame to the
-    5-row sketch frame with broadcast HASH equi-joins — never a
-    nested-loop/cartesian pair enumeration (which would also be wrong at
-    a 10^4-type catalog scale)."""
+    """The pair expansion is a relational self-join of the per-type
+    sketch frame on a zero-valued NON-FOLDABLE equi-key
+    (``length(event_type)*0``) with ``type_a < type_b`` as the residual
+    condition — a broadcast HASH equi-join of the kilobyte sketch side,
+    never a nested-loop/cartesian pair enumeration (which would also be
+    wrong at a 10^4-type catalog scale) and nothing collected
+    driver-side."""
     plan = _plan(SPARK_QUERIES["theta_sketch_overlap"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -13,7 +13,9 @@ in the scale story fails a gate instead of only drifting a doc table:
   proposes a candidate across disjoint vocabularies);
 - quadratic embedding kernels: the sqrt-scaled n_blocks guidance holds
   per-task memory flat — completing the 10x leg on a bounded heap IS
-  the invariant (an OOM or task blowup fails the run).
+  the invariant (an OOM or task blowup fails the run);
+- streaming ops: exactly-once across micro-batches/redelivery and
+  streaming-state == batch-aggregation equality at 10x the state keys.
 
 Timings are recorded but never asserted: this VM's wall-clock swings
 10-30% with ambient load, so time-ratio regressions are adjudicated by
@@ -30,7 +32,7 @@ import os
 
 import pytest
 
-from tools import stress_dedup, stress_graph, stress_quadratic
+from tools import stress_dedup, stress_graph, stress_quadratic, stress_streaming
 
 STRESS_DIR = os.environ.get(
     "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.01"
@@ -50,6 +52,7 @@ def test_graph_ops_replica_invariants_10x(spark):
         "connected_components",
         "pagerank_fixed(3)",
         "bfs_hops(3)",
+        "shortest_paths_weighted(3)",
         "label_propagation(2)",
     }
     for r in rows:
@@ -76,3 +79,18 @@ def test_quadratic_kernels_sqrt_blocking_10x(spark):
     }
     for r in rows:  # completed both legs; exponent recorded for the notes
         assert r["t_scaled"] > 0, r
+
+
+@pytest.mark.slow
+def test_streaming_ops_replica_invariants_10x(spark):
+    rows = stress_streaming.run_stress(spark, STRESS_DIR, reps=10, emit=_quiet)
+    # run_stress already asserts exact x10 output scaling, batch-equality
+    # for the windowed agg, and exactly-once under redelivery/two-wave
+    # ingest; re-check the shape so a silent no-op refactor can't pass.
+    assert {r["op"] for r in rows} == {
+        "incremental_ingest(2 waves, mfpt=8)",
+        "stream_dedup(x2 delivery)",
+        "windowed_counts(5m, complete)",
+    }
+    for r in rows:
+        assert r["rows_scaled"] == 10 * r["rows_base"], r

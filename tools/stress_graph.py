@@ -18,7 +18,7 @@ factor — any cross-replica label/frontier leakage breaks the equality.
 ``pytest -m slow`` gate at 10x); the CLI takes an optional replica
 count for the 100x evidence runs recorded in BENCH_NOTES.md.
 
-Usage: python tools/stress_graph.py [--ops cc,pagerank,bfs,label_prop] [base_sf_dir] [reps]
+Usage: python tools/stress_graph.py [--ops cc,pagerank,bfs,sssp,label_prop] [base_sf_dir] [reps]
 Prints a markdown table; paste into BENCH_NOTES.md.
 """
 
@@ -43,7 +43,7 @@ def run_stress(
     ASSERTED (row count x reps; CC round count equal on both legs).
 
     ``ops`` optionally restricts which ops run (names: cc, pagerank,
-    bfs, label_prop) — the 200x envelope runs target single ops because
+    bfs, sssp, label_prop) — the 200x envelope runs target single ops because
     the full sequence at that scale holds edge-sized checkpoints the
     48 GiB heap cannot fit all of (pagerank needs 80g there)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
@@ -145,6 +145,13 @@ def run_stress(
         run(
             "bfs_hops(3)",
             lambda e, tag: G.bfs_hops(e, seeds1 if tag == "base" else seedsN, iters=3),
+        )
+    if wants("sssp"):
+        run(
+            "shortest_paths_weighted(3)",
+            lambda e, tag: G.shortest_paths_weighted(
+                e, seeds1 if tag == "base" else seedsN, iters=3
+            ),
         )
     if wants("label_prop"):
         run(

@@ -1,0 +1,282 @@
+"""Replica-scale stress smoke for the Structured Streaming operators.
+
+Replicates the sf events table N times as DISJOINT copies (event_id and
+user_id shifted per replica, event_type tagged with the replica id so
+every aggregation group and dedup key carries its replica), then drives
+the streaming surface the registry's roundtrip queries attest at bench
+scale — at Nx the volume, Nx the state keys, and (for the ingest op)
+many real micro-batches. What a 1000-executor cluster needs from these
+operators is exactly what is ASSERTED here:
+
+- ``ingest`` — exactly-once file-arrival ingest across MANY micro-batches
+  (``run_incremental_pipeline``): one staged file per replica,
+  ``maxFilesPerTrigger=8``, TWO availableNow runs over the same
+  checkpoint (second wave of files lands between them — the bookmark
+  must skip every already-processed file). Output rows and value sums
+  must equal the batch computation over all files EXACTLY; each output
+  partition is written by exactly one micro-batch (per-file = per-
+  partition granularity, the operator's documented contract).
+- ``dedup`` — stateful streaming dedup (``stream_dedup_events``) with
+  every row delivered TWICE in one drain: state holds Nx the keys and
+  must emit each key exactly once (output == reps x base rows).
+- ``window`` — watermarked tumbling-window aggregation
+  (``windowed_event_counts``) with Nx the groups, complete-mode
+  emission; the final emitted table must equal the batch aggregation of
+  the same input row-for-row (asserted in-engine via a full-width join).
+
+Replica isolation + exact-scaling: every op's scaled output row count
+must be EXACTLY reps x its base output row count — any state collision
+or cross-replica leakage breaks the equality.
+
+``run_stress`` is importable (tests/test_stress_slow.py wraps it as a
+``pytest -m slow`` gate at 10x).
+
+Usage: python tools/stress_streaming.py [--ops ingest,dedup,window] [base_sf_dir] [reps]
+Prints a markdown table; paste into BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SHIFT = 10**9  # replica r occupies event_id/user_id range [r*SHIFT, ...)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(_REPO, "_scratch", f"stress_streaming_{name}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def _replicate(events, reps: int):
+    """reps disjoint copies: ids shifted, event_type tagged per replica so
+    group keys / dedup keys / output partitions all scale by reps."""
+    rep_frame = events.sparkSession.range(reps).select(F.col("id").alias("rep"))
+    return (
+        events.crossJoin(F.broadcast(rep_frame))
+        .select(
+            (F.col("event_id") + F.col("rep") * SHIFT).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * SHIFT).alias("user_id"),
+            F.concat_ws("#", "event_type", "rep").alias("event_type"),
+            "value",
+            "rep",
+        )
+    )
+
+
+def run_stress(
+    spark, base_dir: str, reps: int = 10, emit=print, ops: set[str] | None = None
+) -> list[dict]:
+    """Run each streaming op on a 1-replica and a ``reps``-replica event
+    feed; return one dict per op with timings and row counts. Exact
+    reps-x output scaling and batch equivalence are ASSERTED."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        run_incremental_pipeline,
+        stream_dedup_events,
+        windowed_event_counts,
+    )
+
+    # user_id % 5 keeps the base feed bench-sized so the scaled leg's cost
+    # is dominated by the replica factor, not the base constant
+    base_events = (
+        load_testdata(spark, base_dir, ["events"])["events"]
+        .filter(F.col("user_id") % 5 == 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .localCheckpoint()
+    )
+    n_base = base_events.count()
+
+    results: list[dict] = []
+    emit(f"| op | 1 replica ({n_base} events) | {reps} replicas | time ratio |")
+    emit("|---|---|---|---|")
+
+    def run(name, fn):
+        ts = {}
+        for tag, r in (("base", 1), ("scaled", reps)):
+            feed = _replicate(base_events, r).localCheckpoint()
+            t0 = time.time()
+            cnt = fn(feed, r, tag)
+            ts[tag] = (time.time() - t0, cnt)
+        ratio = ts["scaled"][0] / ts["base"][0]
+        row = {
+            "op": name,
+            "reps": reps,
+            "t_base": ts["base"][0],
+            "rows_base": ts["base"][1],
+            "t_scaled": ts["scaled"][0],
+            "rows_scaled": ts["scaled"][1],
+            "ratio": ratio,
+        }
+        # disjoint congruent replicas: any state collision / leakage or
+        # dropped-redelivered row breaks the exact reps-x equality
+        assert ts["scaled"][1] == reps * ts["base"][1], row
+        results.append(row)
+        emit(
+            "| %s | %.2f s (%d rows) | %.2f s (%d rows) | %.2fx |"
+            % (
+                name,
+                ts["base"][0],
+                ts["base"][1],
+                ts["scaled"][0],
+                ts["scaled"][1],
+                ratio,
+            )
+        )
+
+    def wants(name):
+        return ops is None or name in ops
+
+    if wants("ingest"):
+
+        def ingest(feed, r, tag):
+            d = _scratch(f"ingest_{tag}")
+            inp, outp, ckpt = (os.path.join(d, s) for s in ("in", "out", "ckpt"))
+            # one landed file per replica (the reference's unit of arrival);
+            # partition_by=rep keeps micro-batch and output-partition
+            # granularity aligned, the operator's documented contract
+            wave2 = max(1, r - 2)  # r=1: single wave; r>=3: 2-file second wave
+            feed.filter(F.col("rep") < wave2).repartition("rep").write.partitionBy(
+                "rep"
+            ).mode("append").parquet(inp)
+            schema = feed.schema
+            kwargs = dict(
+                schema=schema,
+                transform=lambda df: df.filter(F.col("event_id") % 2 == 0),
+                output_dir=outp,
+                checkpoint_dir=ckpt,
+                partition_by=["rep"],
+                max_files_per_trigger=8,
+            )
+            run_incremental_pipeline(spark, inp, **kwargs)
+            # second wave lands on the SAME checkpoint: the bookmark must
+            # process ONLY the new files (reprocessing an old file would
+            # double its partition's rows; skipping a new one would zero it)
+            feed.filter(F.col("rep") >= wave2).repartition("rep").write.partitionBy(
+                "rep"
+            ).mode("append").parquet(inp)
+            run_incremental_pipeline(spark, inp, **kwargs)
+            back = spark.read.parquet(outp)
+            expect = feed.filter(F.col("event_id") % 2 == 0).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            ).first()
+            got = back.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            ).first()
+            assert (got["n"], got["cents"]) == (expect["n"], expect["cents"]), (
+                tag,
+                got,
+                expect,
+            )
+            return got["n"]
+
+        run("incremental_ingest(2 waves, mfpt=8)", ingest)
+
+    if wants("dedup"):
+
+        def dedup(feed, r, tag):
+            d = _scratch(f"dedup_{tag}")
+            inp, outp, ckpt = (os.path.join(d, s) for s in ("in", "out", "ckpt"))
+            # at-least-once redelivery: every row lands twice, one drain —
+            # state must hold r x the base keys and emit each exactly once
+            feed.drop("rep").write.mode("append").parquet(inp)
+            feed.drop("rep").write.mode("append").parquet(inp)
+            schema = feed.drop("rep").schema
+            stream = spark.readStream.schema(schema).parquet(inp)
+            deduped = stream_dedup_events(stream, keys=["event_id"], ts_col="ts")
+
+            def sink(batch_df, epoch_id):
+                batch_df.write.mode("append").parquet(outp)
+
+            (
+                deduped.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            return spark.read.schema(schema).parquet(outp).count()
+
+        run("stream_dedup(x2 delivery)", dedup)
+
+    if wants("window"):
+
+        def window(feed, r, tag):
+            d = _scratch(f"window_{tag}")
+            inp, outp, ckpt = (os.path.join(d, s) for s in ("in", "out", "ckpt"))
+            feed.drop("rep").write.mode("append").parquet(inp)
+            schema = feed.drop("rep").schema
+            stream = spark.readStream.schema(schema).parquet(inp)
+            agg = windowed_event_counts(stream, window="5 minutes")
+
+            def sink(batch_df, epoch_id):
+                batch_df.write.mode("overwrite").parquet(outp)
+
+            (
+                agg.writeStream.foreachBatch(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+            def cents(df):
+                # double sums are accumulation-order-dependent between the
+                # state store and the batch agg — compare at cent precision
+                return df.select(
+                    "window_start",
+                    "window_end",
+                    "event_type",
+                    "n_events",
+                    F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+                )
+
+            back = cents(spark.read.parquet(outp))
+            batch = cents(windowed_event_counts(feed.drop("rep"), window="5 minutes"))
+            # in-engine equality: streaming state must reproduce the batch
+            # aggregation exactly — same groups, same counts, same sums
+            n_back = back.count()
+            n_batch = batch.count()
+            n_joined = back.join(
+                batch,
+                ["window_start", "window_end", "event_type", "n_events", "sum_cents"],
+            ).count()
+            assert n_back == n_batch == n_joined, (tag, n_back, n_batch, n_joined)
+            return n_back
+
+        run("windowed_counts(5m, complete)", window)
+
+    return results
+
+
+def main() -> None:
+    argv = list(sys.argv[1:])
+    ops = None
+    if "--ops" in argv:
+        i = argv.index("--ops")
+        ops = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    base_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    reps = int(argv[1]) if len(argv) > 1 else 10
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
+
+    spark = get_session("stress-streaming")
+    run_stress(spark, base_dir, reps=reps, ops=ops)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,73 +31,73 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver attests the FIRST 50 queries() entries per round. This
 # window is GENERATED from the CORRECTNESS_r*.json history by
-#   python tools/attestation_ledger.py --changed dedup_cluster_cc,\
-#     dedup_canonical_docs,leakage_safe_split,pagerank_supply_graph,\
-#     bfs_reachable_hops,label_propagation_nations,shortest_path_weighted
-# (the 7 queries riding operators/graph.py, which took round-6 ADVICE
-# fixes — failure-path checkpoint freeing, pagerank edg/universe freeing,
-# explicit-level log4j restore; all value-neutral, but the
-# changed-operator rule outranks freshness, so they lead). Then the
-# stalest greens rotate in: the 7 r01 pure-SQL rows + the 36 oldest r02
-# rows. Registry growth is deliberately stopped per the round-4 verdict.
-# ``attestation_ledger.py --check --changed ...`` verifies this tuple.
-# ROUND-7 NOTE: lead with any new/operator-changed queries, then
-# regenerate via the ledger tool — expected window if nothing changes:
-# the 5 remaining r02 rows (incremental_stream_roundtrip,
-# stream_upsert_cdc_roundtrip, stream_dedup_roundtrip,
-# stream_running_stats_roundtrip, stream_interval_join_roundtrip) +
-# the 42 r03 rows + the 3 oldest r04 rows.
+#   python tools/attestation_ledger.py \
+#     --changed pagerank_supply_graph,incremental_rollup_maintain
+# (the two queries whose operators took round-7 edits:
+# ``pagerank_fixed`` frees edg/deg/universe on the empty-graph early
+# return per round-6 ADVICE, and ``materialized_rollup`` now ENFORCES
+# the days-per-batch bound its docstring used to only promise; both
+# value-neutral for the registry inputs, but the changed-operator rule
+# outranks freshness, so they lead). Then pure stalest-first: the 5
+# remaining r02 streaming-roundtrip rows, the r03 rows, and the 2
+# oldest r04 rows. Registry growth is deliberately stopped per the
+# round-4 verdict. ``attestation_ledger.py --check --changed ...``
+# verifies this tuple without writing the committed ledger.
+# ROUND-8 NOTE: lead with any new/operator-changed queries (pass them
+# via --changed), then regenerate via the ledger tool — expected window
+# if nothing changes: mixture_rebalance_downsample + the remaining r04
+# rows, then the oldest r05 rows.
 _PRIORITY = (
-    "dedup_cluster_cc",  # changed r05 -> fresh
-    "dedup_canonical_docs",  # changed r05 -> fresh
-    "leakage_safe_split",  # changed r05 -> fresh
-    "pagerank_supply_graph",  # changed r05 -> fresh
-    "bfs_reachable_hops",  # changed r05 -> fresh
-    "label_propagation_nations",  # changed r05 -> fresh
-    "shortest_path_weighted",  # changed r05 -> fresh
-    "set_ops",  # r01
-    "rollup_agg",  # r01
-    "cube_agg",  # r01
-    "grouping_sets_agg",  # r01
-    "pivot_event_counts",  # r01
-    "unpivot_stats",  # r01
-    "distinct_agg",  # r01
-    "simhash_near_dup",  # r02
-    "window_ranking_family",  # r02
-    "string_functions",  # r02
-    "date_functions",  # r02
-    "sql_entry_tpch_q3",  # r02
-    "label_centroids",  # r02
-    "word_count_topk",  # r02
-    "stats_agg_family",  # r02
-    "regr_agg_family",  # r02
-    "conditional_agg_family",  # r02
-    "percentile_agg_family",  # r02
-    "range_frame_window",  # r02
-    "gapfill_forward_fill",  # r02
-    "exists_subquery_agg",  # r02
-    "scalar_subquery_agg",  # r02
-    "hash_split_corpus",  # r02
-    "stratified_sample_docs",  # r02
-    "gapfill_interpolate",  # r02
-    "profile_documents",  # r02
-    "value_histogram",  # r02
-    "chunk_documents",  # r02
-    "min_cost_supplier",  # r02
-    "map_functions",  # r02
-    "ewma_user_daily",  # r02
-    "null_semantics_family",  # r02
-    "fuzzy_match_levenshtein",  # r02
-    "bitwise_functions",  # r02
-    "event_sequence_assembly",  # r02
-    "pii_redaction",  # r02
-    "repetition_ngram_stats",  # r02
-    "sink_partition_overwrite_roundtrip",  # r02
-    "sink_upsert_merge_roundtrip",  # r02
-    "catalog_partition_registry",  # r02
-    "file_list_scan",  # r02
-    "bucketed_join_colocated",  # r02
-    "range_clustered_pruned_scan",  # r02
+    "incremental_rollup_maintain",  # r03 (changed: days-per-batch bound)
+    "pagerank_supply_graph",  # r06 (changed: empty-graph checkpoint free)
+    "incremental_stream_roundtrip",  # r02
+    "stream_upsert_cdc_roundtrip",  # r02
+    "stream_dedup_roundtrip",  # r02
+    "stream_running_stats_roundtrip",  # r02
+    "stream_interval_join_roundtrip",  # r02
+    "embedding_ann_lsh",  # r03
+    "embedding_near_dup",  # r03
+    "array_functions",  # r03
+    "variant_shred_props",  # r03
+    "regex_functions",  # r03
+    "window_value_family",  # r03
+    "sequence_packing",  # r03
+    "quality_upsample_repeat",  # r03
+    "tfidf_top_terms",  # r03
+    "decontaminate_ngram_overlap",  # r03
+    "set_ops_all",  # r03
+    "sort_nulls_family",  # r03
+    "rollup_grouping_id",  # r03
+    "try_arithmetic_family",  # r03
+    "embedding_quantize_int8",  # r03
+    "incremental_cross_dedup",  # r03
+    "interval_coalesce",  # r03
+    "scd2_user_history",  # r03
+    "data_quality_report",  # r03
+    "char_entropy_quality",  # r03
+    "snapshot_diff_orders",  # r03
+    "cdc_apply_events",  # r03
+    "weighted_sample_docs",  # r03
+    "outlier_clip_iqr",  # r03
+    "zscore_normalize",  # r03
+    "temporal_split_embargo",  # r03
+    "generator_functions",  # r03
+    "embedding_matryoshka_truncate",  # r03
+    "unigram_logprob_quality",  # r03
+    "segment_dedup_reconstruct",  # r03
+    "sliding_window_agg",  # r03
+    "event_debounce",  # r03
+    "funnel_view_click_purchase",  # r03
+    "bpe_pair_merge_candidates",  # r03
+    "point_in_time_state_join",  # r03
+    "span_corruption_pairs",  # r03
+    "source_overlap_matrix",  # r03
+    "pmi_collocations",  # r03
+    "zorder_clustered_pruned_scan",  # r03
+    "compaction_roundtrip",  # r03
+    "stream_static_enrich_roundtrip",  # r03
+    "embedding_ann_ivf",  # r04
+    "frequent_tokens_sketch",  # r04
 )
 
 

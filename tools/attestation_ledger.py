@@ -44,14 +44,21 @@ def is_green(rec: dict) -> bool:
     return True
 
 
-def load_ledger() -> dict[str, dict]:
-    """query -> {latest_green: int|None, latest_seen: int|None, hash_checked: bool}"""
+def load_ledger(max_round: int | None = None) -> dict[str, dict]:
+    """query -> {latest_green: int|None, latest_seen: int|None, hash_checked: bool}
+
+    ``max_round`` bounds which CORRECTNESS files are read — the parity
+    test passes the committed ledger's own recorded max round so a new
+    driver-written CORRECTNESS file at a round boundary cannot redden it.
+    """
     ledger: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             data = json.load(f)
         for q, rec in data.items():
@@ -101,11 +108,21 @@ def current_priority() -> list[str]:
     return list(__spark_entry__._PRIORITY)
 
 
+def observed_max_round() -> int:
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return max(rounds, default=0)
+
+
 def main(argv: list[str]) -> int:
     changed: list[str] = []
     if "--changed" in argv:
         i = argv.index("--changed")
         changed = [q for q in argv[i + 1].split(",") if q]
+    check_only = "--check" in argv
     ledger = load_ledger()
     registry = registry_order()
     unknown = sorted(set(ledger) - set(registry))
@@ -114,6 +131,7 @@ def main(argv: list[str]) -> int:
 
     out = {
         "window": WINDOW,
+        "max_round": observed_max_round(),
         "queries": {
             q: ledger.get(
                 q, {"latest_green": None, "latest_seen": None, "hash_checked": False}
@@ -125,18 +143,23 @@ def main(argv: list[str]) -> int:
     out["changed_lead"] = changed
     out["proposed_priority"] = window
     path = os.path.join(REPO, "ATTESTATION_LEDGER.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=False)
-        f.write("\n")
+    if not check_only:
+        # --check is a pure verifier: it must never mutate the committed
+        # ledger (a mid-round check with a fresh CORRECTNESS file present
+        # would otherwise clobber it while also reporting the mismatch).
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=False)
+            f.write("\n")
     greens = [v["latest_green"] for v in out["queries"].values()]
     print(
         f"ledger: {len(registry)} registry queries, "
         f"{sum(1 for g in greens if g is not None)} green, "
         f"oldest green round {min((g for g in greens if g is not None), default=None)}"
     )
-    print(f"wrote {os.path.relpath(path, REPO)}")
+    if not check_only:
+        print(f"wrote {os.path.relpath(path, REPO)}")
 
-    if "--check" in argv:
+    if check_only:
         cur = current_priority()
         if cur != window:
             diff = [

@@ -369,10 +369,18 @@ def pagerank_fixed(
         n = universe.count()
         if n == 0:
             # empty graph: empty result with the contract schema, not a
-            # ZeroDivisionError out of the teleport term
-            return universe.withColumn("wdeg", F.lit(0).cast("long")).withColumn(
-                "rank6", F.lit(0).cast("long")
-            )
+            # ZeroDivisionError out of the teleport term. Built fresh
+            # (not as a projection of universe) so every phase-1
+            # checkpoint — edg, deg, universe — can be freed on this
+            # exit path too, matching the normal path's discipline.
+            shape = universe.withColumn(
+                "wdeg", F.lit(0).cast("long")
+            ).withColumn("rank6", F.lit(0).cast("long"))
+            result = spark.createDataFrame([], shape.schema)
+            _free_checkpoint(edg)
+            _free_checkpoint(deg)
+            _free_checkpoint(universe)
+            return result
         teleport6 = (150_000 * 1_000_000) // n
 
         ranks = universe.withColumn("rank6", F.lit(1_000_000 // n).cast("long"))

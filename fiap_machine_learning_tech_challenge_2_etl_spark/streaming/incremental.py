@@ -206,6 +206,7 @@ def materialized_rollup(
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
+    max_days_per_batch: int = 10_000,
 ) -> None:
     """Incrementally-maintained daily rollup (continuous-aggregate /
     hypertable-rollup pattern): as event files land, refresh ONLY the
@@ -219,16 +220,29 @@ def materialized_rollup(
     it is exact (handles late + duplicate files), idempotent on replay
     (checkpoint restart re-overwrites the same partitions), and at 100 TB
     the re-read is bounded by days-touched-per-batch, not table size,
-    provided the base table is date-partitioned so the filter prunes."""
+    provided the base table is date-partitioned so the filter prunes.
+
+    ``max_days_per_batch`` ENFORCES that bound (it is the operator's
+    scale contract, not a comment): the distinct-days probe collects at
+    most the cap + 1 rows, and a batch touching more days than the cap
+    raises instead of silently growing the driver collect and the
+    ``isin`` filter — size ``maxFilesPerTrigger`` down or the cap up."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
         days = [
             r["d"]
-            for r in batch_df.select(
-                F.to_date(ts_col).alias("d")
-            ).distinct().collect()
+            for r in batch_df.select(F.to_date(ts_col).alias("d"))
+            .distinct()
+            .limit(max_days_per_batch + 1)
+            .collect()
         ]
+        if len(days) > max_days_per_batch:
+            raise ValueError(
+                f"micro-batch {epoch_id} touches > {max_days_per_batch} "
+                "distinct days; lower maxFilesPerTrigger or raise "
+                "max_days_per_batch"
+            )
         if not days:
             return
         base = spark.read.schema(schema).parquet(input_dir)

@@ -380,6 +380,38 @@ def test_materialized_rollup_incremental_refresh(spark, tmp_path):
     }
 
 
+def test_materialized_rollup_enforces_days_per_batch_bound(spark, tmp_path):
+    """The touched-days driver collect is a scale CONTRACT: a micro-batch
+    touching more distinct days than max_days_per_batch must raise, not
+    silently grow the collect (the 100 TB bound enforced, not commented)."""
+    import pyspark.errors
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        materialized_rollup,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "event_type string, value double, ts timestamp"
+    spark.createDataFrame(
+        [("click", 1.0, f"2024-01-{d:02d} 10:00:00") for d in (1, 2, 3)],
+        "event_type string, value double, ts_s string",
+    ).select(
+        "event_type", "value", F.col("ts_s").cast("timestamp").alias("ts")
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    with pytest.raises(
+        (ValueError, pyspark.errors.PySparkException), match="distinct days"
+    ):
+        materialized_rollup(
+            spark,
+            src,
+            T._parse_datatype_string(schema),
+            str(tmp_path / "rollup"),
+            str(tmp_path / "ckpt"),
+            max_days_per_batch=2,
+        )
+
+
 def test_csv_jsonl_tolerant_round_trip(spark, tmp_path):
     """CSV/JSONL read with explicit schema quarantines malformed rows into
     _corrupt_record instead of failing; clean rows round-trip."""

@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 SHIFT = 10**9  # replica r occupies vertex-id range [r*SHIFT, (r+1)*SHIFT)
 
+KNOWN_OPS = frozenset({"cc", "pagerank", "bfs", "sssp", "label_prop"})
+
 
 def run_stress(
     spark, base_dir: str, reps: int = 10, emit=print, ops: set[str] | None = None
@@ -177,6 +179,13 @@ def main() -> None:
         i = argv.index("--ops")
         ops = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+        # a typo (--ops ssp) would otherwise silently run ZERO ops and
+        # print an empty table — an evidence run that no-ops without error
+        unknown = ops - KNOWN_OPS
+        if unknown:
+            raise SystemExit(
+                f"unknown --ops {sorted(unknown)}; known: {sorted(KNOWN_OPS)}"
+            )
     base_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
     reps = int(argv[1]) if len(argv) > 1 else 10
     # replica-scale runs hold multiple 10^8-row checkpoints; default the

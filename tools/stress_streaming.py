@@ -11,11 +11,12 @@ operators is exactly what is ASSERTED here:
 - ``ingest`` — exactly-once file-arrival ingest across MANY micro-batches
   (``run_incremental_pipeline``): one staged file per replica,
   ``maxFilesPerTrigger=8``, TWO availableNow runs over the same
-  checkpoint (second wave of files lands between them — the bookmark
-  must skip every already-processed file). Output rows and value sums
-  must equal the batch computation over all files EXACTLY; each output
-  partition is written by exactly one micro-batch (per-file = per-
-  partition granularity, the operator's documented contract).
+  checkpoint (second wave of files lands between them). Exactly-once is
+  asserted DIRECTLY on the bookmark — the checkpoint's file-source log
+  must record every landed file exactly once across both runs (the
+  output count/sum check alone would be blind to redundant reprocessing,
+  since the dynamic-overwrite sink is idempotent) — plus output rows and
+  value sums must equal the batch computation over all files EXACTLY.
 - ``dedup`` — stateful streaming dedup (``stream_dedup_events``) with
   every row delivered TWICE in one drain: state holds Nx the keys and
   must emit each key exactly once (output == reps x base rows).
@@ -37,7 +38,9 @@ Prints a markdown table; paste into BENCH_NOTES.md.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -47,6 +50,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 SHIFT = 10**9  # replica r occupies event_id/user_id range [r*SHIFT, ...)
+
+KNOWN_OPS = frozenset({"ingest", "dedup", "window"})
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -55,6 +60,46 @@ def _scratch(name: str) -> str:
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     return d
+
+
+def _bookmarked_files(ckpt: str) -> list[str]:
+    """Every file path the stream's bookmark records as processed, one
+    entry per (file, micro-batch) — read straight from the checkpoint's
+    file-source log (``sources/0``). A version log ``N.compact`` is a
+    full snapshot of versions <= N, so read the latest compact plus the
+    plain versions after it; duplicates in the RETURNED list therefore
+    mean the source genuinely re-processed a file."""
+    src = os.path.join(ckpt, "sources", "0")
+    versions: dict[int, str] = {}
+    for name in os.listdir(src):
+        m = re.fullmatch(r"(\d+)(\.compact)?", name)
+        if m and os.path.isfile(os.path.join(src, name)):
+            v = int(m.group(1))
+            # prefer the .compact variant if both exist at one version
+            if m.group(2) or v not in versions:
+                versions[v] = name
+    compacts = [v for v, n in versions.items() if n.endswith(".compact")]
+    start = max(compacts, default=-1)
+    paths: list[str] = []
+    for v in sorted(versions):
+        if v < start:
+            continue
+        with open(os.path.join(src, versions[v])) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    if "path" in rec:
+                        paths.append(rec["path"])
+    return paths
+
+
+def _landed_files(inp: str) -> list[str]:
+    """Basenames of the parquet part files staged under the input dir."""
+    out: list[str] = []
+    for root, _dirs, files in os.walk(inp):
+        out.extend(f for f in files if f.endswith(".parquet"))
+    return out
 
 
 def _replicate(events, reps: int):
@@ -159,13 +204,28 @@ def run_stress(
                 max_files_per_trigger=8,
             )
             run_incremental_pipeline(spark, inp, **kwargs)
+            first = _bookmarked_files(ckpt)
+            landed1 = _landed_files(inp)
             # second wave lands on the SAME checkpoint: the bookmark must
-            # process ONLY the new files (reprocessing an old file would
-            # double its partition's rows; skipping a new one would zero it)
+            # process ONLY the new files. The count/cents check below is
+            # blind to redundant reprocessing (the dynamic-overwrite sink
+            # is idempotent), so exactly-once is asserted DIRECTLY on the
+            # bookmark: the checkpoint's file-source log must carry every
+            # landed file exactly once across both runs' micro-batches.
             feed.filter(F.col("rep") >= wave2).repartition("rep").write.partitionBy(
                 "rep"
             ).mode("append").parquet(inp)
             run_incremental_pipeline(spark, inp, **kwargs)
+            both = _bookmarked_files(ckpt)
+            landed2 = _landed_files(inp)
+            assert len(first) == len(set(first)) == len(landed1), (
+                tag, "run-1 bookmark != wave-1 files", len(first), len(landed1),
+            )
+            assert len(both) == len(set(both)) == len(landed2), (
+                tag, "bookmark re-processed or skipped a file",
+                len(both), len(set(both)), len(landed2),
+            )
+            assert set(first) <= set(both), (tag, "run-2 bookmark lost run-1 entries")
             back = spark.read.parquet(outp)
             expect = feed.filter(F.col("event_id") % 2 == 0).agg(
                 F.count(F.lit(1)).alias("n"),
@@ -268,6 +328,13 @@ def main() -> None:
         i = argv.index("--ops")
         ops = set(argv[i + 1].split(","))
         del argv[i : i + 2]
+        # mirror stress_graph: a typo'd op name must fail loudly, not
+        # silently produce an empty evidence table
+        unknown = ops - KNOWN_OPS
+        if unknown:
+            raise SystemExit(
+                f"unknown --ops {sorted(unknown)}; known: {sorted(KNOWN_OPS)}"
+            )
     base_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
     reps = int(argv[1]) if len(argv) > 1 else 10
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")

@@ -94,3 +94,50 @@ def test_streaming_ops_replica_invariants_10x(spark):
     }
     for r in rows:
         assert r["rows_scaled"] == 10 * r["rows_base"], r
+
+
+def test_bookmarked_files_reads_compacted_source_log(tmp_path):
+    """Fast (non-slow) unit pin for the bookmark reader behind the ingest
+    gate's exactly-once assert: a ``N.compact`` log version is a FULL
+    snapshot of versions <= N, so the reader must take the latest compact
+    plus only the plain versions after it — naive concatenation would
+    double-count the compacted entries and fake a reprocessing failure."""
+    src = tmp_path / "ckpt" / "sources" / "0"
+    src.mkdir(parents=True)
+
+    def entry(path, batch):
+        return '{"path":"file:///in/%s","timestamp":1,"batchId":%d}' % (path, batch)
+
+    # batches 0..2 as plain versions, then a compact at 3 that snapshots
+    # everything so far plus its own batch, then a plain version 4
+    (src / "0").write_text("v1\n" + entry("a.parquet", 0) + "\n")
+    (src / "1").write_text("v1\n" + entry("b.parquet", 1) + "\n")
+    (src / "2").write_text("v1\n" + entry("c.parquet", 2) + "\n")
+    (src / "3.compact").write_text(
+        "v1\n"
+        + "\n".join(
+            [
+                entry("a.parquet", 0),
+                entry("b.parquet", 1),
+                entry("c.parquet", 2),
+                entry("d.parquet", 3),
+            ]
+        )
+        + "\n"
+    )
+    (src / "4").write_text("v1\n" + entry("e.parquet", 4) + "\n")
+
+    got = stress_streaming._bookmarked_files(str(tmp_path / "ckpt"))
+    assert sorted(got) == [
+        "file:///in/a.parquet",
+        "file:///in/b.parquet",
+        "file:///in/c.parquet",
+        "file:///in/d.parquet",
+        "file:///in/e.parquet",
+    ]
+    # a GENUINE reprocessing (same file logged in a later batch) must
+    # surface as a duplicate in the returned list — that is the signal
+    # the ingest gate asserts on
+    (src / "5").write_text("v1\n" + entry("a.parquet", 5) + "\n")
+    got = stress_streaming._bookmarked_files(str(tmp_path / "ckpt"))
+    assert len(got) == 6 and len(set(got)) == 5

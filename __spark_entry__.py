@@ -31,24 +31,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver attests the FIRST 50 queries() entries per round. This
 # window is GENERATED from the CORRECTNESS_r*.json history by
-#   python tools/attestation_ledger.py \
-#     --changed pagerank_supply_graph,incremental_rollup_maintain
-# (the two queries whose operators took round-7 edits:
-# ``pagerank_fixed`` frees edg/deg/universe on the empty-graph early
-# return per round-6 ADVICE, and ``materialized_rollup`` now ENFORCES
-# the days-per-batch bound its docstring used to only promise; both
-# value-neutral for the registry inputs, but the changed-operator rule
-# outranks freshness, so they lead). Then pure stalest-first: the 5
-# remaining r02 streaming-roundtrip rows, the r03 rows, and the 2
-# oldest r04 rows. Registry growth is deliberately stopped per the
-# round-4 verdict. ``attestation_ledger.py --check --changed ...``
-# verifies this tuple without writing the committed ledger.
+#   python tools/attestation_ledger.py --changed pagerank_supply_graph
+# (the one registry query whose operator took a round-7 edit:
+# ``pagerank_fixed`` now frees edg/deg/universe on the empty-graph
+# early return per round-6 ADVICE — value-neutral for the registry
+# inputs, but the changed-operator rule outranks freshness, so it
+# leads. ``materialized_rollup`` also changed this round — enforced
+# days-per-batch bound — but it backs no registry query; it is
+# test-attested only, see COVERAGE.md Streaming row.) Then pure
+# stalest-first: the 5 remaining r02 streaming-roundtrip rows, the 42
+# r03 rows, and the 2 oldest r04 rows. Registry growth is deliberately
+# stopped per the round-4 verdict. ``attestation_ledger.py --check
+# --changed pagerank_supply_graph`` verifies this tuple without
+# writing the committed ledger.
 # ROUND-8 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
 # if nothing changes: mixture_rebalance_downsample + the remaining r04
 # rows, then the oldest r05 rows.
 _PRIORITY = (
-    "incremental_rollup_maintain",  # r03 (changed: days-per-batch bound)
     "pagerank_supply_graph",  # r06 (changed: empty-graph checkpoint free)
     "incremental_stream_roundtrip",  # r02
     "stream_upsert_cdc_roundtrip",  # r02
@@ -86,6 +86,7 @@ _PRIORITY = (
     "unigram_logprob_quality",  # r03
     "segment_dedup_reconstruct",  # r03
     "sliding_window_agg",  # r03
+    "incremental_rollup_maintain",  # r03
     "event_debounce",  # r03
     "funnel_view_click_purchase",  # r03
     "bpe_pair_merge_candidates",  # r03

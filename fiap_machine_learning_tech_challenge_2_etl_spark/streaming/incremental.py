@@ -230,9 +230,13 @@ def materialized_rollup(
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        # null-ts rows can never land in a day partition (to_date -> null,
+        # and null never matches the membership filter) — drop the null
+        # day before the bound check and the min/max range below
         days = [
             r["d"]
             for r in batch_df.select(F.to_date(ts_col).alias("d"))
+            .filter(F.col("d").isNotNull())
             .distinct()
             .limit(max_days_per_batch + 1)
             .collect()
@@ -246,15 +250,7 @@ def materialized_rollup(
         if not days:
             return
         base = spark.read.schema(schema).parquet(input_dir)
-        agg = (
-            base.withColumn("day", F.to_date(ts_col))
-            .filter(F.col("day").isin(days))
-            .groupBy("day", key_col)
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(value_col).alias("sum_value"),
-            )
-        )
+        agg = touched_days_rollup(base, days, ts_col, key_col, value_col)
         (
             agg.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -268,6 +264,39 @@ def materialized_rollup(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def touched_days_rollup(
+    base: DataFrame,
+    days: Sequence,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Re-aggregate only the given days from the base event scan.
+
+    The day membership test is on ``to_date(ts)`` — a DERIVED expression
+    parquet can never prune on — so an additional raw-``ts`` range
+    predicate ``[min(days), max(days)+1d)`` is applied first. That
+    predicate IS pushed to the parquet scan (footer min/max row-group
+    stats), so on an arrival-ordered landing directory the refresh skips
+    every file whose ts range misses the touched window instead of
+    re-reading the whole table each batch — the bound the 100 TB story
+    needs even when the landing dir is flat (not hive-partitioned).
+    Plan-pinned in tests/test_plans.py (PushedFilters on ``ts``)."""
+    lo, hi = min(days), max(days)
+    lo_ts = F.lit(str(lo)).cast("timestamp")
+    hi_ts = F.date_add(F.lit(str(hi)).cast("date"), 1).cast("timestamp")
+    return (
+        base.filter((F.col(ts_col) >= lo_ts) & (F.col(ts_col) < hi_ts))
+        .withColumn("day", F.to_date(ts_col))
+        .filter(F.col("day").isin(list(days)))
+        .groupBy("day", key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
     )
 
 

@@ -548,3 +548,26 @@ def test_global_rank_cumsum_single_pinned_range_exchange(spark, sf_dir):
         ids = _logical_rdd_ids(df)
         assert len(ids) == 2, (name, ids, plan)
         assert len(set(ids)) == 1, (name, ids, plan)
+
+
+def test_touched_days_rollup_pushes_ts_range_to_scan(spark, sf_dir):
+    """materialized_rollup's per-batch refresh re-reads the landing dir;
+    the day membership test is on to_date(ts) (derived — never prunable),
+    so the operator adds a raw-ts range predicate that MUST reach the
+    parquet scan's PushedFilters (footer min/max row-group skipping).
+    Without it the refresh re-reads the whole table every micro-batch —
+    fine at sf0.01, fatal at 100 TB."""
+    import datetime
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        touched_days_rollup,
+    )
+
+    events = load_testdata(spark, sf_dir, ["events"])["events"]
+    days = [datetime.date(2024, 1, 10), datetime.date(2024, 1, 11)]
+    plan = _plan(touched_days_rollup(events, days))
+    pushed = plan.split("PushedFilters: [")
+    assert len(pushed) > 1, plan
+    filters = pushed[1].split("]")[0]
+    assert "GreaterThanOrEqual(ts" in filters and "LessThan(ts" in filters, plan

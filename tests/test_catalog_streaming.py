@@ -380,6 +380,53 @@ def test_materialized_rollup_incremental_refresh(spark, tmp_path):
     }
 
 
+def test_touched_days_rollup_gap_day_and_midnight_boundaries(spark):
+    """The raw-ts range predicate spans [min(day), max(day)+1d) — with a
+    NON-contiguous day set it admits gap-day rows that the day-membership
+    filter must then exclude; and both midnight edges must land on the
+    correct side (00:00:00 belongs to its day, next-day 00:00:00 does not).
+    Parity oracle: the naive derived-day filter without the range predicate."""
+    import datetime
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        touched_days_rollup,
+    )
+
+    rows = [
+        ("click", 1.0, "2024-01-01 00:00:00"),   # min-day midnight: in
+        ("click", 2.0, "2024-01-01 23:59:59"),   # in
+        ("view", 4.0, "2024-01-02 12:00:00"),    # gap day: range-admitted, must be OUT
+        ("click", 8.0, "2024-01-03 00:00:00"),   # max-day midnight: in
+        ("view", 16.0, "2024-01-03 23:59:59"),   # in
+        ("click", 32.0, "2024-01-04 00:00:00"),  # max+1 midnight: out of range
+        ("view", 64.0, "2023-12-31 23:59:59"),   # before range: out
+    ]
+    base = spark.createDataFrame(
+        rows, "event_type string, value double, ts_s string"
+    ).select("event_type", "value", F.col("ts_s").cast("timestamp").alias("ts"))
+    days = [datetime.date(2024, 1, 1), datetime.date(2024, 1, 3)]
+
+    got = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in touched_days_rollup(base, days).collect()
+    }
+    naive = (
+        base.withColumn("day", F.to_date("ts"))
+        .filter(F.col("day").isin(days))
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    want = {
+        (str(r["day"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in naive.collect()
+    }
+    assert got == want == {
+        ("2024-01-01", "click"): (2, 3.0),
+        ("2024-01-03", "click"): (1, 8.0),
+        ("2024-01-03", "view"): (1, 16.0),
+    }
+
+
 def test_materialized_rollup_enforces_days_per_batch_bound(spark, tmp_path):
     """The touched-days driver collect is a scale CONTRACT: a micro-batch
     touching more distinct days than max_days_per_batch must raise, not

@@ -15,7 +15,11 @@ in the scale story fails a gate instead of only drifting a doc table:
   per-task memory flat — completing the 10x leg on a bounded heap IS
   the invariant (an OOM or task blowup fails the run);
 - streaming ops: exactly-once across micro-batches/redelivery and
-  streaming-state == batch-aggregation equality at 10x the state keys.
+  streaming-state == batch-aggregation equality at 10x the state keys;
+- ANN ops: banded-LSH near-dup recovers EXACTLY the planted twin-pair
+  set (count == reps x base, zero non-planted pairs across replicas
+  rotated into mutual near-orthogonality) and IVF/LSH top-k searches
+  self-retrieve their query vector at both scales.
 
 Timings are recorded but never asserted: this VM's wall-clock swings
 10-30% with ambient load, so time-ratio regressions are adjudicated by
@@ -32,7 +36,13 @@ import os
 
 import pytest
 
-from tools import stress_dedup, stress_graph, stress_quadratic, stress_streaming
+from tools import (
+    stress_ann,
+    stress_dedup,
+    stress_graph,
+    stress_quadratic,
+    stress_streaming,
+)
 
 STRESS_DIR = os.environ.get(
     "SPARK_GRAFT_STRESS_SF_DIR", "/root/testdata/sf0.01"
@@ -79,6 +89,21 @@ def test_quadratic_kernels_sqrt_blocking_10x(spark):
     }
     for r in rows:  # completed both legs; exponent recorded for the notes
         assert r["t_scaled"] > 0, r
+
+
+@pytest.mark.slow
+def test_ann_ops_planted_structure_10x(spark):
+    rows = stress_ann.run_stress(spark, STRESS_DIR, reps=10, emit=_quiet)
+    # run_stress already asserts the near-dup result == the planted twin
+    # set (exact count, zero non-planted pairs) and query self-retrieval
+    # at both scales; re-check the shape so a no-op refactor can't pass.
+    assert {r["op"] for r in rows} == {
+        "lsh_banded_near_dup(256p/16b, t=0.98)",
+        "lsh_bucket_topk(k=10)",
+        "ivf_topk(k=10, 64 lists, probe 8)",
+    }
+    near = next(r for r in rows if r["op"].startswith("lsh_banded"))
+    assert near["rows_scaled"] == 10 * near["rows_base"], near
 
 
 @pytest.mark.slow

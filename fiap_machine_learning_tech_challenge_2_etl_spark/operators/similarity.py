@@ -300,6 +300,26 @@ def add_lsh_signature(
     return spread(df).withColumn(output, _sig(F.col(vec_col)))
 
 
+def lsh_band_width(
+    n_rows: int, target_occupancy: int = 16, min_width: int = 8, max_width: int = 30
+) -> int:
+    """Band width (sign bits per band) that holds expected LSH bucket
+    occupancy near ``target_occupancy`` for an ``n_rows`` corpus:
+    occupancy ~ n / 2^width, so width ~ log2(n / target). This is the
+    log2(n) scale lever for banded near-dup — fixed-width bands turn the
+    candidate self-join quadratic as the corpus grows (at 8-bit bands a
+    400k corpus puts ~1,500 rows in every bucket). Recall at a given
+    cosine threshold then follows from (width, bands): per-band agreement
+    is (1 - acos(cos)/pi)^width, so wider bands want more bands for the
+    same recall. Measured: tools/stress_ann.py runs 16-bit x 16 bands at
+    400k vectors (~12 rows/bucket, planted-pair recall 1.0)."""
+    import math
+
+    if n_rows <= target_occupancy:
+        return min_width
+    return max(min_width, min(max_width, math.ceil(math.log2(n_rows / target_occupancy))))
+
+
 def add_lsh_band_values(
     df: DataFrame,
     dim: int,
@@ -589,6 +609,10 @@ def embedding_near_dup_pairs(
     (1-0.29)^16 ~ 0.004 — recall ~99.6% AT the threshold, not just for
     near-identical pairs (32 planes / 4 bands missed borderline pairs).
     Band width stays 8 bits = 256 buckets/band, so pruning is unchanged;
+    at larger corpora size the width with ``lsh_band_width`` (occupancy
+    is n / 2^width per band, so width must grow ~log2(n) to keep the
+    candidate join linear — tools/stress_ann.py measures 16-bit bands
+    holding 400k vectors to ~12 rows/bucket);
     the candidate join carries only (id, band_id, band_val) — vectors join
     back by id for the verify stage, so the banding shuffle stays slim at
     corpus scale. The signature is integer-exact (``LSH_QUANT``), making

@@ -92,6 +92,22 @@ def _embeddings(spark, sf_dir):
     return load_testdata(spark, sf_dir, ["embeddings"])["embeddings"]
 
 
+def test_lsh_band_width_scaling_rule():
+    """Width ~ log2(n / target): occupancy n / 2^width stays near the
+    target across corpus decades, floors at min_width for small corpora,
+    and caps at max_width."""
+    assert S.lsh_band_width(1_000) == 8  # floor
+    assert S.lsh_band_width(4_000) == 8
+    w = S.lsh_band_width(400_000)
+    assert w == 15 and 400_000 / 2**w <= 16  # ~12/bucket, stress_ann scale
+    assert S.lsh_band_width(100_000_000) == 23
+    assert S.lsh_band_width(10**15) == 30  # cap
+    # occupancy bound holds wherever neither clamp is active
+    for n in (10_000, 1_000_000, 10**9):
+        w = S.lsh_band_width(n)
+        assert n / 2**w <= 16, (n, w)
+
+
 def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     emb = _embeddings(spark, sf_dir)
     qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])

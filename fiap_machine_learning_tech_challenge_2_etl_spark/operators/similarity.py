@@ -29,6 +29,7 @@ sentinels) should be pre-filtered with ``drop_zero_norm`` below.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pandas as pd
 
@@ -311,13 +312,39 @@ def lsh_band_width(
     400k corpus puts ~1,500 rows in every bucket). Recall at a given
     cosine threshold then follows from (width, bands): per-band agreement
     is (1 - acos(cos)/pi)^width, so wider bands want more bands for the
-    same recall. Measured: tools/stress_ann.py runs 16-bit x 16 bands at
-    400k vectors (~12 rows/bucket, planted-pair recall 1.0)."""
-    import math
+    same recall (``lsh_bands_for_recall``). Measured: tools/stress_ann.py
+    runs 16-bit x 16 bands at 400k vectors (~12 rows/bucket, planted-pair
+    recall 1.0).
 
+    Integer-exact on purpose: width is the smallest w with
+    2^w * target >= n (bit_length, no float log2), so any engine — the
+    DuckDB oracle included — derives the identical width for a corpus
+    count without IEEE boundary surprises at powers of two."""
     if n_rows <= target_occupancy:
         return min_width
-    return max(min_width, min(max_width, math.ceil(math.log2(n_rows / target_occupancy))))
+    # smallest w with 2^w >= n/target  ==  bit_length(ceil(n/target) - 1)
+    w = (-(-n_rows // target_occupancy) - 1).bit_length()
+    return max(min_width, min(max_width, w))
+
+
+def lsh_bands_for_recall(
+    threshold: float, width: int, target_miss: float = 0.01, max_bands: int = 64
+) -> int:
+    """Band count that holds banded-LSH miss probability <= ``target_miss``
+    for a pair AT ``threshold`` cosine, given ``width`` sign bits per band:
+    per-band agreement p = (1 - acos(t)/pi)^width, miss = (1-p)^bands, so
+    bands = ln(miss) / ln(1-p). The companion recall lever to
+    ``lsh_band_width``: when the corpus forces wider bands, recall at a
+    fixed threshold drops unless bands grow too. Capped at ``max_bands``
+    (low thresholds want exponentially many bands — LSH is the wrong tool
+    below ~0.8 cosine; the cap keeps the candidate stage linear and the
+    caller sees the cap in the returned value)."""
+    p = (1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi) ** width
+    if p >= 1.0:
+        return 1
+    if p <= 0.0:
+        return max_bands
+    return max(1, min(max_bands, math.ceil(math.log(target_miss) / math.log(1.0 - p))))
 
 
 def add_lsh_band_values(
@@ -332,7 +359,8 @@ def add_lsh_band_values(
     (band b packs bits ``b*width .. b*width+width-1``, bit r weighted
     ``1<<r``). Unlike the packed-long signature this scales past 64 planes —
     near-dup recall at a cosine threshold is driven by total plane count
-    (see ``embedding_near_dup_pairs``). Same exact integer kernel as
+    (see ``embedding_near_dup_pairs``, which corpus-sizes ``n_planes``
+    via ``lsh_band_width`` by default). Same exact integer kernel as
     ``add_lsh_signature``."""
     import numpy as np
 
@@ -363,7 +391,6 @@ def lsh_bucket_topk(
     ``max_probe_hamming`` bits of the query's (multi-probe), then exact
     cosine rank inside the probed set. At scale the signature filter prunes
     the scan; here it demonstrates the plan shape."""
-    import math
 
     dim = len(query_vector)
     planes = _hyperplanes_int(dim, n_planes)
@@ -591,34 +618,63 @@ def ivf_probe_exact(
     return out.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
+def _corpus_stats(df: DataFrame, vec_col: str) -> tuple[int, int]:
+    """(n_rows, dim) of an embedding corpus in ONE bounded aggregate job
+    (count + min array size — a 2-long-column shuffle-free agg). The only
+    driver action ``embedding_near_dup_pairs`` ever takes, and only when
+    the caller didn't pass ``n_rows``/``dim``; tests poison this to pin
+    that explicit sizing builds the plan with zero driver jobs."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size(F.col(vec_col))).alias("d"),
+    ).first()
+    return int(row["n"]), int(row["d"] if row["d"] is not None else 0)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 128,
+    n_planes: int | None = None,
     bands: int = 16,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded-LSH candidates (pigeonhole
     over ``bands`` bands of ``n_planes/bands`` sign bits), exact cosine to
     verify (vectorized pandas UDF). Output: (id_a, id_b, cos >= threshold).
 
-    Recall at the threshold is what sizes the signature: a cosine-0.9 pair
-    flips each sign bit with p = acos(0.9)/pi ~ 0.144, so an 8-bit band
-    agrees with p ~ 0.856^8 ~ 0.29 and 16 independent bands miss with
-    (1-0.29)^16 ~ 0.004 — recall ~99.6% AT the threshold, not just for
-    near-identical pairs (32 planes / 4 bands missed borderline pairs).
-    Band width stays 8 bits = 256 buckets/band, so pruning is unchanged;
-    at larger corpora size the width with ``lsh_band_width`` (occupancy
-    is n / 2^width per band, so width must grow ~log2(n) to keep the
-    candidate join linear — tools/stress_ann.py measures 16-bit bands
-    holding 400k vectors to ~12 rows/bucket);
-    the candidate join carries only (id, band_id, band_val) — vectors join
-    back by id for the verify stage, so the banding shuffle stays slim at
-    corpus scale. The signature is integer-exact (``LSH_QUANT``), making
-    the whole pipeline oracle-replicable in SQL."""
-    sample = df.select(vec_col).first()
-    dim = len(sample[vec_col])
+    **Band width is corpus-sized BY DEFAULT** (``n_planes=None``): width =
+    ``lsh_band_width(n_rows)`` and n_planes = bands * width, so expected
+    bucket occupancy stays ~n/2^width <= 16 and the candidate equi-join
+    stays linear as the corpus grows. A fixed 8-bit width (the old
+    default) is 256 buckets/band — quadratic join blowup from ~10^5 rows
+    (tools/stress_ann.py measures the auto default holding 400k+ vectors
+    linear). Passing ``n_planes`` explicitly restores fixed sizing
+    (width = n_planes // bands). When ``n_rows``/``dim`` aren't supplied
+    they come from ONE bounded stats aggregate (``_corpus_stats``); pass
+    both to build the plan with zero driver jobs (plan-pinned in
+    tests/test_plans.py).
+
+    Recall at the threshold sizes the bands: a cosine-t pair flips each
+    sign bit with p = acos(t)/pi, a width-w band agrees with (1-p)^w, and
+    ``bands`` independent bands miss with (1-(1-p)^w)^bands — e.g. 16
+    bands x 8 bits at t=0.9 => ~99.6% recall AT the threshold. Wider
+    (auto-sized) bands lower per-band agreement, so at large n keep
+    recall by raising ``bands`` via ``lsh_bands_for_recall(threshold,
+    lsh_band_width(n))`` — band count scales the candidate rows linearly,
+    never quadratically. The candidate join carries only (id, band_id,
+    band_val) — vectors join back by id for the verify stage, so the
+    banding shuffle stays slim at corpus scale. The signature is
+    integer-exact (``LSH_QUANT``), making the whole pipeline
+    oracle-replicable in SQL."""
+    if (n_rows is None and n_planes is None) or dim is None:
+        stat_n, stat_d = _corpus_stats(df, vec_col)
+        n_rows = stat_n if n_rows is None else n_rows
+        dim = stat_d if dim is None else dim
+    if n_planes is None:
+        n_planes = bands * lsh_band_width(n_rows)
     sigged = add_lsh_band_values(df, dim, n_planes, bands, vec_col)
     chunks = sigged.select(
         F.col(id_col),

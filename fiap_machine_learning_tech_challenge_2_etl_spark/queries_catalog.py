@@ -1189,7 +1189,11 @@ def _lsh_near_dup_ctes(
     sign bit is an int comparison — no float summation-order dependence, so
     candidate sets are bit-identical across engines. The verify cosine uses
     the same round-6 idiom as embedding_near_dup_exact. Shared by the
-    near-dup query oracle and the cluster-pipeline (CC) oracles."""
+    near-dup query oracle and the cluster-pipeline (CC) oracles. The
+    static (dim=64, 128-plane, 16-band) constants here equal what the
+    operator's corpus-sized default derives for every n <= 4096 corpus
+    (lsh_band_width floors at 8 bits); all attestation SFs are under
+    that, so the auto path and this SQL stay bit-identical."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
         LSH_QUANT,
     )
@@ -1245,14 +1249,17 @@ SELECT id_a, id_b, cos FROM lsh_pairs
 
 @_register("embedding_near_dup", sql=_embedding_near_dup_sql())
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: hyperplane-LSH banded candidates
-    (128 integer-exact planes, 16 bands x 8 bits -> ~99.6% recall AT a
-    0.9 threshold), exact cosine verify. Full-pipeline value oracle — the
-    SQL regenerates the same md5-derived planes and integer sign bits, so
-    even the approximate candidate stage matches bit-for-bit. Threshold
-    0.4 here because testdata embeddings are near-orthogonal (max pairwise
-    cos ~0.5): the oracle row set is non-trivial instead of vacuously
-    empty."""
+    """Embedding-cosine near-dup pairs: hyperplane-LSH banded candidates,
+    exact cosine verify. The operator's DEFAULT path corpus-sizes the band
+    width (``lsh_band_width``: width = max(8, ceil(log2(n/16)))), which
+    for every attestation corpus here (n <= 4096) resolves to exactly the
+    8-bit x 16-band / 128-plane signature the static oracle SQL pins —
+    the auto default is what runs, and the oracle stays bit-identical.
+    Full-pipeline value oracle — the SQL regenerates the same md5-derived
+    planes and integer sign bits, so even the approximate candidate stage
+    matches bit-for-bit. Threshold 0.4 here because testdata embeddings
+    are near-orthogonal (max pairwise cos ~0.5): the oracle row set is
+    non-trivial instead of vacuously empty."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )

@@ -106,6 +106,72 @@ def test_lsh_band_width_scaling_rule():
     for n in (10_000, 1_000_000, 10**9):
         w = S.lsh_band_width(n)
         assert n / 2**w <= 16, (n, w)
+    # integer-exact at power-of-two boundaries (no float log2 edge):
+    # 2^w * 16 >= n must hold with the SMALLEST such w
+    assert S.lsh_band_width(4_096) == 8 and S.lsh_band_width(4_097) == 9
+    assert S.lsh_band_width(2**24 * 16) == 24
+    assert S.lsh_band_width(2**24 * 16 + 1) == 25
+
+
+def test_lsh_bands_for_recall_rule():
+    """bands = ln(miss)/ln(1 - (1-acos(t)/pi)^w): reproduces the
+    documented 16-band/8-bit ~99.6%-recall point at t=0.9, grows with
+    width at fixed threshold, and caps for low thresholds where LSH is
+    the wrong tool."""
+    import math
+
+    assert S.lsh_bands_for_recall(0.9, 8) <= 16  # the documented default
+    b15 = S.lsh_bands_for_recall(0.9, 15)
+    assert b15 > 16  # wider bands need more bands at the same recall
+    p = (1 - math.acos(0.9) / math.pi) ** 15
+    assert (1 - p) ** b15 <= 0.01  # and the returned count meets the miss target
+    assert S.lsh_bands_for_recall(0.4, 8) == 64  # capped: low-threshold blowup
+    assert S.lsh_bands_for_recall(0.98, 16) <= 16
+
+
+def test_embedding_near_dup_default_is_corpus_sized(spark, monkeypatch):
+    """The DEFAULT path derives n_planes = bands * lsh_band_width(n): 128
+    planes on a tiny corpus (8-bit floor — byte-identical to the old fixed
+    default, which is what keeps the static oracles valid at n<=4096), 240
+    on a 400k corpus (15-bit bands -> occupancy ~12/bucket, candidate join
+    stays linear). Explicit n_planes bypasses sizing entirely."""
+    seen = []
+    orig = S.add_lsh_band_values
+
+    def _spy(df, dim, n_planes=128, bands=16, *a, **k):
+        seen.append((dim, n_planes, bands))
+        return orig(df, dim, n_planes, bands, *a, **k)
+
+    monkeypatch.setattr(S, "add_lsh_band_values", _spy)
+    rows = [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    S.embedding_near_dup_pairs(df)  # auto: one stats job, floor width
+    assert seen[-1] == (4, 16 * 8, 16)
+    S.embedding_near_dup_pairs(df, n_rows=400_000, dim=4)  # auto at scale
+    assert seen[-1] == (4, 16 * 15, 16)
+    S.embedding_near_dup_pairs(df, n_planes=32, bands=8, dim=4)  # explicit
+    assert seen[-1] == (4, 32, 8)
+
+
+def test_embedding_near_dup_explicit_sizing_runs_no_driver_job(spark, monkeypatch):
+    """With (n_rows, dim) supplied, plan construction must take NO driver
+    action at all — _corpus_stats (the one sanctioned stats job of the
+    auto path, and the replacement for the old per-call first() dim
+    probe) is poisoned to prove it is never reached."""
+
+    def _boom(*a, **k):
+        raise AssertionError("driver-side stats job on explicitly sized call")
+
+    monkeypatch.setattr(S, "_corpus_stats", _boom)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.95, n_rows=3, dim=4)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found and (1, 3) not in found
 
 
 def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):

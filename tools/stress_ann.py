@@ -25,14 +25,21 @@ thresholds were chosen):
   found set == the planted set.
 - **Band width as the scale lever**: bucket occupancy is n / 2^width
   per band, so width must grow ~log2(n) to hold the candidate join
-  linear. Both legs run 256 planes / 16 bands (16-bit bands): at 200x
-  (800k rows incl. twins) that is ~12 rows/bucket; twin recall at
-  cosine 0.99875 is 1 - (1 - 0.984^16)^16 ~ 1 - 5e-11 — the exact
-  rows_scaled == reps * rows_base assert is safe.
+  linear. TWO near-dup legs pin this: a hand-tuned 256-plane/16-band
+  leg (16-bit bands: ~12 rows/bucket at 200x = 800k rows incl. twins),
+  and the operator's UNTUNED DEFAULT (embedding_near_dup_pairs with no
+  sizing args), which must derive the same log2(n) widths by itself —
+  the proof that the scale lever is the default path, not an opt-in.
+  Twin recall at cosine 0.99875 with 16 width-15 bands (the 100x auto
+  size) is 1 - (1 - 0.984^15)^16 ~ 1 - 2e-11 — the exact
+  rows_scaled == reps * rows_base assert is safe for both legs.
 
 Asserted invariants (in-engine, same timed pass):
 - near-dup: every found pair is a planted twin pair (id_b - id_a ==
-  TWIN_OFF, which also implies same-replica), count == reps * base;
+  TWIN_OFF AND same replica, asserted separately: with SHIFT - TWIN_OFF
+  != TWIN_OFF no cross-replica delta can alias TWIN_OFF, and the
+  explicit replica check keeps that true under any future offset
+  change), count == reps * base;
 - searches: self-retrieval — the query vector (a replica-0 corpus row)
   comes back as top-1 with cosine 1.0 at both scales.
 
@@ -56,7 +63,12 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 SHIFT = 10**9  # replica r occupies vec-id range [r*SHIFT, (r+1)*SHIFT)
-TWIN_OFF = 5 * 10**8  # twin of base id v is v + TWIN_OFF (< SHIFT)
+# twin of base id v is v + TWIN_OFF (< SHIFT). Deliberately NOT SHIFT/2:
+# SHIFT - TWIN_OFF must differ from TWIN_OFF or a cross-replica pair
+# (replica-r twin, replica-r+1 base) would alias the planted delta and
+# could cancel a missed pair in the count assert.
+TWIN_OFF = 4 * 10**8
+assert SHIFT - TWIN_OFF != TWIN_OFF
 N_PLANES, BANDS = 256, 16  # 16-bit bands: log2(n)-sized buckets at 200x
 THRESHOLD = 0.98  # planted twins ~0.999, max noise cosine ~0.64
 
@@ -177,15 +189,24 @@ def run_stress(spark, base_dir: str, reps: int = 10, emit=print) -> list[dict]:
         )
 
     def check_planted(out, tag):
-        # count AND planted-pair conformance in the SAME timed pass
+        # count AND planted-pair conformance in the SAME timed pass;
+        # delta AND replica are asserted separately so neither can mask
+        # the other (a cross-replica alias + one missed pair would
+        # otherwise cancel in a combined count)
         row = out.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
                 (F.col("id_b") - F.col("id_a") != F.lit(TWIN_OFF)).cast("long")
-            ).alias("bad"),
+            ).alias("bad_delta"),
+            F.sum(
+                (
+                    F.floor(F.col("id_a") / F.lit(SHIFT))
+                    != F.floor(F.col("id_b") / F.lit(SHIFT))
+                ).cast("long")
+            ).alias("bad_rep"),
         ).first()
-        n, bad = row["n"], row["bad"] or 0
-        assert bad == 0, (tag, bad)  # non-planted pair => leakage
+        n, bad = row["n"], (row["bad_delta"] or 0) + (row["bad_rep"] or 0)
+        assert bad == 0, (tag, row["bad_delta"], row["bad_rep"])
         want = n_base_vec * (reps if tag == "scaled" else 1)
         assert n == want, (tag, n, want)
         return n
@@ -201,6 +222,15 @@ def run_stress(spark, base_dir: str, reps: int = 10, emit=print) -> list[dict]:
         lambda d: S.embedding_near_dup_pairs(
             d, threshold=THRESHOLD, n_planes=N_PLANES, bands=BANDS
         ),
+        check_planted,
+    )
+    # the UNTUNED operator default: corpus-sized band width (one stats
+    # job + lsh_band_width per call). Same planted-set exactness asserts —
+    # this leg is the recorded proof that the log2(n) scale lever is the
+    # default path, not a hand-tuned opt-in.
+    run(
+        "lsh_banded_near_dup(auto default, t=0.98)",
+        lambda d: S.embedding_near_dup_pairs(d, threshold=THRESHOLD),
         check_planted,
     )
     run(

@@ -31,74 +31,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver attests the FIRST 50 queries() entries per round. This
 # window is GENERATED from the CORRECTNESS_r*.json history by
-#   python tools/attestation_ledger.py --changed pagerank_supply_graph
-# (the one registry query whose operator took a round-7 edit:
-# ``pagerank_fixed`` now frees edg/deg/universe on the empty-graph
-# early return per round-6 ADVICE — value-neutral for the registry
-# inputs, but the changed-operator rule outranks freshness, so it
-# leads. ``materialized_rollup`` also changed this round — enforced
-# days-per-batch bound — but it backs no registry query; it is
-# test-attested only, see COVERAGE.md Streaming row.) Then pure
-# stalest-first: the 5 remaining r02 streaming-roundtrip rows, the 42
-# r03 rows, and the 2 oldest r04 rows. Registry growth is deliberately
-# stopped per the round-4 verdict. ``attestation_ledger.py --check
-# --changed pagerank_supply_graph`` verifies this tuple without
-# writing the committed ledger.
-# ROUND-8 NOTE: lead with any new/operator-changed queries (pass them
+#   python tools/attestation_ledger.py --changed \
+#     embedding_near_dup,dedup_canonical_docs,leakage_safe_split,\
+#     triangle_count_near_dup,lsh_recall_eval
+# (the five registry queries riding embedding_near_dup_pairs, whose
+# DEFAULT path changed in round 8: corpus-sized band width via
+# lsh_band_width + the combined count/dim stats job replacing the old
+# first() probe. The auto default resolves to the same 128-plane/16-band
+# signature for every n<=4096 corpus, so the static oracles are
+# unchanged — but the changed-operator rule outranks freshness, so all
+# five lead.) Then pure stalest-first: the 42 remaining r04 rows, then
+# the 3 oldest r05 rows. Registry growth is deliberately stopped per
+# the round-4 verdict. ``attestation_ledger.py --check --changed <same
+# list>`` verifies this tuple without writing the committed ledger.
+# ROUND-9 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: mixture_rebalance_downsample + the remaining r04
-# rows, then the oldest r05 rows.
+# if nothing changes: the remaining r05 rows (flagship_pipeline onward
+# in registry order).
 _PRIORITY = (
-    "pagerank_supply_graph",  # r06 (changed: empty-graph checkpoint free)
-    "incremental_stream_roundtrip",  # r02
-    "stream_upsert_cdc_roundtrip",  # r02
-    "stream_dedup_roundtrip",  # r02
-    "stream_running_stats_roundtrip",  # r02
-    "stream_interval_join_roundtrip",  # r02
-    "embedding_ann_lsh",  # r03
-    "embedding_near_dup",  # r03
-    "array_functions",  # r03
-    "variant_shred_props",  # r03
-    "regex_functions",  # r03
-    "window_value_family",  # r03
-    "sequence_packing",  # r03
-    "quality_upsample_repeat",  # r03
-    "tfidf_top_terms",  # r03
-    "decontaminate_ngram_overlap",  # r03
-    "set_ops_all",  # r03
-    "sort_nulls_family",  # r03
-    "rollup_grouping_id",  # r03
-    "try_arithmetic_family",  # r03
-    "embedding_quantize_int8",  # r03
-    "incremental_cross_dedup",  # r03
-    "interval_coalesce",  # r03
-    "scd2_user_history",  # r03
-    "data_quality_report",  # r03
-    "char_entropy_quality",  # r03
-    "snapshot_diff_orders",  # r03
-    "cdc_apply_events",  # r03
-    "weighted_sample_docs",  # r03
-    "outlier_clip_iqr",  # r03
-    "zscore_normalize",  # r03
-    "temporal_split_embargo",  # r03
-    "generator_functions",  # r03
-    "embedding_matryoshka_truncate",  # r03
-    "unigram_logprob_quality",  # r03
-    "segment_dedup_reconstruct",  # r03
-    "sliding_window_agg",  # r03
-    "incremental_rollup_maintain",  # r03
-    "event_debounce",  # r03
-    "funnel_view_click_purchase",  # r03
-    "bpe_pair_merge_candidates",  # r03
-    "point_in_time_state_join",  # r03
-    "span_corruption_pairs",  # r03
-    "source_overlap_matrix",  # r03
-    "pmi_collocations",  # r03
-    "zorder_clustered_pruned_scan",  # r03
-    "compaction_roundtrip",  # r03
-    "stream_static_enrich_roundtrip",  # r03
-    "embedding_ann_ivf",  # r04
-    "frequent_tokens_sketch",  # r04
+    "triangle_count_near_dup",  # r04 (changed: embedding_near_dup_pairs auto-sizing)
+    "lsh_recall_eval",  # r04 (changed: embedding_near_dup_pairs auto-sizing)
+    "dedup_canonical_docs",  # r06 (changed: embedding_near_dup_pairs auto-sizing)
+    "leakage_safe_split",  # r06 (changed: embedding_near_dup_pairs auto-sizing)
+    "embedding_near_dup",  # r07 (changed: embedding_near_dup_pairs auto-sizing)
+    "mixture_rebalance_downsample",  # r04
+    "equidepth_binning",  # r04
+    "token_budget_select",  # r04
+    "hard_negative_mining",  # r04
+    "corpus_curation_pipeline",  # r04
+    "psi_drift_report",  # r04
+    "shingle_containment_pairs",  # r04
+    "knn_label_noise",  # r04
+    "robust_mad_scores",  # r04
+    "co_purchase_pairs",  # r04
+    "event_transition_matrix",  # r04
+    "cohort_retention",  # r04
+    "multimodal_resize_thumb",  # r04
+    "rolling_distinct_users",  # r04
+    "churn_label_next_gap",  # r04
+    "seasonal_naive_error",  # r04
+    "histogram2d_heatmap",  # r04
+    "feature_hashing_cross",  # r04
+    "recsys_negative_sampling",  # r04
+    "stratified_kfold",  # r04
+    "class_balance_weights",  # r04
+    "winsorized_stats",  # r04
+    "string_agg_family",  # r04
+    "mode_per_group",  # r04
+    "lateral_join_topk",  # r04
+    "sql_pipe_syntax_entry",  # r04
+    "benford_first_digit",  # r04
+    "sessionize_gap_islands",  # r04
+    "time_weighted_average",  # r04
+    "join_key_skew_report",  # r04
+    "funnel_time_to_convert",  # r04
+    "association_rules_lift",  # r04
+    "multimodal_audio_energy",  # r04
+    "minhash_recall_eval",  # r04
+    "cusum_drift_detection",  # r04
+    "quantile_normalize_by_lang",  # r04
+    "hll_distinct_rollup",  # r04
+    "runner_batch_roundtrip",  # r04
+    "jsonl_quarantine_roundtrip",  # r04
+    "msck_repair_discovery",  # r04
+    "stream_session_window_roundtrip",  # r04
+    "stream_tumbling_late_data_roundtrip",  # r04
+    "flagship_pipeline",  # r05
+    "select_filter_project",  # r05
+    "distinct_rows",  # r05
 )
 
 

@@ -16,6 +16,11 @@ Usage:
     python tools/attestation_ledger.py [--changed a,b]  # write ledger, print window
     python tools/attestation_ledger.py --check [--changed a,b]
         # exit 1 if __spark_entry__._PRIORITY != computed window
+
+``--check`` is round-boundary safe: it reads the committed ledger's
+recorded ``max_round`` (so a newer driver-written CORRECTNESS file can't
+redden it) and defaults ``--changed`` to the committed ``changed_lead``
+(so the bare command verifies a changed-lead window all round).
 """
 
 from __future__ import annotations
@@ -123,7 +128,24 @@ def main(argv: list[str]) -> int:
         i = argv.index("--changed")
         changed = [q for q in argv[i + 1].split(",") if q]
     check_only = "--check" in argv
-    ledger = load_ledger()
+    ledger_path = os.path.join(REPO, "ATTESTATION_LEDGER.json")
+    bound = None
+    if check_only and os.path.exists(ledger_path):
+        # --check validates the COMMITTED ledger's window, so it must read
+        # the same CORRECTNESS history that ledger was built from: bound by
+        # its recorded max_round. Otherwise the documented verification
+        # command goes red the moment the driver lands the next round's
+        # CORRECTNESS file — exactly the round-boundary state the check
+        # exists for.
+        with open(ledger_path) as f:
+            committed = json.load(f)
+        bound = committed.get("max_round")
+        if not changed:
+            # a changed-lead window can only match if the checker knows the
+            # changed set; default to the committed one so the bare
+            # `--check` stays valid all round
+            changed = committed.get("changed_lead") or []
+    ledger = load_ledger(max_round=bound)
     registry = registry_order()
     unknown = sorted(set(ledger) - set(registry))
     if unknown:
@@ -131,7 +153,7 @@ def main(argv: list[str]) -> int:
 
     out = {
         "window": WINDOW,
-        "max_round": observed_max_round(),
+        "max_round": bound if bound is not None else observed_max_round(),
         "queries": {
             q: ledger.get(
                 q, {"latest_green": None, "latest_seen": None, "hash_checked": False}

@@ -34,21 +34,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #   python tools/attestation_ledger.py --changed \
 #     embedding_near_dup,dedup_canonical_docs,leakage_safe_split,\
 #     triangle_count_near_dup,lsh_recall_eval
-# (the five registry queries riding embedding_near_dup_pairs, whose
-# DEFAULT path changed in round 8: corpus-sized band width via
-# lsh_band_width + the combined count/dim stats job replacing the old
-# first() probe. The auto default resolves to the same 128-plane/16-band
-# signature for every n<=4096 corpus, so the static oracles are
-# unchanged — but the changed-operator rule outranks freshness, so all
-# five lead.) Then pure stalest-first: the 42 remaining r04 rows, then
-# the 3 oldest r05 rows. Registry growth is deliberately stopped per
-# the round-4 verdict. ``attestation_ledger.py --check --changed <same
-# list>`` verifies this tuple without writing the committed ledger.
+# Round-8 leads: (1) materialized_rollup_roundtrip — NEW registry row
+# (swapped in for the thin distinct_agg per the round-7 verdict; registry
+# stays frozen at 186) attesting the incremental materialized rollup's
+# late-data recompute + untouched-partition survival; (2) the five
+# queries riding embedding_near_dup_pairs, whose DEFAULT path changed in
+# round 8 (corpus-sized band width via lsh_band_width + a combined
+# count/dim stats job replacing the old first() probe — resolves to the
+# same 128-plane/16-band signature for every n<=4096 corpus, so the
+# static oracles are unchanged, but the changed-operator rule outranks
+# freshness). Then pure stalest-first: the 42 r04 rows and the 2 oldest
+# r05 rows. Bare ``attestation_ledger.py --check`` verifies this tuple
+# (it reads max_round and the changed set from the committed ledger).
 # ROUND-9 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the remaining r05 rows (flagship_pipeline onward
-# in registry order).
+# if nothing changes: the remaining r05 rows (distinct_rows onward in
+# registry order).
 _PRIORITY = (
+    "materialized_rollup_roundtrip",  # NEW (r08: materialized_rollup swap-in)
     "triangle_count_near_dup",  # r04 (changed: embedding_near_dup_pairs auto-sizing)
     "lsh_recall_eval",  # r04 (changed: embedding_near_dup_pairs auto-sizing)
     "dedup_canonical_docs",  # r06 (changed: embedding_near_dup_pairs auto-sizing)
@@ -98,7 +101,6 @@ _PRIORITY = (
     "stream_tumbling_late_data_roundtrip",  # r04
     "flagship_pipeline",  # r05
     "select_filter_project",  # r05
-    "distinct_rows",  # r05
 )
 
 

@@ -1652,24 +1652,15 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unpivot("doc_id", ["n_chars", "n_ws_tokens"], "metric", "value")
 
 
-@_register(
-    "distinct_agg",
-    sql="""
-SELECT event_type,
-  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-  CAST(count(*) AS BIGINT) AS n_events
-FROM events GROUP BY 1
-""",
-)
-def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct aggregation (count distinct users per type) — Spark plans
-    the two-phase Expand + partial/final aggregate; the approx
-    (HyperLogLog) variant is approx_count_distinct, pytest-compared."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+# NOTE (round 8): `distinct_agg` — a thin count_distinct-per-group row,
+# green r01-r04 — was swapped out for `materialized_rollup_roundtrip`
+# (queries_roundtrip.py): registry growth is frozen at 186 per the
+# round-4 verdict, and the materialized-rollup operator was the one
+# substantial operator with no registry attestation. Distinct-agg
+# planning (Expand + two-phase aggregate) stays attested via
+# leakage_safe_split's count(DISTINCT component), rolling_distinct_users,
+# and hll_distinct_rollup; the exact-vs-HLL pytest comparison remains in
+# tests/test_joins.py::test_approx_count_distinct_close_to_exact.
 
 
 def _ivf_replay_sql(

@@ -71,6 +71,7 @@ from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
     write_range_clustered,
 )
 from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+    materialized_rollup,
     run_incremental_pipeline,
 )
 
@@ -617,6 +618,86 @@ def q_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(_cents("value")).alias("sum_cents"),
+    )
+
+
+@_register(
+    "materialized_rollup_roundtrip",
+    sql="""
+SELECT CAST(ts AS DATE) AS day, event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+@_with_stream_shuffle
+def q_materialized_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained daily rollup (continuous-aggregate /
+    hypertable-rollup pattern, streaming/incremental.py
+    materialized_rollup): events land as files, each availableNow run
+    recomputes ONLY the day partitions the new files touch and
+    dynamic-partition-overwrites them.
+
+    Three files partition the events by day-of-month: run 1 drains the
+    dom<=10 and 11..20 files (day 15 deliberately MISSING its odd
+    event_ids, so its run-1 rollup row is WRONG by construction); run 2 —
+    same checkpoint, so only the third file is read (O6 bookmark) — lands
+    dom>=21 plus day-15's late rows, and its refresh must (a) recompute
+    day 15 exactly from the full base (recompute-touched-partitions, not
+    merge — the late-data correctness contract), (b) create the dom>=21
+    partitions, and (c) leave every untouched day partition intact under
+    dynamic overwrite. The readback therefore equals the plain daily
+    rollup over ALL events — any merge-instead-of-recompute, clobbered
+    partition, or re-processed file changes counts/sums. Values sum
+    integer cents (staged as a long column) so both engines fold exactly.
+    The refresh's base re-read is footer-prunable via the raw-ts range
+    predicate (touched_days_rollup, plan-pinned in tests/test_plans.py)."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            _cents("value").alias("value_cents"),
+        )
+    )
+    d = _scratch("materialized_rollup", sf_dir)
+    inp = os.path.join(d, "in")
+    rollup = os.path.join(d, "rollup")
+    ckpt = os.path.join(d, "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value_cents", T.LongType()),
+        ]
+    )
+    dom = F.dayofmonth("ts")
+    late_day15 = (dom == 15) & (F.col("event_id") % 2 == 1)
+    stages = [
+        dom <= 10,
+        (dom.between(11, 20)) & ~late_day15,
+        (dom >= 21) | late_day15,
+    ]
+    for cond in stages[:2]:
+        e.filter(cond).repartition(1).write.mode("append").parquet(inp)
+    run = lambda: materialized_rollup(  # noqa: E731
+        spark, inp, schema, rollup, ckpt, ts_col="ts",
+        key_col="event_type", value_col="value_cents",
+    )
+    run()
+    e.filter(stages[2]).repartition(1).write.mode("append").parquet(inp)
+    run()
+    back = spark.read.parquet(rollup)
+    return back.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value").alias("sum_cents"),
     )
 
 

@@ -77,6 +77,11 @@ def test_committed_ledger_matches_correctness_files():
     committed = json.load(open(path))
     fresh = load_ledger(max_round=committed.get("max_round"))
     for q, rec in committed["queries"].items():
+        if rec["latest_seen"] is None:
+            # a registry query added this round: legitimately in no
+            # CORRECTNESS file yet (it leads the window as never-attested)
+            assert rec["latest_green"] is None, q
+            continue
         assert q in fresh, f"{q} in ledger but in no CORRECTNESS file"
         assert rec["latest_green"] == fresh[q]["latest_green"], q
 

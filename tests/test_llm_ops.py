@@ -208,6 +208,14 @@ def test_embedding_near_dup_pairs_finds_planted(spark):
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in found
     assert (1, 3) not in found
+    # auto path at a forced LARGE corpus size: 16-bit bands (width =
+    # lsh_band_width(1e6)), near-identical pair must still surface —
+    # wide bands trade recall at the THRESHOLD boundary, not for
+    # near-duplicates (p_agree ~ 0.986^16 per band, 16 bands)
+    wide = S.embedding_near_dup_pairs(df, threshold=0.95, n_rows=1_000_000, dim=4)
+    found_wide = {(r["id_a"], r["id_b"]) for r in wide.collect()}
+    assert (1, 2) in found_wide
+    assert (1, 3) not in found_wide
 
 
 def test_embedding_near_dup_recall_at_threshold_boundary(spark):

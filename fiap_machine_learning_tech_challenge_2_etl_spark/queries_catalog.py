@@ -1177,7 +1177,6 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_near_dup_ctes(
     dim: int = 64,
-    n_planes: int = 128,
     bands: int = 16,
     threshold: float = 0.4,
 ) -> str:
@@ -1189,36 +1188,47 @@ def _lsh_near_dup_ctes(
     sign bit is an int comparison — no float summation-order dependence, so
     candidate sets are bit-identical across engines. The verify cosine uses
     the same round-6 idiom as embedding_near_dup_exact. Shared by the
-    near-dup query oracle and the cluster-pipeline (CC) oracles. The
-    static (dim=64, 128-plane, 16-band) constants here equal what the
-    operator's corpus-sized default derives for every n <= 4096 corpus
-    (lsh_band_width floors at 8 bits); all attestation SFs are under
-    that, so the auto path and this SQL stay bit-identical."""
+    near-dup query oracle and the cluster-pipeline (CC) oracles.
+
+    The band WIDTH is derived from count(*) IN SQL with the same
+    integer-exact rule as the operator's corpus-sized default
+    (similarity.lsh_band_width: smallest w in [8,30] with 2^w * 16 >= n),
+    and n_planes = bands * width — so the oracle tracks the Spark side at
+    ANY corpus size, not just the n <= 4096 regime where both resolve to
+    the historical 8-bit x 16-band / 128-plane constants. Parity on the
+    width-9 (n > 4096) branch is pinned by
+    tests/test_llm_ops.py::test_lsh_oracle_dynamic_width_parity."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
         LSH_QUANT,
     )
 
-    width = n_planes // bands
+    max_width = 30
     plane = _SQL_H60.format(x="concat('hp:', p, ':', d)")
     cos = (
         "round(list_dot_product(a.ev, b.ev)"
         " / (sqrt(list_dot_product(a.ev, a.ev))"
         " * sqrt(list_dot_product(b.ev, b.ev))), 6)"
     )
-    return f"""q AS (
+    return f"""params AS (
+  SELECT greatest(8, least({max_width}, coalesce(
+    (SELECT min(w) FROM range(8, {max_width + 1}) tw(w)
+      WHERE (CAST(1 AS BIGINT) << w) * 16 >= (SELECT count(*) FROM embeddings)),
+    {max_width}))) AS width
+), q AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
     list_transform(CAST(embedding AS DOUBLE[]),
                    x -> CAST(floor(x * {LSH_QUANT}) AS BIGINT)) AS qv
   FROM embeddings
 ), planes AS (
   SELECT p, list({plane} % 2000000 - 1000000 ORDER BY d) AS sv
-  FROM range({n_planes}) tp(p), range({dim}) td(d)
+  FROM range({bands * max_width}) tp(p), range({dim}) td(d), params
+  WHERE p < {bands} * params.width
   GROUP BY p
 ), bits AS (
-  SELECT vec_id, p // {width} AS band_id,
+  SELECT vec_id, p // pr.width AS band_id,
     CASE WHEN list_dot_product(qv, sv) >= 0
-         THEN 1 << (p % {width}) ELSE 0 END AS w
-  FROM q, planes
+         THEN CAST(1 AS BIGINT) << (p % pr.width) ELSE 0 END AS w
+  FROM q, planes, params pr
 ), bandvals AS (
   SELECT vec_id, band_id, sum(w) AS band_val
   FROM bits GROUP BY vec_id, band_id
@@ -1236,13 +1246,12 @@ def _lsh_near_dup_ctes(
 
 def _embedding_near_dup_sql(
     dim: int = 64,
-    n_planes: int = 128,
     bands: int = 16,
     threshold: float = 0.4,
 ) -> str:
     """DuckDB replica of embedding_near_dup_pairs (see _lsh_near_dup_ctes)."""
     return f"""
-WITH {_lsh_near_dup_ctes(dim, n_planes, bands, threshold)}
+WITH {_lsh_near_dup_ctes(dim, bands, threshold)}
 SELECT id_a, id_b, cos FROM lsh_pairs
 """
 
@@ -1251,11 +1260,10 @@ SELECT id_a, id_b, cos FROM lsh_pairs
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: hyperplane-LSH banded candidates,
     exact cosine verify. The operator's DEFAULT path corpus-sizes the band
-    width (``lsh_band_width``: width = max(8, ceil(log2(n/16)))), which
-    for every attestation corpus here (n <= 4096) resolves to exactly the
-    8-bit x 16-band / 128-plane signature the static oracle SQL pins —
-    the auto default is what runs, and the oracle stays bit-identical.
-    Full-pipeline value oracle — the SQL regenerates the same md5-derived
+    width (``lsh_band_width``: smallest w in [8,30] with 2^w * 16 >= n) —
+    and the oracle SQL derives the SAME width from count(*), so the two
+    engines track each other at any corpus size (width-9 parity pinned on
+    a synthetic n=8192 corpus). Full-pipeline value oracle — the SQL regenerates the same md5-derived
     planes and integer sign bits, so even the approximate candidate stage
     matches bit-for-bit. Threshold 0.4 here because testdata embeddings
     are near-orthogonal (max pairwise cos ~0.5): the oracle row set is

@@ -153,6 +153,52 @@ def test_embedding_near_dup_default_is_corpus_sized(spark, monkeypatch):
     assert seen[-1] == (4, 32, 8)
 
 
+def test_lsh_oracle_dynamic_width_parity(spark, tmp_path):
+    """The DuckDB LSH oracle derives band width from count(*) with the
+    same integer rule as the operator's corpus-sized default. The
+    attestation corpora (n <= 4096) all resolve to the 8-bit floor, so
+    this pins the DYNAMIC branch: a synthetic 8192-vector corpus forces
+    width 9 (n_planes 144) on BOTH engines, and the full verified pair
+    sets — candidate stage included — must match exactly."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n, dim = 8192, 64
+    assert S.lsh_band_width(n) == 9  # the branch under test
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant 20 near-identical twins so the verified set is non-trivial
+    for i in range(20):
+        vecs[n - 20 + i] = vecs[i] + 0.01 * np.roll(vecs[i], 1)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pq.write_table(tbl, path)
+
+    df = spark.read.parquet(path)
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in S.embedding_near_dup_pairs(df, threshold=0.9).collect()
+    }
+    assert len(got) >= 20  # every planted twin pair found (cos ~ 0.9999)
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import _embedding_near_dup_sql
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.execute(_embedding_near_dup_sql(threshold=0.9)).fetchall()
+    }
+    assert got == want
+
+
 def test_embedding_near_dup_explicit_sizing_runs_no_driver_job(spark, monkeypatch):
     """With (n_rows, dim) supplied, plan construction must take NO driver
     action at all — _corpus_stats (the one sanctioned stats job of the

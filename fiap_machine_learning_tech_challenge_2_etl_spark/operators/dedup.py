@@ -323,7 +323,20 @@ def simhash_near_dup_pairs(
     """SimHash near-dup: band the 60-bit hash into ``bands`` 15-bit chunks;
     by pigeonhole, hamming<=bands-1 pairs agree on >=1 chunk, so the
     bucket-join on (chunk_id, chunk_value) finds all such pairs without a
-    cross product; verify candidates with an exact popcount."""
+    cross product; verify candidates with an exact popcount.
+
+    Scale posture: chunk occupancy is ~n / 2^15 per chunk (simhash values
+    of a diverse corpus spread near-uniformly), so the candidate join
+    stays linear to roughly 10^6 docs. Unlike the embedding-LSH path
+    (``similarity.lsh_band_width``), the chunk width here CANNOT simply
+    widen with the corpus — width x bands = 60 is fixed by the pigeonhole
+    guarantee (hamming <= bands-1 needs ``bands`` chunks). Past ~10^6
+    docs the lever is a LONGER fingerprint (e.g. two independent 60-bit
+    simhashes -> 30-bit chunks with the same guarantee relative to 120
+    bits — a semantically stricter cut) or pre-partitioning by a cheap
+    key (language, length band) so each partition stays under the bound;
+    60 bits is kept here because one md5-derived BIGINT is what the
+    DuckDB value oracle replicates bit-for-bit."""
     width = SIMHASH_BITS // bands
     sh = simhash(df, column, id_col)
     chunks = sh.select(

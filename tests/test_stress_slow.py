@@ -99,11 +99,12 @@ def test_ann_ops_planted_structure_10x(spark):
     # at both scales; re-check the shape so a no-op refactor can't pass.
     assert {r["op"] for r in rows} == {
         "lsh_banded_near_dup(256p/16b, t=0.98)",
+        "lsh_banded_near_dup(auto default, t=0.98)",
         "lsh_bucket_topk(k=10)",
         "ivf_topk(k=10, 64 lists, probe 8)",
     }
-    near = next(r for r in rows if r["op"].startswith("lsh_banded"))
-    assert near["rows_scaled"] == 10 * near["rows_base"], near
+    for near in (r for r in rows if r["op"].startswith("lsh_banded")):
+        assert near["rows_scaled"] == 10 * near["rows_base"], near
 
 
 @pytest.mark.slow

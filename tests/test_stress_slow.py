@@ -14,8 +14,10 @@ in the scale story fails a gate instead of only drifting a doc table:
 - quadratic embedding kernels: the sqrt-scaled n_blocks guidance holds
   per-task memory flat — completing the 10x leg on a bounded heap IS
   the invariant (an OOM or task blowup fails the run);
-- streaming ops: exactly-once across micro-batches/redelivery and
-  streaming-state == batch-aggregation equality at 10x the state keys;
+- streaming ops: exactly-once across micro-batches/redelivery,
+  streaming-state == batch-aggregation equality at 10x the state keys,
+  and the materialized rollup's late-data refresh rewriting ONLY the
+  touched day partitions (untouched files byte-identical across waves);
 - ANN ops: banded-LSH near-dup recovers EXACTLY the planted twin-pair
   set (count == reps x base, zero non-planted pairs across replicas
   rotated into mutual near-orthogonality) and IVF/LSH top-k searches
@@ -117,6 +119,7 @@ def test_streaming_ops_replica_invariants_10x(spark):
         "incremental_ingest(2 waves, mfpt=8)",
         "stream_dedup(x2 delivery)",
         "windowed_counts(5m, complete)",
+        "materialized_rollup(2-wave late data)",
     }
     for r in rows:
         assert r["rows_scaled"] == 10 * r["rows_base"], r

@@ -24,6 +24,15 @@ operators is exactly what is ASSERTED here:
   (``windowed_event_counts``) with Nx the groups, complete-mode
   emission; the final emitted table must equal the batch aggregation of
   the same input row-for-row (asserted in-engine via a full-width join).
+- ``rollup`` — incrementally-maintained daily rollup
+  (``materialized_rollup``) driven through TWO waves on one checkpoint:
+  wave 1 lands every row and builds all day partitions; wave 2 lands
+  LATE data for only the two earliest days. Asserted after each wave:
+  the materialized table equals the batch aggregation of everything
+  landed so far (cent-exact in-engine join), and after wave 2 every
+  untouched day partition's files are byte-identical (size + mtime
+  snapshot) — the refresh recomputed ONLY the touched partitions, which
+  is the whole 100 TB claim of recompute-touched-partitions.
 
 Replica isolation + exact-scaling: every op's scaled output row count
 must be EXACTLY reps x its base output row count — any state collision
@@ -50,8 +59,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 SHIFT = 10**9  # replica r occupies event_id/user_id range [r*SHIFT, ...)
+LATE_OFF = 10**15  # late-wave rows get fresh ids clear of every replica range
 
-KNOWN_OPS = frozenset({"ingest", "dedup", "window"})
+KNOWN_OPS = frozenset({"ingest", "dedup", "window", "rollup"})
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -94,6 +104,25 @@ def _bookmarked_files(ckpt: str) -> list[str]:
     return paths
 
 
+def _partition_snapshot(rollup_dir: str, exclude_days: list[str]) -> dict:
+    """(relpath -> (size, mtime_ns)) for every data file under a ``day=``
+    partition dir EXCEPT the excluded days. Equality of two snapshots
+    means those partitions' files were not rewritten between them —
+    dynamic partition overwrite must leave untouched days physically
+    alone, not just value-equal."""
+    ex = {f"day={d}" for d in exclude_days}
+    snap: dict = {}
+    for root, _dirs, files in os.walk(rollup_dir):
+        part = os.path.basename(root)
+        if not part.startswith("day=") or part in ex:
+            continue
+        for f in files:
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            snap[os.path.relpath(p, rollup_dir)] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
 def _landed_files(inp: str) -> list[str]:
     """Basenames of the parquet part files staged under the input dir."""
     out: list[str] = []
@@ -127,6 +156,7 @@ def run_stress(
     reps-x output scaling and batch equivalence are ASSERTED."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
     from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        materialized_rollup,
         run_incremental_pipeline,
         stream_dedup_events,
         windowed_event_counts,
@@ -317,6 +347,91 @@ def run_stress(
             return n_back
 
         run("windowed_counts(5m, complete)", window)
+
+    if wants("rollup"):
+        day_rows = (
+            base_events.select(F.to_date("ts").alias("d"))
+            .distinct()
+            .orderBy("d")
+            .collect()
+        )
+        n_days = len(day_rows)
+        late_days = [str(day_rows[i]["d"]) for i in range(min(2, n_days))]
+
+        def rollup(feed, r, tag):
+            d = _scratch(f"rollup_{tag}")
+            inp, outp, ckpt = (os.path.join(d, s) for s in ("in", "roll", "ckpt"))
+            ev = feed.drop("rep")
+            schema = ev.schema
+            kwargs = dict(
+                schema=schema,
+                rollup_dir=outp,
+                checkpoint_dir=ckpt,
+                ts_col="ts",
+                key_col="event_type",
+                value_col="value",
+                # tight bound on purpose: wave 1 touches EVERY day, so the
+                # enforced days-per-batch cap passes exactly at the corpus
+                # day count — one more day would raise
+                max_days_per_batch=n_days,
+            )
+
+            def cents(df):
+                # double sums are accumulation-order-dependent between the
+                # stored rollup and the batch re-agg — compare cent-exact
+                return df.select(
+                    "day",
+                    "event_type",
+                    "n_events",
+                    F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+                )
+
+            def assert_equals_batch(stage):
+                back = cents(spark.read.parquet(outp))
+                base = spark.read.schema(schema).parquet(inp)
+                exp = cents(
+                    base.withColumn("day", F.to_date("ts"))
+                    .groupBy("day", "event_type")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_events"),
+                        F.sum("value").alias("sum_value"),
+                    )
+                )
+                n_back, n_exp = back.count(), exp.count()
+                n_join = back.join(
+                    exp, ["day", "event_type", "n_events", "sum_cents"]
+                ).count()
+                assert n_back == n_exp == n_join, (tag, stage, n_back, n_exp, n_join)
+                return n_back
+
+            # wave 1: every row lands; one availableNow run materializes
+            # all day partitions and must equal the batch aggregation
+            ev.write.mode("append").parquet(inp)
+            materialized_rollup(spark, inp, **kwargs)
+            assert_equals_batch("wave1")
+            untouched = _partition_snapshot(outp, exclude_days=late_days)
+            assert untouched, (tag, "no untouched day partitions to protect")
+            # wave 2 on the SAME checkpoint: late rows for ONLY the two
+            # earliest days. The refresh must fold them into exactly those
+            # partitions and leave every other partition's files alone.
+            (
+                ev.filter(F.to_date("ts").isin(late_days))
+                .withColumn("event_id", F.col("event_id") + F.lit(LATE_OFF))
+                .write.mode("append")
+                .parquet(inp)
+            )
+            materialized_rollup(spark, inp, **kwargs)
+            n = assert_equals_batch("wave2")
+            after = _partition_snapshot(outp, exclude_days=late_days)
+            assert untouched == after, (
+                tag,
+                "untouched day partitions were rewritten",
+                {k for k in untouched.keys() ^ after.keys()}
+                | {k for k in untouched if after.get(k) != untouched[k]},
+            )
+            return n
+
+        run("materialized_rollup(2-wave late data)", rollup)
 
     return results
 

@@ -79,8 +79,11 @@ def test_committed_ledger_matches_correctness_files():
     for q, rec in committed["queries"].items():
         if rec["latest_seen"] is None:
             # a registry query added this round: legitimately in no
-            # CORRECTNESS file yet (it leads the window as never-attested)
+            # CORRECTNESS file yet (it leads the window as never-attested).
+            # The inverse must hold too — a ledger claiming never-seen for
+            # a query the CORRECTNESS history DOES contain is stale/edited.
             assert rec["latest_green"] is None, q
+            assert q not in fresh, f"{q} marked never-seen but attested"
             continue
         assert q in fresh, f"{q} in ledger but in no CORRECTNESS file"
         assert rec["latest_green"] == fresh[q]["latest_green"], q

@@ -38,12 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # (swapped in for the thin distinct_agg per the round-7 verdict; registry
 # stays frozen at 186) attesting the incremental materialized rollup's
 # late-data recompute + untouched-partition survival; (2) the five
-# queries riding embedding_near_dup_pairs, whose DEFAULT path changed in
-# round 8 (corpus-sized band width via lsh_band_width + a combined
-# count/dim stats job replacing the old first() probe — resolves to the
-# same 128-plane/16-band signature for every n<=4096 corpus, so the
-# static oracles are unchanged, but the changed-operator rule outranks
-# freshness). Then pure stalest-first: the 42 r04 rows and the 2 oldest
+# queries riding embedding_near_dup_pairs, whose DEFAULT path changed
+# TWICE in round 8: corpus-sized band width (lsh_band_width + a combined
+# count/dim stats job replacing the old first() probe), then
+# recall-targeted band COUNT (bands = lsh_bands_for_recall(threshold,
+# width), 64-band cap) — the oracle SQL derives the same width from
+# count(*) and the same band count from a Python-generated width->bands
+# CASE table, so both engines track the full auto default at any scale;
+# pair sets DID change (recall up), re-verified via
+# tools/verify_queries.py. Then pure stalest-first: the 42 r04 rows and the 2 oldest
 # r05 rows. Bare ``attestation_ledger.py --check`` verifies this tuple
 # (it reads max_round and the changed set from the committed ledger).
 # ROUND-9 NOTE: lead with any new/operator-changed queries (pass them

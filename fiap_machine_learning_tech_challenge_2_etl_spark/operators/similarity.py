@@ -637,7 +637,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
-    bands: int = 16,
+    bands: int | None = None,
     n_rows: int | None = None,
     dim: int | None = None,
 ) -> DataFrame:
@@ -645,36 +645,48 @@ def embedding_near_dup_pairs(
     over ``bands`` bands of ``n_planes/bands`` sign bits), exact cosine to
     verify (vectorized pandas UDF). Output: (id_a, id_b, cos >= threshold).
 
-    **Band width is corpus-sized BY DEFAULT** (``n_planes=None``): width =
-    ``lsh_band_width(n_rows)`` and n_planes = bands * width, so expected
-    bucket occupancy stays ~n/2^width <= 16 and the candidate equi-join
-    stays linear as the corpus grows. A fixed 8-bit width (the old
-    default) is 256 buckets/band — quadratic join blowup from ~10^5 rows
-    (tools/stress_ann.py measures the auto default holding 400k+ vectors
-    linear). Passing ``n_planes`` explicitly restores fixed sizing
-    (width = n_planes // bands). When ``n_rows``/``dim`` aren't supplied
-    they come from ONE bounded stats aggregate (``_corpus_stats``); pass
-    both to build the plan with zero driver jobs (plan-pinned in
-    tests/test_plans.py).
+    **Band width AND band count are sized BY DEFAULT** (``n_planes=None``,
+    ``bands=None``): width = ``lsh_band_width(n_rows)`` holds expected
+    bucket occupancy ~n/2^width <= 16 so the candidate equi-join stays
+    linear as the corpus grows, and bands =
+    ``lsh_bands_for_recall(threshold, width)`` holds at-threshold recall
+    >= ~99% wherever the 64-band cap allows — the two levers are duals:
+    corpus growth widens bands (or the join goes quadratic — the old fixed
+    8-bit default blew up from ~10^5 rows; tools/stress_ann.py measures
+    the auto default holding 400k+ vectors linear), and wider bands lower
+    per-band agreement so the band COUNT must rise or at-threshold recall
+    silently collapses (width 15 at fixed 16 bands is ~80% at t=0.9;
+    width 23 is ~37%). A cosine-t pair flips each sign bit with
+    p = acos(t)/pi, a width-w band agrees with (1-p)^w, and ``bands``
+    bands miss with (1-(1-p)^w)^bands. Low thresholds (< ~0.8) hit the
+    64-band cap — LSH is the wrong tool there and the cap keeps the
+    candidate stage linear instead of chasing an exponential band count.
+    Band count scales candidate rows LINEARLY (one (id, band_id,
+    band_val) row per band), never quadratically.
 
-    Recall at the threshold sizes the bands: a cosine-t pair flips each
-    sign bit with p = acos(t)/pi, a width-w band agrees with (1-p)^w, and
-    ``bands`` independent bands miss with (1-(1-p)^w)^bands — e.g. 16
-    bands x 8 bits at t=0.9 => ~99.6% recall AT the threshold. Wider
-    (auto-sized) bands lower per-band agreement, so at large n keep
-    recall by raising ``bands`` via ``lsh_bands_for_recall(threshold,
-    lsh_band_width(n))`` — band count scales the candidate rows linearly,
-    never quadratically. The candidate join carries only (id, band_id,
-    band_val) — vectors join back by id for the verify stage, so the
-    banding shuffle stays slim at corpus scale. The signature is
-    integer-exact (``LSH_QUANT``), making the whole pipeline
-    oracle-replicable in SQL."""
+    Passing ``n_planes`` explicitly restores fully fixed sizing
+    (width = n_planes // bands, bands defaulting to 16); passing only
+    ``bands`` fixes the count but keeps the corpus-sized width. When
+    ``n_rows``/``dim`` aren't supplied they come from ONE bounded stats
+    aggregate (``_corpus_stats``); pass both to build the plan with zero
+    driver jobs (plan-pinned in tests/test_plans.py). The candidate join
+    carries only (id, band_id, band_val) — vectors join back by id for
+    the verify stage, so the banding shuffle stays slim at corpus scale.
+    The signature is integer-exact (``LSH_QUANT``), making the whole
+    pipeline — including the recall-targeted band count, which the
+    oracle replicates via a width->bands table generated from this same
+    function — replicable in SQL."""
     if (n_rows is None and n_planes is None) or dim is None:
         stat_n, stat_d = _corpus_stats(df, vec_col)
         n_rows = stat_n if n_rows is None else n_rows
         dim = stat_d if dim is None else dim
     if n_planes is None:
-        n_planes = bands * lsh_band_width(n_rows)
+        width = lsh_band_width(n_rows)
+        if bands is None:
+            bands = lsh_bands_for_recall(threshold, width)
+        n_planes = bands * width
+    elif bands is None:
+        bands = 16
     sigged = add_lsh_band_values(df, dim, n_planes, bands, vec_col)
     chunks = sigged.select(
         F.col(id_col),

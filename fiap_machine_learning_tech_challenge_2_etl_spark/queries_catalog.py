@@ -1177,7 +1177,7 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_near_dup_ctes(
     dim: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.4,
 ) -> str:
     """CTE chain (no leading WITH) replicating embedding_near_dup_pairs in
@@ -1193,16 +1193,35 @@ def _lsh_near_dup_ctes(
     The band WIDTH is derived from count(*) IN SQL with the same
     integer-exact rule as the operator's corpus-sized default
     (similarity.lsh_band_width: smallest w in [8,30] with 2^w * 16 >= n),
-    and n_planes = bands * width — so the oracle tracks the Spark side at
-    ANY corpus size, not just the n <= 4096 regime where both resolve to
-    the historical 8-bit x 16-band / 128-plane constants. Parity on the
-    width-9 (n > 4096) branch is pinned by
-    tests/test_llm_ops.py::test_lsh_oracle_dynamic_width_parity."""
+    and — when ``bands`` is None, mirroring the operator's default — the
+    band COUNT comes from a width->bands CASE table generated HERE by
+    calling similarity.lsh_bands_for_recall(threshold, w) for every
+    possible width: the recall formula's float math (acos/log) runs once
+    in Python and both engines consume the same integer literals, so no
+    cross-engine libm ulp difference can flip a band count. n_planes =
+    bands * width, so the oracle tracks the Spark side's auto default —
+    occupancy-bound width AND recall-targeted band count — at ANY corpus
+    size and threshold. Parity on the dynamic (n > 4096) branch is pinned
+    by tests/test_llm_ops.py::test_lsh_oracle_dynamic_width_parity."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
         LSH_QUANT,
+        lsh_bands_for_recall,
     )
 
     max_width = 30
+    if bands is None:
+        width_bands = {
+            w: lsh_bands_for_recall(threshold, w) for w in range(8, max_width + 1)
+        }
+        bands_expr = (
+            "CASE width "
+            + " ".join(f"WHEN {w} THEN {b}" for w, b in width_bands.items())
+            + " END"
+        )
+        max_planes = max(w * b for w, b in width_bands.items())
+    else:
+        bands_expr = str(bands)
+        max_planes = bands * max_width
     plane = _SQL_H60.format(x="concat('hp:', p, ':', d)")
     cos = (
         "round(list_dot_product(a.ev, b.ev)"
@@ -1210,10 +1229,12 @@ def _lsh_near_dup_ctes(
         " * sqrt(list_dot_product(b.ev, b.ev))), 6)"
     )
     return f"""params AS (
-  SELECT greatest(8, least({max_width}, coalesce(
-    (SELECT min(w) FROM range(8, {max_width + 1}) tw(w)
-      WHERE (CAST(1 AS BIGINT) << w) * 16 >= (SELECT count(*) FROM embeddings)),
-    {max_width}))) AS width
+  SELECT width, {bands_expr} AS bands FROM (
+    SELECT greatest(8, least({max_width}, coalesce(
+      (SELECT min(w) FROM range(8, {max_width + 1}) tw(w)
+        WHERE (CAST(1 AS BIGINT) << w) * 16 >= (SELECT count(*) FROM embeddings)),
+      {max_width}))) AS width
+  )
 ), q AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
     list_transform(CAST(embedding AS DOUBLE[]),
@@ -1221,8 +1242,8 @@ def _lsh_near_dup_ctes(
   FROM embeddings
 ), planes AS (
   SELECT p, list({plane} % 2000000 - 1000000 ORDER BY d) AS sv
-  FROM range({bands * max_width}) tp(p), range({dim}) td(d), params
-  WHERE p < {bands} * params.width
+  FROM range({max_planes}) tp(p), range({dim}) td(d), params
+  WHERE p < params.bands * params.width
   GROUP BY p
 ), bits AS (
   SELECT vec_id, p // pr.width AS band_id,
@@ -1246,7 +1267,7 @@ def _lsh_near_dup_ctes(
 
 def _embedding_near_dup_sql(
     dim: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     threshold: float = 0.4,
 ) -> str:
     """DuckDB replica of embedding_near_dup_pairs (see _lsh_near_dup_ctes)."""
@@ -1260,14 +1281,19 @@ SELECT id_a, id_b, cos FROM lsh_pairs
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: hyperplane-LSH banded candidates,
     exact cosine verify. The operator's DEFAULT path corpus-sizes the band
-    width (``lsh_band_width``: smallest w in [8,30] with 2^w * 16 >= n) —
-    and the oracle SQL derives the SAME width from count(*), so the two
-    engines track each other at any corpus size (width-9 parity pinned on
-    a synthetic n=8192 corpus). Full-pipeline value oracle — the SQL regenerates the same md5-derived
-    planes and integer sign bits, so even the approximate candidate stage
-    matches bit-for-bit. Threshold 0.4 here because testdata embeddings
-    are near-orthogonal (max pairwise cos ~0.5): the oracle row set is
-    non-trivial instead of vacuously empty."""
+    width (``lsh_band_width``: smallest w in [8,30] with 2^w * 16 >= n)
+    AND recall-targets the band count (``lsh_bands_for_recall(threshold,
+    width)``, 64-band cap) — the oracle SQL derives the SAME width from
+    count(*) and the SAME band count from a width->bands CASE table
+    generated by the same Python function, so the two engines track each
+    other at any corpus size (dynamic-branch parity pinned on a synthetic
+    n=8192 corpus). Full-pipeline value oracle — the SQL regenerates the
+    same md5-derived planes and integer sign bits, so even the
+    approximate candidate stage matches bit-for-bit. Threshold 0.4 here
+    because testdata embeddings are near-orthogonal (max pairwise cos
+    ~0.5): the oracle row set is non-trivial instead of vacuously empty
+    (the band count consequently sits at the 64-band cap — below LSH's
+    ~0.8 sweet spot the cap, not the miss target, bounds the cost)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.similarity import (
         embedding_near_dup_pairs,
     )

@@ -130,11 +130,14 @@ def test_lsh_bands_for_recall_rule():
 
 
 def test_embedding_near_dup_default_is_corpus_sized(spark, monkeypatch):
-    """The DEFAULT path derives n_planes = bands * lsh_band_width(n): 128
-    planes on a tiny corpus (8-bit floor — byte-identical to the old fixed
-    default, which is what keeps the static oracles valid at n<=4096), 240
-    on a 400k corpus (15-bit bands -> occupancy ~12/bucket, candidate join
-    stays linear). Explicit n_planes bypasses sizing entirely."""
+    """The DEFAULT path derives BOTH levers: width = lsh_band_width(n)
+    (occupancy bound — candidate join stays linear as the corpus grows)
+    and bands = lsh_bands_for_recall(threshold, width) (at-threshold
+    recall held as auto-widened bands lower per-band agreement — fixed
+    16 bands at width 15 would be ~80% recall at t=0.9, ~37% at width
+    23). Explicit bands fixes the count but keeps the corpus-sized
+    width; explicit n_planes bypasses sizing entirely (bands then
+    defaults to the legacy 16)."""
     seen = []
     orig = S.add_lsh_band_values
 
@@ -145,28 +148,39 @@ def test_embedding_near_dup_default_is_corpus_sized(spark, monkeypatch):
     monkeypatch.setattr(S, "add_lsh_band_values", _spy)
     rows = [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(6)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    b8 = S.lsh_bands_for_recall(0.9, 8)
     S.embedding_near_dup_pairs(df)  # auto: one stats job, floor width
-    assert seen[-1] == (4, 16 * 8, 16)
+    assert seen[-1] == (4, b8 * 8, b8)
+    b15 = S.lsh_bands_for_recall(0.9, 15)
+    assert b15 > 16  # the recall lever actually engages at scale
     S.embedding_near_dup_pairs(df, n_rows=400_000, dim=4)  # auto at scale
+    assert seen[-1] == (4, b15 * 15, b15)
+    S.embedding_near_dup_pairs(df, n_rows=400_000, dim=4, bands=16)  # fixed count
     assert seen[-1] == (4, 16 * 15, 16)
     S.embedding_near_dup_pairs(df, n_planes=32, bands=8, dim=4)  # explicit
     assert seen[-1] == (4, 32, 8)
+    S.embedding_near_dup_pairs(df, n_planes=128, dim=4)  # explicit, legacy bands
+    assert seen[-1] == (4, 128, 16)
 
 
 def test_lsh_oracle_dynamic_width_parity(spark, tmp_path):
     """The DuckDB LSH oracle derives band width from count(*) with the
-    same integer rule as the operator's corpus-sized default. The
-    attestation corpora (n <= 4096) all resolve to the 8-bit floor, so
-    this pins the DYNAMIC branch: a synthetic 8192-vector corpus forces
-    width 9 (n_planes 144) on BOTH engines, and the full verified pair
-    sets — candidate stage included — must match exactly."""
+    same integer rule as the operator's corpus-sized default, and the
+    band COUNT from the width->bands recall table generated off the same
+    Python function. The attestation corpora (n <= 4096) all resolve to
+    the 8-bit width floor, so this pins the DYNAMIC branch: a synthetic
+    8192-vector corpus forces width 9 with a recall-derived band count
+    (17 at t=0.9 — NOT the legacy 16, so the dynamic-bands path is what
+    runs) on BOTH engines, and the full verified pair sets — candidate
+    stage included — must match exactly."""
     import duckdb
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     n, dim = 8192, 64
-    assert S.lsh_band_width(n) == 9  # the branch under test
+    assert S.lsh_band_width(n) == 9  # the width branch under test
+    assert S.lsh_bands_for_recall(0.9, 9) != 16  # and the bands branch
     rng = np.random.default_rng(7)
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
     # plant 20 near-identical twins so the verified set is non-trivial
@@ -255,9 +269,10 @@ def test_embedding_near_dup_pairs_finds_planted(spark):
     assert (1, 2) in found
     assert (1, 3) not in found
     # auto path at a forced LARGE corpus size: 16-bit bands (width =
-    # lsh_band_width(1e6)), near-identical pair must still surface —
-    # wide bands trade recall at the THRESHOLD boundary, not for
-    # near-duplicates (p_agree ~ 0.986^16 per band, 16 bands)
+    # lsh_band_width(1e6)) with the band count recall-derived for t=0.95
+    # (lsh_bands_for_recall(0.95, 16) = 23) — a near-identical pair must
+    # still surface, and the auto band count holds even at-threshold
+    # pairs to ~99% recall where fixed 16 bands would have slipped
     wide = S.embedding_near_dup_pairs(df, threshold=0.95, n_rows=1_000_000, dim=4)
     found_wide = {(r["id_a"], r["id_b"]) for r in wide.collect()}
     assert (1, 2) in found_wide

@@ -30,9 +30,12 @@ thresholds were chosen):
   and the operator's UNTUNED DEFAULT (embedding_near_dup_pairs with no
   sizing args), which must derive the same log2(n) widths by itself —
   the proof that the scale lever is the default path, not an opt-in.
-  Twin recall at cosine 0.99875 with 16 width-15 bands (the 100x auto
-  size) is 1 - (1 - 0.984^15)^16 ~ 1 - 2e-11 — the exact
-  rows_scaled == reps * rows_base assert is safe for both legs.
+  The default also recall-targets its band COUNT
+  (lsh_bands_for_recall(0.98, width): 10 bands at width 15 — fewer
+  planes than the tuned leg, recall held by design). Twin recall at
+  cosine 0.99875 with 10 width-15 bands (the 100x auto size) is
+  1 - (1 - 0.984^15)^10 ~ 1 - 3e-7 over 200k pairs — the exact
+  rows_scaled == reps * rows_base assert remains safe for both legs.
 
 Asserted invariants (in-engine, same timed pass):
 - near-dup: every found pair is a planted twin pair (id_b - id_a ==

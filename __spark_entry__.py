@@ -33,7 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # window is GENERATED from the CORRECTNESS_r*.json history by
 #   python tools/attestation_ledger.py --changed \
 #     embedding_near_dup,dedup_canonical_docs,leakage_safe_split,\
-#     triangle_count_near_dup,lsh_recall_eval
+#     triangle_count_near_dup,lsh_recall_eval,pagerank_supply_graph,\
+#     bfs_reachable_hops,label_propagation_nations,shortest_path_weighted
 # Round-8 leads: (1) materialized_rollup_roundtrip — NEW registry row
 # (swapped in for the thin distinct_agg per the round-7 verdict; registry
 # stays frozen at 186) attesting the incremental materialized rollup's
@@ -46,20 +47,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # count(*) and the same band count from a Python-generated width->bands
 # CASE table, so both engines track the full auto default at any scale;
 # pair sets DID change (recall up), re-verified via
-# tools/verify_queries.py. Then pure stalest-first: the 42 r04 rows and the 2 oldest
-# r05 rows. Bare ``attestation_ledger.py --check`` verifies this tuple
-# (it reads max_round and the changed set from the committed ledger).
+# tools/verify_queries.py; (3) the four iterative-graph queries, whose
+# operators changed in the round-8 review sweep: pagerank_fixed moved to
+# relative-to-uniform rank6 (absolute micro-probabilities truncate to
+# {0,1} at N ~ 1e5+ — oracle SQL updated in lockstep, values changed),
+# bfs_hops/shortest_paths_weighted gained delta-frontier rounds + seed
+# dedup (result-identical on clean input), label_propagation collapses
+# duplicate seed rows deterministically. Then pure stalest-first: the 40
+# oldest r04 rows. Bare ``attestation_ledger.py --check`` verifies this
+# tuple (it reads max_round and the changed set from the committed
+# ledger).
 # ROUND-9 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the remaining r05 rows (distinct_rows onward in
-# registry order).
+# if nothing changes: the remaining r04 rows (value_histogram onward),
+# then the r05 rows in registry order.
 _PRIORITY = (
     "materialized_rollup_roundtrip",  # NEW (r08: materialized_rollup swap-in)
-    "triangle_count_near_dup",  # r04 (changed: embedding_near_dup_pairs auto-sizing)
-    "lsh_recall_eval",  # r04 (changed: embedding_near_dup_pairs auto-sizing)
-    "dedup_canonical_docs",  # r06 (changed: embedding_near_dup_pairs auto-sizing)
-    "leakage_safe_split",  # r06 (changed: embedding_near_dup_pairs auto-sizing)
-    "embedding_near_dup",  # r07 (changed: embedding_near_dup_pairs auto-sizing)
+    "triangle_count_near_dup",  # r04 (changed: near-dup auto width+bands)
+    "lsh_recall_eval",  # r04 (changed: near-dup auto width+bands)
+    "dedup_canonical_docs",  # r06 (changed: near-dup auto width+bands)
+    "leakage_safe_split",  # r06 (changed: near-dup auto width+bands)
+    "bfs_reachable_hops",  # r06 (changed: bfs_hops delta frontier + seed dedup)
+    "label_propagation_nations",  # r06 (changed: label_propagation seed dedup)
+    "shortest_path_weighted",  # r06 (changed: sssp delta frontier + seed dedup)
+    "embedding_near_dup",  # r07 (changed: near-dup auto width+bands)
+    "pagerank_supply_graph",  # r07 (changed: pagerank relative-scale rank6)
     "mixture_rebalance_downsample",  # r04
     "equidepth_binning",  # r04
     "token_budget_select",  # r04
@@ -100,10 +112,6 @@ _PRIORITY = (
     "runner_batch_roundtrip",  # r04
     "jsonl_quarantine_roundtrip",  # r04
     "msck_repair_discovery",  # r04
-    "stream_session_window_roundtrip",  # r04
-    "stream_tumbling_late_data_roundtrip",  # r04
-    "flagship_pipeline",  # r05
-    "select_filter_project",  # r05
 )
 
 

@@ -46,14 +46,22 @@ def _free_checkpoint(df: DataFrame) -> None:
     on frames whose plan is a (projection of a) SINGLE checkpoint; frames
     with extra leaves (e.g. anything joined with the shared edge list) are
     left alone so a shared checkpoint is never freed by accident.
+
+    Best-effort by contract: freeing early is an optimization, so any
+    environment where the py4j internals below don't exist (Spark
+    Connect sessions have no usable ``_jdf``) degrades to the async
+    ContextCleaner default instead of crashing the graph op mid-loop.
     """
-    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-    if leaves.size() != 1:
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        if leaves.size() != 1:
+            return
+        leaf = leaves.apply(0)
+        if leaf.getClass().getSimpleName() == "LogicalRDD":
+            with _unpersist_warn_silenced(df.sparkSession):
+                leaf.rdd().unpersist(False)
+    except Exception:  # pragma: no cover - non-JVM-backed sessions
         return
-    leaf = leaves.apply(0)
-    if leaf.getClass().getSimpleName() == "LogicalRDD":
-        with _unpersist_warn_silenced(df.sparkSession):
-            leaf.rdd().unpersist(False)
 
 
 @contextmanager
@@ -125,6 +133,13 @@ def _round_shuffle_width(spark, n_edges: int):
     edges/partition (tasks still run cores-at-a-time; extra partitions
     trade scheduler overhead for bounded per-task memory, exactly what a
     real cluster's larger shuffle.partitions would do). Restored on exit.
+
+    NOT concurrency-safe: ``spark.sql.shuffle.partitions`` is session-
+    global, so an unrelated query planned on the same SparkSession while
+    a graph op holds the context inherits this width. Single-pipeline
+    sessions (this repo's bench/driver/runner shape) are unaffected;
+    multi-tenant sessions should serialize graph ops or give them their
+    own session (``spark.newSession()`` shares the cluster but not conf).
     """
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     width = max(
@@ -156,8 +171,12 @@ def connected_components(
     surface as singleton components; otherwise the universe is the set of
     edge endpoints. Returns ``(vertex, component)``. Pass a ``stats``
     dict to receive ``stats["rounds"]`` — the number of label rounds
-    until convergence (a pure function of component STRUCTURE, so the
-    10x/100x stress gates pin it as scale-invariant).
+    until convergence. Rounds depend on component structure AND on where
+    the minimum id sits within each component (a min at a chain's center
+    is adopted in one hop; a min at its end must propagate/jump down the
+    chain), NOT on data volume — the stress gates pin rounds as
+    scale-invariant because disjoint replicas preserve both structure
+    and relative id placement.
     """
     # TWO-PHASE edge materialization. Phase 1 checkpoints the RAW pair
     # list: map-side only (no shuffle, so no per-task memory hazard at
@@ -310,14 +329,23 @@ def pagerank_fixed(
     iterative op here besides connected components).
 
     Semantics: edges are symmetrized (undirected), parallel edges combine
-    by weight sum, ranks start at ``1/N`` and update through
-    ``iters`` rounds of ``rank' = 0.15/N + 0.85 * sum_in(rank * w / wdeg)``.
-    Every quantity lives in integer MICRO-units with BIGINT ``div``
-    (truncating) division, so each round — and therefore the fixed-point
-    result — is bit-identical in any engine: summation order, shuffle
-    layout, and float libm never enter. A fixed iteration count instead of
-    a convergence test is what makes the op ORACLE-ABLE (and is standard
-    practice for rank features at corpus scale anyway).
+    by weight sum, and ranks are kept RELATIVE TO UNIFORM: every vertex
+    starts at 1.0 and updates through ``iters`` rounds of
+    ``rank' = 0.15 + 0.85 * sum_in(rank * w / wdeg)`` (divide ``rank6``
+    by ``N * 1e6`` for a probability). The relative scale is what makes
+    the integer arithmetic scale-safe: the update is linear, so the
+    uniform-start stationary ordering is identical to the 1/N-probability
+    formulation, but absolute micro-probabilities truncate to {0, 1}
+    micro-units once N approaches 1e6 (at N=160k a vertex's initial
+    rank6 would be 6 and most per-edge contributions floor to 0 — every
+    rank degenerates while a same-math oracle happily agrees). Relative
+    ranks keep ~1e6 resolution at ANY vertex count. Every quantity lives
+    in integer MICRO-units with BIGINT ``div`` (truncating) division, so
+    each round — and therefore the fixed-point result — is bit-identical
+    in any engine: summation order, shuffle layout, and float libm never
+    enter. A fixed iteration count instead of a convergence test is what
+    makes the op ORACLE-ABLE (and is standard practice for rank features
+    at corpus scale anyway).
 
     Plan: one shuffle to build the weighted symmetric edge list (reused
     every round via localCheckpoint — same lineage-truncation rationale as
@@ -326,7 +354,8 @@ def pagerank_fixed(
     with map-side partial sums. N is a one-off metadata count (driver
     scalar, same class as the CC convergence counter).
 
-    Returns ``(vertex, wdeg, rank6)`` — rank in micro-units (BIGINT).
+    Returns ``(vertex, wdeg, rank6)`` — relative-to-uniform rank in
+    micro-units (BIGINT; uniform == 1_000_000, mean stays ~1e6).
     """
     w = (
         F.col(weight).cast("long")
@@ -381,52 +410,67 @@ def pagerank_fixed(
             _free_checkpoint(deg)
             _free_checkpoint(universe)
             return result
-        teleport6 = (150_000 * 1_000_000) // n
-
-        ranks = universe.withColumn("rank6", F.lit(1_000_000 // n).cast("long"))
-        for _ in range(iters):
-            # with broadcast_ranks the per-round edge-side shuffle
-            # disappears entirely: the vertex-sized rank frame ships to
-            # the (checkpointed, in-place) edge partitions and each round
-            # costs ONE destination-keyed aggregate. Right whenever |V|
-            # fits a broadcast (bipartite dim graphs, near-dup clusters);
-            # leave False for web-scale vertex sets, where the shuffle
-            # join is the honest plan.
-            rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
-            contrib = edg.join(rank_side, edg["a"] == rank_side["vertex"]).select(
-                F.col("b").alias("vertex"),
-                F.expr("rank6 * w div wdeg").cast("long").alias("c6"),
-            )
-            inflow = contrib.groupBy("vertex").agg(
-                F.sum("c6").cast("long").alias("s6")
-            )
-            ranks = (
-                universe.join(inflow, "vertex", "left")
-                .select(
-                    "vertex",
-                    F.expr(
-                        f"CAST(({teleport6} + 850000 * coalesce(s6, 0)) "
-                        "div 1000000 AS BIGINT)"
-                    ).alias("rank6"),
-                )
-            )
-        # materialize the whole round chain INSIDE the width context: the
-        # rounds are lazy plans, so without this they would execute at the
-        # caller's session width whenever the result is first consumed —
-        # exactly the unbounded-task-memory hazard the context exists to
-        # prevent. One eager checkpoint of a VERTEX-sized frame (cheap;
-        # the per-round edge frames stay lazy, per the negative result on
-        # per-round checkpoints in BENCH_NOTES).
-        ranks = ranks.localCheckpoint()
-        # ranks is now self-contained: the edge-sized edg checkpoint and
-        # the vertex-sized universe are dead weight — free them so
-        # back-to-back pagerank-heavy calls don't accumulate edge-scale
-        # cached blocks until GC (deg stays live for the return join).
-        _free_checkpoint(edg)
-        _free_checkpoint(universe)
+        ranks = universe.withColumn("rank6", F.lit(1_000_000).cast("long"))
+        # the loop below is the long-running part; a mid-round failure
+        # (task OOM, interrupt) must not leak the edge-sized edg block —
+        # same finally discipline as connected_components
+        ok = False
+        try:
+            ranks = _pagerank_rounds(edg, universe, ranks, iters, broadcast_ranks)
+            ok = True
+        finally:
+            _free_checkpoint(edg)
+            _free_checkpoint(universe)
+            if not ok:
+                _free_checkpoint(deg)
     return ranks.join(
         deg.select(F.col("a").alias("vertex"), "wdeg"), "vertex"
     ).select("vertex", "wdeg", "rank6")
+
+
+def _pagerank_rounds(
+    edg: DataFrame,
+    universe: DataFrame,
+    ranks: DataFrame,
+    iters: int,
+    broadcast_ranks: bool,
+) -> DataFrame:
+    for _ in range(iters):
+        # with broadcast_ranks the per-round edge-side shuffle
+        # disappears entirely: the vertex-sized rank frame ships to
+        # the (checkpointed, in-place) edge partitions and each round
+        # costs ONE destination-keyed aggregate. Right whenever |V|
+        # fits a broadcast (bipartite dim graphs, near-dup clusters);
+        # leave False for web-scale vertex sets, where the shuffle
+        # join is the honest plan.
+        rank_side = F.broadcast(ranks) if broadcast_ranks else ranks
+        contrib = edg.join(rank_side, edg["a"] == rank_side["vertex"]).select(
+            F.col("b").alias("vertex"),
+            F.expr("rank6 * w div wdeg").cast("long").alias("c6"),
+        )
+        inflow = contrib.groupBy("vertex").agg(
+            F.sum("c6").cast("long").alias("s6")
+        )
+        ranks = (
+            universe.join(inflow, "vertex", "left")
+            .select(
+                "vertex",
+                F.expr(
+                    "CAST((150000 * CAST(1000000 AS BIGINT)"
+                    " + 850000 * coalesce(s6, 0)) "
+                    "div 1000000 AS BIGINT)"
+                ).alias("rank6"),
+            )
+        )
+    # materialize the whole round chain INSIDE the width context: the
+    # rounds are lazy plans, so without this they would execute at the
+    # caller's session width whenever the result is first consumed —
+    # exactly the unbounded-task-memory hazard the context exists to
+    # prevent. One eager checkpoint of a VERTEX-sized frame (cheap;
+    # the per-round edge frames stay lazy, per the negative result on
+    # per-round checkpoints in BENCH_NOTES). Once it materializes, the
+    # caller's finally block frees edg/universe — on success AND failure.
+    return ranks.localCheckpoint()
 
 
 def bfs_hops(
@@ -463,26 +507,50 @@ def bfs_hops(
             .localCheckpoint()
         )
         _free_checkpoint(raw)
-        reached = seeds.select(
-            F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("hop")
-        ).localCheckpoint()
-        for _ in range(iters):
-            nxt = (
-                reached.join(sym, reached["vertex"] == sym["a"])
-                .select(
+        # duplicate seed rows collapse here (all carry hop 0), so the
+        # iters=0 path honors the one-row-per-vertex contract too
+        reached = (
+            seeds.select(
+                F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("hop")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        # DELTA-FRONTIER rounds: only vertices reached LAST round expand.
+        # BFS hops never improve once set (a vertex first reached in
+        # round k has hop k — every shorter path would have reached it
+        # earlier), so already-settled vertices can only regenerate
+        # candidates the min-aggregate discards; joining the full
+        # accumulated set against edges every round would make round k
+        # cost O(|k-hop ball|) instead of O(|layer k|) — on the chain-like
+        # graphs CC's docstring describes, O(d^2) total re-expansion.
+        try:
+            frontier = reached
+            to_free = None
+            for _ in range(iters):
+                nxt = frontier.join(sym, frontier["vertex"] == sym["a"]).select(
                     F.col("b").alias("vertex"),
                     (F.col("hop") + F.lit(1)).cast("long").alias("hop"),
                 )
-            )
-            prev = reached
-            reached = (
-                reached.unionByName(nxt)
-                .groupBy("vertex")
-                .agg(F.min("hop").cast("long").alias("hop"))
-                .localCheckpoint()
-            )
-            _free_checkpoint(prev)
-    _free_checkpoint(sym)  # reached is independent; see connected_components
+                prev = reached
+                reached = (
+                    reached.unionByName(nxt)
+                    .groupBy("vertex")
+                    .agg(F.min("hop").cast("long").alias("hop"))
+                    .localCheckpoint()
+                )
+                # the new frontier = newly reached vertices; it references
+                # prev's checkpoint, so prev's free is deferred ONE round
+                # (storage holds <= 3 vertex frames instead of 2)
+                frontier = reached.join(prev, "vertex", "left_anti")
+                if to_free is not None:
+                    _free_checkpoint(to_free)
+                to_free = prev
+            if to_free is not None:
+                _free_checkpoint(to_free)
+        finally:
+            # a mid-round failure must not leak the edge-sized sym block
+            _free_checkpoint(sym)
     return reached
 
 
@@ -498,8 +566,10 @@ def label_propagation(
 ) -> DataFrame:
     """Seeded (semi-supervised) label propagation with a FIXED round
     count and DETERMINISTIC tie-breaks: seed vertices hold their label
-    fixed; every other vertex adopts the weighted-majority label of its
-    currently-labeled neighbors, ties to the smallest label. The
+    fixed (duplicate/conflicting seed rows for one vertex are collapsed
+    up front, smallest label wins); every other vertex adopts the
+    weighted-majority label of its currently-labeled neighbors, ties to
+    the smallest label. The
     community/classification dual of connected components (which
     propagates the MIN id; this propagates the ARGMAX vote) — e.g.
     propagate known document topics or entity types across a similarity
@@ -526,9 +596,19 @@ def label_propagation(
         F.col(src).alias("a"), F.col(dst).alias("b"), w.alias("w")
     ).localCheckpoint(eager=False)
     n_raw = raw.count()
-    seeds = seed_labels.select(
-        F.col(vertex_col).alias("vertex"), F.col(label_col).alias("label")
-    ).localCheckpoint()
+    # one label per seed vertex, DETERMINISTICALLY: duplicate seed rows
+    # would otherwise survive every round's `.unionByName(seeds)`,
+    # double-count their vertex's vote, and multiply the final is_seed
+    # join's output — conflicting labels resolve to the smallest (the
+    # same total-order tie-break the per-round arg-max uses)
+    seeds = (
+        seed_labels.select(
+            F.col(vertex_col).alias("vertex"), F.col(label_col).alias("label")
+        )
+        .groupBy("vertex")
+        .agg(F.min("label").alias("label"))
+        .localCheckpoint()
+    )
     labels = seeds
     win = Window.partitionBy("vertex").orderBy(F.col("votes").desc(), "label")
     with _round_shuffle_width(edges.sparkSession, 2 * n_raw):
@@ -539,28 +619,31 @@ def label_propagation(
             .localCheckpoint()
         )
         _free_checkpoint(raw)
-        for _ in range(iters):
-            votes = (
-                labels.join(sym, labels["vertex"] == sym["a"])
-                .groupBy(F.col("b").alias("dst"), "label")
-                .agg(F.sum("w").cast("long").alias("votes"))
-            )
-            winner = (
-                votes.select(F.col("dst").alias("vertex"), "label", "votes")
-                .withColumn("rnk", F.row_number().over(win))
-                .filter(F.col("rnk") == 1)
-                .select("vertex", "label")
-            )
-            # seeds override propagated labels; everyone else takes the vote
-            prev = labels
-            labels = (
-                winner.join(seeds.select("vertex"), "vertex", "left_anti")
-                .unionByName(seeds)
-                .localCheckpoint()
-            )
-            if prev is not seeds:  # round 1's "previous" IS the seed frame
-                _free_checkpoint(prev)
-    _free_checkpoint(sym)  # result joins labels+seeds only; see connected_components
+        try:
+            for _ in range(iters):
+                votes = (
+                    labels.join(sym, labels["vertex"] == sym["a"])
+                    .groupBy(F.col("b").alias("dst"), "label")
+                    .agg(F.sum("w").cast("long").alias("votes"))
+                )
+                winner = (
+                    votes.select(F.col("dst").alias("vertex"), "label", "votes")
+                    .withColumn("rnk", F.row_number().over(win))
+                    .filter(F.col("rnk") == 1)
+                    .select("vertex", "label")
+                )
+                # seeds override propagated labels; everyone else takes the vote
+                prev = labels
+                labels = (
+                    winner.join(seeds.select("vertex"), "vertex", "left_anti")
+                    .unionByName(seeds)
+                    .localCheckpoint()
+                )
+                if prev is not seeds:  # round 1's "previous" IS the seed frame
+                    _free_checkpoint(prev)
+        finally:
+            # a mid-round failure must not leak the edge-sized sym block
+            _free_checkpoint(sym)
     return labels.join(
         seeds.select("vertex").withColumn("is_seed", F.lit(True)),
         "vertex",
@@ -605,9 +688,15 @@ def shortest_paths_weighted(
         F.col(weight).cast("long").alias("w"),
     ).localCheckpoint(eager=False)
     n_raw = raw.count()
-    costs = seeds.select(
-        F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("cost")
-    ).localCheckpoint()
+    # duplicate seed rows collapse here (all carry cost 0) so iters=0
+    # honors the one-row-per-vertex contract
+    costs = (
+        seeds.select(
+            F.col(seed_col).alias("vertex"), F.lit(0).cast("long").alias("cost")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     with _round_shuffle_width(edges.sparkSession, 2 * n_raw):
         sym = (
             raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b"), "w"))
@@ -616,18 +705,50 @@ def shortest_paths_weighted(
             .localCheckpoint()
         )
         _free_checkpoint(raw)
-        for _ in range(iters):
-            relaxed = costs.join(sym, costs["vertex"] == sym["a"]).select(
-                F.col("b").alias("vertex"),
-                (F.col("cost") + F.col("w")).cast("long").alias("cost"),
-            )
-            prev = costs
-            costs = (
-                costs.unionByName(relaxed)
-                .groupBy("vertex")
-                .agg(F.min("cost").cast("long").alias("cost"))
-                .localCheckpoint()
-            )
-            _free_checkpoint(prev)
-    _free_checkpoint(sym)  # costs is independent; see connected_components
+        # DELTA-FRONTIER relaxation (bfs_hops rationale, weighted twist):
+        # only vertices whose cost CHANGED last round relax their edges —
+        # unlike BFS hops a settled cost can later improve via a cheaper
+        # longer-hop path, so the frontier is computed by comparing the
+        # new cost frame against the previous one, not by left_anti.
+        # Result-identical to full relaxation round-for-round: an
+        # unchanged vertex's candidates were all subsumed last round.
+        try:
+            frontier = costs
+            to_free = None
+            for _ in range(iters):
+                relaxed = frontier.join(sym, frontier["vertex"] == sym["a"]).select(
+                    F.col("b").alias("vertex"),
+                    (F.col("cost") + F.col("w")).cast("long").alias("cost"),
+                )
+                prev = costs
+                costs = (
+                    costs.unionByName(relaxed)
+                    .groupBy("vertex")
+                    .agg(F.min("cost").cast("long").alias("cost"))
+                    .localCheckpoint()
+                )
+                # references prev's checkpoint -> prev's free deferred one
+                # round, same as bfs_hops
+                frontier = (
+                    costs.join(
+                        prev.select(
+                            "vertex", F.col("cost").alias("__old_cost")
+                        ),
+                        "vertex",
+                        "left",
+                    )
+                    .filter(
+                        F.col("__old_cost").isNull()
+                        | (F.col("cost") < F.col("__old_cost"))
+                    )
+                    .select("vertex", "cost")
+                )
+                if to_free is not None:
+                    _free_checkpoint(to_free)
+                to_free = prev
+            if to_free is not None:
+                _free_checkpoint(to_free)
+        finally:
+            # a mid-round failure must not leak the edge-sized sym block
+            _free_checkpoint(sym)
     return costs

@@ -4499,33 +4499,30 @@ WITH raw AS (
   SELECT a, CAST(sum(w) AS BIGINT) AS wdeg FROM sym GROUP BY a
 ), univ AS (
   SELECT DISTINCT a AS vertex FROM sym
-), n AS (
-  SELECT CAST(count(*) AS BIGINT) AS nv FROM univ
 ), r0 AS (
-  SELECT vertex, CAST(1000000 // n.nv AS BIGINT) AS rank6
-  FROM univ CROSS JOIN n
+  SELECT vertex, CAST(1000000 AS BIGINT) AS rank6 FROM univ
 ), i1 AS (
-  SELECT u.vertex, CAST(((CAST(150000 AS BIGINT) * 1000000) // n.nv
+  SELECT u.vertex, CAST((CAST(150000 AS BIGINT) * 1000000
       + 850000 * coalesce(s.s6, 0)) // 1000000 AS BIGINT) AS rank6
-  FROM univ u CROSS JOIN n LEFT JOIN (
+  FROM univ u LEFT JOIN (
     SELECT sym.b AS vertex,
       CAST(sum((r.rank6 * sym.w) // d.wdeg) AS BIGINT) AS s6
     FROM sym JOIN r0 r ON sym.a = r.vertex JOIN deg d ON sym.a = d.a
     GROUP BY sym.b
   ) s ON s.vertex = u.vertex
 ), i2 AS (
-  SELECT u.vertex, CAST(((CAST(150000 AS BIGINT) * 1000000) // n.nv
+  SELECT u.vertex, CAST((CAST(150000 AS BIGINT) * 1000000
       + 850000 * coalesce(s.s6, 0)) // 1000000 AS BIGINT) AS rank6
-  FROM univ u CROSS JOIN n LEFT JOIN (
+  FROM univ u LEFT JOIN (
     SELECT sym.b AS vertex,
       CAST(sum((r.rank6 * sym.w) // d.wdeg) AS BIGINT) AS s6
     FROM sym JOIN i1 r ON sym.a = r.vertex JOIN deg d ON sym.a = d.a
     GROUP BY sym.b
   ) s ON s.vertex = u.vertex
 ), i3 AS (
-  SELECT u.vertex, CAST(((CAST(150000 AS BIGINT) * 1000000) // n.nv
+  SELECT u.vertex, CAST((CAST(150000 AS BIGINT) * 1000000
       + 850000 * coalesce(s.s6, 0)) // 1000000 AS BIGINT) AS rank6
-  FROM univ u CROSS JOIN n LEFT JOIN (
+  FROM univ u LEFT JOIN (
     SELECT sym.b AS vertex,
       CAST(sum((r.rank6 * sym.w) // d.wdeg) AS BIGINT) AS s6
     FROM sym JOIN i2 r ON sym.a = r.vertex JOIN deg d ON sym.a = d.a

@@ -118,9 +118,36 @@ def test_pagerank_star_center_dominates(spark):
     hub = out["hub"]["rank6"]
     for i in range(4):
         assert out[f"s{i}"]["rank6"] < hub
-    # rank mass stays ~1e6 (integer truncation only ever loses micro-units)
+    # ranks are relative-to-uniform micro-units: total mass stays ~n x 1e6
+    # (integer truncation only ever loses micro-units per vertex/round)
     total = sum(r["rank6"] for r in out.values())
-    assert 0.95e6 < total <= 1.0e6 + len(out)
+    n = len(out)
+    assert 0.95e6 * n < total <= 1.0e6 * n + n
+
+
+def test_pagerank_ranks_independent_of_graph_size(spark):
+    """Ranks are relative-to-uniform, NOT absolute probabilities: adding a
+    disjoint copy of the graph (doubling N) must leave every vertex's
+    rank6 EXACTLY unchanged. Under the total-mass-1e6 normalization this
+    replaces, doubling N halves every rank — and at corpus scale
+    (N ~ 1e5+) the per-vertex integer budget truncates all ranks to
+    {0, 1} micro-units, destroying the authority ordering while the
+    same-math oracle still agrees (the round-8 review finding)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import pagerank_fixed
+
+    star = [("hub", f"s{i}", 1) for i in range(4)]
+    one = spark.createDataFrame(star, ["src", "dst", "w"])
+    two = spark.createDataFrame(
+        star + [(f"x_{a}", f"x_{b}", w) for a, b, w in star], ["src", "dst", "w"]
+    )
+    r1 = {r["vertex"]: r["rank6"] for r in pagerank_fixed(one, weight="w").collect()}
+    r2 = {r["vertex"]: r["rank6"] for r in pagerank_fixed(two, weight="w").collect()}
+    assert len(r2) == 2 * len(r1)
+    for v, rank in r1.items():
+        assert r2[v] == rank, (v, rank, r2[v])
+        assert r2[f"x_{v}"] == rank
+    # and the resolution is real: uniform start is 1e6 micro-units
+    assert max(r1.values()) > 1_000_000 > min(r1.values())
 
 
 def test_pagerank_invariant_under_repartition(spark):

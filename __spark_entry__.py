@@ -34,7 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   python tools/attestation_ledger.py --changed \
 #     embedding_near_dup,dedup_canonical_docs,leakage_safe_split,\
 #     triangle_count_near_dup,lsh_recall_eval,pagerank_supply_graph,\
-#     bfs_reachable_hops,label_propagation_nations,shortest_path_weighted
+#     bfs_reachable_hops,label_propagation_nations,shortest_path_weighted,\
+#     minhash_lsh_near_dup,minhash_recall_eval,simhash_docs,\
+#     simhash_near_dup,incremental_cross_dedup,incremental_stream_roundtrip,\
+#     stream_upsert_cdc_roundtrip,stream_interval_join_roundtrip,\
+#     sink_upsert_merge_roundtrip
 # Round-8 leads: (1) materialized_rollup_roundtrip — NEW registry row
 # (swapped in for the thin distinct_agg per the round-7 verdict; registry
 # stays frozen at 186) attesting the incremental materialized rollup's
@@ -53,7 +57,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # {0,1} at N ~ 1e5+ — oracle SQL updated in lockstep, values changed),
 # bfs_hops/shortest_paths_weighted gained delta-frontier rounds + seed
 # dedup (result-identical on clean input), label_propagation collapses
-# duplicate seed rows deterministically. Then pure stalest-first: the 40
+# duplicate seed rows deterministically; (4) the five dedup-family
+# queries riding the round-8 dedup.py review batch: shared
+# signature/banding helpers (one semantics-bearing definition), loud
+# band/num_perm + pigeonhole validation, a token-axis-chunked simhash
+# vote (value-identical; bounds the Python-worker transient), and the
+# corpus-hash broadcast hint dropped from cross_dedup_status (AQE picks
+# the strategy; a forced broadcast dies at the petabyte corpus the op is
+# documented for) — all re-verified bit-identical vs the oracles;
+# (5) the four streaming/sink queries riding the round-8 incremental.py
+# review batch: run_incremental_pipeline's sink is now a
+# touched-partition MERGE with an __ingest_epoch replay filter (a bare
+# per-batch dynamic overwrite silently lost rows whenever one output
+# partition spanned two micro-batches), upsert_by_key gained a versioned
+# order_col merge (a late redelivery of an OLD version can no longer
+# regress a newer stored row; stream_upsert_by_key delegates to it),
+# stream_stream_interval_join emits flat suffixed columns (the bare
+# two-sided join was unsinkable: duplicate names), and
+# materialized_rollup gained the maxFilesPerTrigger lever its over-cap
+# error used to (impossibly) recommend. Then pure stalest-first: the 31
 # oldest r04 rows. Bare ``attestation_ledger.py --check`` verifies this
 # tuple (it reads max_round and the changed set from the committed
 # ledger).
@@ -62,16 +84,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # if nothing changes: the remaining r04 rows (value_histogram onward),
 # then the r05 rows in registry order.
 _PRIORITY = (
-    "materialized_rollup_roundtrip",  # NEW (r08: materialized_rollup swap-in)
-    "triangle_count_near_dup",  # r04 (changed: near-dup auto width+bands)
-    "lsh_recall_eval",  # r04 (changed: near-dup auto width+bands)
-    "dedup_canonical_docs",  # r06 (changed: near-dup auto width+bands)
-    "leakage_safe_split",  # r06 (changed: near-dup auto width+bands)
-    "bfs_reachable_hops",  # r06 (changed: bfs_hops delta frontier + seed dedup)
-    "label_propagation_nations",  # r06 (changed: label_propagation seed dedup)
-    "shortest_path_weighted",  # r06 (changed: sssp delta frontier + seed dedup)
-    "embedding_near_dup",  # r07 (changed: near-dup auto width+bands)
-    "pagerank_supply_graph",  # r07 (changed: pagerank relative-scale rank6)
+    "materialized_rollup_roundtrip",  # NEW (r08: materialized_rollup swap-in; sink now shared writer + mfpt lever)
+    "triangle_count_near_dup",  # changed: near-dup auto width+bands
+    "lsh_recall_eval",  # changed: near-dup auto width+bands
+    "minhash_recall_eval",  # changed: shared signature helper
+    "simhash_docs",  # changed: chunked vote (value-identical)
+    "minhash_lsh_near_dup",  # changed: shared band helpers + validation
+    "simhash_near_dup",  # changed: chunked vote + pigeonhole guard
+    "dedup_canonical_docs",  # changed: near-dup auto width+bands
+    "leakage_safe_split",  # changed: near-dup auto width+bands
+    "bfs_reachable_hops",  # changed: bfs_hops delta frontier + seed dedup
+    "label_propagation_nations",  # changed: label_propagation seed dedup
+    "shortest_path_weighted",  # changed: sssp delta frontier + seed dedup
+    "sink_upsert_merge_roundtrip",  # changed: upsert_by_key order_col path added
+    "embedding_near_dup",  # changed: near-dup auto width+bands
+    "incremental_cross_dedup",  # changed: broadcast hint dropped + shared helpers
+    "pagerank_supply_graph",  # changed: pagerank relative-scale rank6
+    "incremental_stream_roundtrip",  # changed: touched-partition merge sink (epoch-idempotent)
+    "stream_upsert_cdc_roundtrip",  # changed: versioned cross-batch merge (order_col)
+    "stream_interval_join_roundtrip",  # changed: flat suffixed output columns
     "mixture_rebalance_downsample",  # r04
     "equidepth_binning",  # r04
     "token_budget_select",  # r04
@@ -103,15 +134,6 @@ _PRIORITY = (
     "time_weighted_average",  # r04
     "join_key_skew_report",  # r04
     "funnel_time_to_convert",  # r04
-    "association_rules_lift",  # r04
-    "multimodal_audio_energy",  # r04
-    "minhash_recall_eval",  # r04
-    "cusum_drift_detection",  # r04
-    "quantile_normalize_by_lang",  # r04
-    "hll_distinct_rollup",  # r04
-    "runner_batch_roundtrip",  # r04
-    "jsonl_quarantine_roundtrip",  # r04
-    "msck_repair_discovery",  # r04
 )
 
 

@@ -14,8 +14,9 @@ Scale design
   boilerplate shingle set) is bounded by AQE skew-join plus the candidate
   distinct step.
 * SimHash — explode token hashes x 60 bit positions is avoided: the
-  per-bit majority vote is computed with 60 columnar sums in ONE groupBy
-  pass (no bit-dimension explosion).
+  per-bit majority vote runs as one Arrow-batched vectorized UDF over the
+  per-doc hash list, chunked along the token axis so the transient bit
+  matrix stays ~31 MB even for multi-million-token documents.
 * n-gram Jaccard — inverted-index join on shingle hash; common-shingle
   counts via groupBy, set sizes joined back — the classic
   document-similarity-at-scale plan (one shuffle per stage, all equi-joins).
@@ -46,6 +47,74 @@ def _minhash_params(num_perm: int) -> list[tuple[int, int]]:
         (((_GOLDEN * (i + 1)) % MINHASH_P) | 1, (_GOLDEN * _GOLDEN * (i + 7)) % MINHASH_P)
         for i in range(num_perm)
     ]
+
+
+def _band_rows(num_perm: int, bands: int) -> int:
+    """Rows per LSH band, VALIDATED. bands > num_perm would make every
+    band hash the constant hash('') — the self-join then matches every
+    doc pair (an O(n^2) blowup returning the full cross product as
+    'candidates'); a non-divisible split would silently discard the
+    trailing permutations. Both are caller bugs worth a loud error."""
+    if not 0 < bands <= num_perm:
+        raise ValueError(f"bands must be in [1, num_perm]; got bands={bands}, num_perm={num_perm}")
+    if num_perm % bands:
+        raise ValueError(
+            f"num_perm ({num_perm}) must divide evenly into bands ({bands}); "
+            f"{num_perm % bands} trailing permutations would be silently unused"
+        )
+    return num_perm // bands
+
+
+def _signature_with_shset(
+    df: DataFrame, column: str, id_col: str, shingle_n: int, num_perm: int
+) -> DataFrame:
+    """ONE corpus pass computing, per doc, the MinHash signature (mh_0..)
+    AND the distinct-shingle-hash set (collect_set riding the same
+    groupBy). The single semantics-bearing definition of the
+    signature+shset derivation — shared by the self-join near-dup
+    pipeline and the cross-corpus ingest path so the two can never
+    desynchronize from the SQL oracles that replicate it."""
+    sh = spread(df, by=id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
+    )
+    hashed = sh.select(F.col(id_col), token_hash60(F.col("shingle")).alias("h60"))
+    aggs = [
+        F.min(((F.col("h60") % MINHASH_P) * F.lit(a) + F.lit(b)) % MINHASH_P).alias(
+            f"mh_{i}"
+        )
+        for i, (a, b) in enumerate(_minhash_params(num_perm))
+    ]
+    return hashed.groupBy(id_col).agg(*aggs, F.collect_set("h60").alias("shset"))
+
+
+def _band_melt(
+    signatures: DataFrame, id_col: str, num_perm: int, bands: int
+) -> DataFrame:
+    """Melt a signature frame into (id, band_id, band_hash): the band hash
+    is ``token_hash60`` of the comma-joined band values (md5-derived, so
+    replicable in DuckDB — not Spark's murmur3), and the shuffle key
+    stays 8 bytes. Shared by the bucket self-join and the cross-corpus
+    new-vs-corpus band join."""
+    rows = _band_rows(num_perm, bands)
+    band_cols = [
+        token_hash60(
+            F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash")
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band_id", "bb.band_hash")
 
 
 def token_hash60(col: Column) -> Column:
@@ -140,24 +209,9 @@ def lsh_candidate_pairs(
     The band hash is the md5-based ``token_hash60`` of the comma-joined band
     values (not Spark's murmur3 ``hash``): deterministic and replicable in
     DuckDB SQL, so the full LSH pipeline is oracle-checkable end to end.
-    The shuffle key stays 8 bytes."""
-    rows = num_perm // bands
-    band_cols = [
-        token_hash60(
-            F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select(F.col(id_col), *band_cols)
-    melted = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band_id", "bb.band_hash")
+    The shuffle key stays 8 bytes. ``bands`` must divide ``num_perm``
+    (validated in ``_band_rows``)."""
+    melted = _band_melt(signatures, id_col, num_perm, bands)
     # both self-join sides shuffle this subtree on the same (band_id,
     # band_hash) key: AQE's ReusedExchange computes it once at runtime, so
     # no persist (a DataFrame persist with no unpersist leaks cache across
@@ -195,20 +249,7 @@ def minhash_near_dup_pairs(
     corpus, no inverted-index join — at scale the verify cost is
     O(candidates x doc-size), not O(corpus). Output: (id_a, id_b, jaccard),
     value-identical to ``ngram_jaccard_pairs`` on the same pairs."""
-    sh = spread(df, by=id_col).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
-    )
-    hashed = sh.select(F.col(id_col), token_hash60(F.col("shingle")).alias("h60"))
-    aggs = [
-        F.min(((F.col("h60") % MINHASH_P) * F.lit(a) + F.lit(b)) % MINHASH_P).alias(
-            f"mh_{i}"
-        )
-        for i, (a, b) in enumerate(_minhash_params(num_perm))
-    ]
-    per_doc = hashed.groupBy(id_col).agg(
-        *aggs, F.collect_set("h60").alias("shset")
-    )
+    per_doc = _signature_with_shset(df, column, id_col, shingle_n, num_perm)
     cands = lsh_candidate_pairs(per_doc.drop("shset"), id_col, num_perm, bands)
     sets_a = per_doc.select(F.col(id_col).alias("id_a"), F.col("shset").alias("set_a"))
     sets_b = per_doc.select(F.col(id_col).alias("id_b"), F.col("shset").alias("set_b"))
@@ -280,10 +321,16 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------------------------
 
 SIMHASH_BITS = 60  # fits a signed 64-bit long with headroom
+# token-axis chunk for the simhash majority vote: bounds the per-doc
+# transient bit matrix at chunk x 60 x 8B ~ 31 MB (see simhash._vote)
+_VOTE_CHUNK_TOKENS = 65_536
 
 
 def simhash(
-    df: DataFrame, column: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    column: str = "text",
+    id_col: str = "doc_id",
+    vote_chunk_tokens: int = _VOTE_CHUNK_TOKENS,
 ) -> DataFrame:
     """60-bit SimHash: per-token 60-bit md5 hash, per-bit majority vote over
     the document's tokens. Tokenizing and hashing stay JVM-side (so string
@@ -305,7 +352,18 @@ def simhash(
 
         def one(h):
             th = np.asarray(h, dtype=np.int64)
-            counts = ((th[:, None] >> shifts) & 1).sum(axis=0)
+            # chunk the token axis: the (tokens x 60) bit matrix is 480
+            # bytes/token transient, so an unchunked expansion of a
+            # multi-million-token document allocates GBs inside the
+            # Python worker (times rows per Arrow batch) — exactly the
+            # long-document tail a dedup corpus has. Chunking bounds the
+            # transient at ~31 MB while keeping the vote fully
+            # vectorized; the counts (and therefore the signature) are
+            # bit-identical to the unchunked vote.
+            counts = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for start in range(0, len(th), vote_chunk_tokens):
+                chunk = th[start : start + vote_chunk_tokens]
+                counts += ((chunk[:, None] >> shifts) & 1).sum(axis=0)
             return int((((counts * 2 > len(th)).astype(np.int64)) << shifts).sum())
 
         return ths.map(one)
@@ -337,6 +395,19 @@ def simhash_near_dup_pairs(
     key (language, length band) so each partition stays under the bound;
     60 bits is kept here because one md5-derived BIGINT is what the
     DuckDB value oracle replicates bit-for-bit."""
+    if max_hamming > bands - 1:
+        # the pigeonhole guarantee is hamming <= bands-1: beyond it a
+        # pair whose differing bits touch every chunk never shares a
+        # bucket, so the output would be a silently ARBITRARY subset of
+        # the <=max_hamming pairs, not all of them
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound of "
+            f"bands-1={bands - 1}; raise bands (hamming <= bands-1 pairs "
+            "are guaranteed to share a chunk — anything looser silently "
+            "drops pairs)"
+        )
+    if SIMHASH_BITS % bands:
+        raise ValueError(f"bands ({bands}) must divide {SIMHASH_BITS}")
     width = SIMHASH_BITS // bands
     sh = simhash(df, column, id_col)
     chunks = sh.select(
@@ -407,48 +478,39 @@ def cross_dedup_status(
     (single pass per side, same trick as ``minhash_near_dup_pairs``).
 
     All hashing is md5-derived, so the full decision vector — which doc
-    was dropped at which stage — is replicable in the SQL oracle."""
-    rows = num_perm // bands
+    was dropped at which stage — is replicable in the SQL oracle.
 
-    def _perdoc(df: DataFrame) -> DataFrame:
-        sh = spread(df, by=id_col).select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(column, shingle_n))).alias("shingle"),
-        )
-        hashed = sh.select(F.col(id_col), token_hash60(F.col("shingle")).alias("h60"))
-        aggs = [
-            F.min(
-                ((F.col("h60") % MINHASH_P) * F.lit(a) + F.lit(b)) % MINHASH_P
-            ).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(_minhash_params(num_perm))
-        ]
-        return hashed.groupBy(id_col).agg(*aggs, F.collect_set("h60").alias("shset"))
+    Two contract bounds callers must know:
 
-    def _banded(per_doc: DataFrame) -> DataFrame:
-        band_cols = [
-            token_hash60(
-                F.concat_ws(",", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
-            ).alias(f"band_{b}")
-            for b in range(bands)
-        ]
-        banded = per_doc.select(F.col(id_col), *band_cols)
-        return banded.select(
-            F.col(id_col),
-            F.explode(
-                F.array(*[
-                    F.struct(
-                        F.lit(b).alias("band_id"), F.col(f"band_{b}").alias("band_hash")
-                    )
-                    for b in range(bands)
-                ])
-            ).alias("bb"),
-        ).select(id_col, "bb.band_id", "bb.band_hash")
+    * **The batch is compared against the corpus ONLY, never against
+      itself** — that is the no-self-join design, so intra-batch
+      duplicates both come back 'kept'. PRECONDITION: dedup the incoming
+      batch internally first (``exact_dedup`` + ``minhash_near_dup_pairs``
+      over the batch — it is small, so the self-join the corpus cannot
+      afford is cheap there), or the merged corpus silently violates the
+      already-deduped invariant every later ingest relies on.
+    * **Banding recall at the threshold is the S-curve, not 100%**: a
+      true-Jaccard-j pair shares >=1 of ``bands`` width-``rows`` bands
+      with p = 1-(1-j^rows)^bands; the defaults (16 perms, 8 bands of 2)
+      put the 50%-recall midpoint at j ~ 0.29, so borderline pairs AT the
+      default 0.2 threshold surface only ~28% of the time (by design the
+      exact-verify stage then never false-positives). Tighter screening
+      wants more permutations — e.g. num_perm=64, bands=32 moves the
+      midpoint to j ~ 0.15, below the threshold — at linear extra
+      signature cost. The oracle replays the same banding, so the
+      recorded decision vector is exact either way."""
+    _band_rows(num_perm, bands)
 
     norm_hash = F.md5(normalize_text(column))
     nb = new_batch.select(F.col(id_col), F.col(column)).withColumn("__h", norm_hash)
     corpus_hashes = corpus.select(norm_hash.alias("__h")).distinct()
+    # NO broadcast hint: the corpus hash set is corpus-sized (the
+    # docstring's petabyte regime blows any broadcast limit); AQE
+    # broadcasts it at runtime when it actually fits, and otherwise this
+    # is a shuffled semi-join on a 16-byte key — the only plan that
+    # survives at the scale this function exists for.
     exact_ids = (
-        nb.join(F.broadcast(corpus_hashes), "__h", "left_semi")
+        nb.join(corpus_hashes, "__h", "left_semi")
         .select(F.col(id_col).alias("__ex_id"))
         .withColumn("__exact", F.lit(True))
     )
@@ -456,13 +518,15 @@ def cross_dedup_status(
     survivors = nb.join(
         exact_ids, nb[id_col] == exact_ids["__ex_id"], "left_anti"
     ).select(id_col, column)
-    new_pd = _perdoc(survivors)
-    corp_pd = _perdoc(corpus.select(F.col(id_col), F.col(column)))
+    new_pd = _signature_with_shset(survivors, column, id_col, shingle_n, num_perm)
+    corp_pd = _signature_with_shset(
+        corpus.select(F.col(id_col), F.col(column)), column, id_col, shingle_n, num_perm
+    )
 
     cand = (
-        _banded(new_pd.drop("shset")).alias("n")
+        _band_melt(new_pd.drop("shset"), id_col, num_perm, bands).alias("n")
         .join(
-            _banded(corp_pd.drop("shset")).alias("c"),
+            _band_melt(corp_pd.drop("shset"), id_col, num_perm, bands).alias("c"),
             on=[
                 F.col("n.band_id") == F.col("c.band_id"),
                 F.col("n.band_hash") == F.col("c.band_hash"),

@@ -1078,10 +1078,10 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream_stream_interval_join(
         left, right, key="user_id", max_delay="6 hours", watermark="12 hours"
     ).select(
-        F.col("l.event_id").alias("click_id"),
-        F.col("r.event_id").alias("view_id"),
-        F.col("l.user_id").alias("user_id"),
-        (F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))).alias("gap_us"),
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("view_id"),
+        F.col("user_id"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias("gap_us"),
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:

@@ -138,11 +138,22 @@ def upsert_by_key(
     keys: Sequence[str],
     partition_by: Sequence[str],
     compression: str = "snappy",
+    order_col: str | None = None,
 ) -> None:
     """Keyed MERGE/upsert into a partitioned parquet table: rows in
     ``new_rows`` replace existing rows with the same ``keys``; other rows
     in the touched partitions survive; untouched partitions are never read
     or written.
+
+    ``order_col`` upgrades blind replacement to VERSIONED merge: the
+    survivor per key is the row with the highest ``order_col`` across
+    existing AND incoming rows (ties prefer the incoming row, then break
+    deterministically on the remaining orderable columns descending).
+    Without it, a late redelivery of an OLD version replaces the newer
+    row already in the table — the result would depend on which batch a
+    file happened to land in. With it, merge results are a pure function
+    of the delivered row set, independent of batching. Unorderable
+    columns (maps) are skipped in the tiebreak.
 
     This is the row-level semantics the reference's Glue sink gestures at
     with UPDATE_IN_DATABASE (etl/etl.py:94-107, which actually only
@@ -195,19 +206,63 @@ def upsert_by_key(
                 in_touched = existing.join(
                     F.broadcast(parts), on=cond, how="left_semi"
                 )
-            survivors = in_touched.join(
-                F.broadcast(new_rows.select(*keys).distinct()),
-                on=list(keys),
-                how="left_anti",
-            )
-            out = survivors.select(*new_rows.columns).unionByName(new_rows)
+            if order_col is None:
+                survivors = in_touched.join(
+                    F.broadcast(new_rows.select(*keys).distinct()),
+                    on=list(keys),
+                    how="left_anti",
+                )
+                out = survivors.select(*new_rows.columns).unionByName(new_rows)
+            else:
+                out = _versioned_winners(
+                    in_touched.select(*new_rows.columns), new_rows, keys, order_col
+                )
         else:
-            out = new_rows
+            out = (
+                new_rows
+                if order_col is None
+                else _versioned_winners(None, new_rows, keys, order_col)
+            )
         write_partitioned_parquet(
             out, path, partition_by, mode="overwrite", compression=compression
         )
     finally:
         new_rows.unpersist()
+
+
+def _versioned_winners(
+    existing: DataFrame | None,
+    new_rows: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+) -> DataFrame:
+    """One row per key: highest ``order_col`` across existing + incoming
+    rows; ties prefer the incoming row, then break deterministically on
+    the remaining ORDERABLE columns descending (maps can't order and are
+    skipped — they're irrelevant to picking a survivor)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    merged = new_rows.withColumn("__is_new", F.lit(1))
+    if existing is not None:
+        merged = existing.withColumn("__is_new", F.lit(0)).unionByName(merged)
+    unorderable = {
+        f.name for f in new_rows.schema.fields if isinstance(f.dataType, T.MapType)
+    }
+    tiebreak = [
+        F.col(c).desc_nulls_last()
+        for c in new_rows.columns
+        if c not in set(keys) and c != order_col and c not in unorderable
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc_nulls_last(), F.col("__is_new").desc(), *tiebreak
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_new")
+    )
 
 
 def write_range_clustered(

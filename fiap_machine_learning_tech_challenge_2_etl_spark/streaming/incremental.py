@@ -44,33 +44,87 @@ def run_incremental_pipeline(
     checkpoint_dir: str,
     partition_by: Sequence[str],
     max_files_per_trigger: int | None = None,
+    max_partitions_per_batch: int = 10_000,
 ) -> None:
     """EP1 re-expressed: watch a directory of parquet files, run the batch
-    transform on each micro-batch, write with per-partition overwrite.
+    transform on each micro-batch, MERGE into the partitioned output.
 
     ``availableNow`` drains everything not yet checkpointed and stops —
     exactly-once per file, like the reference's per-file Glue runs but
     without the Lambda/StepFn control plane. ``max_files_per_trigger``
     bounds micro-batch size for backfills (10^6 landed files won't be
     one giant batch).
+
+    The sink is a TOUCHED-PARTITION MERGE, not a bare dynamic overwrite:
+    a bare per-batch overwrite silently loses data whenever one output
+    partition spans two micro-batches (batch 2 replaces the partition
+    with only its own rows — exactly what maxFilesPerTrigger backfills
+    and late-landing files produce). Each batch therefore (1) tags its
+    rows with ``__ingest_epoch`` = the micro-batch epoch, (2) reads back
+    ONLY the touched partitions (partition-pruned via the same null-safe
+    literal OR-filter idiom as ``sinks.upsert_by_key``), (3) drops prior
+    rows of the SAME epoch — that filter is what makes a replay after a
+    mid-write crash idempotent instead of doubling the batch — and
+    (4) dynamic-overwrites the touched partitions with survivors + new
+    rows. Cost is O(touched partitions + batch), never O(table);
+    ``max_partitions_per_batch`` bounds the driver-side touched-partition
+    probe the same way ``materialized_rollup`` bounds its day probe.
+    Checkpoint and output directory are a unit: wiping the checkpoint but
+    keeping the output restarts epochs at 0 and breaks the replay filter.
     """
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger <= 0:
+            raise ValueError(
+                f"max_files_per_trigger must be positive, got {max_files_per_trigger}"
+            )
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_dir)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        out = transform(batch_df)
-        (
-            out.write.mode("overwrite")
-            .option("compression", "snappy")
-            # writer-level option: per-partition overwrite must hold even on
-            # a session without the ambient partitionOverwriteMode conf
-            # (otherwise batch N statically wipes batch N-1's partitions)
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*partition_by)
-            .parquet(output_dir)
+        from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
+            _fs_path_exists,
+            write_partitioned_parquet,
         )
+
+        out = transform(batch_df).withColumn(
+            "__ingest_epoch", F.lit(int(epoch_id)).cast("long")
+        )
+        out = out.persist()  # read twice: partition probe + merge/write
+        try:
+            touched = (
+                out.select(*partition_by)
+                .distinct()
+                .limit(max_partitions_per_batch + 1)
+                .collect()
+            )
+            if not touched:
+                return
+            if len(touched) > max_partitions_per_batch:
+                raise ValueError(
+                    f"micro-batch {epoch_id} touches > {max_partitions_per_batch} "
+                    "output partitions; lower maxFilesPerTrigger or raise "
+                    "max_partitions_per_batch"
+                )
+            merged = out
+            if _fs_path_exists(spark, output_dir):
+                pfilter = F.lit(False)
+                for row in touched:
+                    clause = F.lit(True)
+                    for c in partition_by:
+                        clause = clause & F.col(c).eqNullSafe(F.lit(row[c]))
+                    pfilter = pfilter | clause
+                existing = (
+                    spark.read.schema(out.schema).parquet(output_dir).filter(pfilter)
+                )
+                keep = existing.filter(
+                    F.col("__ingest_epoch").isNull()
+                    | (F.col("__ingest_epoch") != F.lit(int(epoch_id)))
+                )
+                merged = keep.unionByName(out)
+            write_partitioned_parquet(merged, output_dir, partition_by)
+        finally:
+            out.unpersist()
 
     (
         stream.writeStream.foreachBatch(sink)
@@ -90,7 +144,7 @@ def windowed_event_counts(
     """Tumbling/sliding windowed aggregation with a watermark for late data:
     counts + value sums per (window, event_type). Works on both batch and
     streaming DataFrames (same plan; watermark is a no-op in batch)."""
-    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    w = F.window("ts", window, slide)  # slide=None == tumbling
     return (
         events.withWatermark("ts", watermark)
         .groupBy(w.alias("win"), "event_type")
@@ -175,6 +229,7 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     max_delay: str = "1 hour",
     watermark: str = "1 hour",
+    right_suffix: str = "_r",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left row matched to
     right rows with the same key whose timestamp falls in
@@ -185,12 +240,20 @@ def stream_stream_interval_join(
     range in both directions — the two requirements for Spark to age out
     buffered state instead of holding both streams forever. State per
     executor is O(key-cardinality x max_delay-worth of rows), independent
-    of total stream length."""
-    lw = left.withWatermark(left_ts, watermark).alias("l")
-    rw = right.withWatermark(right_ts, watermark).alias("r")
-    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    of total stream length.
+
+    Output columns are FLAT and unambiguous: left columns keep their
+    names, every right column gets ``right_suffix`` appended. A bare
+    two-sided join would return duplicate ``key``/``ts`` column names —
+    unwritable to any file sink (Found duplicate column(s)) and
+    unselectable without knowing internal aliases; the suffix makes the
+    result sinkable as-is."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.withColumnsRenamed({c: c + right_suffix for c in rw.columns})
+    lt, rt = F.col(left_ts), F.col(right_ts + right_suffix)
     cond = (
-        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        (F.col(key) == F.col(key + right_suffix))
         & (rt <= lt)
         & (rt >= lt - F.expr(f"INTERVAL {max_delay}"))
     )
@@ -207,6 +270,7 @@ def materialized_rollup(
     key_col: str = "event_type",
     value_col: str = "value",
     max_days_per_batch: int = 10_000,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Incrementally-maintained daily rollup (continuous-aggregate /
     hypertable-rollup pattern): as event files land, refresh ONLY the
@@ -226,8 +290,19 @@ def materialized_rollup(
     scale contract, not a comment): the distinct-days probe collects at
     most the cap + 1 rows, and a batch touching more days than the cap
     raises instead of silently growing the driver collect and the
-    ``isin`` filter — size ``maxFilesPerTrigger`` down or the cap up."""
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    ``isin`` filter. ``max_files_per_trigger`` is the matching batch-size
+    lever — without it an availableNow backfill puts EVERY landed file in
+    one batch, and a cap breach would wedge the pipeline (the checkpoint
+    never commits, each re-run rebuilds the same oversized batch); with
+    it the same backfill drains in bounded bites."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger <= 0:
+            raise ValueError(
+                f"max_files_per_trigger must be positive, got {max_files_per_trigger}"
+            )
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
 
     def refresh(batch_df: DataFrame, epoch_id: int) -> None:
         # null-ts rows can never land in a day partition (to_date -> null,
@@ -244,19 +319,18 @@ def materialized_rollup(
         if len(days) > max_days_per_batch:
             raise ValueError(
                 f"micro-batch {epoch_id} touches > {max_days_per_batch} "
-                "distinct days; lower maxFilesPerTrigger or raise "
-                "max_days_per_batch"
+                "distinct days; pass max_files_per_trigger to bound the "
+                "batch, or raise max_days_per_batch"
             )
         if not days:
             return
+        from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
+            write_partitioned_parquet,
+        )
+
         base = spark.read.schema(schema).parquet(input_dir)
         agg = touched_days_rollup(base, days, ts_col, key_col, value_col)
-        (
-            agg.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("day")
-            .parquet(rollup_dir)
-        )
+        write_partitioned_parquet(agg, rollup_dir, ["day"])
 
     (
         stream.writeStream.foreachBatch(refresh)
@@ -336,9 +410,14 @@ def stream_upsert_by_key(
     contract is effectively exactly-once per key-version at O(touched
     partitions) cost per batch.
 
-    ``dedup_order`` (a column name) breaks intra-batch key collisions by
-    keeping the row with the highest value — without it a batch carrying
-    two versions of one key would write both.
+    ``dedup_order`` (a column name) makes the merge VERSIONED across both
+    batch boundaries and intra-batch collisions: the survivor per key is
+    the highest-``dedup_order`` row over everything delivered so far
+    (``upsert_by_key(order_col=...)``) — so a late redelivery of an OLD
+    version can never regress a newer row already in the table, and the
+    final table is a pure function of the delivered row set, independent
+    of which files landed in which micro-batch. Without it, each batch
+    blindly replaces matched keys (last-batch-wins).
     """
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import upsert_by_key
 
@@ -346,30 +425,13 @@ def stream_upsert_by_key(
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = transform(batch_df) if transform is not None else batch_df
-        if dedup_order is not None:
-            from pyspark.sql.window import Window
-
-            # tiebreak must use columns that can actually differ between two
-            # versions of one key — the key columns are constant inside the
-            # window partition, so ordering by them alone would keep an
-            # arbitrary row when dedup_order values collide. Order by every
-            # non-key column (descending, nulls last via desc_nulls_last) so
-            # the survivor is a deterministic function of the row contents.
-            tiebreak = [
-                F.col(c).desc_nulls_last()
-                for c in out.columns
-                if c not in set(keys) and c != dedup_order
-            ]
-            w = Window.partitionBy(*keys).orderBy(
-                F.col(dedup_order).desc(), *tiebreak
-            )
-            out = (
-                out.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
         upsert_by_key(
-            spark, out, output_path, keys=keys, partition_by=partition_by
+            spark,
+            out,
+            output_path,
+            keys=keys,
+            partition_by=partition_by,
+            order_col=dedup_order,
         )
 
     (
@@ -397,6 +459,4 @@ def stream_enrich_with_dim(
     re-broadcast) on every batch — giving slowly-changing-dimension pickup
     without restarting the stream. The broadcast hint keeps the stream
     side shuffle-free: state-free, watermark-free, append-mode safe."""
-    from pyspark.sql import functions as F
-
     return stream.join(F.broadcast(dim), on=on, how=how)

@@ -323,10 +323,11 @@ def test_stream_stream_interval_join(spark, tmp_path):
         spark.readStream.schema(schema).parquet(views_dir),
         max_delay="1 hour",
     )
+    # flat suffixed output: sinkable as-is, no internal alias knowledge
     q = (
         joined.select(
-            F.col("l.event_id").alias("click_id"),
-            F.col("r.event_id").alias("view_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_id_r").alias("view_id"),
         )
         .writeStream.format("memory")
         .queryName("ssj_sink")
@@ -534,6 +535,83 @@ def test_stream_upsert_by_key_cdc_merge(spark, tmp_path):
     )
     got = {(r["id"], r["name"], r["ver"]) for r in spark.read.parquet(out).collect()}
     assert got == {(1, "a3", 3), (2, "b", 1), (3, "c", 1), (4, "d", 1)}
+
+    # LATE redelivery of an OLD version in a third drain: the versioned
+    # merge must NOT regress key 1 back to ver 1 — the final table is a
+    # function of the delivered row set, not of batch boundaries
+    spark.createDataFrame([(1, "stale", 1, "2024-01-01")], schema).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream_upsert_by_key(
+        spark, src, T._parse_datatype_string(schema), out, ck,
+        keys=["id"], partition_by=["day"], dedup_order="ver",
+    )
+    got = {(r["id"], r["name"], r["ver"]) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a3", 3), (2, "b", 1), (3, "c", 1), (4, "d", 1)}
+
+
+def test_upsert_by_key_versioned_merge_and_map_tiebreak(spark, tmp_path):
+    """upsert_by_key(order_col=...) keeps the max-version row across
+    calls (no late-old-version regression) and must not crash when the
+    schema carries an unorderable map column (skipped in the tiebreak)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "tbl")
+    rows = lambda *rs: spark.createDataFrame(  # noqa: E731
+        list(rs), "id long, ver long, attrs map<string,string>, day string"
+    )
+    upsert_by_key(
+        spark, rows((1, 2, {"v": "new"}, "d1")), path,
+        keys=["id"], partition_by=["day"], order_col="ver",
+    )
+    # old version arrives later: must lose to the stored ver=2
+    upsert_by_key(
+        spark, rows((1, 1, {"v": "old"}, "d1"), (2, 1, {"v": "b"}, "d1")), path,
+        keys=["id"], partition_by=["day"], order_col="ver",
+    )
+    got = {(r["id"], r["ver"], dict(r["attrs"])["v"])
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 2, "new"), (2, 1, "b")}
+
+
+def test_incremental_pipeline_partition_spanning_batches(spark, tmp_path):
+    """THE round-8 data-loss regression pin: two landed files carrying the
+    same output partition, drained as two micro-batches
+    (maxFilesPerTrigger=1) — the touched-partition merge must keep BOTH
+    files' rows, where a bare per-batch dynamic overwrite kept only the
+    second batch's. Also covers late files for an already-written
+    partition across separate drains."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        run_incremental_pipeline,
+    )
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    schema = "id long, day string"
+    mk = lambda *rs: spark.createDataFrame(list(rs), schema)  # noqa: E731
+    mk((1, "2024-01-01")).coalesce(1).write.mode("append").parquet(src)
+    mk((2, "2024-01-01"), (3, "2024-01-02")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    run_incremental_pipeline(
+        spark, src, T._parse_datatype_string(schema), lambda df: df, out, ck,
+        partition_by=["day"], max_files_per_trigger=1,
+    )
+    back = spark.read.parquet(out)
+    assert {r["id"] for r in back.collect()} == {1, 2, 3}
+    assert back.filter(F.col("day") == "2024-01-01").count() == 2
+    # a LATE file for day 1 in a separate drain merges, not replaces
+    mk((4, "2024-01-01")).coalesce(1).write.mode("append").parquet(src)
+    run_incremental_pipeline(
+        spark, src, T._parse_datatype_string(schema), lambda df: df, out, ck,
+        partition_by=["day"], max_files_per_trigger=1,
+    )
+    back = spark.read.parquet(out)
+    assert {r["id"] for r in back.collect()} == {1, 2, 3, 4}
+    assert back.filter(F.col("day") == "2024-01-01").count() == 3
 
 
 def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):

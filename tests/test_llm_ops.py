@@ -81,6 +81,36 @@ def test_simhash_deterministic_across_partitionings(spark, near_dup_docs):
     assert a == b
 
 
+def test_simhash_vote_chunking_is_value_identical(spark, near_dup_docs):
+    """The majority vote chunks the token axis to bound the per-doc bit
+    matrix (480 B/token transient would OOM the Python worker on
+    multi-million-token docs); a tiny chunk size forcing many chunks per
+    doc must produce bit-identical signatures to the default."""
+    a = {r["doc_id"]: r["simhash"] for r in D.simhash(near_dup_docs).collect()}
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash(near_dup_docs, vote_chunk_tokens=3).collect()
+    }
+    assert a == b
+
+
+def test_lsh_banding_parameter_guards(spark, near_dup_docs):
+    """bands > num_perm would make every band hash the constant hash('')
+    (the self-join then returns the full cross product as candidates);
+    non-divisible bands would silently discard trailing permutations;
+    max_hamming past the pigeonhole bound silently drops pairs. All
+    three must fail loudly at plan-build time."""
+    sigs = D.minhash_signatures(near_dup_docs, num_perm=8)
+    with pytest.raises(ValueError, match="bands must be in"):
+        D.lsh_candidate_pairs(sigs, num_perm=8, bands=16)
+    with pytest.raises(ValueError, match="divide evenly"):
+        D.lsh_candidate_pairs(sigs, num_perm=8, bands=3)
+    with pytest.raises(ValueError, match="bands must be in"):
+        D.cross_dedup_status(near_dup_docs, near_dup_docs, num_perm=8, bands=16)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_dup_pairs(near_dup_docs, max_hamming=4, bands=4)
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------

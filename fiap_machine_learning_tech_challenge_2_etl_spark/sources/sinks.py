@@ -147,13 +147,29 @@ def upsert_by_key(
 
     ``order_col`` upgrades blind replacement to VERSIONED merge: the
     survivor per key is the row with the highest ``order_col`` across
-    existing AND incoming rows (ties prefer the incoming row, then break
-    deterministically on the remaining orderable columns descending).
-    Without it, a late redelivery of an OLD version replaces the newer
-    row already in the table — the result would depend on which batch a
-    file happened to land in. With it, merge results are a pure function
-    of the delivered row set, independent of batching. Unorderable
-    columns (maps) are skipped in the tiebreak.
+    existing AND incoming rows (ties break deterministically on the
+    remaining orderable columns descending — so for a given delivered
+    row set the surviving PAYLOAD is batching-independent too — with
+    incoming-wins only as the final fallback between rows
+    indistinguishable on every orderable column). Without it, a late redelivery of an OLD version replaces the
+    newer row already in the table — the result would depend on which
+    batch a file happened to land in. Existing rows whose key is absent
+    from the batch skip the version window entirely (broadcast anti-join
+    split), so the window shuffles only the CONTESTED slice, not every
+    row of every touched partition. Rows with a NULL key are never
+    merged — they pass through on both sides, matching the blind mode's
+    null-never-matches anti-join semantics. Unorderable columns (maps,
+    or structs/arrays containing them) are skipped in the tiebreak.
+
+    PRECONDITION (both modes, enforced by scale, documented here): the
+    partition columns must be STABLE across versions of one key (key ->
+    partition is functionally dependent, e.g. partition derives from an
+    immutable attribute). Only partitions touched by the incoming batch
+    are ever read, so a version that moves a key to a new partition
+    cannot see — and therefore cannot retire — the copy in the old
+    partition. Reading the whole table to chase moved keys would be
+    O(table) per batch, which is exactly what this sink exists to avoid;
+    use a compaction pass for genuinely partition-mobile keys.
 
     This is the row-level semantics the reference's Glue sink gestures at
     with UPDATE_IN_DATABASE (etl/etl.py:94-107, which actually only
@@ -214,8 +230,15 @@ def upsert_by_key(
                 )
                 out = survivors.select(*new_rows.columns).unionByName(new_rows)
             else:
-                out = _versioned_winners(
-                    in_touched.select(*new_rows.columns), new_rows, keys, order_col
+                # only CONTESTED existing rows (key present in the batch)
+                # enter the version window; the rest of the touched
+                # partitions survive with zero shuffle, same as blind mode
+                new_keys = F.broadcast(new_rows.select(*keys).distinct())
+                aligned = in_touched.select(*new_rows.columns)
+                contested = aligned.join(new_keys, on=list(keys), how="left_semi")
+                uncontested = aligned.join(new_keys, on=list(keys), how="left_anti")
+                out = uncontested.unionByName(
+                    _versioned_winners(contested, new_rows, keys, order_col)
                 )
         else:
             out = (
@@ -230,6 +253,21 @@ def upsert_by_key(
         new_rows.unpersist()
 
 
+def _is_orderable(dt) -> bool:
+    """Whether Spark can sort on a column of this type (RowOrdering
+    semantics): maps are unorderable, and so is any struct/array that
+    CONTAINS a map at any depth."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def _versioned_winners(
     existing: DataFrame | None,
     new_rows: DataFrame,
@@ -237,18 +275,33 @@ def _versioned_winners(
     order_col: str,
 ) -> DataFrame:
     """One row per key: highest ``order_col`` across existing + incoming
-    rows; ties prefer the incoming row, then break deterministically on
-    the remaining ORDERABLE columns descending (maps can't order and are
-    skipped — they're irrelevant to picking a survivor)."""
+    rows; ties break deterministically on the remaining ORDERABLE columns
+    descending (maps — and structs/arrays containing them — can't order
+    and are skipped), with incoming-wins only as the last resort between
+    bit-identical rows, so equal-version outcomes don't depend on which
+    batch delivered which row. NULL-key rows bypass the window on both
+    sides (a window would collapse all of them to one survivor; the
+    blind mode's anti-join never matches nulls, and this path must
+    agree)."""
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
+    reserved = {"__is_new", "__rn"} & set(new_rows.columns)
+    if reserved:
+        raise ValueError(
+            f"column names {sorted(reserved)} are reserved by "
+            "upsert_by_key's versioned merge; rename them"
+        )
     merged = new_rows.withColumn("__is_new", F.lit(1))
     if existing is not None:
         merged = existing.withColumn("__is_new", F.lit(0)).unionByName(merged)
+    null_key = F.lit(False)
+    for k in keys:
+        null_key = null_key | F.col(k).isNull()
+    passthrough = merged.filter(null_key).drop("__is_new")
+    keyed = merged.filter(~null_key)
     unorderable = {
-        f.name for f in new_rows.schema.fields if isinstance(f.dataType, T.MapType)
+        f.name for f in new_rows.schema.fields if not _is_orderable(f.dataType)
     }
     tiebreak = [
         F.col(c).desc_nulls_last()
@@ -256,13 +309,14 @@ def _versioned_winners(
         if c not in set(keys) and c != order_col and c not in unorderable
     ]
     w = Window.partitionBy(*keys).orderBy(
-        F.col(order_col).desc_nulls_last(), F.col("__is_new").desc(), *tiebreak
+        F.col(order_col).desc_nulls_last(), *tiebreak, F.col("__is_new").desc()
     )
-    return (
-        merged.withColumn("__rn", F.row_number().over(w))
+    winners = (
+        keyed.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__is_new")
     )
+    return winners.unionByName(passthrough)
 
 
 def write_range_clustered(

@@ -574,6 +574,33 @@ def test_upsert_by_key_versioned_merge_and_map_tiebreak(spark, tmp_path):
     assert got == {(1, 2, "new"), (2, 1, "b")}
 
 
+def test_upsert_by_key_versioned_null_keys_and_nested_maps(spark, tmp_path):
+    """NULL-key rows bypass the version window (the blind mode's anti-join
+    never matches nulls; a window would collapse all of them to one
+    survivor), and a struct-nested map column is excluded from the
+    tiebreak instead of crashing the plan."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import upsert_by_key
+
+    path = str(tmp_path / "tbl")
+    schema = "id long, ver long, payload struct<tags: map<string,string>>, day string"
+    rows = lambda *rs: spark.createDataFrame(list(rs), schema)  # noqa: E731
+    upsert_by_key(
+        spark,
+        rows((None, 1, {"tags": {"a": "1"}}, "d1"), (None, 2, {"tags": {"a": "2"}}, "d1")),
+        path, keys=["id"], partition_by=["day"], order_col="ver",
+    )
+    # both distinct null-key rows survive the first write
+    assert spark.read.parquet(path).count() == 2
+    upsert_by_key(
+        spark, rows((None, 3, {"tags": {}}, "d1"), (5, 1, {"tags": {}}, "d1")),
+        path, keys=["id"], partition_by=["day"], order_col="ver",
+    )
+    back = spark.read.parquet(path)
+    # all three null-key rows coexist (never merged); keyed row upserted
+    assert back.filter(F.col("id").isNull()).count() == 3
+    assert back.filter(F.col("id") == 5).count() == 1
+
+
 def test_incremental_pipeline_partition_spanning_batches(spark, tmp_path):
     """THE round-8 data-loss regression pin: two landed files carrying the
     same output partition, drained as two micro-batches

@@ -120,6 +120,7 @@ def test_streaming_ops_replica_invariants_10x(spark):
         "stream_dedup(x2 delivery)",
         "windowed_counts(5m, complete)",
         "materialized_rollup(2-wave late data)",
+        "versioned_upsert(batching-independence)",
     }
     for r in rows:
         assert r["rows_scaled"] == 10 * r["rows_base"], r

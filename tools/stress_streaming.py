@@ -33,6 +33,16 @@ operators is exactly what is ASSERTED here:
   untouched day partition's files are byte-identical (size + mtime
   snapshot) — the refresh recomputed ONLY the touched partitions, which
   is the whole 100 TB claim of recompute-touched-partitions.
+- ``upsert`` — versioned keyed merge (``upsert_by_key`` with
+  ``order_col``, the CDC sink's engine): the SAME delivered row set
+  (3 versions of every key) lands through TWO different batch splits —
+  in-order full batches vs an adversarial split with partial-key batches
+  (exercising the contested/uncontested slice split) and a LATE
+  redelivery of an old version after newer versions are stored. Asserted:
+  the two final tables are value-identical row-for-row AND equal the
+  batch highest-version-per-key computation — merge results are a pure
+  function of the delivered row set, independent of batching, which is
+  the operator's whole exactly-once-under-redelivery contract.
 
 Replica isolation + exact-scaling: every op's scaled output row count
 must be EXACTLY reps x its base output row count — any state collision
@@ -41,7 +51,7 @@ or cross-replica leakage breaks the equality.
 ``run_stress`` is importable (tests/test_stress_slow.py wraps it as a
 ``pytest -m slow`` gate at 10x).
 
-Usage: python tools/stress_streaming.py [--ops ingest,dedup,window] [base_sf_dir] [reps]
+Usage: python tools/stress_streaming.py [--ops ingest,dedup,window,rollup,upsert] [base_sf_dir] [reps]
 Prints a markdown table; paste into BENCH_NOTES.md.
 """
 
@@ -61,7 +71,7 @@ from pyspark.sql import functions as F
 SHIFT = 10**9  # replica r occupies event_id/user_id range [r*SHIFT, ...)
 LATE_OFF = 10**15  # late-wave rows get fresh ids clear of every replica range
 
-KNOWN_OPS = frozenset({"ingest", "dedup", "window", "rollup"})
+KNOWN_OPS = frozenset({"ingest", "dedup", "window", "rollup", "upsert"})
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -432,6 +442,72 @@ def run_stress(
             return n
 
         run("materialized_rollup(2-wave late data)", rollup)
+
+    if wants("upsert"):
+        from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import upsert_by_key
+
+        def upsert(feed, r, tag):
+            d = _scratch(f"upsert_{tag}")
+            tbl_a, tbl_b = os.path.join(d, "a"), os.path.join(d, "b")
+            # day derives from the key's immutable ts => stable across
+            # versions (the sink's documented precondition); the "d"
+            # prefix keeps partition-value type inference at string
+            keyed = feed.drop("rep").withColumn(
+                "day", F.concat(F.lit("d"), F.date_format("ts", "yyyyMMdd"))
+            )
+
+            def ver(v, pred=None):
+                src = keyed if pred is None else keyed.filter(pred)
+                return src.withColumn("ver", F.lit(v).cast("long")).withColumn(
+                    "value", F.col("value") + F.lit(float(v))
+                )
+
+            even = F.col("event_id") % 2 == 0
+            # split A: in-order full batches. split B: adversarial —
+            # b2 carries only the even keys (odd keys' stored rows ride
+            # the uncontested anti-join slice of their touched
+            # partitions), b3 redelivers OLD ver2 for even keys (must
+            # not regress the stored ver3) alongside ver2+ver3 for odd
+            # keys in ONE batch (in-batch version pick). Both splits
+            # deliver exactly {ver1, ver2, ver3} x every key.
+            split_a = [ver(1), ver(2), ver(3)]
+            split_b = [ver(1), ver(3, even), ver(2).unionByName(ver(3, ~even))]
+            for path, batches in ((tbl_a, split_a), (tbl_b, split_b)):
+                for b in batches:
+                    upsert_by_key(
+                        spark,
+                        b,
+                        path,
+                        keys=["event_id"],
+                        partition_by=["day"],
+                        order_col="ver",
+                    )
+
+            def cents(df):
+                return df.select(
+                    "event_id",
+                    "ver",
+                    "user_id",
+                    "event_type",
+                    "day",
+                    F.round(F.col("value") * 100).cast("long").alias("cents"),
+                )
+
+            got_a = cents(spark.read.parquet(tbl_a))
+            got_b = cents(spark.read.parquet(tbl_b))
+            expect = cents(ver(3))
+            cols = got_a.columns
+            n_a, n_b, n_exp = got_a.count(), got_b.count(), expect.count()
+            n_ab = got_a.join(got_b, cols).count()
+            n_ae = got_a.join(expect, cols).count()
+            # batching-independence: split A == split B == batch
+            # highest-version-per-key, full row width, cent-exact
+            assert n_a == n_b == n_exp == n_ab == n_ae, (
+                tag, n_a, n_b, n_exp, n_ab, n_ae,
+            )
+            return n_a
+
+        run("versioned_upsert(batching-independence)", upsert)
 
     return results
 

@@ -154,7 +154,7 @@ def upsert_by_key(
     indistinguishable on every orderable column). Without it, a late redelivery of an OLD version replaces the
     newer row already in the table — the result would depend on which
     batch a file happened to land in. Existing rows whose key is absent
-    from the batch skip the version window entirely (broadcast anti-join
+    from the batch skip the version window entirely (semi/anti-join
     split), so the window shuffles only the CONTESTED slice, not every
     row of every touched partition. Rows with a NULL key are never
     merged — they pass through on both sides, matching the blind mode's
@@ -178,8 +178,10 @@ def upsert_by_key(
     batch (partition-pruned scan), existing rows matching an incoming key
     are anti-joined out, and dynamic partition overwrite rewrites only
     those partitions. Cost at 100 TB is O(touched partitions + batch),
-    never O(table). The anti-join broadcasts the incoming batch's keys
-    when small — the common incremental case.
+    never O(table). The key joins carry no broadcast hint: AQE
+    broadcasts the batch's distinct keys when small (the common
+    incremental case) and degrades a giant backfill batch to a shuffle
+    join instead of a forced-broadcast driver OOM.
 
     Touched-partition pruning has two regimes: up to
     ``_MAX_LITERAL_PARTITION_FILTER`` touched partitions the filter is an
@@ -222,9 +224,13 @@ def upsert_by_key(
                 in_touched = existing.join(
                     F.broadcast(parts), on=cond, how="left_semi"
                 )
+            # no broadcast HINT on the batch's distinct keys: AQE
+            # broadcasts them when they're small (the common micro-batch
+            # case); a giant backfill batch degrades to a shuffle join
+            # instead of a forced-broadcast driver OOM
             if order_col is None:
                 survivors = in_touched.join(
-                    F.broadcast(new_rows.select(*keys).distinct()),
+                    new_rows.select(*keys).distinct(),
                     on=list(keys),
                     how="left_anti",
                 )
@@ -232,8 +238,8 @@ def upsert_by_key(
             else:
                 # only CONTESTED existing rows (key present in the batch)
                 # enter the version window; the rest of the touched
-                # partitions survive with zero shuffle, same as blind mode
-                new_keys = F.broadcast(new_rows.select(*keys).distinct())
+                # partitions survive the merge untouched, same as blind mode
+                new_keys = new_rows.select(*keys).distinct()
                 aligned = in_touched.select(*new_rows.columns)
                 contested = aligned.join(new_keys, on=list(keys), how="left_semi")
                 uncontested = aligned.join(new_keys, on=list(keys), how="left_anti")

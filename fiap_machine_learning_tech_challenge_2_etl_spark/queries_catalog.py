@@ -6168,9 +6168,10 @@ def q_recsys_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # validate against real part keys (sparse key spaces leave holes
-    # under hash mod max+1); dims broadcast
+    # under hash mod max+1); part keys are SF-proportional, so no
+    # broadcast HINT — AQE broadcasts when the dim is actually small
     cand = cand.join(
-        F.broadcast(p.select(F.col("p_partkey").alias("cand_part"))),
+        p.select(F.col("p_partkey").alias("cand_part")),
         "cand_part",
     )
     bought = (
@@ -6909,8 +6910,9 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase (first qualifying event after the prior stage), with exact
     median/p90 of the stage transition time — the metric behind 'where
     does the funnel stall'. Three user-keyed conditional min-aggregates
-    chained by broadcast join-backs (each stage's frame is |users|
-    rows), integer-second deltas, exact interpolated percentiles."""
+    chained by hint-free join-backs (each stage's frame is |users| rows
+    — user-proportional, so AQE picks the strategy), integer-second
+    deltas, exact interpolated percentiles."""
     e = _t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     ev = e.select("user_id", "event_type", us.alias("us"))
@@ -6919,16 +6921,18 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("us").alias("v_us"))
     )
+    # the stage frames are |users| rows — user-proportional, so no
+    # broadcast HINT on the join-backs (AQE broadcasts when small)
     fc = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(fv), "user_id")
+        .join(fv, "user_id")
         .filter(F.col("us") >= F.col("v_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("c_us"))
     )
     fp = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(fc), "user_id")
+        .join(fc, "user_id")
         .filter(F.col("us") >= F.col("c_us"))
         .groupBy("user_id")
         .agg(F.min("us").alias("p_us"))
@@ -7012,9 +7016,11 @@ def q_association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = n1.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
     nb = n1.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    # per-part counts are part-proportional — no broadcast HINT (AQE
+    # broadcasts when small); only the 1-row total keeps its hint
     return (
-        pairs.join(F.broadcast(na), "part_a")
-        .join(F.broadcast(nb), "part_b")
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
         .join(F.broadcast(tot))
         .select(
             "part_a",

@@ -200,8 +200,8 @@ def clip_outliers_iqr(
 
     Scale posture: fences come from ONE aggregate over the fact
     (exact percentile needs a per-group sort internally but emits one row
-    per group) and return via a broadcast join — the clip itself is a
-    map-side expression. For groups too hot for an exact per-group sort at
+    per group) and return via a join-back that AQE broadcasts when the
+    group count is small — the clip itself is a map-side expression. For groups too hot for an exact per-group sort at
     extreme scale, swap ``percentile`` for ``percentile_approx`` — same
     plan, bounded-memory sketch."""
     out = output or column
@@ -215,8 +215,10 @@ def clip_outliers_iqr(
         .withColumn("__hi", F.col("__q3") + k * (F.col("__q3") - F.col("__q1")))
         .drop("__q1", "__q3")
     )
+    # keyed fences are |groups|-proportional — no broadcast HINT (AQE
+    # broadcasts small group counts); the global case is 1 row, hint safe
     joined = (
-        df.join(F.broadcast(fences), gcols, "left")
+        df.join(fences, gcols, "left")
         if gcols
         else df.join(F.broadcast(fences))
     )

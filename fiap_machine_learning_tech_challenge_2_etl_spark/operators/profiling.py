@@ -83,6 +83,7 @@ def constraint_report(
     ranges: dict[str, tuple[float, float]] | None = None,
     references: dict[str, DataFrame] | None = None,
     min_rows: int | None = None,
+    broadcast_refs: bool = True,
 ) -> DataFrame:
     """Deequ-style data-quality gate: evaluate declarative constraints in
     ONE aggregate pass and return a tall report
@@ -99,8 +100,11 @@ def constraint_report(
     Scale posture: every scalar metric is an aggregate expression in the
     SAME ``df.agg`` — the fact scan is paid once no matter how many checks
     run (map-side partial aggregation, one 1-row result). Referential
-    checks add one left-anti broadcast join per dimension (dimension side
-    is exactly the small side by construction). No driver-side row data;
+    checks add one left-anti broadcast join per dimension — the common
+    case is a curated small dim, so the fact side never shuffles; pass
+    ``broadcast_refs=False`` when a reference is itself SF-proportional
+    (e.g. customer as an FK target) and AQE will pick the strategy
+    instead of forcing an executor-sized copy. No driver-side row data;
     the report itself is O(#checks) rows.
     """
     completeness = completeness or {}
@@ -128,9 +132,10 @@ def constraint_report(
     one = df.agg(*aggs)
     for c, dim in references.items():
         dcol = dim.columns[0]
+        ref = F.broadcast(dim) if broadcast_refs else dim
         orphans = (
             df.select(F.col(c)).filter(F.col(c).isNotNull())
-            .join(F.broadcast(dim), F.col(c) == F.col(dcol), "left_anti")
+            .join(ref, F.col(c) == F.col(dcol), "left_anti")
             .agg(F.count(F.lit(1)).alias(f"__orph_{c}"))
         )
         one = one.join(F.broadcast(orphans))  # 1-row x 1-row

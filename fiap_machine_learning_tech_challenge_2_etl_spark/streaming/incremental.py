@@ -448,6 +448,7 @@ def stream_enrich_with_dim(
     dim: DataFrame,
     on: list,
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-STATIC dimension enrichment: broadcast-join each micro-batch
     of a stream against a batch dimension table — the lookup/enrichment
@@ -457,6 +458,9 @@ def stream_enrich_with_dim(
     The static side is re-planned per micro-batch, so a dimension that is
     itself refreshed by a slowly-updating batch job is re-read (and
     re-broadcast) on every batch — giving slowly-changing-dimension pickup
-    without restarting the stream. The broadcast hint keeps the stream
-    side shuffle-free: state-free, watermark-free, append-mode safe."""
-    return stream.join(F.broadcast(dim), on=on, how=how)
+    without restarting the stream. The default broadcast hint keeps the
+    stream side shuffle-free (state-free, watermark-free, append-mode
+    safe); pass ``broadcast=False`` for a dimension too large to ship to
+    every executor — the join degrades to a per-batch shuffle instead of
+    an executor OOM."""
+    return stream.join(F.broadcast(dim) if broadcast else dim, on=on, how=how)

@@ -683,6 +683,47 @@ def test_stream_static_enrich_matches_batch_join(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stream_enrich_broadcast_lever(spark, sf_dir):
+    """broadcast=False drops the hard hint so an SF-proportional dim can't
+    force an executor-sized copy — with auto-broadcast off, the hinted
+    plan broadcasts and the unhinted one degrades to a shuffle join."""
+    from pyspark.sql import functions as F
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_enrich_with_dim,
+    )
+
+    t = load_testdata(spark, sf_dir, ["events", "customer"])
+    e = t["events"].select("event_id", "user_id")
+    cust = t["customer"].select("c_custkey", "c_mktsegment")
+    on = [F.col("user_id") == F.col("c_custkey")]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = stream_enrich_with_dim(e, cust, on=on)._jdf.queryExecution().executedPlan().toString()
+        plain = stream_enrich_with_dim(e, cust, on=on, broadcast=False)._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" in hinted, hinted
+    assert "BroadcastHashJoin" not in plain, plain
+
+
+def test_upsert_by_key_versioned_reserved_columns_raise(spark, tmp_path):
+    """The versioned merge's internal marker columns are guarded: an input
+    that already carries __is_new/__rn fails loudly instead of silently
+    colliding with the window bookkeeping."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import upsert_by_key
+
+    df = spark.createDataFrame([(1, 1, 0, "d1")], "id long, ver long, __is_new int, day string")
+    with pytest.raises(ValueError, match="reserved"):
+        upsert_by_key(
+            spark, df, str(tmp_path / "t"), keys=["id"],
+            partition_by=["day"], order_col="ver",
+        )
+
+
 def _protobuf_available() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401

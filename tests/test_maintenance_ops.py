@@ -126,6 +126,23 @@ def test_constraint_report_checks(spark):
     assert rep[("referential_integrity", "fk")] == (1.0, False)  # 'z' orphan
 
 
+def test_constraint_report_unhinted_refs_same_result(spark):
+    """broadcast_refs=False (the SF-proportional-reference lever) must not
+    change any verdict — AQE picks the join strategy, semantics hold."""
+    fact = spark.createDataFrame(
+        [(1, "x"), (2, "z"), (3, None)], "id int, fk string"
+    )
+    dim = spark.createDataFrame([("x",), ("y",)], "d string")
+    kw = dict(references={"fk": dim}, unique=["id"])
+    hinted = sorted(map(tuple, constraint_report(fact, **kw).collect()))
+    plain = sorted(
+        map(tuple, constraint_report(fact, broadcast_refs=False, **kw).collect())
+    )
+    assert hinted == plain
+    orph = {r[0]: r for r in plain}["referential_integrity"]
+    assert (orph[1], orph[2], orph[3]) == ("fk", 1.0, False)  # 'z' orphan
+
+
 def test_constraint_report_all_pass(spark):
     fact = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id int, v double")
     rep = constraint_report(

@@ -90,8 +90,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # max_round and the changed set from the committed ledger).
 # ROUND-9 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the remaining r04 rows (value_histogram onward),
-# then the r05 rows in registry order.
+# if nothing changes: the remaining r04 rows (time_weighted_average,
+# join_key_skew_report, value_histogram onward), then the r05 rows in
+# registry order.
 _PRIORITY = (
     "materialized_rollup_roundtrip",  # NEW (r08 swap-in; sink now shared writer + mfpt lever)
     "triangle_count_near_dup",  # changed: near-dup auto width+bands

@@ -19,6 +19,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    # optional args for standalone re-measures (the repo's min-of-N noise
+    # rule): `python bench.py q1,q2 [--runs 3]` times only the named
+    # queries at min-of-runs and does NOT overwrite BENCH_LOCAL.json.
+    # Bare `python bench.py` (the driver's invocation) is unchanged.
+    argv = list(sys.argv[1:])
+    runs = 2
+    if "--runs" in argv:
+        i = argv.index("--runs")
+        runs = int(argv[i + 1])
+        del argv[i : i + 2]
+    only = set(argv[0].split(",")) if argv else None
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -27,6 +39,11 @@ def main() -> None:
 
     spark = get_session("bench")
     qs = ent.queries()
+    if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            raise SystemExit(f"bench: unknown queries {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in only}
 
     # warm the JVM + parquet footers once so per-query numbers measure work
     ent.entry(spark).write.mode("overwrite").format("noop").save()
@@ -36,14 +53,14 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
 
-    # min of 2 runs per query: the first run can pay one-off whole-stage
-    # codegen compilation (janino) and GC jitter; the min reflects engine
-    # throughput rather than JIT noise.
+    # min of `runs` (default 2) per query: the first run can pay one-off
+    # whole-stage codegen compilation (janino) and GC jitter; the min
+    # reflects engine throughput rather than JIT noise.
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         best = None
         try:
-            for _ in range(2):
+            for _ in range(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 dt = time.time() - t0
@@ -65,13 +82,17 @@ def main() -> None:
     print(payload)
     # also write a machine-readable copy next to the repo root so each
     # round has a diffable per-query baseline even if the driver records
-    # only an stdout tail
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-    try:
-        with open(out, "w") as fh:
-            fh.write(payload + "\n")
-    except OSError as exc:
-        print(f"bench: could not write {out}: {exc}", file=sys.stderr)
+    # only an stdout tail (full runs only — a filtered re-measure must
+    # never clobber the committed full-registry baseline)
+    if only is None:
+        out = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        try:
+            with open(out, "w") as fh:
+                fh.write(payload + "\n")
+        except OSError as exc:
+            print(f"bench: could not write {out}: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -366,3 +366,79 @@ def test_theta_sketch_algebra_exact_below_capacity(spark, xs, ys):
     assert row["u"] == len(a | b)
     assert row["i"] == len(a & b)
     assert row["d"] == len(a - b)
+
+
+# ---------------------------------------------------------------- round 8
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 4)),   # key (None = unmergeable)
+            st.one_of(st.none(), st.integers(0, 3)),   # ver (None ranks last)
+            st.integers(0, 2),                         # payload
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    cuts=st.lists(st.integers(0, 2), min_size=10, max_size=10),
+)
+def test_upsert_versioned_random_batching_independence(spark, rows, cuts):
+    """The versioned merge's core contract on RANDOM row sets and RANDOM
+    batch splits: the final table is a pure function of the delivered row
+    set — one batch or any 3-way split produce identical tables, equal to
+    a pure-Python argmax oracle (highest ver nulls-last, then the
+    deterministic orderable-column tiebreak; NULL-key rows all pass
+    through unmerged). Complements the fixed adversarial split in
+    tools/stress_streaming.py's upsert leg."""
+    import shutil
+    import tempfile
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import upsert_by_key
+
+    schema = "id long, ver long, payload long, day string"
+    # day derives from the key: the sink's partition-stability precondition
+    full = [(k, v, p, f"d{(k or 0) % 2}") for (k, v, p) in rows]
+    batches: list[list] = [[], [], []]
+    for r, c in zip(full, cuts):
+        batches[c].append(r)
+
+    def sortkey(t):
+        return tuple((x is None, 0 if x is None else x) for x in t[:3]) + (t[3],)
+
+    base = tempfile.mkdtemp(prefix="upsert_prop_")
+    try:
+        one, split = f"{base}/one", f"{base}/split"
+        kw = dict(keys=["id"], partition_by=["day"], order_col="ver")
+        upsert_by_key(spark, spark.createDataFrame(full, schema), one, **kw)
+        for b in batches:
+            if b:
+                upsert_by_key(spark, spark.createDataFrame(b, schema), split, **kw)
+        cols = ["id", "ver", "payload", "day"]
+        got_one = sorted(
+            (tuple(r) for r in spark.read.parquet(one).select(*cols).collect()),
+            key=sortkey,
+        )
+        got_split = sorted(
+            (tuple(r) for r in spark.read.parquet(split).select(*cols).collect()),
+            key=sortkey,
+        )
+        assert got_one == got_split
+
+        nullk = [t for t in full if t[0] is None]  # multiset, never merged
+        keyed: dict = {}
+        for t in full:
+            if t[0] is not None:
+                keyed.setdefault(t[0], set()).add(t)
+
+        def rank(t):
+            _, v, p, d = t
+            return (v is not None, 0 if v is None else v, p, d)
+
+        expect = sorted(
+            [max(s, key=rank) for s in keyed.values()] + nullk, key=sortkey
+        )
+        assert got_one == expect
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

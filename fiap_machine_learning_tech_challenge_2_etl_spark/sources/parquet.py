@@ -33,17 +33,43 @@ def read_parquet_dir(
 ) -> DataFrame:
     """S1 — recursive directory scan over (possibly Hive-partitioned) parquet.
 
-    Mirrors reference etl/transform.py:20-28 (connection_options recurse=True).
-    """
+    Mirrors reference etl/transform.py:20-28 (connection_options recurse=True,
+    which reads nested NON-Hive layouts like ``.../2024/01/*.parquet`` too).
+    Spark needs opposite settings for the two layouts — partition discovery
+    recurses ``key=value`` dirs but silently skips plain nested dirs (an
+    explicit schema turns that into a 0-row read, schemaless into an
+    inference error), while ``recursiveFileLookup=true`` reads plain nested
+    dirs but DISABLES partition inference — so ``recursive=True`` probes ONE
+    shallow directory listing and picks the right mode. The probe is a
+    single FileSystem RPC on the root, scheme-agnostic (s3a/hdfs/file)."""
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    if recursive:
-        reader = reader.option("recursiveFileLookup", "false")
-        # Hive-partitioned dirs are recursed by default with partition
-        # discovery; recursiveFileLookup=true would DISABLE partition
-        # inference, so keep it off for partitioned layouts.
+    if recursive and _has_plain_subdirs_only(spark, path):
+        reader = reader.option("recursiveFileLookup", "true")
     return reader.parquet(path)
+
+
+def _has_plain_subdirs_only(spark, path: str) -> bool:
+    """One shallow listing of ``path``: True when it has subdirectories and
+    NONE are Hive-style (``name=value``) — the layout that needs
+    ``recursiveFileLookup``. Hidden entries (``_temporary``, ``.``-prefixed)
+    are ignored, matching Spark's own file-listing rules. Any probe failure
+    returns False (default reader behavior, which at worst errors loudly on
+    an unreadable root rather than changing semantics)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        subdirs = [
+            s.getPath().getName()
+            for s in fs.listStatus(jpath)
+            if s.isDirectory()
+        ]
+    except Exception:  # noqa: BLE001 — unreadable/remote root
+        return False
+    subdirs = [n for n in subdirs if not n.startswith(("_", "."))]
+    return bool(subdirs) and not any("=" in n for n in subdirs)
 
 
 def read_parquet_files(

@@ -255,3 +255,31 @@ def test_runner_cli_batch_and_incremental(spark, sf_dir, tmp_path, monkeypatch):
     # event_date must come from REAL 2024-range timestamps, not a
     # unit-confused 1970 read
     assert inc.select(F.min("event_date")).first()[0].year >= 2000
+
+
+def test_read_parquet_dir_handles_all_three_layouts(spark, tmp_path):
+    """S1 recursive scan parity with the reference's recurse=True: a
+    nested NON-Hive layout (.../2024/01/*.parquet) must be read in full —
+    Spark's default partition discovery silently skips plain nested dirs
+    (0 rows under an explicit schema), so the reader probes one shallow
+    listing and switches to recursiveFileLookup. Hive layouts must KEEP
+    partition-column inference, and flat layouts are unaffected."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import read_parquet_dir
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+
+    plain = str(tmp_path / "plain")
+    df.filter("id < 5").write.parquet(os.path.join(plain, "2024", "01"))
+    df.filter("id >= 5").write.parquet(os.path.join(plain, "2024", "02"))
+    assert read_parquet_dir(spark, plain).count() == 10
+    assert read_parquet_dir(spark, plain, schema=df.schema).count() == 10
+
+    hive = str(tmp_path / "hive")
+    df.selectExpr("id", "v", "id % 2 AS p").write.partitionBy("p").parquet(hive)
+    back = read_parquet_dir(spark, hive)
+    assert sorted(back.columns) == ["id", "p", "v"]  # partition col inferred
+    assert back.count() == 10 and back.filter("p = 1").count() == 5
+
+    flat = str(tmp_path / "flat")
+    df.write.parquet(flat)
+    assert read_parquet_dir(spark, flat).count() == 10

@@ -37,7 +37,7 @@ def _qv(value: str) -> str:
 def ensure_database(spark: SparkSession, database: str, location: str | None = None) -> None:
     """G1 — idempotent database creation (reference etl/extract.py:67-74
     swallows AlreadyExistsException; IF NOT EXISTS is the DDL equivalent)."""
-    loc = f" LOCATION '{location}'" if location else ""
+    loc = f" LOCATION {_qv(location)}" if location else ""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_q(database)}{loc}")
 
 
@@ -57,7 +57,15 @@ def ensure_external_table(
     Partition columns must come from ``schema`` and are moved to the
     PARTITIONED BY clause (directory-encoded, not stored in files) —
     matching the reference's split of `columns` vs `partition keys`.
+    PARTITIONED BY follows the ``partition_by`` ORDER (it sets the
+    directory nesting — day/hour and hour/day are different layouts), not
+    the schema's field order, and a partition key missing from ``schema``
+    raises instead of silently creating a table unpartitioned on it.
     """
+    fields = {f.name: f for f in schema.fields}
+    missing = [k for k in partition_by if k not in fields]
+    if missing:
+        raise ValueError(f"partition columns {missing} not in schema")
     part_set = set(partition_by)
     data_cols = ", ".join(
         f"{_q(f.name)} {f.dataType.simpleString()}"
@@ -65,14 +73,12 @@ def ensure_external_table(
         if f.name not in part_set
     )
     part_cols = ", ".join(
-        f"{_q(f.name)} {f.dataType.simpleString()}"
-        for f in schema.fields
-        if f.name in part_set
+        f"{_q(k)} {fields[k].dataType.simpleString()}" for k in partition_by
     )
     partitioned = f" PARTITIONED BY ({part_cols})" if part_cols else ""
     spark.sql(
         f"CREATE EXTERNAL TABLE IF NOT EXISTS {_q(database)}.{_q(table)} "
-        f"({data_cols}) USING {fmt}{partitioned} LOCATION '{location}'"
+        f"({data_cols}) USING {fmt}{partitioned} LOCATION {_qv(location)}"
     )
 
 

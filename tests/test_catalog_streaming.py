@@ -45,6 +45,41 @@ def test_ensure_idempotent(spark, ext_table):
     G.ensure_external_table(spark, db, tbl, SCHEMA, ["date"], loc)
 
 
+def test_ensure_external_table_partition_order_and_missing_key(spark, tmp_path):
+    """PARTITIONED BY must follow the partition_by ORDER (it sets the
+    directory nesting), not the schema's field order, and a partition key
+    absent from the schema must raise instead of silently creating a
+    table unpartitioned on it."""
+    import pyspark.sql.types as T
+
+    # schema lists month BEFORE year; partition_by wants year/month nesting
+    schema = T.StructType(
+        [
+            T.StructField("v", T.DoubleType()),
+            T.StructField("month", T.StringType()),
+            T.StructField("year", T.StringType()),
+        ]
+    )
+    G.ensure_database(spark, "testdb_order")
+    try:
+        G.ensure_external_table(
+            spark, "testdb_order", "t_ord", schema,
+            partition_by=["year", "month"], location=str(tmp_path / "t"),
+        )
+        desc = spark.sql("DESCRIBE testdb_order.t_ord").collect()
+        names = [r["col_name"] for r in desc]
+        pstart = names.index("# Partition Information")
+        assert names[pstart + 2 : pstart + 4] == ["year", "month"], names
+        with pytest.raises(ValueError, match="not in schema"):
+            G.ensure_external_table(
+                spark, "testdb_order", "t_bad", schema,
+                partition_by=["day"], location=str(tmp_path / "t2"),
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS testdb_order.t_ord")
+        spark.sql("DROP DATABASE IF EXISTS testdb_order CASCADE")
+
+
 def test_repair_and_list_partitions(spark, ext_table):
     db, tbl, _ = ext_table
     assert G.list_partitions(spark, db, tbl) == []  # nothing registered yet

@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     simhash_near_dup,incremental_cross_dedup,incremental_stream_roundtrip,\
 #     stream_upsert_cdc_roundtrip,stream_interval_join_roundtrip,\
 #     sink_upsert_merge_roundtrip,outlier_clip_iqr,association_rules_lift,\
-#     funnel_time_to_convert,recsys_negative_sampling
+#     funnel_time_to_convert,recsys_negative_sampling,asof_join_events,\
+#     point_in_time_state_join
 # Round-8 leads: (1) materialized_rollup_roundtrip — NEW registry row
 # (swapped in for the thin distinct_agg per the round-7 verdict; registry
 # stays frozen at 186) attesting the incremental materialized rollup's
@@ -84,15 +85,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # keyed fences, association_rules_lift's per-part counts,
 # funnel_time_to_convert's |users|-row stage frames,
 # recsys_negative_sampling's part-key validation join — AQE still
-# broadcasts them when small; values re-verified identical). Then pure
-# stalest-first: the 27 oldest r04 rows. Bare
-# ``attestation_ledger.py --check`` verifies this tuple (it reads
+# broadcasts them when small; values re-verified identical), plus the
+# two queries riding asof_join, whose carry semantics were FIXED (the
+# matched right row now travels as one struct — per-column
+# last(ignorenulls) back-filled a legitimately-NULL value column from an
+# OLDER right row, stitching two right rows into one output; NULL keys
+# now never match). Then pure stalest-first: the 25 oldest r04 rows.
+# Bare ``attestation_ledger.py --check`` verifies this tuple (it reads
 # max_round and the changed set from the committed ledger).
 # ROUND-9 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the remaining r04 rows (time_weighted_average,
-# join_key_skew_report, value_histogram onward), then the r05 rows in
-# registry order.
+# if nothing changes: the remaining r04 rows (benford_first_digit,
+# sessionize_gap_islands, time_weighted_average, join_key_skew_report,
+# value_histogram onward), then the r05 rows in registry order.
 _PRIORITY = (
     "materialized_rollup_roundtrip",  # NEW (r08 swap-in; sink now shared writer + mfpt lever)
     "triangle_count_near_dup",  # changed: near-dup auto width+bands
@@ -103,6 +108,7 @@ _PRIORITY = (
     "minhash_recall_eval",  # changed: shared signature helper
     "simhash_docs",  # changed: chunked vote (value-identical)
     "minhash_lsh_near_dup",  # changed: shared band helpers + validation
+    "asof_join_events",  # changed: asof struct carry (franken-row fix) — also r04-stale
     "simhash_near_dup",  # changed: chunked vote + pigeonhole guard
     "dedup_canonical_docs",  # changed: near-dup auto width+bands
     "leakage_safe_split",  # changed: near-dup auto width+bands
@@ -114,6 +120,7 @@ _PRIORITY = (
     "incremental_cross_dedup",  # changed: broadcast hint dropped + shared helpers
     "outlier_clip_iqr",  # changed: keyed fences join unhinted (AQE)
     "pagerank_supply_graph",  # changed: pagerank relative-scale rank6
+    "point_in_time_state_join",  # changed: asof struct carry (franken-row fix)
     "incremental_stream_roundtrip",  # changed: touched-partition merge sink (epoch-idempotent)
     "stream_upsert_cdc_roundtrip",  # changed: versioned cross-batch merge (order_col)
     "stream_interval_join_roundtrip",  # changed: flat suffixed output columns
@@ -142,8 +149,6 @@ _PRIORITY = (
     "mode_per_group",  # r04
     "lateral_join_topk",  # r04
     "sql_pipe_syntax_entry",  # r04
-    "benford_first_digit",  # r04
-    "sessionize_gap_islands",  # r04
 )
 
 

@@ -68,23 +68,36 @@ def asof_join(
     no pair materialization; skewed keys are bounded by AQE skew handling.
     Right rows must be unique per (key, ts) for determinism — pre-dedupe.
 
+    The matched right row is carried as ONE struct, not per-column: a
+    value column that is legitimately NULL in the as-of row must come
+    through as NULL, not get back-filled from an older right row
+    (per-column ``last(ignorenulls)`` would stitch columns from DIFFERENT
+    right rows into one output row). NULL join keys never match (SQL
+    semantics): right NULL-key rows are dropped, left NULL-key/NULL-ts
+    rows come through with NULL values.
+
     Output: all left columns + ``right_value_cols`` (null = no match).
     """
+    if not right_value_cols:
+        return left
+    from pyspark.sql import types as T
+
+    r_struct_type = T.StructType(
+        [right.schema[c] for c in right_value_cols]
+    )
     l_tag = left.select(
         F.col(on).alias("__k"),
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_value_cols],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
-    r_tag = right.select(
+    r_tag = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.lit(None).cast(
-            l_tag.schema["__l"].dataType
-        ).alias("__l"),
-        *[F.col(c) for c in right_value_cols],
+        F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
@@ -94,10 +107,11 @@ def asof_join(
     carried = l_tag.unionByName(r_tag).select(
         "__is_left",
         "__l",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_value_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     return carried.filter(F.col("__is_left") == 1).select(
-        "__l.*", *right_value_cols
+        "__l.*",
+        *[F.col(f"__r.{c}").alias(c) for c in right_value_cols],
     )
 
 

@@ -5124,7 +5124,8 @@ def q_point_in_time_state_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature lookup ("no information from after feature time"). The state
     timeline is the SCD2 run starts (deduped to one run per (user, ts));
     the lookup itself is the union-sort AS-OF join (operators.joins.
-    asof_join): ONE exchange on user_id, one sort, last-non-null carry —
+    asof_join): ONE exchange on user_id, one sort, last-non-null STRUCT
+    carry (the matched state row travels as a unit) —
     never a per-key range join, so no pair blowup on chatty users. The
     oracle replays it as a lateral-style argmax join (fine at oracle
     scale, quadratic per key at real scale — the asof plan is the point)."""

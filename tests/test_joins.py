@@ -42,6 +42,29 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert out == out2
 
 
+def test_asof_join_carries_the_matched_row_as_a_unit(spark):
+    """A value column that is NULL in the as-of right row must come through
+    as NULL — per-column forward-fill would stitch columns from DIFFERENT
+    right rows into one output row (the r08 franken-row fix). NULL join
+    keys never match (SQL semantics), on either side."""
+    left = spark.createDataFrame(
+        [(1, 3), (2, 5), (None, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, 5, 7), (1, 2, 9, None), (None, 1, 1, 1)],
+        "k long, ts long, a long, b long",
+    )
+    got = {
+        r["k"]: (r["a"], r["b"])
+        for r in J.asof_join(
+            left, right, on="k", ts_col="ts", right_value_cols=["a", "b"]
+        ).collect()
+    }
+    assert got[1] == (9, None)  # the ts=2 row AS A UNIT, b not back-filled
+    assert got[2] == (None, None)  # key with no right rows
+    assert got[None] == (None, None)  # null key never matches
+
+
 def test_salted_agg_matches_plain_groupby(spark, sf_dir):
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
 

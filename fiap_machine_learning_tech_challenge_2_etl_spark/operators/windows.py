@@ -66,10 +66,18 @@ def rolling_stats(
     col = F.col(value)
 
     def exact_median_expr():
+        # collect_list drops NULLs, so an all-NULL frame is EMPTY: the lo
+        # index computes to 0, which element_at rejects even in ANSI's try_
+        # variant — clamp to 1 and let try_element_at return NULL past the
+        # end, so the median is NULL exactly where percentile_approx's is.
         arr = F.array_sort(F.collect_list(col).over(w))
         sz = F.size(arr)
-        lo = F.element_at(arr, ((sz + 1) / 2).cast("int"))
-        hi = F.element_at(arr, (sz / 2 + 1).cast("int"))
+        lo = F.try_element_at(
+            arr, F.greatest(F.lit(1), ((sz + 1) / 2).cast("int"))
+        )
+        hi = F.try_element_at(
+            arr, F.greatest(F.lit(1), (sz / 2 + 1).cast("int"))
+        )
         return (lo + hi) / 2.0
 
     exprs = {

@@ -216,3 +216,21 @@ def test_seasonal_trend_floor_div_matches_python_floor_for_negatives(spark):
     ).collect()
     for r in out:
         assert r["trend_micro"] == (r["_sw"] * 1_000_000) // r["n_win"], r
+
+
+def test_rolling_exact_median_null_frames(spark):
+    """collect_list drops NULLs, so an all-NULL leading frame is EMPTY —
+    the exact median must be NULL there (like percentile_approx), not an
+    INVALID_INDEX_OF_ZERO crash under ANSI mode (the r08 fix), and later
+    frames must skip the NULLs."""
+    df = spark.createDataFrame(
+        [("k", 1, None), ("k", 2, 5.0), ("k", 3, 3.0), ("k", 4, None)],
+        "k string, i long, v double",
+    )
+    got = sorted(
+        (r["i"], r["median_v_7"])
+        for r in W.rolling_stats(
+            df, "v", ["k"], ["i"], n=7, stats=("median",)
+        ).collect()
+    )
+    assert got == [(1, None), (2, 5.0), (3, 4.0), (4, 4.0)]

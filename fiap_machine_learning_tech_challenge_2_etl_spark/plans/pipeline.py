@@ -190,12 +190,13 @@ def run_batch_pipeline(
     sf_dir: str,
     out_path: str,
     mode: str = "overwrite",
+    window_days: int = 7,
 ) -> None:
     """EP2 flattened: transform + partitioned load in one session
     (replaces the reference's three-cluster Step Function,
     infra/glue.tf:99-156). Extract/load catalog registration lives in
     sources.catalog."""
-    refined = flagship_events_pipeline(spark, sf_dir)
+    refined = flagship_events_pipeline(spark, sf_dir, window_days=window_days)
     write_partitioned_parquet(
         refined, out_path, partition_by=["event_date"], mode=mode
     )

@@ -50,7 +50,13 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         if args.cmd == "batch":
             from fiap_machine_learning_tech_challenge_2_etl_spark.plans.pipeline import run_batch_pipeline
 
-            run_batch_pipeline(spark, args.sf_dir, args.out, mode=args.mode)
+            run_batch_pipeline(
+                spark,
+                args.sf_dir,
+                args.out,
+                mode=args.mode,
+                window_days=args.window_days,
+            )
         elif args.cmd == "incremental":
             from fiap_machine_learning_tech_challenge_2_etl_spark.schemas import EVENTS
             from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (

@@ -236,6 +236,18 @@ def test_runner_cli_batch_and_incremental(spark, sf_dir, tmp_path, monkeypatch):
     assert back.count() > 0
     assert "event_date" in back.columns
 
+    # --window-days must actually reach the pipeline (it was parsed but
+    # dropped before r08): a 1-row window makes the rolling mean equal the
+    # value itself on every row
+    out1 = str(tmp_path / "refined_w1")
+    runner.main(["batch", "--sf-dir", sf_dir, "--out", out1, "--window-days", "1"])
+    w1 = spark.read.parquet(out1)
+    assert (
+        w1.filter(F.abs(F.col("mean_value_7d") - F.round("value", 6)) > 1e-6).count()
+        == 0
+    )
+    assert w1.count() == back.count()
+
     src = str(tmp_path / "in")
     os.makedirs(src)
     shutil.copy(

@@ -40,7 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stream_upsert_cdc_roundtrip,stream_interval_join_roundtrip,\
 #     sink_upsert_merge_roundtrip,outlier_clip_iqr,association_rules_lift,\
 #     funnel_time_to_convert,recsys_negative_sampling,asof_join_events,\
-#     point_in_time_state_join,rolling_stats
+#     point_in_time_state_join,rolling_stats,value_histogram
 # Round-8 leads: (1) materialized_rollup_roundtrip — NEW registry row
 # (swapped in for the thin distinct_agg per the round-7 verdict; registry
 # stays frozen at 186) attesting the incremental materialized rollup's
@@ -92,16 +92,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # OLDER right row, stitching two right rows into one output; NULL keys
 # now never match), and rolling_stats, whose exact median now survives an
 # all-NULL frame (empty collect_list -> element_at index 0 threw under
-# ANSI; try_element_at + clamp returns NULL like percentile_approx).
-# Then pure stalest-first: the 24 oldest r04 rows. Bare
+# ANSI; try_element_at + clamp returns NULL like percentile_approx), and
+# value_histogram, whose width-0 (constant column) case threw
+# DIVIDE_BY_ZERO under ANSI (try_divide + coalesce-to-bucket-0; coalesce
+# BEFORE least, which skips NULLs and would pick the last bucket).
+# Then pure stalest-first: the 23 oldest r04 rows. Bare
 # ``attestation_ledger.py --check`` verifies this tuple (it reads
 # max_round and the changed set from the committed ledger).
 # ROUND-9 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the remaining r04 rows (sql_pipe_syntax_entry,
-# benford_first_digit, sessionize_gap_islands, time_weighted_average,
-# join_key_skew_report, value_histogram onward), then the r05 rows in
-# registry order.
+# if nothing changes: the remaining r04 rows (lateral_join_topk,
+# sql_pipe_syntax_entry, benford_first_digit, sessionize_gap_islands,
+# time_weighted_average, join_key_skew_report onward), then the r05 rows
+# in registry order.
 _PRIORITY = (
     "materialized_rollup_roundtrip",  # NEW (r08 swap-in; sink now shared writer + mfpt lever)
     "triangle_count_near_dup",  # changed: near-dup auto width+bands
@@ -115,6 +118,7 @@ _PRIORITY = (
     "minhash_lsh_near_dup",  # changed: shared band helpers + validation
     "asof_join_events",  # changed: asof struct carry (franken-row fix) — also r04-stale
     "simhash_near_dup",  # changed: chunked vote + pigeonhole guard
+    "value_histogram",  # changed: width-0 DIVIDE_BY_ZERO fix (try_divide) — also r04-stale
     "dedup_canonical_docs",  # changed: near-dup auto width+bands
     "leakage_safe_split",  # changed: near-dup auto width+bands
     "bfs_reachable_hops",  # changed: bfs_hops delta frontier + seed dedup
@@ -152,7 +156,6 @@ _PRIORITY = (
     "winsorized_stats",  # r04
     "string_agg_family",  # r04
     "mode_per_group",  # r04
-    "lateral_join_topk",  # r04
 )
 
 

@@ -57,8 +57,16 @@ def numeric_histogram(df: DataFrame, column: str, nbins: int = 20) -> DataFrame:
         F.max(F.col(column).cast("double")).alias("__hi"),
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+    # constant column => width 0: try_divide yields NULL (ANSI's plain /
+    # throws DIVIDE_BY_ZERO) and every row folds to bucket 0 — coalesce
+    # BEFORE least, which would silently skip the NULL and pick nbins-1
     bucket = F.least(
-        F.floor((F.col(column).cast("double") - F.col("__lo")) / width),
+        F.coalesce(
+            F.floor(
+                F.try_divide(F.col(column).cast("double") - F.col("__lo"), width)
+            ),
+            F.lit(0),
+        ),
         F.lit(nbins - 1),
     ).cast("int")
     return (

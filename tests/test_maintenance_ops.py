@@ -357,3 +357,18 @@ def test_temporal_split_embargo_gap_excluded(spark):
     # zero embargo keeps everything
     full = temporal_split_embargo(df, "ts", cutoff_fraction=0.5)
     assert full.count() == 100
+
+
+def test_numeric_histogram_constant_column(spark):
+    """A constant column (width 0) must fold every row into bucket 0 —
+    ANSI's plain division threw DIVIDE_BY_ZERO before r08, and a naive
+    null-skipping least() would silently pick the LAST bucket."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import numeric_histogram
+
+    const = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "v double")
+    assert [tuple(r) for r in numeric_histogram(const, "v", nbins=4).collect()] == [
+        (0, 5.0, 5.0, 3)
+    ]
+    ramp = spark.createDataFrame([(float(i),) for i in range(8)], "v double")
+    got = sorted(tuple(r) for r in numeric_histogram(ramp, "v", nbins=4).collect())
+    assert [(b, n) for b, _, _, n in got] == [(0, 2), (1, 2), (2, 2), (3, 2)]

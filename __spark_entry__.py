@@ -40,7 +40,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #     stream_upsert_cdc_roundtrip,stream_interval_join_roundtrip,\
 #     sink_upsert_merge_roundtrip,outlier_clip_iqr,association_rules_lift,\
 #     funnel_time_to_convert,recsys_negative_sampling,asof_join_events,\
-#     point_in_time_state_join,rolling_stats,value_histogram
+#     point_in_time_state_join,rolling_stats,value_histogram,\
+#     snapshot_diff_orders
 # Round-8 leads: (1) materialized_rollup_roundtrip — NEW registry row
 # (swapped in for the thin distinct_agg per the round-7 verdict; registry
 # stays frozen at 186) attesting the incremental materialized rollup's
@@ -95,16 +96,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ANSI; try_element_at + clamp returns NULL like percentile_approx), and
 # value_histogram, whose width-0 (constant column) case threw
 # DIVIDE_BY_ZERO under ANSI (try_divide + coalesce-to-bucket-0; coalesce
-# BEFORE least, which skips NULLs and would pick the last bucket).
-# Then pure stalest-first: the 23 oldest r04 rows. Bare
+# BEFORE least, which skips NULLs and would pick the last bucket), and
+# snapshot_diff_orders — snapshot_diff's presence test now uses literal
+# markers (key.isNotNull() misclassified a null-key row present on both
+# sides of the null-safe join as an insert).
+# Then pure stalest-first: the 22 oldest r04 rows. Bare
 # ``attestation_ledger.py --check`` verifies this tuple (it reads
 # max_round and the changed set from the committed ledger).
 # ROUND-9 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the remaining r04 rows (lateral_join_topk,
-# sql_pipe_syntax_entry, benford_first_digit, sessionize_gap_islands,
-# time_weighted_average, join_key_skew_report onward), then the r05 rows
-# in registry order.
+# if nothing changes: the remaining r04 rows (mode_per_group,
+# lateral_join_topk, sql_pipe_syntax_entry, benford_first_digit,
+# sessionize_gap_islands, time_weighted_average, join_key_skew_report
+# onward), then the r05 rows in registry order.
 _PRIORITY = (
     "materialized_rollup_roundtrip",  # NEW (r08 swap-in; sink now shared writer + mfpt lever)
     "triangle_count_near_dup",  # changed: near-dup auto width+bands
@@ -127,6 +131,7 @@ _PRIORITY = (
     "sink_upsert_merge_roundtrip",  # changed: versioned merge + contested-slice split, AQE key joins
     "embedding_near_dup",  # changed: near-dup auto width+bands
     "incremental_cross_dedup",  # changed: broadcast hint dropped + shared helpers
+    "snapshot_diff_orders",  # changed: null-safe presence markers in snapshot_diff
     "outlier_clip_iqr",  # changed: keyed fences join unhinted (AQE)
     "pagerank_supply_graph",  # changed: pagerank relative-scale rank6
     "point_in_time_state_join",  # changed: asof struct carry (franken-row fix)
@@ -155,7 +160,6 @@ _PRIORITY = (
     "class_balance_weights",  # r04
     "winsorized_stats",  # r04
     "string_agg_family",  # r04
-    "mode_per_group",  # r04
 )
 
 

@@ -96,14 +96,18 @@ def snapshot_diff(
     # string-qualified refs ("o.col"), not DataFrame indexing: old and new
     # usually derive from the SAME source (two filters of one table), and
     # attribute-id refs trip Spark's ambiguous-self-join detection
-    o = old.select(*keys, *compare_cols).alias("o")
-    n = new.select(*keys, *compare_cols).alias("n")
+    # literal presence markers, NOT key.isNotNull(): the key join is
+    # null-safe (a NULL business key matches its counterpart), so testing
+    # the key value would misclassify a null-key row present on BOTH
+    # sides as an insert
+    o = old.select(*keys, *compare_cols, F.lit(True).alias("__in_old")).alias("o")
+    n = new.select(*keys, *compare_cols, F.lit(True).alias("__in_new")).alias("n")
     oc = lambda c: F.col(f"o.{c}")  # noqa: E731
     nc = lambda c: F.col(f"n.{c}")  # noqa: E731
     j = o.join(n, [oc(k).eqNullSafe(nc(k)) for k in keys], "full_outer")
 
-    old_exists = oc(keys[0]).isNotNull()
-    new_exists = nc(keys[0]).isNotNull()
+    old_exists = oc("__in_old").isNotNull()
+    new_exists = nc("__in_new").isNotNull()
     differs = F.lit(False)
     for c in compare_cols:
         differs = differs | ~oc(c).eqNullSafe(nc(c))

@@ -256,6 +256,18 @@ def test_snapshot_diff_classifies_all_changes(spark):
     assert 2 not in got                 # unchanged rows eliminated
 
 
+def test_snapshot_diff_null_key_matches_null_safely(spark):
+    """The key join is null-safe, so presence must come from literal
+    markers: a NULL-key row present in BOTH snapshots is an update (or
+    eliminated when unchanged), never a phantom insert+delete pair."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame([(None, 1), (1, 1)], "k long, v long")
+    new = spark.createDataFrame([(None, 9), (1, 1)], "k long, v long")
+    got = [(r["k"], r["v"], r["change"]) for r in snapshot_diff(old, new, ["k"]).collect()]
+    assert got == [(None, 9, "update")]
+
+
 def test_snapshot_diff_same_source_self_join(spark):
     # both snapshots filtered from ONE DataFrame — the ambiguous-self-join
     # trap this operator must survive

@@ -442,3 +442,48 @@ def test_upsert_versioned_random_batching_independence(spark, rows, cuts):
         assert got_one == expect
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 20),
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): asof precondition
+    ),
+)
+def test_asof_join_matches_bruteforce_oracle(spark, left, right):
+    """asof_join on random inputs == the brute-force 'latest right row at
+    or before, as a UNIT' Python oracle — including NULL value columns in
+    the matched row (the r08 struct-carry contract) and no-match NULLs."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, ts long, a long, b long")
+    got = {
+        r["lid"]: (r["a"], r["b"])
+        for r in asof_join(
+            ldf, rdf, on="k", ts_col="ts", right_value_cols=["a", "b"]
+        ).collect()
+    }
+
+    def oracle(k, t):
+        cands = [rr for rr in right if rr[0] == k and rr[1] <= t]
+        if not cands:
+            return (None, None)
+        best = max(cands, key=lambda rr: rr[1])
+        return (best[2], best[3])
+
+    for i, (k, t) in enumerate(left):
+        assert got[i] == oracle(k, t), (i, k, t, got[i], oracle(k, t))

@@ -487,3 +487,44 @@ def test_asof_join_matches_bruteforce_oracle(spark, left, right):
 
     for i, (k, t) in enumerate(left):
         assert got[i] == oracle(k, t), (i, k, t, got[i], oracle(k, t))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    points=st.lists(st.integers(-50, 150), min_size=1, max_size=15),
+    intervals=st.lists(
+        st.tuples(st.integers(-50, 140), st.integers(0, 40)),
+        min_size=0,
+        max_size=10,
+    ),
+    width=st.sampled_from([1, 3, 7, 10]),
+    half=st.booleans(),
+)
+def test_range_join_bucketed_matches_bruteforce(spark, points, intervals, width, half):
+    """Bucketed point-in-interval join == brute-force [start, end)
+    containment for random integer and HALF-INTEGER bounds (the
+    fractional-end bucket edge), negatives included, at several bucket
+    widths — the bucketing must never drop or duplicate a match."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import (
+        range_join_bucketed,
+    )
+
+    shift = 0.5 if half else 0.0
+    ivs = [(float(s) + shift, float(s + ln) + shift) for s, ln in intervals]
+    ldf = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(points)], "pid long, p double"
+    )
+    rdf = spark.createDataFrame(
+        [(j, s, e) for j, (s, e) in enumerate(ivs)], "iid long, s double, e double"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join_bucketed(ldf, rdf, "p", "s", "e", bucket_width=width).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (s, e) in enumerate(ivs)
+        if s <= p < e
+    )
+    assert got == want

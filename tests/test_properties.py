@@ -528,3 +528,72 @@ def test_range_join_bucketed_matches_bruteforce(spark, points, intervals, width,
         if s <= p < e
     )
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 60), st.integers(0, 15)),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_coalesce_intervals_matches_bruteforce_union(spark, ivs):
+    """Interval coalescing == brute-force union sweep per key: same spans,
+    same member counts, for random overlapping/touching/duplicate/zero-
+    length intervals."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    rows = [(f"k{g}", s, s + ln) for g, s, ln in ivs]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    got = sorted(
+        (r["k"], r["span_start"], r["span_end"], r["n_merged"])
+        for r in coalesce_intervals(df, ["k"], "s", "e").collect()
+    )
+
+    want = []
+    for key in {r[0] for r in rows}:
+        mine = sorted((s, e) for kk, s, e in rows if kk == key)
+        spans: list = []
+        for s, e in mine:
+            if spans and s <= spans[-1][1]:  # overlap or touch
+                spans[-1][1] = max(spans[-1][1], e)
+                spans[-1][2] += 1
+            else:
+                spans.append([s, e, 1])
+        want += [(key, s, e, n) for s, e, n in spans]
+    assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 4),                      # key
+            st.sampled_from(["I", "U", "D"]),       # op
+            st.integers(0, 9),                      # payload
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_apply_cdc_matches_bruteforce_replay(spark, ops):
+    """CDC collapse == brute-force sequential replay: last op per key wins,
+    deletes tombstone the key. seq makes the per-key order total."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import apply_cdc
+
+    rows = [(k, op, v, i) for i, (k, op, v) in enumerate(ops)]
+    df = spark.createDataFrame(rows, "k long, op string, v long, seq long")
+    got = sorted(
+        (r["k"], r["v"]) for r in apply_cdc(df, ["k"], ["seq"]).collect()
+    )
+
+    state: dict = {}
+    for k, op, v, _ in rows:  # already in seq order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == sorted(state.items())

@@ -597,3 +597,40 @@ def test_apply_cdc_matches_bruteforce_replay(spark, ops):
         else:
             state[k] = v
     assert got == sorted(state.items())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(0, 2),                          # key
+            st.one_of(st.none(), st.sampled_from("ab")),  # attr (nullable)
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_scd2_history_matches_runlength_oracle(spark, obs):
+    """SCD2 compression == brute-force run-length encoding per key over
+    the (ts, seq)-ordered change log: identical runs collapse (null-safe),
+    valid_to chains to the next run's valid_from, last run is current."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import scd2_history
+
+    rows = [(k, a, i, i) for i, (k, a) in enumerate(obs)]  # ts = seq = i
+    df = spark.createDataFrame(rows, "k long, attr string, t long, seq long")
+    got = sorted(
+        (r["k"], r["version"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_history(df, ["k"], "t", ["attr"], tiebreak=["seq"]).collect()
+    )
+
+    want = []
+    for key in {r[0] for r in rows}:
+        mine = [(t, a) for k, a, t, _ in rows if k == key]  # already ordered
+        runs = []
+        for t, a in mine:
+            if not runs or runs[-1][1] != a:  # null-safe: None != 'a', None == None
+                runs.append([t, a])
+        for v, (t, a) in enumerate(runs, start=1):
+            nxt = runs[v][0] if v < len(runs) else None
+            want.append((key, v, a, t, nxt, nxt is None))
+    assert got == sorted(want)

@@ -204,6 +204,43 @@ def test_bfs_multi_source_takes_min(spark):
     assert got == {1: 0, 4: 0, 2: 1, 3: 1}
 
 
+def test_bfs_hops_matches_python_bfs_on_random_graphs(spark):
+    """bfs_hops with iters >= n equals multi-source Python BFS on random
+    undirected graphs (same treatment as the Dijkstra/union-find pins for
+    sssp/cc — closes the random-graph gap for the third iterative op)."""
+    import random
+    from collections import deque
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.graph import bfs_hops
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 12
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(20)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        srcs = [0, rng.randrange(n)]
+        hop = {s: 0 for s in srcs}
+        q = deque(srcs)
+        while q:
+            v = q.popleft()
+            for to in adj.get(v, ()):
+                if to not in hop:
+                    hop[to] = hop[v] + 1
+                    q.append(to)
+        seeds = spark.createDataFrame([(s,) for s in set(srcs)], "vertex long")
+        got = {
+            r["vertex"]: r["hop"]
+            for r in bfs_hops(_edges(spark, pairs), seeds, iters=n).collect()
+        }
+        assert got == hop, f"trial {trial}: {got} != {hop}"
+
+
 def test_label_propagation_weighted_majority_and_tiebreak(spark):
     """Vertex 3 hears label 'a' with weight 3 (from 1) and 'b' with
     weight 1 (from 2) -> adopts a; vertex 4 hears equal votes -> ties to

@@ -32,134 +32,88 @@ def entry(spark: SparkSession) -> DataFrame:
 # The driver attests the FIRST 50 queries() entries per round. This
 # window is GENERATED from the CORRECTNESS_r*.json history by
 #   python tools/attestation_ledger.py --changed \
-#     embedding_near_dup,dedup_canonical_docs,leakage_safe_split,\
-#     triangle_count_near_dup,lsh_recall_eval,pagerank_supply_graph,\
-#     bfs_reachable_hops,label_propagation_nations,shortest_path_weighted,\
-#     minhash_lsh_near_dup,minhash_recall_eval,simhash_docs,\
-#     simhash_near_dup,incremental_cross_dedup,incremental_stream_roundtrip,\
-#     stream_upsert_cdc_roundtrip,stream_interval_join_roundtrip,\
-#     sink_upsert_merge_roundtrip,outlier_clip_iqr,association_rules_lift,\
-#     funnel_time_to_convert,recsys_negative_sampling,asof_join_events,\
-#     point_in_time_state_join,rolling_stats,value_histogram,\
-#     snapshot_diff_orders
-# Round-8 leads: (1) materialized_rollup_roundtrip — NEW registry row
-# (swapped in for the thin distinct_agg per the round-7 verdict; registry
-# stays frozen at 186) attesting the incremental materialized rollup's
-# late-data recompute + untouched-partition survival; (2) the five
-# queries riding embedding_near_dup_pairs, whose DEFAULT path changed
-# TWICE in round 8: corpus-sized band width (lsh_band_width + a combined
-# count/dim stats job replacing the old first() probe), then
-# recall-targeted band COUNT (bands = lsh_bands_for_recall(threshold,
-# width), 64-band cap) — the oracle SQL derives the same width from
-# count(*) and the same band count from a Python-generated width->bands
-# CASE table, so both engines track the full auto default at any scale;
-# pair sets DID change (recall up), re-verified via
-# tools/verify_queries.py; (3) the four iterative-graph queries, whose
-# operators changed in the round-8 review sweep: pagerank_fixed moved to
-# relative-to-uniform rank6 (absolute micro-probabilities truncate to
-# {0,1} at N ~ 1e5+ — oracle SQL updated in lockstep, values changed),
-# bfs_hops/shortest_paths_weighted gained delta-frontier rounds + seed
-# dedup (result-identical on clean input), label_propagation collapses
-# duplicate seed rows deterministically; (4) the five dedup-family
-# queries riding the round-8 dedup.py review batch: shared
-# signature/banding helpers (one semantics-bearing definition), loud
-# band/num_perm + pigeonhole validation, a token-axis-chunked simhash
-# vote (value-identical; bounds the Python-worker transient), and the
-# corpus-hash broadcast hint dropped from cross_dedup_status (AQE picks
-# the strategy; a forced broadcast dies at the petabyte corpus the op is
-# documented for) — all re-verified bit-identical vs the oracles;
-# (5) the four streaming/sink queries riding the round-8 incremental.py
-# review batch: run_incremental_pipeline's sink is now a
-# touched-partition MERGE with an __ingest_epoch replay filter (a bare
-# per-batch dynamic overwrite silently lost rows whenever one output
-# partition spanned two micro-batches), upsert_by_key gained a versioned
-# order_col merge (a late redelivery of an OLD version can no longer
-# regress a newer stored row; stream_upsert_by_key delegates to it),
-# stream_stream_interval_join emits flat suffixed columns (the bare
-# two-sided join was unsinkable: duplicate names), and
-# materialized_rollup gained the maxFilesPerTrigger lever its over-cap
-# error used to (impossibly) recommend; (6) late-round additions:
-# sink_upsert_merge_roundtrip also rides the contested-slice split
-# (uncontested rows of touched partitions skip the version window) and
-# the AQE-decided (unhinted) key joins, and four queries whose
-# data-proportional broadcast hints were dropped (outlier_clip_iqr's
-# keyed fences, association_rules_lift's per-part counts,
-# funnel_time_to_convert's |users|-row stage frames,
-# recsys_negative_sampling's part-key validation join — AQE still
-# broadcasts them when small; values re-verified identical), plus the
-# two queries riding asof_join, whose carry semantics were FIXED (the
-# matched right row now travels as one struct — per-column
-# last(ignorenulls) back-filled a legitimately-NULL value column from an
-# OLDER right row, stitching two right rows into one output; NULL keys
-# now never match), and rolling_stats, whose exact median now survives an
-# all-NULL frame (empty collect_list -> element_at index 0 threw under
-# ANSI; try_element_at + clamp returns NULL like percentile_approx), and
-# value_histogram, whose width-0 (constant column) case threw
-# DIVIDE_BY_ZERO under ANSI (try_divide + coalesce-to-bucket-0; coalesce
-# BEFORE least, which skips NULLs and would pick the last bucket), and
-# snapshot_diff_orders — snapshot_diff's presence test now uses literal
-# markers (key.isNotNull() misclassified a null-key row present on both
-# sides of the null-safe join as an insert).
-# Then pure stalest-first: the 22 oldest r04 rows. Bare
-# ``attestation_ledger.py --check`` verifies this tuple (it reads
-# max_round and the changed set from the committed ledger).
-# ROUND-9 NOTE: lead with any new/operator-changed queries (pass them
+#     catalog_partition_registry,msck_repair_discovery,file_list_scan,\
+#     flagship_pipeline,runner_batch_roundtrip,\
+#     sink_partition_overwrite_roundtrip,asof_join_events,\
+#     point_in_time_state_join,sink_upsert_merge_roundtrip,\
+#     stream_upsert_cdc_roundtrip,incremental_stream_roundtrip,\
+#     stream_interval_join_roundtrip
+# Round-9 leads, two groups:
+# (1) the six queries whose operators changed in the round-8 LATE sweep
+#     and missed the full r08 window (the verdict's top item): the
+#     catalog DDL partition-order fix (ensure_external_table), the
+#     parquet layout probe (read_parquet_dir), the --window-days runner
+#     wiring, and the shared partitioned writer;
+# (2) the six queries riding the round-9 ADVICE fixes: asof_join now
+#     drops right rows with NULL timestamps (SQL semantics — NULL ts can
+#     never satisfy ts <= left.ts; property test extended with NULL
+#     keys/ts on both sides), the touched-partition pruning in
+#     run_incremental_pipeline now shares upsert_by_key's two-regime
+#     helper (literal OR-chain <= 100 partitions, broadcast semi-join
+#     beyond — sinks.filter_touched_partitions), the incremental sink
+#     raises on a reserved __ingest_epoch column in transform output,
+#     read_parquet_dir raises on MIXED partition layouts instead of
+#     silently skipping plain subdirs, and stream_stream_interval_join
+#     raises on right-suffix/left-column name collisions.
+# Then pure stalest-first: the remaining 14 r04 rows, then r05 rows in
+# registry order. Bare ``attestation_ledger.py --check`` verifies this
+# tuple (it reads max_round and the changed set from the committed
+# ledger).
+# ROUND-10 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the remaining r04 rows (mode_per_group,
-# lateral_join_topk, sql_pipe_syntax_entry, benford_first_digit,
-# sessionize_gap_islands, time_weighted_average, join_key_skew_report
-# onward), then the r05 rows in registry order.
+# if nothing changes: the remaining r05 rows in registry order
+# (minhash_lsh_candidates onward), then r06.
 _PRIORITY = (
-    "materialized_rollup_roundtrip",  # NEW (r08 swap-in; sink now shared writer + mfpt lever)
-    "triangle_count_near_dup",  # changed: near-dup auto width+bands
-    "recsys_negative_sampling",  # changed: part-key join unhinted (AQE) — also r04-stale
-    "funnel_time_to_convert",  # changed: stage join-backs unhinted (AQE) — also r04-stale
-    "association_rules_lift",  # changed: per-part count joins unhinted (AQE) — also r04-stale
-    "lsh_recall_eval",  # changed: near-dup auto width+bands
-    "minhash_recall_eval",  # changed: shared signature helper
-    "rolling_stats",  # changed: exact median NULL-frame fix (try_element_at)
-    "simhash_docs",  # changed: chunked vote (value-identical)
-    "minhash_lsh_near_dup",  # changed: shared band helpers + validation
-    "asof_join_events",  # changed: asof struct carry (franken-row fix) — also r04-stale
-    "simhash_near_dup",  # changed: chunked vote + pigeonhole guard
-    "value_histogram",  # changed: width-0 DIVIDE_BY_ZERO fix (try_divide) — also r04-stale
-    "dedup_canonical_docs",  # changed: near-dup auto width+bands
-    "leakage_safe_split",  # changed: near-dup auto width+bands
-    "bfs_reachable_hops",  # changed: bfs_hops delta frontier + seed dedup
-    "label_propagation_nations",  # changed: label_propagation seed dedup
-    "shortest_path_weighted",  # changed: sssp delta frontier + seed dedup
-    "sink_upsert_merge_roundtrip",  # changed: versioned merge + contested-slice split, AQE key joins
-    "embedding_near_dup",  # changed: near-dup auto width+bands
-    "incremental_cross_dedup",  # changed: broadcast hint dropped + shared helpers
-    "snapshot_diff_orders",  # changed: null-safe presence markers in snapshot_diff
-    "outlier_clip_iqr",  # changed: keyed fences join unhinted (AQE)
-    "pagerank_supply_graph",  # changed: pagerank relative-scale rank6
-    "point_in_time_state_join",  # changed: asof struct carry (franken-row fix)
-    "incremental_stream_roundtrip",  # changed: touched-partition merge sink (epoch-idempotent)
-    "stream_upsert_cdc_roundtrip",  # changed: versioned cross-batch merge (order_col)
-    "stream_interval_join_roundtrip",  # changed: flat suffixed output columns
-    "mixture_rebalance_downsample",  # r04
-    "equidepth_binning",  # r04
-    "token_budget_select",  # r04
-    "hard_negative_mining",  # r04
-    "corpus_curation_pipeline",  # r04
-    "psi_drift_report",  # r04
-    "shingle_containment_pairs",  # r04
-    "knn_label_noise",  # r04
-    "robust_mad_scores",  # r04
-    "co_purchase_pairs",  # r04
-    "event_transition_matrix",  # r04
-    "cohort_retention",  # r04
-    "multimodal_resize_thumb",  # r04
-    "rolling_distinct_users",  # r04
-    "churn_label_next_gap",  # r04
-    "seasonal_naive_error",  # r04
-    "histogram2d_heatmap",  # r04
-    "feature_hashing_cross",  # r04
-    "stratified_kfold",  # r04
-    "class_balance_weights",  # r04
-    "winsorized_stats",  # r04
-    "string_agg_family",  # r04
+    "runner_batch_roundtrip",  # changed r08 (--window-days wiring), never re-attested; also r04-stale
+    "msck_repair_discovery",  # rides ensure_external_table's r08 partition-order fix; r04-stale
+    "flagship_pipeline",  # rides read_parquet_dir's layout probe (r08 + r09 mixed-layout raise)
+    "sink_partition_overwrite_roundtrip",  # rides the r08 shared-writer refactor; r06-stale
+    "catalog_partition_registry",  # rides ensure_external_table's r08 partition-order fix
+    "file_list_scan",  # rides read_parquet_dir's layout probe (r08 + r09)
+    "asof_join_events",  # changed r09: right NULL-ts rows dropped (SQL semantics)
+    "point_in_time_state_join",  # changed r09: same asof NULL-ts fix
+    "sink_upsert_merge_roundtrip",  # changed r09: pruning factored into filter_touched_partitions
+    "incremental_stream_roundtrip",  # changed r09: two-regime pruning + reserved __ingest_epoch guard
+    "stream_upsert_cdc_roundtrip",  # changed r09: delegates to upsert_by_key (shared pruning helper)
+    "stream_interval_join_roundtrip",  # changed r09: suffix-collision guard
+    "mode_per_group",  # r04-stale rotation
+    "lateral_join_topk",  # r04-stale rotation
+    "sql_pipe_syntax_entry",  # r04-stale rotation
+    "benford_first_digit",  # r04-stale rotation
+    "sessionize_gap_islands",  # r04-stale rotation
+    "time_weighted_average",  # r04-stale rotation
+    "join_key_skew_report",  # r04-stale rotation
+    "multimodal_audio_energy",  # r04-stale rotation
+    "cusum_drift_detection",  # r04-stale rotation
+    "quantile_normalize_by_lang",  # r04-stale rotation
+    "hll_distinct_rollup",  # r04-stale rotation
+    "jsonl_quarantine_roundtrip",  # r04-stale rotation
+    "stream_session_window_roundtrip",  # r04-stale rotation
+    "stream_tumbling_late_data_roundtrip",  # r04-stale rotation
+    "select_filter_project",  # r05-stale rotation
+    "distinct_rows",  # r05-stale rotation
+    "fill_defaults",  # r05-stale rotation
+    "sanitize_numeric",  # r05-stale rotation
+    "dedup_keep_first",  # r05-stale rotation
+    "moving_average",  # r05-stale rotation
+    "group_total",  # r05-stale rotation
+    "group_min_date",  # r05-stale rotation
+    "rank_in_group",  # r05-stale rotation
+    "all_null_column_drop",  # r05-stale rotation
+    "tpch_q1_agg",  # r05-stale rotation
+    "star_join_agg",  # r05-stale rotation
+    "join_topk_revenue",  # r05-stale rotation
+    "semi_join_customers",  # r05-stale rotation
+    "anti_join_customers",  # r05-stale rotation
+    "top_k_orders",  # r05-stale rotation
+    "json_extract_agg",  # r05-stale rotation
+    "text_stats",  # r05-stale rotation
+    "text_quality",  # r05-stale rotation
+    "language_id",  # r05-stale rotation
+    "doc_fingerprint",  # r05-stale rotation
+    "exact_dedup_docs",  # r05-stale rotation
+    "ngram_jaccard_topk",  # r05-stale rotation
+    "minhash_signatures",  # r05-stale rotation
 )
 
 

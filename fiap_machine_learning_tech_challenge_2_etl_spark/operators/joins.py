@@ -72,9 +72,10 @@ def asof_join(
     value column that is legitimately NULL in the as-of row must come
     through as NULL, not get back-filled from an older right row
     (per-column ``last(ignorenulls)`` would stitch columns from DIFFERENT
-    right rows into one output row). NULL join keys never match (SQL
-    semantics): right NULL-key rows are dropped, left NULL-key/NULL-ts
-    rows come through with NULL values.
+    right rows into one output row). NULL join keys and NULL timestamps
+    never match (SQL semantics — a NULL ts can never satisfy
+    ``right.ts <= left.ts``): right NULL-key and NULL-ts rows are
+    dropped, left NULL-key/NULL-ts rows come through with NULL values.
 
     Output: all left columns + ``right_value_cols`` (null = no match).
     """
@@ -92,7 +93,7 @@ def asof_join(
         F.struct(*left.columns).alias("__l"),
         F.lit(None).cast(r_struct_type).alias("__r"),
     )
-    r_tag = right.filter(F.col(on).isNotNull()).select(
+    r_tag = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__is_left"),
@@ -134,6 +135,13 @@ def range_join_bucketed(
     shuffled/broadcast hash join — the standard scale formulation for
     point-in-interval. Pick ``bucket_width`` near the typical interval
     length so each interval covers O(1) buckets."""
+    for side, df in (("left", left), ("right", right)):
+        if "__b" in df.columns:
+            # reserved: withColumn would silently overwrite user data and
+            # drop() would then delete it from the output
+            raise ValueError(
+                f"{side} input must not contain the reserved bucket column '__b'"
+            )
     # upper bucket is floor(end/width), NOT floor((end-1)/width): with
     # fractional bounds (end=10.5, width=10) the latter skips the final
     # bucket and silently drops points in [10, 10.5). The one extra bucket
@@ -183,6 +191,10 @@ def salted_agg(
     deterministic spread via all grouping-invariant data — pass an id
     column for stability).
     """
+    if "__salt" in df.columns:
+        raise ValueError(
+            "input must not contain the reserved column '__salt'"
+        )
     salt = (
         F.pmod(F.hash(F.col(salt_source)), F.lit(salt_buckets))
         if salt_source

@@ -18,6 +18,11 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
+try:  # the listing probe's failure seam — py4j ships with pyspark
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover — py4j is a pyspark hard dep
+    _Py4JError = OSError
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -45,18 +50,28 @@ def read_parquet_dir(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    if recursive and _has_plain_subdirs_only(spark, path):
+    if recursive and _probe_layout(spark, path) == "plain":
         reader = reader.option("recursiveFileLookup", "true")
     return reader.parquet(path)
 
 
-def _has_plain_subdirs_only(spark, path: str) -> bool:
-    """One shallow listing of ``path``: True when it has subdirectories and
-    NONE are Hive-style (``name=value``) — the layout that needs
-    ``recursiveFileLookup``. Hidden entries (``_temporary``, ``.``-prefixed)
-    are ignored, matching Spark's own file-listing rules. Any probe failure
-    returns False (default reader behavior, which at worst errors loudly on
-    an unreadable root rather than changing semantics)."""
+def _probe_layout(spark, path: str) -> str:
+    """One shallow listing of ``path`` -> ``"plain"`` (subdirectories, none
+    Hive-style — needs ``recursiveFileLookup``), ``"hive"`` (all
+    subdirectories are ``key=value`` — needs partition discovery), or
+    ``"flat"`` (no subdirectories — either mode works; use the default).
+    Hidden entries (``_temporary``, ``.``-prefixed) are ignored, matching
+    Spark's own file-listing rules.
+
+    A MIXED root (both kinds of subdirectory) RAISES: partition discovery
+    would silently skip the plain dirs' rows (the exact silent-0-row read
+    this probe exists to prevent) and ``recursiveFileLookup`` would read
+    the Hive dirs' files without their partition columns — no single
+    reader mode is correct, so fail loudly and make the caller split the
+    root. Probe failures are narrowed to py4j/OS errors from the listing
+    RPC itself (missing path, permission, remote FS quirk) and fall back
+    to ``"flat"``: the default reader then errors loudly on a genuinely
+    unreadable root rather than changing semantics."""
     try:
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -66,10 +81,22 @@ def _has_plain_subdirs_only(spark, path: str) -> bool:
             for s in fs.listStatus(jpath)
             if s.isDirectory()
         ]
-    except Exception:  # noqa: BLE001 — unreadable/remote root
-        return False
+    except (_Py4JError, OSError):  # unreadable/missing/remote root
+        return "flat"
     subdirs = [n for n in subdirs if not n.startswith(("_", "."))]
-    return bool(subdirs) and not any("=" in n for n in subdirs)
+    if not subdirs:
+        return "flat"
+    hive = [n for n in subdirs if "=" in n]
+    plain = [n for n in subdirs if "=" not in n]
+    if hive and plain:
+        raise ValueError(
+            f"mixed partition layout under {path!r}: Hive-style dirs "
+            f"{sorted(hive)[:3]}... alongside plain dirs {sorted(plain)[:3]}..."
+            " — no reader mode covers both (partition discovery silently"
+            " skips the plain dirs; recursiveFileLookup drops the partition"
+            " columns). Read the two sub-layouts separately."
+        )
+    return "plain" if plain else "hive"
 
 
 def read_parquet_files(

@@ -131,6 +131,43 @@ def _fs_path_exists(spark, path: str) -> bool:
 _MAX_LITERAL_PARTITION_FILTER = 100
 
 
+def filter_touched_partitions(
+    existing: DataFrame,
+    source: DataFrame,
+    partition_by: Sequence[str],
+    touched: Sequence[tuple],
+) -> DataFrame:
+    """Two-regime touched-partition pruning, shared by ``upsert_by_key``
+    and ``streaming.incremental.run_incremental_pipeline``.
+
+    Up to ``_MAX_LITERAL_PARTITION_FILTER`` touched partitions: a null-safe
+    literal OR-chain (statically pruned at plan time; null-safe because a
+    null partition value — the Hive default partition — must still match
+    its survivors). Beyond that a literal mega-expression bloats the plan,
+    so prune via a broadcast LEFT SEMI join on the distinct partition
+    tuples of ``source`` (runtime pruning through the broadcast hash
+    join's pushed filter). ``touched`` is the already-collected list of
+    partition-value tuples (the caller needs it anyway for its batch-size
+    cap), so the literal regime costs no extra job.
+    """
+    from pyspark.sql import functions as F
+
+    if len(touched) <= _MAX_LITERAL_PARTITION_FILTER:
+        pfilter = F.lit(False)
+        for vals in touched:
+            clause = F.lit(True)
+            for c, v in zip(partition_by, vals):
+                clause = clause & F.col(c).eqNullSafe(F.lit(v))
+            pfilter = pfilter | clause
+        return existing.filter(pfilter)
+    parts = source.select(*partition_by).distinct()
+    cond = None
+    for c in partition_by:
+        cl = existing[c].eqNullSafe(parts[c])
+        cond = cl if cond is None else (cond & cl)
+    return existing.join(F.broadcast(parts), on=cond, how="left_semi")
+
+
 def upsert_by_key(
     spark,
     new_rows: DataFrame,
@@ -201,29 +238,9 @@ def upsert_by_key(
                 for r in new_rows.select(*partition_by).distinct().collect()
             ]
             existing = spark.read.parquet(path)
-            if len(touched) <= _MAX_LITERAL_PARTITION_FILTER:
-                pfilter = F.lit(False)
-                for vals in touched:
-                    clause = F.lit(True)
-                    for c, v in zip(partition_by, vals):
-                        # null-safe: a null partition value (written as the
-                        # Hive default partition) must still match its
-                        # survivors — plain == would null out and drop
-                        # every row in it
-                        clause = clause & F.col(c).eqNullSafe(F.lit(v))
-                    pfilter = pfilter | clause
-                in_touched = existing.filter(pfilter)
-            else:
-                parts = new_rows.select(*partition_by).distinct()
-                # null-safe equi-join for the same Hive-default-partition
-                # reason as the literal path
-                cond = None
-                for c in partition_by:
-                    cl = existing[c].eqNullSafe(parts[c])
-                    cond = cl if cond is None else (cond & cl)
-                in_touched = existing.join(
-                    F.broadcast(parts), on=cond, how="left_semi"
-                )
+            in_touched = filter_touched_partitions(
+                existing, new_rows, partition_by, touched
+            )
             # no broadcast HINT on the batch's distinct keys: AQE
             # broadcasts them when they're small (the common micro-batch
             # case); a giant backfill batch degrades to a shuffle join

@@ -60,9 +60,11 @@ def run_incremental_pipeline(
     partition spans two micro-batches (batch 2 replaces the partition
     with only its own rows — exactly what maxFilesPerTrigger backfills
     and late-landing files produce). Each batch therefore (1) tags its
-    rows with ``__ingest_epoch`` = the micro-batch epoch, (2) reads back
-    ONLY the touched partitions (partition-pruned via the same null-safe
-    literal OR-filter idiom as ``sinks.upsert_by_key``), (3) drops prior
+    rows with ``__ingest_epoch`` = the micro-batch epoch (reserved —
+    raises if the transform output already carries it), (2) reads back
+    ONLY the touched partitions (``sinks.filter_touched_partitions``:
+    null-safe literal OR-chain up to ~100 partitions, broadcast semi-join
+    on the partition tuple beyond), (3) drops prior
     rows of the SAME epoch — that filter is what makes a replay after a
     mid-write crash idempotent instead of doubling the batch — and
     (4) dynamic-overwrites the touched partitions with survivors + new
@@ -84,10 +86,19 @@ def run_incremental_pipeline(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
             _fs_path_exists,
+            filter_touched_partitions,
             write_partitioned_parquet,
         )
 
-        out = transform(batch_df).withColumn(
+        transformed = transform(batch_df)
+        if "__ingest_epoch" in transformed.columns:
+            # reserved: withColumn would silently overwrite it and the
+            # replay filter below would misread user data as epoch tags
+            raise ValueError(
+                "transform output must not contain the reserved column "
+                "'__ingest_epoch' (used for the idempotent replay filter)"
+            )
+        out = transformed.withColumn(
             "__ingest_epoch", F.lit(int(epoch_id)).cast("long")
         )
         out = out.persist()  # read twice: partition probe + merge/write
@@ -108,14 +119,14 @@ def run_incremental_pipeline(
                 )
             merged = out
             if _fs_path_exists(spark, output_dir):
-                pfilter = F.lit(False)
-                for row in touched:
-                    clause = F.lit(True)
-                    for c in partition_by:
-                        clause = clause & F.col(c).eqNullSafe(F.lit(row[c]))
-                    pfilter = pfilter | clause
-                existing = (
-                    spark.read.schema(out.schema).parquet(output_dir).filter(pfilter)
+                # two-regime pruning shared with sinks.upsert_by_key:
+                # literal OR-chain for small batches, broadcast semi-join
+                # past _MAX_LITERAL_PARTITION_FILTER touched partitions
+                existing = filter_touched_partitions(
+                    spark.read.schema(out.schema).parquet(output_dir),
+                    out,
+                    partition_by,
+                    [tuple(row[c] for c in partition_by) for row in touched],
                 )
                 keep = existing.filter(
                     F.col("__ingest_epoch").isNull()
@@ -248,9 +259,18 @@ def stream_stream_interval_join(
     unwritable to any file sink (Found duplicate column(s)) and
     unselectable without knowing internal aliases; the suffix makes the
     result sinkable as-is."""
+    renamed = {c: c + right_suffix for c in right.columns}
+    collisions = sorted(set(renamed.values()) & set(left.columns))
+    if collisions:
+        # a left column literally named e.g. 'ts_r' would recreate the
+        # duplicate-name unsinkable output the suffix exists to prevent
+        raise ValueError(
+            f"right_suffix {right_suffix!r} collides with left columns "
+            f"{collisions}; pass a right_suffix not used by any left column"
+        )
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
-    rw = rw.withColumnsRenamed({c: c + right_suffix for c in rw.columns})
+    rw = rw.withColumnsRenamed(renamed)
     lt, rt = F.col(left_ts), F.col(right_ts + right_suffix)
     cond = (
         (F.col(key) == F.col(key + right_suffix))

@@ -838,3 +838,56 @@ def test_transform_with_state_running_sum(spark, tmp_path):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_incremental_pipeline_reserved_epoch_column_raises(spark, tmp_path):
+    """A transform whose output already carries __ingest_epoch must fail
+    loudly — silently overwriting it would corrupt the replay filter and
+    leak the internal column into the public schema."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.schemas import EVENTS
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        run_incremental_pipeline,
+    )
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    _write_events_batch(spark, src, 0, 3, day=1)
+
+    def bad_transform(df):
+        return df.withColumn(
+            "event_date", F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+        ).withColumn("__ingest_epoch", F.lit(99))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    with pytest.raises(Exception, match="__ingest_epoch"):
+        run_incremental_pipeline(
+            spark,
+            src,
+            EVENTS,
+            bad_transform,
+            str(tmp_path / "out"),
+            str(tmp_path / "ck"),
+            partition_by=["event_date"],
+        )
+
+
+def test_stream_stream_interval_join_suffix_collision_raises(spark):
+    """A left column that already ends with the suffixed name of a right
+    column (e.g. left literally has 'ts_r') would recreate the
+    duplicate-column unsinkable output — the join must refuse upfront."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7)], "user_id long, ts_s string, ts_r long"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "ts_r")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00")], "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="right_suffix.*collides"):
+        stream_stream_interval_join(left, right)

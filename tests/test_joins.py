@@ -190,3 +190,24 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) <= max(2, 0.15 * r["exact"])
+
+
+def test_reserved_internal_columns_raise(spark):
+    """range_join_bucketed and salted_agg refuse inputs already carrying
+    their internal temp columns ('__b', '__salt') — withColumn would
+    silently overwrite user data, mirroring upsert_by_key's
+    __is_new/__rn guard."""
+    import pytest
+
+    df_b = spark.createDataFrame([(1, 2)], "point long, __b long")
+    plain = spark.createDataFrame([(1, 0, 10)], "point long, s long, e long")
+    with pytest.raises(ValueError, match="__b"):
+        J.range_join_bucketed(df_b, plain, "point", "s", "e", 7)
+    with pytest.raises(ValueError, match="__b"):
+        J.range_join_bucketed(
+            plain.select("point"), df_b.withColumnsRenamed({"point": "s"})
+            .withColumn("e", F.col("s") + 1), "point", "s", "e", 7
+        )
+    df_s = spark.createDataFrame([(1, 2, 3)], "k long, v long, __salt long")
+    with pytest.raises(ValueError, match="__salt"):
+        J.salted_agg(df_s, ["k"], [("sum", "v", "sum_v")])

@@ -295,3 +295,47 @@ def test_read_parquet_dir_handles_all_three_layouts(spark, tmp_path):
     flat = str(tmp_path / "flat")
     df.write.parquet(flat)
     assert read_parquet_dir(spark, flat).count() == 10
+
+
+def test_read_parquet_dir_mixed_layout_raises(spark, tmp_path):
+    """A root holding BOTH Hive-style and plain subdirectories has no
+    correct single reader mode (partition discovery silently skips the
+    plain dirs; recursiveFileLookup drops the partition columns) — the
+    probe must fail loudly instead of silently choosing one."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import read_parquet_dir
+
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    mixed = str(tmp_path / "mixed")
+    df.filter("id < 5").write.parquet(os.path.join(mixed, "p=1"))
+    df.filter("id >= 5").write.parquet(os.path.join(mixed, "2024"))
+    with pytest.raises(ValueError, match="mixed partition layout"):
+        read_parquet_dir(spark, mixed)
+
+
+def test_read_parquet_dir_hive_layout_keeps_partition_pruning(spark, tmp_path):
+    """Regression pin for the r08 layout probe: the Hive ``key=value``
+    path must still go through partition DISCOVERY (not
+    recursiveFileLookup), so a filter on the partition column prunes at
+    plan time — if the probe ever misroutes Hive layouts to recursive
+    lookup, partition-column pruning silently vanishes and every scan
+    reads the whole table."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import read_parquet_dir
+
+    hive = str(tmp_path / "hive_prune")
+    spark.range(100).selectExpr("id", "id % 4 AS p").write.partitionBy(
+        "p"
+    ).parquet(hive)
+    scan = read_parquet_dir(spark, hive).filter(F.col("p") == 1)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # partition discovery puts the p=1 predicate in PartitionFilters on
+    # the FileScan; under recursiveFileLookup 'p' wouldn't exist at all
+    assert "PartitionFilters" in plan and "p" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf is not None and pf.group(1).strip(), plan
+    assert scan.count() == 25
+    # and the plain layout goes the other way: no partition columns, all
+    # rows via recursiveFileLookup (pinned in the three-layouts test)

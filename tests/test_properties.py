@@ -447,12 +447,17 @@ def test_upsert_versioned_random_batching_independence(spark, rows, cuts):
 @settings(max_examples=6, deadline=None)
 @given(
     left=st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=12
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.one_of(st.none(), st.integers(0, 20)),
+        ),
+        min_size=1,
+        max_size=12,
     ),
     right=st.lists(
         st.tuples(
-            st.integers(0, 3),
-            st.integers(0, 20),
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.one_of(st.none(), st.integers(0, 20)),
             st.one_of(st.none(), st.integers(0, 9)),
             st.one_of(st.none(), st.integers(0, 9)),
         ),
@@ -464,7 +469,10 @@ def test_upsert_versioned_random_batching_independence(spark, rows, cuts):
 def test_asof_join_matches_bruteforce_oracle(spark, left, right):
     """asof_join on random inputs == the brute-force 'latest right row at
     or before, as a UNIT' Python oracle — including NULL value columns in
-    the matched row (the r08 struct-carry contract) and no-match NULLs."""
+    the matched row (the r08 struct-carry contract), no-match NULLs, and
+    the r09 NULL-semantics contract: a right row with NULL key OR NULL ts
+    never matches anything (NULL ts cannot satisfy ts <= left.ts), and a
+    left row with NULL key or NULL ts gets NULL values."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
 
     ldf = spark.createDataFrame(
@@ -479,7 +487,13 @@ def test_asof_join_matches_bruteforce_oracle(spark, left, right):
     }
 
     def oracle(k, t):
-        cands = [rr for rr in right if rr[0] == k and rr[1] <= t]
+        if k is None or t is None:
+            return (None, None)
+        cands = [
+            rr
+            for rr in right
+            if rr[0] is not None and rr[1] is not None and rr[0] == k and rr[1] <= t
+        ]
         if not cands:
             return (None, None)
         best = max(cands, key=lambda rr: rr[1])

@@ -15,6 +15,8 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import reject_reserved
+
 
 # --------------------------------------------------------------------------
 # Projection / rename (P1-P5)
@@ -176,6 +178,7 @@ def dedup_keep_first(
     ``groupBy(keys).agg(min_by(...))`` only when you need >1 surviving
     column ordering — min_by avoids the sort.
     """
+    reject_reserved(df, "__rn")
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
     return (
         df.withColumn("__rn", F.row_number().over(w))

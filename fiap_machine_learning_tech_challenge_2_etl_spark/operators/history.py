@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import reject_reserved
+
 
 def scd2_history(
     df: DataFrame,
@@ -49,6 +51,7 @@ def scd2_history(
     """
     if not attrs:
         raise ValueError("scd2_history needs at least one tracked attribute")
+    reject_reserved(df, "__keep")
     order_cols = [change_ts, *tiebreak]
     w = Window.partitionBy(*keys).orderBy(*order_cols)
 
@@ -93,6 +96,8 @@ def snapshot_diff(
     """
     if compare_cols is None:
         compare_cols = [c for c in new.columns if c not in keys]
+    reject_reserved(old, "__in_old", "__in_new")
+    reject_reserved(new, "__in_old", "__in_new")
     # string-qualified refs ("o.col"), not DataFrame indexing: old and new
     # usually derive from the SAME source (two filters of one table), and
     # attribute-id refs trip Spark's ambiguous-self-join detection
@@ -147,6 +152,7 @@ def apply_cdc(
     the per-key ordering total or the winner is nondeterministic."""
     from pyspark.sql import Window
 
+    reject_reserved(df, "__rn")
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import reject_reserved
+
 
 def ewma(
     df: DataFrame,
@@ -113,6 +115,7 @@ def coalesce_intervals(
         prev_max_end.isNull() | (F.col(start) > prev_max_end), 1
     ).otherwise(0)
     span_id = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    reject_reserved(df, "__span")
     return (
         df.withColumn("__span", span_id)
         .groupBy(*keys, "__span")

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import WindowSpec
 
 
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import reject_reserved as _reject_reserved
+
+
 def _rolling_window(keys: Sequence[str], order_by: Sequence[str], n: int) -> WindowSpec:
     """Frame ``rowsBetween(-(n-1), 0)`` — trailing n rows including current
     (reference etl/transform_1.py:93; short partitions use available rows)."""
@@ -205,6 +208,7 @@ def top_k_per_group(
     ``order_by`` may contain column names or Column expressions
     (e.g. F.col("v").desc()).
     """
+    _reject_reserved(df, "__rn")
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     w = Window.partitionBy(*keys).orderBy(*cols)
     return (
@@ -235,6 +239,7 @@ def global_row_number(
     ``order_cols`` must be a TOTAL order (include a unique tiebreak) or
     ranks within ties are partition-placement-dependent.
     """
+    _reject_reserved(df, "__pid", "__lrn", "__off")
     spark = df.sparkSession
     parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) for c in order_cols]
@@ -310,6 +315,7 @@ def global_cumsum(
     ``val_col`` should be an exact type (BIGINT/decimal): the partial-sum
     regrouping changes float summation order, but integer sums are
     order-free. ``order_cols`` must be a total order (unique tiebreak)."""
+    _reject_reserved(df, "__pid", "__lcs", "__off")
     spark = df.sparkSession
     parts = num_parts or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = [F.col(c) for c in order_cols]

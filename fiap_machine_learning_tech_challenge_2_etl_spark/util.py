@@ -1,8 +1,19 @@
-"""Parallelism utilities shared by compute-heavy operators."""
+"""Parallelism + input-validation utilities shared by operators."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+
+def reject_reserved(df: DataFrame, *names: str) -> None:
+    """Refuse inputs that already carry an operator's internal temp
+    columns — ``withColumn`` would silently overwrite user data and the
+    closing ``drop()``/``select`` would then delete or corrupt it (the
+    contract established by ``sinks.upsert_by_key``'s __is_new/__rn
+    guard). Raise loudly instead of producing a silently-wrong result."""
+    hit = [n for n in names if n in df.columns]
+    if hit:
+        raise ValueError(f"input must not contain reserved column(s) {hit}")
 
 
 def spread(df: DataFrame, by: str | None = None) -> DataFrame:

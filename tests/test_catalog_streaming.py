@@ -891,3 +891,49 @@ def test_stream_stream_interval_join_suffix_collision_raises(spark):
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
     with pytest.raises(ValueError, match="right_suffix.*collides"):
         stream_stream_interval_join(left, right)
+
+
+def test_incremental_pipeline_semi_join_pruning_regime(spark, tmp_path):
+    """The r09 two-regime pruning pin for the STREAMING sink: a
+    micro-batch touching > _MAX_LITERAL_PARTITION_FILTER (100) output
+    partitions must merge via the broadcast semi-join regime and still
+    keep every prior partition's rows intact (the literal OR-chain and
+    the semi-join must be behaviorally identical)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
+        _MAX_LITERAL_PARTITION_FILTER,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        run_incremental_pipeline,
+    )
+
+    n = _MAX_LITERAL_PARTITION_FILTER + 20  # 120 partitions > the cap
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    schema = "id long, day string"
+    sch = T._parse_datatype_string(schema)
+    # drain 1: one row in each of n partitions
+    spark.range(n).selectExpr(
+        "id", "concat('d', lpad(cast(id AS string), 4, '0')) AS day"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_incremental_pipeline(
+        spark, src, sch, lambda df: df, out, ck, partition_by=["day"]
+    )
+    assert spark.read.parquet(out).count() == n
+    # drain 2: a second row for EVERY partition — touched count exceeds
+    # the literal cap, so the merge goes through the semi-join regime
+    spark.range(n).selectExpr(
+        "id + 1000000 AS id",
+        "concat('d', lpad(cast(id AS string), 4, '0')) AS day",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_incremental_pipeline(
+        spark, src, sch, lambda df: df, out, ck, partition_by=["day"]
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 2 * n  # batch-2 rows merged, batch-1 survived
+    assert back.select("day").distinct().count() == n
+    per = back.groupBy("day").count().agg(
+        F.min("count").alias("lo"), F.max("count").alias("hi")
+    ).first()
+    assert (per["lo"], per["hi"]) == (2, 2)

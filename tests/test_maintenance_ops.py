@@ -384,3 +384,45 @@ def test_numeric_histogram_constant_column(spark):
     ramp = spark.createDataFrame([(float(i),) for i in range(8)], "v double")
     got = sorted(tuple(r) for r in numeric_histogram(ramp, "v", nbins=4).collect())
     assert [(b, n) for b, _, _, n in got] == [(0, 2), (1, 2), (2, 2), (3, 2)]
+
+
+def test_history_cleaning_timeseries_reject_reserved_columns(spark):
+    """scd2_history / snapshot_diff / apply_cdc / dedup_keep_first /
+    coalesce_intervals refuse inputs already carrying their internal temp
+    columns — silently overwriting user data is the failure mode the
+    shared util.reject_reserved guard exists to prevent."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.cleaning import dedup_keep_first
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.history import (
+        apply_cdc,
+        scd2_history,
+        snapshot_diff,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    with pytest.raises(ValueError, match="__keep"):
+        scd2_history(
+            spark.createDataFrame([(1, 1, 2, True)], "k long, ts long, a long, __keep boolean"),
+            ["k"], "ts", ["a"],
+        )
+    snap = spark.createDataFrame([(1, 2, True)], "k long, v long, __in_old boolean")
+    with pytest.raises(ValueError, match="__in_old"):
+        snapshot_diff(snap, snap, ["k"])
+    with pytest.raises(ValueError, match="__rn"):
+        apply_cdc(
+            spark.createDataFrame([(1, 1, "I", 9)], "k long, ts long, op string, __rn long"),
+            ["k"], ["ts"],
+        )
+    with pytest.raises(ValueError, match="__rn"):
+        dedup_keep_first(
+            spark.createDataFrame([(1, 1, 9)], "k long, ts long, __rn long"),
+            ["k"], ["ts"],
+        )
+    with pytest.raises(ValueError, match="__span"):
+        coalesce_intervals(
+            spark.createDataFrame([(1, 1, 2, 9)], "k long, s long, e long, __span long"),
+            ["k"], "s", "e",
+        )

@@ -234,3 +234,21 @@ def test_rolling_exact_median_null_frames(spark):
         ).collect()
     )
     assert got == [(1, None), (2, 5.0), (3, 4.0), (4, 4.0)]
+
+
+def test_window_ops_reject_reserved_columns(spark):
+    """top_k_per_group / global_row_number / global_cumsum refuse inputs
+    already carrying their internal temp columns (same contract as
+    upsert_by_key's reserved-column guard)."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators import windows as W
+
+    df = spark.createDataFrame([(1, 2, 3)], "k long, v long, __rn long")
+    with pytest.raises(ValueError, match="__rn"):
+        W.top_k_per_group(df, ["k"], ["v"], 1)
+    df2 = spark.createDataFrame([(1, 2, 3)], "k long, v long, __pid long")
+    with pytest.raises(ValueError, match="__pid"):
+        W.global_row_number(df2, ["k", "v"])
+    with pytest.raises(ValueError, match="__pid"):
+        W.global_cumsum(df2, ["k"], "v")

@@ -648,3 +648,144 @@ def test_scd2_history_matches_runlength_oracle(spark, obs):
             nxt = runs[v][0] if v < len(runs) else None
             want.append((key, v, a, t, nxt, nxt is None))
     assert got == sorted(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    ),
+    k=st.sampled_from([2, 3, 4]),
+    window=st.sampled_from([2, 3, 4]),
+)
+def test_winnowing_matches_python_model(spark, docs, k, window):
+    """winnowing_fingerprints == a direct Python implementation of
+    Schleimer/Wilkerson/Aiken winnowing over the same normalization,
+    k-gram hash (first 10 hex chars of md5), and rightmost-min-per-window
+    selection — including short docs (no complete window -> no rows) and
+    repeated grams (dedup of identical (pos, fp) selections)."""
+    import hashlib
+    import re
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnowing_fingerprints(df, k=k, window=window).collect()
+    }
+
+    expect = set()
+    for i, t in enumerate(docs):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        if len(norm) < k:
+            grams = [norm[0:k]] if norm else [""]
+            # operator: sequence(1, greatest(len-k+1, 1)) -> one gram even
+            # for short docs (substr pads nothing; gram is the short tail)
+            grams = [norm[j : j + k] for j in range(max(len(norm) - k + 1, 1))]
+        else:
+            grams = [norm[j : j + k] for j in range(len(norm) - k + 1)]
+        hashes = [
+            int(hashlib.md5(g.encode()).hexdigest()[:10], 16) for g in grams
+        ]
+        for wstart in range(len(hashes) - window + 1):
+            wh = hashes[wstart : wstart + window]
+            # rightmost minimum
+            mn = min(wh)
+            pos_in_w = max(j for j, h in enumerate(wh) if h == mn)
+            expect.add((i, wstart + pos_in_w + 1, mn))
+    assert got == expect, (k, window, got ^ expect)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+    k=st.sampled_from([1, 2, 3, 5]),
+    parts=st.sampled_from([2, 3, 7]),
+)
+def test_global_rank_cumsum_ntile_match_python(spark, vals, k, parts):
+    """global_row_number / global_cumsum / ntile_from_rank over a random
+    total order == Python sorted-prefix arithmetic, independent of the
+    range-partition count (the distributed two-pass must equal the
+    single-task semantics exactly)."""
+    from pyspark.sql import functions as F
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import (
+        global_cumsum,
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]  # i = unique tiebreak
+    df = spark.createDataFrame(rows, "uid long, v long").repartition(5)
+    n = len(rows)
+    ranked = global_row_number(df, ["v", "uid"], num_parts=parts)
+    out = {
+        r["uid"]: (r["global_rn"], r["nt"])
+        for r in ranked.withColumn("n_total", F.lit(n))
+        .withColumn("nt", ntile_from_rank("global_rn", "n_total", k))
+        .collect()
+    }
+    csum = {
+        r["uid"]: r["cum_sum"]
+        for r in global_cumsum(df, ["v", "uid"], "v", num_parts=parts).collect()
+    }
+
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    run = 0
+    size, rem = n // k, n % k
+    for rank0, (uid, v) in enumerate(ordered):
+        rn = rank0 + 1
+        run += v
+        # exact SQL NTILE: first `rem` buckets get size+1 rows
+        if rn <= rem * (size + 1):
+            nt = (rn - 1) // (size + 1) + 1
+        else:
+            nt = rem + ((rn - 1 - rem * (size + 1)) // size + 1 if size else 0)
+        assert out[uid] == (rn, nt), (uid, out[uid], (rn, nt))
+        assert csum[uid] == run, (uid, csum[uid], run)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-100, 100)),
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.sampled_from([2, 4, 16]),
+)
+def test_salted_agg_matches_plain_groupby_property(spark, rows, buckets):
+    """Two-phase salted aggregation == plain groupBy for every algebraic
+    aggregate it supports, on random skewed inputs and any salt width."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import salted_agg
+
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k long, v long, uid long"
+    )
+    got = {
+        r["k"]: (r["s"], r["c"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            [("sum", "v", "s"), ("count", "v", "c"), ("min", "v", "mn"), ("max", "v", "mx")],
+            salt_buckets=buckets,
+            salt_source="uid",
+        ).collect()
+    }
+    expect = {}
+    for k_, v in rows:
+        s, c, mn, mx = expect.get(k_, (0, 0, None, None))
+        expect[k_] = (
+            s + v,
+            c + 1,
+            v if mn is None else min(mn, v),
+            v if mx is None else max(mx, v),
+        )
+    assert got == expect

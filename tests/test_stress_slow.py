@@ -117,6 +117,7 @@ def test_streaming_ops_replica_invariants_10x(spark):
     # ingest; re-check the shape so a silent no-op refactor can't pass.
     assert {r["op"] for r in rows} == {
         "incremental_ingest(2 waves, mfpt=8)",
+        "touched_partition_merge(semi-join regime)",
         "stream_dedup(x2 delivery)",
         "windowed_counts(5m, complete)",
         "materialized_rollup(2-wave late data)",

@@ -51,7 +51,13 @@ or cross-replica leakage breaks the equality.
 ``run_stress`` is importable (tests/test_stress_slow.py wraps it as a
 ``pytest -m slow`` gate at 10x).
 
-Usage: python tools/stress_streaming.py [--ops ingest,dedup,window,rollup,upsert] [base_sf_dir] [reps]
+- ``merge`` — touched-partition merge in the SEMI-JOIN pruning regime
+  (``run_incremental_pipeline`` with partition cardinality far past the
+  literal-filter cap of 100): two waves over one checkpoint, EVERY
+  output partition touched by both, per-partition counts + cents
+  asserted equal to the batch computation full-width.
+
+Usage: python tools/stress_streaming.py [--ops ingest,dedup,window,rollup,upsert,merge] [base_sf_dir] [reps]
 Prints a markdown table; paste into BENCH_NOTES.md.
 """
 
@@ -71,7 +77,7 @@ from pyspark.sql import functions as F
 SHIFT = 10**9  # replica r occupies event_id/user_id range [r*SHIFT, ...)
 LATE_OFF = 10**15  # late-wave rows get fresh ids clear of every replica range
 
-KNOWN_OPS = frozenset({"ingest", "dedup", "window", "rollup", "upsert"})
+KNOWN_OPS = frozenset({"ingest", "dedup", "window", "rollup", "upsert", "merge"})
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -283,6 +289,55 @@ def run_stress(
             return got["n"]
 
         run("incremental_ingest(2 waves, mfpt=8)", ingest)
+
+    if wants("merge"):
+
+        def merge(feed, r, tag):
+            """Touched-partition merge in the SEMI-JOIN pruning regime: the
+            output is partitioned on a derived key with cardinality far past
+            _MAX_LITERAL_PARTITION_FILTER (100), every partition is touched
+            by BOTH waves (wave 1 = even event ids, wave 2 = odd), so each
+            drain's sink must prune via the broadcast semi-join and keep
+            the prior wave's rows in every one of the hundreds of merged
+            partitions — per-partition counts and value cents are asserted
+            equal to the batch computation, full-width."""
+            d = _scratch(f"merge_{tag}")
+            inp, outp, ckpt = (os.path.join(d, s) for s in ("in", "out", "ckpt"))
+            nparts = 120 * min(r, 16)  # >100 at every leg; 1,920 at 16+ reps
+            pfeed = feed.withColumn(
+                "pkey", F.pmod(F.col("user_id"), F.lit(nparts))
+            ).drop("rep")
+            schema = pfeed.schema
+            kwargs = dict(
+                schema=schema,
+                transform=lambda df: df,
+                output_dir=outp,
+                checkpoint_dir=ckpt,
+                partition_by=["pkey"],
+            )
+            pfeed.filter(F.col("event_id") % 2 == 0).coalesce(4).write.mode(
+                "append"
+            ).parquet(inp)
+            run_incremental_pipeline(spark, inp, **kwargs)
+            n1 = spark.read.parquet(outp).count()
+            pfeed.filter(F.col("event_id") % 2 == 1).coalesce(4).write.mode(
+                "append"
+            ).parquet(inp)
+            run_incremental_pipeline(spark, inp, **kwargs)
+            back = spark.read.parquet(outp)
+            agg = lambda df: df.groupBy("pkey").agg(  # noqa: E731
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            got, expect = agg(back), agg(pfeed)
+            assert got.exceptAll(expect).unionAll(expect.exceptAll(got)).count() == 0, (
+                tag, "per-partition merge mismatch vs batch",
+            )
+            total = back.count()
+            assert n1 > 0 and total > n1, (tag, n1, total)
+            return total
+
+        run("touched_partition_merge(semi-join regime)", merge)
 
     if wants("dedup"):
 

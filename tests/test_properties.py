@@ -789,3 +789,49 @@ def test_salted_agg_matches_plain_groupby_property(spark, rows, buckets):
             v if mx is None else max(mx, v),
         )
     assert got == expect
+
+
+def _py_bucket(key: str, salt: str = "") -> int:
+    """Python replica of sampling.hash_bucket: md5-60bit of (salt||key) % 10000."""
+    import hashlib
+
+    return int(hashlib.md5((salt + key).encode()).hexdigest()[:15], 16) % 10_000
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(st.text(alphabet="abc0129", min_size=1, max_size=12),
+                  min_size=1, max_size=40, unique=True),
+    w_train=st.integers(1, 8),
+    w_val=st.integers(1, 8),
+    salt=st.sampled_from(["", "s1"]),
+)
+def test_hash_split_matches_python_md5_model(spark, keys, w_train, w_val, salt):
+    """hash_split / deterministic_sample == the Python md5-bucket model,
+    and membership is invariant under repartitioning — the whole contract
+    (a row's split is a pure function of the row) that df.sample() lacks."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    tot = w_train + w_val + 2
+    weights = {"train": w_train / tot, "val": w_val / tot, "test": 2 / tot}
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {r["k"]: r["split"] for r in hash_split(df, "k", weights, salt).collect()}
+    got_reparted = {
+        r["k"]: r["split"]
+        for r in hash_split(df.repartition(7), "k", weights, salt).collect()
+    }
+    assert got == got_reparted  # partitioning-invariant
+
+    hi_train = int(round(weights["train"] * 10_000))
+    hi_val = hi_train + int(round(weights["val"] * 10_000))
+    for k in keys:
+        b = _py_bucket(k, salt)
+        expect = "train" if b < hi_train else ("val" if b < hi_val else "test")
+        assert got[k] == expect, (k, b, got[k], expect)
+
+    frac = weights["train"]
+    sampled = {r["k"] for r in deterministic_sample(df, "k", frac, salt).collect()}
+    assert sampled == {k for k in keys if _py_bucket(k, salt) < int(round(frac * 10_000))}

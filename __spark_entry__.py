@@ -38,7 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #     point_in_time_state_join,sink_upsert_merge_roundtrip,\
 #     stream_upsert_cdc_roundtrip,incremental_stream_roundtrip,\
 #     stream_interval_join_roundtrip
-# Round-9 leads, two groups:
+# Round-9 leads, three groups:
+# (0) TWO NEW registry rows (186 -> 188): csv_quarantine_roundtrip
+#     (the CSV twin of the JSONL quarantine — headerless gzip CSV
+#     landing zone, 3 injected malformed lines, clean rows byte-exact
+#     vs the parquet source) and orc_sink_roundtrip (the shared
+#     partitioned writer generalized with fmt='orc' — dynamic
+#     overwrite + partition discovery + type fidelity through ORC);
 # (1) the six queries whose operators changed in the round-8 LATE sweep
 #     and missed the full r08 window (the verdict's top item): the
 #     catalog DDL partition-order fix (ensure_external_table), the
@@ -64,6 +70,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # if nothing changes: the remaining r05 rows in registry order
 # (minhash_lsh_candidates onward), then r06.
 _PRIORITY = (
+    "csv_quarantine_roundtrip",  # NEW r09: CSV landing-zone quarantine (never attested)
+    "orc_sink_roundtrip",  # NEW r09: shared sink with fmt="orc" (never attested)
     "runner_batch_roundtrip",  # changed r08 (--window-days wiring), never re-attested; also r04-stale
     "msck_repair_discovery",  # rides ensure_external_table's r08 partition-order fix; r04-stale
     "flagship_pipeline",  # rides read_parquet_dir's layout probe (r08 + r09 mixed-layout raise)
@@ -112,8 +120,6 @@ _PRIORITY = (
     "language_id",  # r05-stale rotation
     "doc_fingerprint",  # r05-stale rotation
     "exact_dedup_docs",  # r05-stale rotation
-    "ngram_jaccard_topk",  # r05-stale rotation
-    "minhash_signatures",  # r05-stale rotation
 )
 
 

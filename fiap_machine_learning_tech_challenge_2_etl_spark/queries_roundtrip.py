@@ -1197,3 +1197,94 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     return spark.read.parquet(outp)
+
+
+@_register(
+    "csv_quarantine_roundtrip",
+    sql="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(3 AS BIGINT) AS n_rejects
+FROM orders WHERE o_orderkey % 7 = 1
+GROUP BY o_orderstatus
+""",
+)
+def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant CSV ingest round-trip (sources/text_formats.py
+    read_csv/write_csv), the CSV twin of ``jsonl_quarantine_roundtrip``:
+    a gzip CSV landing zone (headerless — a header line per file is a
+    per-file parsing special case a million-file zone can't afford) with
+    THREE malformed lines injected (long-column type failures and a
+    token-count overflow); the PERMISSIVE read + quarantine split must
+    (a) recover every clean row exactly — per-status counts and integer
+    cents match the parquet source (double -> text -> double is
+    round-trip-exact under Spark's CSV writer) — and (b) route exactly
+    the injected lines to the reject frame without aborting the job.
+    (The reference is parquet-only; this is extension surface §2.13.)"""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.text_formats import (
+        quarantine_corrupt,
+        read_csv,
+        write_csv,
+    )
+
+    src = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = _scratch("csv_quarantine", sf_dir)
+    land = os.path.join(d, "landing")
+    write_csv(src, land, header=False)
+    bad = spark.createDataFrame(
+        [("x,y,z",), ("not-a-key,O,12.5",), ("9,O,1.0,too,many,fields",)],
+        "value string",
+    )
+    bad.repartition(1).write.mode("append").text(land)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    clean, rejects = quarantine_corrupt(
+        read_csv(spark, land, schema, header=False)
+    )
+    n_rejects = rejects.count()  # metadata-class driver scalar, like n_parts
+    return clean.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(_cents("o_totalprice")).alias("sum_cents"),
+    ).withColumn("n_rejects", F.lit(n_rejects).cast("long"))
+
+
+@_register(
+    "orc_sink_roundtrip",
+    sql="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+FROM orders WHERE o_orderkey % 5 = 2
+GROUP BY o_orderstatus
+""",
+)
+def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 generalized to Spark's second columnar format: the shared
+    partitioned writer with ``fmt="orc"`` (same dynamic partition
+    overwrite + snappy, sinks.write_partitioned_parquet) writes orders
+    partitioned by status, partition discovery reads it back, and
+    per-status counts, integer cents, the min order date, and priority
+    cardinality must survive the ORC round trip exactly — long/double/
+    string/timestamp_ntz fidelity through writer, partition pruning, and
+    reader. (The reference is parquet-only; a lake migration needs the
+    sink contract to hold format-independently.)"""
+    src = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 2).select(
+        *_ORDERS_COLS
+    )
+    d = _scratch("orc_sink", sf_dir)
+    write_partitioned_parquet(src, d, ["o_orderstatus"], fmt="orc")
+    back = spark.read.orc(d)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(_cents("o_totalprice")).alias("sum_cents"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
+        F.count_distinct("o_orderpriority").cast("long").alias("n_prios"),
+    )

@@ -29,6 +29,7 @@ def write_partitioned_parquet(
     mode: str = "overwrite",
     compression: str = "snappy",
     coalesce_output: bool = True,
+    fmt: str = "parquet",
 ) -> None:
     """K1/K2/K3 — partitioned snappy parquet write with dynamic overwrite.
 
@@ -37,6 +38,11 @@ def write_partitioned_parquet(
     spark.sql.sources.partitionOverwriteMode=dynamic (etl/transform_1.py:40,
     set by our session factory), so ``overwrite`` touches only partitions
     present in ``df`` — K3's per-partition "upsert".
+
+    ``fmt`` generalizes the sink to Spark's other columnar format
+    ("orc" — same dynamic-overwrite and compression semantics; exercised
+    end-to-end by the ``orc_sink_roundtrip`` registry query). Parquet
+    stays the default analytic store.
     """
     out = df
     if coalesce_output and partition_by:
@@ -53,7 +59,8 @@ def write_partitioned_parquet(
         # overwrite would delete the whole table root mid-read)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_by)
-        .parquet(path)
+        .format(fmt)
+        .save(path)
     )
 
 

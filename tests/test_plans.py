@@ -578,3 +578,35 @@ def test_touched_days_rollup_pushes_ts_range_to_scan(spark, sf_dir):
     assert len(pushed) > 1, plan
     filters = pushed[1].split("]")[0]
     assert "GreaterThanOrEqual(ts" in filters and "LessThan(ts" in filters, plan
+
+
+def test_orc_sink_scan_prunes_partitions_and_columns(spark, sf_dir, tmp_path):
+    """The ORC generalization of the partitioned sink must keep the two
+    scan properties the parquet path has: a filter on the partition
+    column lands in PartitionFilters (directory pruning, not a full
+    read) and a narrow projection lands in ReadSchema (column pruning) —
+    if either vanishes, the 'same sink contract, different format' claim
+    is false at scale."""
+    from pyspark.sql import functions as F
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
+        write_partitioned_parquet,
+    )
+
+    orders = load_testdata(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    d = str(tmp_path / "orc_sink")
+    write_partitioned_parquet(orders, d, ["o_orderstatus"], fmt="orc")
+    scan = (
+        spark.read.orc(d)
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    plan = _plan(scan)
+    assert "FileScan orc" in plan, plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "o_orderstatus" in pf, plan
+    rs = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "o_orderkey" in rs and "o_totalprice" not in rs, plan

@@ -835,3 +835,72 @@ def test_hash_split_matches_python_md5_model(spark, keys, w_train, w_val, salt):
     frac = weights["train"]
     sampled = {r["k"] for r in deterministic_sample(df, "k", frac, salt).collect()}
     assert sampled == {k for k in keys if _py_bucket(k, salt) < int(round(frac * 10_000))}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "aa"]), min_size=0, max_size=15),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_repetition_stats_match_python_model(spark, docs):
+    """add_repetition_stats == the direct Python duplicate-word /
+    duplicate-trigram ratios, including the n<3 empty-trigram edge
+    (NULL ratio) and empty docs."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        add_repetition_stats,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_words"], r["dup_word_ratio"], r["dup_trigram_ratio"])
+        for r in add_repetition_stats(df).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.split(" ")  # raw single-space split, same as the operator
+        n = len(ws)
+        dup_w = round(1.0 - len(set(ws)) / n, 6) if n > 0 else None
+        tris = [" ".join(ws[j : j + 3]) for j in range(n - 2)] if n >= 3 else []
+        dup_t = round(1.0 - len(set(tris)) / len(tris), 6) if tris else None
+        assert got[i] == (n, dup_w, dup_t), (i, t, got[i], (n, dup_w, dup_t))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="abz 09", min_size=0, max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_char_entropy_matches_python_model(spark, docs):
+    """add_char_entropy == Python Shannon entropy over character counts
+    (ascending-count fold order replicated) plus exact bigram counts —
+    including empty docs (entropy 0.0, zero bigrams)."""
+    import math
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        add_char_entropy,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["char_entropy"], r["n_distinct_bigrams"], r["n_bigrams"])
+        for r in add_char_entropy(df).collect()
+    }
+    for i, t in enumerate(docs):
+        n = len(t)
+        if n:
+            counts = sorted(__import__("collections").Counter(t).values())
+            ent = 0.0
+            for k in counts:  # same ascending fold order as the operator
+                ent = ent - (k / n) * math.log2(k / n)
+            ent = round(ent, 6)
+        else:
+            ent = 0.0
+        bigrams = [t[j : j + 2] for j in range(n - 1)]
+        expect = (ent, len(set(bigrams)), len(bigrams))
+        assert got[i] == expect, (i, repr(t), got[i], expect)

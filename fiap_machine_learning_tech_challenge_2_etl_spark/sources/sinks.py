@@ -44,6 +44,11 @@ def write_partitioned_parquet(
     end-to-end by the ``orc_sink_roundtrip`` registry query). Parquet
     stays the default analytic store.
     """
+    if fmt not in ("parquet", "orc"):
+        # the contract (dynamic partition overwrite + snappy + columnar
+        # pruning on read-back) only holds for Spark's columnar formats;
+        # text formats go through sources.text_formats' explicit sinks
+        raise ValueError(f"fmt must be 'parquet' or 'orc', got {fmt!r}")
     out = df
     if coalesce_output and partition_by:
         # One shuffle keyed on the partition columns => each output dir is

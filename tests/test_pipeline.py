@@ -339,3 +339,18 @@ def test_read_parquet_dir_hive_layout_keeps_partition_pruning(spark, tmp_path):
     assert scan.count() == 25
     # and the plain layout goes the other way: no partition columns, all
     # rows via recursiveFileLookup (pinned in the three-layouts test)
+
+
+def test_partitioned_writer_rejects_non_columnar_format(spark, tmp_path):
+    """The fmt lever is parquet|orc only — the dynamic-overwrite +
+    compression + pruning contract doesn't hold for text formats, which
+    have their own explicit sinks in sources.text_formats."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
+        write_partitioned_parquet,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id long, p string")
+    with pytest.raises(ValueError, match="parquet.*orc"):
+        write_partitioned_parquet(df, str(tmp_path / "x"), ["p"], fmt="csv")

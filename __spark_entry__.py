@@ -67,9 +67,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-10 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the two rows the r09 registry growth pushed out
-# (ngram_jaccard_topk, minhash_signatures), then the remaining r05 rows
-# in registry order (minhash_lsh_candidates onward), then r06.
+# if nothing changes: ewma_user_daily FIRST (its operator changed in the
+# r09 late sweep AFTER this window was set: NaN-poisoned tails now emit
+# as NULL, matching the SQL recursive CTE's representation — value-
+# identical on null-free input, re-verified vs the oracle), then the two
+# rows the r09 registry growth pushed out (ngram_jaccard_topk,
+# minhash_signatures), then the remaining r05 rows in registry order
+# (minhash_lsh_candidates onward), then r06.
 _PRIORITY = (
     "csv_quarantine_roundtrip",  # NEW r09: CSV landing-zone quarantine (never attested)
     "orc_sink_roundtrip",  # NEW r09: shared sink with fmt="orc" (never attested)

@@ -39,6 +39,13 @@ def ewma(
     last ulp (enough to flip a round(x, 6) at a boundary and break
     cross-engine value parity).
 
+    NULL semantics match SQL's recursive-CTE formulation: a NULL (or NaN)
+    input makes that row's EWMA NULL and poisons the rest of the key's
+    tail — exactly the trajectory ``a*NULL + (1-a)*y`` produces in SQL.
+    The kernel computes the identical trajectory in NaN arithmetic and
+    converts NaN back to NULL on emit, so the two engines agree on the
+    edge instead of diverging as NaN-vs-NULL.
+
     Execution shape: segmented scan, not per-group apply. The input is
     hash-partitioned on ``key`` and sorted within partitions on
     (key, order), then ONE ``mapInPandas`` call streams each partition's
@@ -71,7 +78,12 @@ def ewma(
                 acc = vals[i] if acc is None else alpha * vals[i] + one_minus * acc
                 out[i] = acc
                 carry[k] = acc
-            yield pdf.assign(**{output: out})
+            # NaN (from a NULL/NaN input, propagated by the recurrence)
+            # emits as NULL — the SQL recursive CTE's representation of
+            # the same poisoned tail (astype Float64 maps NaN -> NA)
+            yield pdf.assign(
+                **{output: __import__("pandas").Series(out).astype("Float64")}
+            )
 
     return (
         df.repartition(key)

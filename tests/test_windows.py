@@ -252,3 +252,26 @@ def test_window_ops_reject_reserved_columns(spark):
         W.global_row_number(df2, ["k", "v"])
     with pytest.raises(ValueError, match="__pid"):
         W.global_cumsum(df2, ["k"], "v")
+
+
+def test_ewma_null_input_poisons_tail_as_null(spark):
+    """A NULL value makes that row's EWMA NULL and poisons the rest of
+    the key's tail as NULL — the exact trajectory the SQL recursive CTE
+    produces (a*NULL + (1-a)*y = NULL), emitted as NULL, never NaN.
+    Other keys and the pre-NULL prefix are unaffected."""
+    import math
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, None), (1, 3, 30.0), (2, 1, 5.0), (2, 2, 7.0)],
+        "uid long, t long, x double",
+    )
+    got = {
+        (r["uid"], r["t"]): r["ewma"]
+        for r in ewma(df, key="uid", order_by="t", value="x", alpha=0.5).collect()
+    }
+    assert got[(1, 1)] == 10.0
+    assert got[(1, 2)] is None and got[(1, 3)] is None  # poisoned tail, as NULL
+    assert not any(v is not None and math.isnan(v) for v in got.values())
+    assert got[(2, 1)] == 5.0 and got[(2, 2)] == 6.0  # other key untouched

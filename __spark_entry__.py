@@ -37,7 +37,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     sink_partition_overwrite_roundtrip,asof_join_events,\
 #     point_in_time_state_join,sink_upsert_merge_roundtrip,\
 #     stream_upsert_cdc_roundtrip,incremental_stream_roundtrip,\
-#     stream_interval_join_roundtrip
+#     stream_interval_join_roundtrip,ewma_user_daily
 # Round-9 leads, three groups:
 # (0) TWO NEW registry rows (186 -> 188): csv_quarantine_roundtrip
 #     (the CSV twin of the JSONL quarantine — headerless gzip CSV
@@ -67,19 +67,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-10 NOTE: lead with any new/operator-changed queries (pass them
 # via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: ewma_user_daily FIRST (its operator changed in the
-# r09 late sweep AFTER this window was set: NaN-poisoned tails now emit
-# as NULL, matching the SQL recursive CTE's representation — value-
-# identical on null-free input, re-verified vs the oracle), then the two
-# rows the r09 registry growth pushed out (ngram_jaccard_topk,
-# minhash_signatures), then the remaining r05 rows in registry order
-# (minhash_lsh_candidates onward), then r06.
+# if nothing changes: the three rows the r09 leads pushed out
+# (exact_dedup_docs, ngram_jaccard_topk, minhash_signatures), then the
+# remaining r05 rows in registry order (minhash_lsh_candidates onward),
+# then r06. ewma_user_daily's r09 operator change (NaN-poisoned tails
+# emit as NULL, SQL parity; value-identical on null-free input) is IN
+# the r09 window — no attestation debt carried.
 _PRIORITY = (
     "csv_quarantine_roundtrip",  # NEW r09: CSV landing-zone quarantine (never attested)
     "orc_sink_roundtrip",  # NEW r09: shared sink with fmt="orc" (never attested)
     "runner_batch_roundtrip",  # changed r08 (--window-days wiring), never re-attested; also r04-stale
     "msck_repair_discovery",  # rides ensure_external_table's r08 partition-order fix; r04-stale
     "flagship_pipeline",  # rides read_parquet_dir's layout probe (r08 + r09 mixed-layout raise)
+    "ewma_user_daily",  # changed r09: NaN-poisoned tails emit as NULL (SQL parity)
     "sink_partition_overwrite_roundtrip",  # rides the r08 shared-writer refactor; r06-stale
     "catalog_partition_registry",  # rides ensure_external_table's r08 partition-order fix
     "file_list_scan",  # rides read_parquet_dir's layout probe (r08 + r09)
@@ -124,7 +124,6 @@ _PRIORITY = (
     "text_quality",  # r05-stale rotation
     "language_id",  # r05-stale rotation
     "doc_fingerprint",  # r05-stale rotation
-    "exact_dedup_docs",  # r05-stale rotation
 )
 
 

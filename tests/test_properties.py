@@ -904,3 +904,50 @@ def test_char_entropy_matches_python_model(spark, docs):
         bigrams = [t[j : j + 2] for j in range(n - 1)]
         expect = (ent, len(set(bigrams)), len(bigrams))
         assert got[i] == expect, (i, repr(t), got[i], expect)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(alphabet="the la de und em ,.!x9", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_token_stats_and_language_id_match_python(spark, docs):
+    """add_token_stats and add_language_id == direct Python models over
+    the same normalization (lower + whitespace-collapse + trim), the same
+    BPE-ish regex (ASCII inputs, where Java and Python regex agree), and
+    the same stopword-ratio argmax with alphabetical tiebreak."""
+    import re
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
+        STOPWORDS,
+        add_language_id,
+        add_token_stats,
+    )
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    stats = {
+        r["doc_id"]: (r["n_chars_calc"], r["n_ws_tokens"], r["n_bpe_tokens"])
+        for r in add_token_stats(df).collect()
+    }
+    langs = {r["doc_id"]: r["lang_pred"] for r in add_language_id(df).collect()}
+
+    for i, t in enumerate(docs):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        toks = norm.split(" ")
+        n_bpe = len(re.findall(r"\w+|[^\w\s]", t))
+        assert stats[i] == (len(t), len(toks), n_bpe), (i, repr(t), stats[i])
+
+        n = max(len(toks), 1)
+        ratios = {
+            lang: sum(1 for w in toks if w in sw) / n
+            for lang, sw in STOPWORDS.items()
+        }
+        best = max(ratios.values())
+        if best <= 0:
+            expect = "unknown"
+        else:
+            expect = min(lang for lang, r in ratios.items() if r == best)
+        assert langs[i] == expect, (i, repr(t), langs[i], expect, ratios)

@@ -951,3 +951,38 @@ def test_token_stats_and_language_id_match_python(spark, docs):
         else:
             expect = min(lang for lang, r in ratios.items() if r == best)
         assert langs[i] == expect, (i, repr(t), langs[i], expect, ratios)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.text(alphabet="abc012", min_size=1, max_size=8),
+                  st.integers(-2, 50)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.sampled_from([1, 3, 7]),
+)
+def test_weighted_sample_topk_matches_python_model(spark, rows, k):
+    """weighted_sample_topk == the Python Efraimidis-Spirakis model over
+    the same md5-derived u: score = u^(1/w) rounded to 9dp, top-k by
+    (score desc, key asc), rows with w <= 0 excluded."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(rows, "id string, w long")
+    got = [
+        (r["id"], r["sample_score"])
+        for r in weighted_sample_topk(df, "id", "w", k).collect()
+    ]
+
+    scored = []
+    for key, w in rows:
+        if w <= 0:
+            continue
+        u = (_py_bucket(key) + 0.5) / 10_000
+        scored.append((key, round(u ** (1.0 / w), 9)))
+    expect = sorted(scored, key=lambda t: (-t[1], t[0]))[:k]
+    assert got == expect, (got, expect)

@@ -986,3 +986,47 @@ def test_weighted_sample_topk_matches_python_model(spark, rows, k):
         scored.append((key, round(u ** (1.0 / w), 9)))
     expect = sorted(scored, key=lambda t: (-t[1], t[0]))[:k]
     assert got == expect, (got, expect)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    xs=st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=40,
+    ),
+    nbins=st.sampled_from([1, 4, 10]),
+)
+def test_numeric_histogram_matches_python_model(spark, xs, nbins):
+    """numeric_histogram == the same closed-form float64 bucketing in
+    Python (identical IEEE arithmetic): equi-width buckets over global
+    min/max, NULLs excluded, the top boundary folded into the last
+    bucket, and the constant-column (width 0) edge folding everything
+    into bucket 0 — the r08 DIVIDE_BY_ZERO fix pinned from a second
+    angle."""
+    import math
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import (
+        numeric_histogram,
+    )
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x long")
+    got = {
+        r["bucket"]: (r["lo"], r["hi"], r["n"])
+        for r in numeric_histogram(df, "x", nbins=nbins).collect()
+    }
+
+    vals = [float(x) for x in xs if x is not None]
+    if not vals:
+        assert got == {}
+        return
+    lo, hi = min(vals), max(vals)
+    width = (hi - lo) / float(nbins)
+    expect: dict = {}
+    for v in vals:
+        b = 0 if width == 0.0 else min(int(math.floor((v - lo) / width)), nbins - 1)
+        expect[b] = expect.get(b, 0) + 1
+    assert {b: n for b, (_, _, n) in got.items()} == expect, (got, expect)
+    for b, (blo, bhi, _) in got.items():
+        assert blo == round(lo + b * (hi - lo) / nbins, 6)
+        assert bhi == round(lo + (b + 1) * (hi - lo) / nbins, 6)

@@ -74,56 +74,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # emit as NULL, SQL parity; value-identical on null-free input) is IN
 # the r09 window — no attestation debt carried.
 _PRIORITY = (
-    "csv_quarantine_roundtrip",  # NEW r09: CSV landing-zone quarantine (never attested)
-    "orc_sink_roundtrip",  # NEW r09: shared sink with fmt="orc" (never attested)
-    "runner_batch_roundtrip",  # changed r08 (--window-days wiring), never re-attested; also r04-stale
-    "msck_repair_discovery",  # rides ensure_external_table's r08 partition-order fix; r04-stale
-    "flagship_pipeline",  # rides read_parquet_dir's layout probe (r08 + r09 mixed-layout raise)
-    "ewma_user_daily",  # changed r09: NaN-poisoned tails emit as NULL (SQL parity)
-    "sink_partition_overwrite_roundtrip",  # rides the r08 shared-writer refactor; r06-stale
-    "catalog_partition_registry",  # rides ensure_external_table's r08 partition-order fix
-    "file_list_scan",  # rides read_parquet_dir's layout probe (r08 + r09)
-    "asof_join_events",  # changed r09: right NULL-ts rows dropped (SQL semantics)
-    "point_in_time_state_join",  # changed r09: same asof NULL-ts fix
-    "sink_upsert_merge_roundtrip",  # changed r09: pruning factored into filter_touched_partitions
-    "incremental_stream_roundtrip",  # changed r09: two-regime pruning + reserved __ingest_epoch guard
-    "stream_upsert_cdc_roundtrip",  # changed r09: delegates to upsert_by_key (shared pruning helper)
-    "stream_interval_join_roundtrip",  # changed r09: suffix-collision guard
-    "mode_per_group",  # r04-stale rotation
-    "lateral_join_topk",  # r04-stale rotation
-    "sql_pipe_syntax_entry",  # r04-stale rotation
-    "benford_first_digit",  # r04-stale rotation
-    "sessionize_gap_islands",  # r04-stale rotation
-    "time_weighted_average",  # r04-stale rotation
-    "join_key_skew_report",  # r04-stale rotation
-    "multimodal_audio_energy",  # r04-stale rotation
-    "cusum_drift_detection",  # r04-stale rotation
-    "quantile_normalize_by_lang",  # r04-stale rotation
-    "hll_distinct_rollup",  # r04-stale rotation
-    "jsonl_quarantine_roundtrip",  # r04-stale rotation
-    "stream_session_window_roundtrip",  # r04-stale rotation
-    "stream_tumbling_late_data_roundtrip",  # r04-stale rotation
-    "select_filter_project",  # r05-stale rotation
-    "distinct_rows",  # r05-stale rotation
-    "fill_defaults",  # r05-stale rotation
-    "sanitize_numeric",  # r05-stale rotation
-    "dedup_keep_first",  # r05-stale rotation
-    "moving_average",  # r05-stale rotation
-    "group_total",  # r05-stale rotation
-    "group_min_date",  # r05-stale rotation
-    "rank_in_group",  # r05-stale rotation
-    "all_null_column_drop",  # r05-stale rotation
-    "tpch_q1_agg",  # r05-stale rotation
-    "star_join_agg",  # r05-stale rotation
-    "join_topk_revenue",  # r05-stale rotation
-    "semi_join_customers",  # r05-stale rotation
-    "anti_join_customers",  # r05-stale rotation
-    "top_k_orders",  # r05-stale rotation
-    "json_extract_agg",  # r05-stale rotation
-    "text_stats",  # r05-stale rotation
-    "text_quality",  # r05-stale rotation
-    "language_id",  # r05-stale rotation
-    "doc_fingerprint",  # r05-stale rotation
+    "exact_dedup_docs",  # r05-stale rotation
+    "ngram_jaccard_topk",  # r05-stale rotation
+    "minhash_signatures",  # r05-stale rotation
+    "embedding_cosine_topk",  # r05-stale rotation
+    "embedding_topk_pairs",  # r05-stale rotation
+    "multimodal_features",  # r05-stale rotation
+    "multimodal_frame_sample",  # r05-stale rotation
+    "winnowing_fingerprints",  # r05-stale rotation
+    "embedding_near_dup_exact",  # r05-stale rotation
+    "tumbling_window_agg",  # r05-stale rotation
+    "session_window_agg",  # r05-stale rotation
+    "skew_salted_agg",  # r05-stale rotation
+    "corpus_clean_pipeline",  # r05-stale rotation
+    "range_join_shipments",  # r05-stale rotation
+    "theta_sketch_overlap",  # r05-stale rotation
+    "seasonal_decompose_daily",  # r05-stale rotation
+    "attribution_first_last_touch",  # r05-stale rotation
+    "set_ops",  # r06-stale rotation
+    "rollup_agg",  # r06-stale rotation
+    "cube_agg",  # r06-stale rotation
+    "grouping_sets_agg",  # r06-stale rotation
+    "pivot_event_counts",  # r06-stale rotation
+    "unpivot_stats",  # r06-stale rotation
+    "window_ranking_family",  # r06-stale rotation
+    "string_functions",  # r06-stale rotation
+    "date_functions",  # r06-stale rotation
+    "sql_entry_tpch_q3",  # r06-stale rotation
+    "label_centroids",  # r06-stale rotation
+    "word_count_topk",  # r06-stale rotation
+    "stats_agg_family",  # r06-stale rotation
+    "regr_agg_family",  # r06-stale rotation
+    "conditional_agg_family",  # r06-stale rotation
+    "percentile_agg_family",  # r06-stale rotation
+    "range_frame_window",  # r06-stale rotation
+    "gapfill_forward_fill",  # r06-stale rotation
+    "dedup_cluster_cc",  # r06-stale rotation
+    "exists_subquery_agg",  # r06-stale rotation
+    "scalar_subquery_agg",  # r06-stale rotation
+    "hash_split_corpus",  # r06-stale rotation
+    "stratified_sample_docs",  # r06-stale rotation
+    "gapfill_interpolate",  # r06-stale rotation
+    "profile_documents",  # r06-stale rotation
+    "chunk_documents",  # r06-stale rotation
+    "min_cost_supplier",  # r06-stale rotation
+    "map_functions",  # r06-stale rotation
+    "null_semantics_family",  # r06-stale rotation
+    "fuzzy_match_levenshtein",  # r06-stale rotation
+    "bitwise_functions",  # r06-stale rotation
+    "event_sequence_assembly",  # r06-stale rotation
+    "pii_redaction",  # r06-stale rotation
 )
 
 

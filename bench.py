@@ -6,6 +6,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized through the noop sink (full plan executes on the
 JVM; no rows cross to Python), so timings measure engine work, not driver
 transfer.
+
+Stdout ends with a second, compact totals-only JSON line (no per-query
+map) so a bounded tail capture always contains one complete parseable
+object; BENCH_LOCAL.json carries the per-query detail.
 """
 
 from __future__ import annotations
@@ -93,6 +97,25 @@ def main() -> None:
                 fh.write(payload + "\n")
         except OSError as exc:
             print(f"bench: could not write {out}: {exc}", file=sys.stderr)
+    # The full payload (~190 per-query entries) can exceed an stdout-tail
+    # capture, leaving the driver with an unparseable fragment. Print a
+    # compact totals-only object LAST so any tail of stdout always ends
+    # with one complete JSON line; BENCH_LOCAL.json keeps the per-query
+    # detail.
+    n_failed = sum(1 for t in timings.values() if t < 0)
+    print(
+        json.dumps(
+            {
+                "metric": "query_set_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "n_queries": len(timings),
+                "n_failed": n_failed,
+                "queries_detail": "BENCH_LOCAL.json",
+            }
+        )
+    )
     spark.stop()
 
 

@@ -351,12 +351,19 @@ def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             TT.StructField("text", TT.StringType()),
         ]
     )
-    clean, rejects = quarantine_corrupt(read_jsonl(spark, land, schema))
+    raw = read_jsonl(spark, land, schema)
+    clean, rejects = quarantine_corrupt(raw)
     n_rejects = rejects.count()  # metadata-class driver scalar, like n_parts
-    return clean.groupBy("lang").agg(
+    out = clean.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.length("text")).cast("long").alias("sum_chars"),
     ).withColumn("n_rejects", F.lit(n_rejects).cast("long"))
+    # Materialize the per-lang rollup (bounded by the lang-code domain)
+    # before releasing quarantine_corrupt's cached scan, so the cached
+    # batch doesn't linger in executor memory for the rest of the session.
+    rows = out.collect()
+    raw.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @_register(
@@ -1245,14 +1252,20 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("o_totalprice", T.DoubleType()),
         ]
     )
-    clean, rejects = quarantine_corrupt(
-        read_csv(spark, land, schema, header=False)
-    )
+    raw = read_csv(spark, land, schema, header=False)
+    clean, rejects = quarantine_corrupt(raw)
     n_rejects = rejects.count()  # metadata-class driver scalar, like n_parts
-    return clean.groupBy("o_orderstatus").agg(
+    out = clean.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(_cents("o_totalprice")).alias("sum_cents"),
     ).withColumn("n_rejects", F.lit(n_rejects).cast("long"))
+    # Materialize the tiny per-status rollup (≤3 groups) before releasing
+    # quarantine_corrupt's cached scan — text_formats.py's contract is
+    # "unpersist after the two branches", and without this the cached
+    # batch lingers in executor memory for the rest of the bench session.
+    rows = out.collect()
+    raw.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @_register(

@@ -74,6 +74,14 @@ def _probe_layout(spark, path: str) -> str:
     unreadable root rather than changing semantics."""
     try:
         jvm = spark._jvm
+    except AttributeError:
+        # Spark Connect sessions expose no _jvm (PySparkAttributeError is
+        # an AttributeError subclass). Without a driver-side FileSystem RPC
+        # the probe can't run; fall back to the default reader mode, which
+        # still reads flat and Hive layouts correctly and errors loudly on
+        # an unreadable root.
+        return "flat"
+    try:
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         subdirs = [

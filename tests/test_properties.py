@@ -685,7 +685,6 @@ def test_winnowing_matches_python_model(spark, docs, k, window):
     for i, t in enumerate(docs):
         norm = re.sub(r"\s+", " ", t.lower()).strip()
         if len(norm) < k:
-            grams = [norm[0:k]] if norm else [""]
             # operator: sequence(1, greatest(len-k+1, 1)) -> one gram even
             # for short docs (substr pads nothing; gram is the short tail)
             grams = [norm[j : j + k] for j in range(max(len(norm) - k + 1, 1))]

@@ -36,6 +36,14 @@ sys.path.insert(0, REPO)
 
 WINDOW = 50  # the driver attests the first 50 queries() entries per round
 
+# Queries renamed/retired after their attestation rounds: their names remain
+# in old CORRECTNESS_r*.json files but are expected to be absent from the
+# registry. Recording the rename here keeps the not-in-registry warning a
+# real signal (empty output on a clean run) instead of permanent noise.
+RENAMED = {
+    "distinct_agg": "distinct_rows",  # renamed before r07
+}
+
 
 def is_green(rec: dict) -> bool:
     if rec.get("err"):
@@ -147,7 +155,7 @@ def main(argv: list[str]) -> int:
             changed = committed.get("changed_lead") or []
     ledger = load_ledger(max_round=bound)
     registry = registry_order()
-    unknown = sorted(set(ledger) - set(registry))
+    unknown = sorted(set(ledger) - set(registry) - set(RENAMED))
     if unknown:
         print(f"WARNING: {len(unknown)} attested queries not in registry: {unknown}")
 

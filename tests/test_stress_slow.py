@@ -40,6 +40,7 @@ import pytest
 
 from tools import (
     stress_ann,
+    stress_asof,
     stress_dedup,
     stress_graph,
     stress_quadratic,
@@ -125,6 +126,18 @@ def test_streaming_ops_replica_invariants_10x(spark):
     }
     for r in rows:
         assert r["rows_scaled"] == 10 * r["rows_base"], r
+
+
+@pytest.mark.slow
+def test_asof_join_skewed_replica_invariants_10x(spark):
+    """Union-sort asof at 10x replicas with ~20% of rows remapped onto ONE
+    key: run_stress asserts left-preservation at both scales, zero failed
+    tasks, and brute-force value parity (inequality join + max_by oracle)
+    on a deterministic click sample of the scaled leg."""
+    res = stress_asof.run_stress(spark, STRESS_DIR, reps=10, emit=_quiet)
+    assert res["rows_Nx"] == 10 * res["rows_1x"], res
+    assert res["failed_tasks"] == 0 and res["parity_sample"] > 0, res
+    assert 0.15 <= res["skew_share"] <= 0.30, res
 
 
 def test_bookmarked_files_reads_compacted_source_log(tmp_path):

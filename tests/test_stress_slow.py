@@ -42,6 +42,7 @@ from tools import (
     stress_ann,
     stress_asof,
     stress_dedup,
+    stress_ewma,
     stress_graph,
     stress_quadratic,
     stress_streaming,
@@ -138,6 +139,18 @@ def test_asof_join_skewed_replica_invariants_10x(spark):
     assert res["rows_Nx"] == 10 * res["rows_1x"], res
     assert res["failed_tasks"] == 0 and res["parity_sample"] > 0, res
     assert 0.15 <= res["skew_share"] <= 0.30, res
+
+
+@pytest.mark.slow
+def test_ewma_huge_key_null_poison_200k(spark):
+    """EWMA segmented scan with one ~200k-row key streamed as >=19 Arrow
+    batches (batch size pinned to 10k): run_stress asserts sampled float64
+    parity vs a driver-side model, the NULL injected at 90% of the series
+    poisoning EXACTLY the tail (surviving carry-dict resume across batch
+    boundaries), and the interleaved clean key staying unpoisoned."""
+    res = stress_ewma.run_stress(spark, n_rows=200_000, emit=_quiet)
+    assert res["arrow_batches_min"] >= 19, res
+    assert res["parity_sample"] >= 20, res
 
 
 def test_bookmarked_files_reads_compacted_source_log(tmp_path):

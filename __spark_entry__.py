@@ -74,58 +74,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # emit as NULL, SQL parity; value-identical on null-free input) is IN
 # the r09 window — no attestation debt carried.
 _PRIORITY = (
-    "exact_dedup_docs",  # r05-stale rotation
-    "ngram_jaccard_topk",  # r05-stale rotation
-    "minhash_signatures",  # r05-stale rotation
-    "embedding_cosine_topk",  # r05-stale rotation
-    "embedding_topk_pairs",  # r05-stale rotation
-    "multimodal_features",  # r05-stale rotation
-    "multimodal_frame_sample",  # r05-stale rotation
-    "winnowing_fingerprints",  # r05-stale rotation
-    "embedding_near_dup_exact",  # r05-stale rotation
-    "tumbling_window_agg",  # r05-stale rotation
-    "session_window_agg",  # r05-stale rotation
-    "skew_salted_agg",  # r05-stale rotation
-    "corpus_clean_pipeline",  # r05-stale rotation
-    "range_join_shipments",  # r05-stale rotation
-    "theta_sketch_overlap",  # r05-stale rotation
-    "seasonal_decompose_daily",  # r05-stale rotation
-    "attribution_first_last_touch",  # r05-stale rotation
-    "set_ops",  # r06-stale rotation
-    "rollup_agg",  # r06-stale rotation
-    "cube_agg",  # r06-stale rotation
-    "grouping_sets_agg",  # r06-stale rotation
-    "pivot_event_counts",  # r06-stale rotation
-    "unpivot_stats",  # r06-stale rotation
-    "window_ranking_family",  # r06-stale rotation
-    "string_functions",  # r06-stale rotation
-    "date_functions",  # r06-stale rotation
-    "sql_entry_tpch_q3",  # r06-stale rotation
-    "label_centroids",  # r06-stale rotation
-    "word_count_topk",  # r06-stale rotation
-    "stats_agg_family",  # r06-stale rotation
-    "regr_agg_family",  # r06-stale rotation
-    "conditional_agg_family",  # r06-stale rotation
-    "percentile_agg_family",  # r06-stale rotation
-    "range_frame_window",  # r06-stale rotation
-    "gapfill_forward_fill",  # r06-stale rotation
-    "dedup_cluster_cc",  # r06-stale rotation
-    "exists_subquery_agg",  # r06-stale rotation
-    "scalar_subquery_agg",  # r06-stale rotation
-    "hash_split_corpus",  # r06-stale rotation
-    "stratified_sample_docs",  # r06-stale rotation
-    "gapfill_interpolate",  # r06-stale rotation
-    "profile_documents",  # r06-stale rotation
-    "chunk_documents",  # r06-stale rotation
-    "min_cost_supplier",  # r06-stale rotation
-    "map_functions",  # r06-stale rotation
-    "null_semantics_family",  # r06-stale rotation
-    "fuzzy_match_levenshtein",  # r06-stale rotation
-    "bitwise_functions",  # r06-stale rotation
-    "event_sequence_assembly",  # r06-stale rotation
-    "pii_redaction",  # r06-stale rotation
+    "skew_salted_agg",  # r05-green; changed-since-attestation (query_provenance)
+    "corpus_clean_pipeline",  # r05-green; changed-since-attestation (query_provenance)
+    "range_join_shipments",  # r05-green; changed-since-attestation (query_provenance)
+    "theta_sketch_overlap",  # r05-green; changed-since-attestation (query_provenance)
+    "dedup_cluster_cc",  # r06-green; changed-since-attestation (query_provenance)
+    "embedding_ann_lsh",  # r07-green; changed-since-attestation (query_provenance)
+    "interval_coalesce",  # r07-green; changed-since-attestation (query_provenance)
+    "scd2_user_history",  # r07-green; changed-since-attestation (query_provenance)
+    "data_quality_report",  # r07-green; changed-since-attestation (query_provenance)
+    "cdc_apply_events",  # r07-green; changed-since-attestation (query_provenance)
+    "stream_static_enrich_roundtrip",  # r07-green; changed-since-attestation (query_provenance)
+    "snapshot_diff_orders",  # r08-green; changed-since-attestation (query_provenance)
+    "equidepth_binning",  # r08-green; changed-since-attestation (query_provenance)
+    "token_budget_select",  # r08-green; changed-since-attestation (query_provenance)
+    "jsonl_quarantine_roundtrip",  # r09-green; changed-since-attestation (query_provenance)
+    "csv_quarantine_roundtrip",  # r09-green; changed-since-attestation (query_provenance)
+    "exact_dedup_docs",  # r05-green; stale rotation
+    "ngram_jaccard_topk",  # r05-green; stale rotation
+    "minhash_signatures",  # r05-green; stale rotation
+    "embedding_cosine_topk",  # r05-green; stale rotation
+    "embedding_topk_pairs",  # r05-green; stale rotation
+    "multimodal_features",  # r05-green; stale rotation
+    "multimodal_frame_sample",  # r05-green; stale rotation
+    "winnowing_fingerprints",  # r05-green; stale rotation
+    "embedding_near_dup_exact",  # r05-green; stale rotation
+    "tumbling_window_agg",  # r05-green; stale rotation
+    "session_window_agg",  # r05-green; stale rotation
+    "seasonal_decompose_daily",  # r05-green; stale rotation
+    "attribution_first_last_touch",  # r05-green; stale rotation
+    "set_ops",  # r06-green; stale rotation
+    "rollup_agg",  # r06-green; stale rotation
+    "cube_agg",  # r06-green; stale rotation
+    "grouping_sets_agg",  # r06-green; stale rotation
+    "pivot_event_counts",  # r06-green; stale rotation
+    "unpivot_stats",  # r06-green; stale rotation
+    "window_ranking_family",  # r06-green; stale rotation
+    "string_functions",  # r06-green; stale rotation
+    "date_functions",  # r06-green; stale rotation
+    "sql_entry_tpch_q3",  # r06-green; stale rotation
+    "label_centroids",  # r06-green; stale rotation
+    "word_count_topk",  # r06-green; stale rotation
+    "stats_agg_family",  # r06-green; stale rotation
+    "regr_agg_family",  # r06-green; stale rotation
+    "conditional_agg_family",  # r06-green; stale rotation
+    "percentile_agg_family",  # r06-green; stale rotation
+    "range_frame_window",  # r06-green; stale rotation
+    "gapfill_forward_fill",  # r06-green; stale rotation
+    "exists_subquery_agg",  # r06-green; stale rotation
+    "scalar_subquery_agg",  # r06-green; stale rotation
+    "hash_split_corpus",  # r06-green; stale rotation
 )
-
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

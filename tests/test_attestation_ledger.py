@@ -7,6 +7,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 from attestation_ledger import WINDOW, is_green, load_ledger, proposed_window
@@ -98,3 +100,23 @@ def test_load_ledger_max_round_bounds_files():
     bounded = load_ledger(max_round=newest - 1)
     assert all(v["latest_seen"] <= newest - 1 for v in bounded.values())
     assert any(v["latest_seen"] == newest for v in unbounded.values())
+
+
+@pytest.mark.slow
+def test_query_provenance_check_clean():
+    """Every query whose function block or body-imported operator changed
+    after its latest-green round must be in the committed ledger's
+    changed_lead (i.e. gets a fresh attestation row next round). Slow:
+    one function-level `git log -L` per registry query."""
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "query_provenance.py"), "--check"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=570,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr

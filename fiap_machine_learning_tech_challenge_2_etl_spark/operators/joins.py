@@ -54,6 +54,7 @@ def asof_join(
     on: str,
     ts_col: str = "ts",
     right_value_cols: Sequence[str] = (),
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """As-of (point-in-time) join: for every left row, attach the right row
     with the greatest ``ts_col`` <= the left row's (per ``on`` key); nulls
@@ -77,14 +78,31 @@ def asof_join(
     ``right.ts <= left.ts``): right NULL-key and NULL-ts rows are
     dropped, left NULL-key/NULL-ts rows come through with NULL values.
 
+    ``tolerance`` (optional) bounds match staleness, pandas
+    ``merge_asof(tolerance=...)`` / kdb ``wj`` style: a SQL INTERVAL body
+    (e.g. ``"24 HOURS"``) for timestamp ``ts_col``, or a plain number for
+    numeric ``ts_col``. The carried struct
+    then keeps the matched right row's timestamp, and a match older than
+    ``left.ts - tolerance`` emits NULL values — the semantics of "latest
+    snapshot, but only if fresh enough". Same plan shape (the freshness
+    test is a post-carry map-side projection), so the scale posture is
+    unchanged: one exchange, one sort.
+
     Output: all left columns + ``right_value_cols`` (null = no match).
     """
     if not right_value_cols:
         return left
     from pyspark.sql import types as T
 
+    struct_fields = list(right_value_cols)
+    if tolerance is not None:
+        # carry the matched right ts alongside the values so freshness is
+        # testable after the carry; reserved name, rejected if colliding
+        if "__rts" in set(left.columns) | set(right.columns):
+            raise ValueError("column name '__rts' is reserved by asof tolerance")
     r_struct_type = T.StructType(
-        [right.schema[c] for c in right_value_cols]
+        ([T.StructField("__rts", right.schema[ts_col].dataType)] if tolerance else [])
+        + [right.schema[c] for c in struct_fields]
     )
     l_tag = left.select(
         F.col(on).alias("__k"),
@@ -93,12 +111,15 @@ def asof_join(
         F.struct(*left.columns).alias("__l"),
         F.lit(None).cast(r_struct_type).alias("__r"),
     )
+    r_struct_cols = (
+        [F.col(ts_col).alias("__rts")] if tolerance is not None else []
+    ) + [F.col(c) for c in right_value_cols]
     r_tag = right.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull()).select(
         F.col(on).alias("__k"),
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__is_left"),
         F.lit(None).cast(l_tag.schema["__l"].dataType).alias("__l"),
-        F.struct(*[F.col(c) for c in right_value_cols]).alias("__r"),
+        F.struct(*r_struct_cols).alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
@@ -109,7 +130,20 @@ def asof_join(
         "__is_left",
         "__l",
         F.last("__r", ignorenulls=True).over(w).alias("__r"),
+        *([F.col("__ts")] if tolerance is not None else []),
     )
+    if tolerance is not None:
+        # freshness gate: a carried match older than left.ts - tolerance is
+        # no match at all (the WHOLE struct nulls, never column-by-column)
+        tol = (
+            F.lit(tolerance)
+            if isinstance(tolerance, (int, float))
+            else F.expr(f"INTERVAL {tolerance}")
+        )
+        fresh = F.col("__r.__rts") >= F.col("__ts") - tol
+        carried = carried.withColumn(
+            "__r", F.when(fresh, F.col("__r")).otherwise(F.lit(None))
+        )
     return carried.filter(F.col("__is_left") == 1).select(
         "__l.*",
         *[F.col(f"__r.{c}").alias(c) for c in right_value_cols],

@@ -196,3 +196,64 @@ def rebalance_to_min_group(
         .filter(hash_bucket(key_col, salt) < F.col("__thr"))
         .drop("__thr")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    key_col: str,
+    alpha: float,
+    target_frac: float,
+    salt: str = "temp",
+    rate_col: str = "keep_rate",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling: resample groups so the kept
+    corpus follows q_g proportional to p_g**alpha (p_g = the group's share of
+    total ``weight_col`` mass) at an overall kept-mass fraction of
+    ``target_frac`` — the standard rebalancing step for multilingual /
+    multi-source LLM corpora (alpha=1 keeps natural proportions, alpha=0
+    targets uniform, alpha~0.3 is the usual middle ground). Groups whose
+    boosted rate would exceed 1 are clipped (sampling can only
+    down-weight; up-weighting is quality_upsample_repeat's job).
+
+    Per-group keep rate: ``min(1, target_frac * q_g / p_g)`` rounded to
+    6 dp so the threshold is engine-replicable; membership is the usual
+    ``hash_bucket(key, salt) < rate * BUCKETS`` pure-function-of-the-row
+    decision (deterministic, partitioning-invariant, auditable).
+
+    Scale posture: one tiny per-group mass aggregate (group domain =
+    languages/sources, bounded), two single-partition window passes over
+    that TINY frame only (never the corpus) for the cross-group
+    normalizations, broadcast of the rates back, map-side filter. NULL
+    groups are not mixture components and are dropped explicitly.
+
+    Returns kept rows with ``rate_col`` attached (all original columns)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    from pyspark.sql import Window
+
+    df = df.filter(F.col(group_col).isNotNull())
+    w = Window.partitionBy()  # the ≤|groups|-row rates frame, NOT the corpus
+    rates = (
+        df.groupBy(group_col)
+        .agg(F.sum(weight_col).cast("double").alias("__mass"))
+        .select(group_col, (F.col("__mass") / F.sum("__mass").over(w)).alias("__p"))
+        .select(
+            group_col,
+            "__p",
+            (F.pow("__p", alpha) / F.sum(F.pow("__p", alpha)).over(w)).alias("__q"),
+        )
+        .select(
+            group_col,
+            F.round(
+                F.least(F.lit(1.0), F.lit(target_frac) * F.col("__q") / F.col("__p")),
+                6,
+            ).alias(rate_col),
+        )
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        hash_bucket(key_col, salt) < F.col(rate_col) * BUCKETS
+    )

@@ -1382,6 +1382,61 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "asof_join_tolerance",
+    sql="""
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'click'
+), views AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+    max(event_id) AS view_id, max_by(value, event_id) AS vval
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id,
+  CASE WHEN v.ts >= c.ts - INTERVAL '24 hours' THEN v.view_id END AS view_id,
+  CASE WHEN v.ts >= c.ts - INTERVAL '24 hours' THEN round(v.vval, 6) END
+    AS view_value
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
+""",
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): each click joined to the user's latest view at-or-before
+    its timestamp ONLY if that view is at most 24 hours old — a stale
+    snapshot is no match at all (the whole value struct nulls together).
+    The freshness gate is a post-carry map-side projection on the same
+    union-sort plan: one exchange, one sort, no second join. The median
+    click->view gap in the fixture is ~35h, so the 24h bound genuinely
+    splits matched/unmatched. Oracle: DuckDB native ASOF JOIN + CASE."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_id"),
+            F.expr("max_by(value, event_id)").alias("vval"),
+        )
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        ts_col="ts",
+        right_value_cols=["view_id", "vval"],
+        tolerance="24 HOURS",
+    )
+    return out.select(
+        "event_id", "user_id", "view_id", F.round("vval", 6).alias("view_value")
+    )
+
+
+@_register(
     "tumbling_window_agg",
     sql="""
 SELECT strftime(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)),
@@ -2503,6 +2558,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "lang", {"en": 0.2, "zh": 0.5}, default_fraction=0.9
     )
     return out.select("doc_id", "lang")
+
+
+@_register(
+    "temperature_mix_corpus",
+    sql="""
+WITH d AS (SELECT * FROM documents WHERE lang IS NOT NULL),
+m AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS mass FROM d GROUP BY 1),
+p AS (SELECT lang, mass / (SELECT sum(mass) FROM m) AS p FROM m),
+q AS (SELECT lang, p, pow(p, 0.3) / (SELECT sum(pow(p, 0.3)) FROM p) AS q
+      FROM p),
+r AS (SELECT lang, round(least(1.0, 0.5 * q / p), 6) AS keep_rate FROM q)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+  CAST(sum(d.n_chars) AS BIGINT) AS chars_kept,
+  max(r.keep_rate) AS keep_rate
+FROM d JOIN r USING (lang)
+WHERE CAST(concat('0x',
+    substring(md5(concat('temp', CAST(d.doc_id AS VARCHAR))), 1, 15))
+  AS BIGINT) % 10000 < r.keep_rate * 10000
+GROUP BY d.lang
+""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling (operators.sampling
+    .temperature_mix): keep ~50% of total character mass with per-language
+    rates proportional to p^0.3 / p — the standard alpha-sampling that
+    boosts rare languages and trims the dominant one (rare langs clip at
+    rate 1.0). Per-group rate math runs on the TINY per-lang mass frame
+    (two single-partition windows over 5 rows, never the corpus);
+    membership is the md5-bucket pure-function-of-the-row test, so the
+    oracle replays the exact kept set row-for-row."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import temperature_mix
+
+    d = _t(spark, sf_dir, "documents")
+    kept = temperature_mix(
+        d,
+        group_col="lang",
+        weight_col="n_chars",
+        key_col="doc_id",
+        alpha=0.3,
+        target_frac=0.5,
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+        F.max("keep_rate").alias("keep_rate"),
+    )
 
 
 @_register(

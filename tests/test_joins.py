@@ -211,3 +211,88 @@ def test_reserved_internal_columns_raise(spark):
     df_s = spark.createDataFrame([(1, 2, 3)], "k long, v long, __salt long")
     with pytest.raises(ValueError, match="__salt"):
         J.salted_agg(df_s, ["k"], [("sum", "v", "sum_v")])
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    """pandas merge_asof(tolerance=...) semantics: the latest at-or-before
+    match counts ONLY if within tolerance; a staler one nulls the WHOLE
+    struct (never column-by-column), and fresh matches are unaffected.
+    tolerance=None must reproduce the unbounded behavior exactly."""
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "u", 50), (4, "v", 300)],
+        "event_id long, user_id string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("u", 100, 11, 1), ("u", 200, 12, None), ("v", 150, 13, 3)],
+        "user_id string, ts long, snap_id long, extra long",
+    )
+
+    def run(tol):
+        return {
+            r["event_id"]: (r["snap_id"], r["extra"])
+            for r in J.asof_join(
+                left,
+                right,
+                on="user_id",
+                ts_col="ts",
+                right_value_cols=["snap_id", "extra"],
+                tolerance=tol,
+            ).collect()
+        }
+
+    got = run(10)
+    assert got[1] == (11, 1)  # exact-ts match: age 0 <= 10
+    assert got[2] == (12, None)  # age 5 <= 10; legit-NULL column survives
+    assert got[3] == (None, None)  # no prior row at all
+    assert got[4] == (None, None)  # age 150 > 10: stale -> WHOLE struct null
+
+    # a wide-enough tolerance and no tolerance agree
+    assert run(10**9) == run(None)
+
+    # partitioning invariance holds with the freshness gate too
+    got2 = {
+        r["event_id"]: (r["snap_id"], r["extra"])
+        for r in J.asof_join(
+            left.repartition(5),
+            right.repartition(3),
+            on="user_id",
+            ts_col="ts",
+            right_value_cols=["snap_id", "extra"],
+            tolerance=10,
+        ).collect()
+    }
+    assert got == got2
+
+
+def test_asof_join_tolerance_interval_and_reserved_guard(spark):
+    """Timestamp ts takes a SQL INTERVAL body; a '__rts' column on either
+    input is rejected loudly (it is the carried-ts reserved name)."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-02 00:00:00"), (2, "u", "2024-01-10 00:00:00")],
+        "event_id long, user_id string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 12:00:00", 7)],
+        "user_id string, ts string, snap_id long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: r["snap_id"]
+        for r in J.asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_value_cols=["snap_id"], tolerance="24 HOURS",
+        ).collect()
+    }
+    assert got[1] == 7  # 12h old: fresh
+    assert got[2] is None  # 8.5 days old: stale
+
+    with pytest.raises(ValueError, match="__rts"):
+        J.asof_join(
+            left.withColumn("__rts", F.lit(1)),
+            right,
+            on="user_id",
+            ts_col="ts",
+            right_value_cols=["snap_id"],
+            tolerance="24 HOURS",
+        )

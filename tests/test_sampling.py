@@ -71,3 +71,65 @@ def test_bucket_range(spark):
     df = spark.range(1000).select(hash_bucket(F.col("id")).alias("b"))
     row = df.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
     assert 0 <= row["lo"] and row["hi"] < BUCKETS
+
+
+def test_temperature_mix_rates_and_determinism(spark, sf_dir):
+    """alpha-sampling invariants: (a) kept set is deterministic and
+    partitioning-invariant; (b) rare groups get HIGHER keep rates than the
+    dominant one and rates clip at 1.0; (c) alpha=1 degenerates to a flat
+    target_frac rate for every group; (d) the per-group rate matches the
+    closed form computed in driver floats."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import temperature_mix
+
+    d = _docs(spark, sf_dir)
+    kept = temperature_mix(
+        d, group_col="lang", weight_col="n_chars", key_col="doc_id",
+        alpha=0.3, target_frac=0.5,
+    )
+    rates = {
+        r["lang"]: r["keep_rate"]
+        for r in kept.select("lang", "keep_rate").distinct().collect()
+    }
+    masses = {
+        r["lang"]: r["m"]
+        for r in d.groupBy("lang").agg(F.sum("n_chars").alias("m")).collect()
+    }
+    tot = sum(masses.values())
+    z = sum((m / tot) ** 0.3 for m in masses.values())
+    for lang, m in masses.items():
+        p = m / tot
+        want = round(min(1.0, 0.5 * ((p**0.3) / z) / p), 6)
+        assert abs(rates[lang] - want) < 1e-9, (lang, rates[lang], want)
+    # dominant language is trimmed hardest
+    dominant = max(masses, key=masses.get)
+    assert rates[dominant] == min(rates.values())
+
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    ids2 = {
+        r["doc_id"]
+        for r in temperature_mix(
+            d.repartition(7), group_col="lang", weight_col="n_chars",
+            key_col="doc_id", alpha=0.3, target_frac=0.5,
+        ).select("doc_id").collect()
+    }
+    assert ids == ids2 and ids  # deterministic under partitioning
+
+    flat = temperature_mix(
+        d, group_col="lang", weight_col="n_chars", key_col="doc_id",
+        alpha=1.0, target_frac=0.4,
+    )
+    assert {
+        r["keep_rate"] for r in flat.select("keep_rate").distinct().collect()
+    } == {0.4}
+
+
+def test_temperature_mix_validates_params(spark, sf_dir):
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import temperature_mix
+
+    d = _docs(spark, sf_dir)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mix(d, "lang", "n_chars", "doc_id", alpha=1.5, target_frac=0.5)
+    with pytest.raises(ValueError, match="target_frac"):
+        temperature_mix(d, "lang", "n_chars", "doc_id", alpha=0.3, target_frac=0.0)

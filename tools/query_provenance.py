@@ -70,6 +70,8 @@ def boundary_commit(rnd: int) -> str | None:
 
 
 def is_ancestor(commit: str, boundary: str) -> bool:
+    if commit == DIRTY_SENTINEL:
+        return False
     r = subprocess.run(
         ["git", "merge-base", "--is-ancestor", commit, boundary],
         cwd=REPO,
@@ -78,10 +80,26 @@ def is_ancestor(commit: str, boundary: str) -> bool:
     return r.returncode == 0
 
 
+def _dirty_files() -> set[str]:
+    out = _git("status", "--porcelain")
+    return {line[3:].strip() for line in out.splitlines() if line.strip()}
+
+
+DIRTY = None  # populated in main()
+DIRTY_SENTINEL = "DIRTY-WORKTREE"
+
+
 def fn_last_commit(fn) -> tuple[str, str]:
     """(commit, 'file:start-end') of the last change to the function block
-    (decorators included, so the oracle SQL literal counts)."""
+    (decorators included, so the oracle SQL literal counts). A file with
+    uncommitted modifications returns a sentinel commit that is never an
+    ancestor of any boundary — live line numbers don't align with HEAD
+    content, so ``-L`` would trace the wrong range (or fall off the end of
+    the HEAD version); conservatively everything in a dirty file counts as
+    changed until committed."""
     file = os.path.relpath(inspect.getsourcefile(fn), REPO)
+    if DIRTY and file in DIRTY:
+        return DIRTY_SENTINEL, file
     lines, start = inspect.getsourcelines(fn)
     start = max(start, 1)  # modules report start=0; -L is 1-based
     end = max(start + len(lines) - 1, start)
@@ -128,6 +146,8 @@ def body_deps(fn) -> list[tuple[str, object | None]]:
 
 
 def file_last_commit(rel: str) -> str:
+    if DIRTY and rel in DIRTY:
+        return DIRTY_SENTINEL
     return _git("log", "-1", "--format=%H", "--", rel)
 
 
@@ -136,6 +156,8 @@ def main(argv: list[str]) -> int:
 
     check = "--check" in argv
     changed_only = "--changed" in argv
+    global DIRTY
+    DIRTY = _dirty_files()
 
     with open(os.path.join(REPO, "ATTESTATION_LEDGER.json")) as f:
         ledger = json.load(f)

@@ -74,8 +74,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # emit as NULL, SQL parity; value-identical on null-free input) is IN
 # the r09 window — no attestation debt carried.
 _PRIORITY = (
-    "asof_join_tolerance",  # NEVER-attested (new r10); new query leads window
-    "temperature_mix_corpus",  # NEVER-attested (new r10); new query leads window
+    "asof_join_tolerance",  # NEVER-attested: new r10 query leads window
+    "temperature_mix_corpus",  # NEVER-attested: new r10 query leads window
+    "tumbling_window_agg",  # r05-green; changed-since-attestation (query_provenance)
+    "skew_salted_agg",  # r05-green; changed-since-attestation (query_provenance)
+    "corpus_clean_pipeline",  # r05-green; changed-since-attestation (query_provenance)
+    "range_join_shipments",  # r05-green; changed-since-attestation (query_provenance)
+    "theta_sketch_overlap",  # r05-green; changed-since-attestation (query_provenance)
+    "dedup_cluster_cc",  # r06-green; changed-since-attestation (query_provenance)
+    "gapfill_interpolate",  # r06-green; changed-since-attestation (query_provenance)
+    "embedding_ann_lsh",  # r07-green; changed-since-attestation (query_provenance)
+    "interval_coalesce",  # r07-green; changed-since-attestation (query_provenance)
+    "scd2_user_history",  # r07-green; changed-since-attestation (query_provenance)
+    "data_quality_report",  # r07-green; changed-since-attestation (query_provenance)
+    "cdc_apply_events",  # r07-green; changed-since-attestation (query_provenance)
+    "stream_static_enrich_roundtrip",  # r07-green; changed-since-attestation (query_provenance)
+    "snapshot_diff_orders",  # r08-green; changed-since-attestation (query_provenance)
+    "equidepth_binning",  # r08-green; changed-since-attestation (query_provenance)
+    "token_budget_select",  # r08-green; changed-since-attestation (query_provenance)
+    "asof_join_events",  # r09-green; changed-since-attestation (query_provenance)
+    "point_in_time_state_join",  # r09-green; changed-since-attestation (query_provenance)
+    "jsonl_quarantine_roundtrip",  # r09-green; changed-since-attestation (query_provenance)
+    "csv_quarantine_roundtrip",  # r09-green; changed-since-attestation (query_provenance)
     "exact_dedup_docs",  # r05-green; stale rotation
     "ngram_jaccard_topk",  # r05-green; stale rotation
     "minhash_signatures",  # r05-green; stale rotation
@@ -85,12 +105,7 @@ _PRIORITY = (
     "multimodal_frame_sample",  # r05-green; stale rotation
     "winnowing_fingerprints",  # r05-green; stale rotation
     "embedding_near_dup_exact",  # r05-green; stale rotation
-    "tumbling_window_agg",  # r05-green; stale rotation
     "session_window_agg",  # r05-green; stale rotation
-    "skew_salted_agg",  # r05-green; stale rotation
-    "corpus_clean_pipeline",  # r05-green; stale rotation
-    "range_join_shipments",  # r05-green; stale rotation
-    "theta_sketch_overlap",  # r05-green; stale rotation
     "seasonal_decompose_daily",  # r05-green; stale rotation
     "attribution_first_last_touch",  # r05-green; stale rotation
     "set_ops",  # r06-green; stale rotation
@@ -109,21 +124,6 @@ _PRIORITY = (
     "regr_agg_family",  # r06-green; stale rotation
     "conditional_agg_family",  # r06-green; stale rotation
     "percentile_agg_family",  # r06-green; stale rotation
-    "range_frame_window",  # r06-green; stale rotation
-    "gapfill_forward_fill",  # r06-green; stale rotation
-    "dedup_cluster_cc",  # r06-green; stale rotation
-    "exists_subquery_agg",  # r06-green; stale rotation
-    "scalar_subquery_agg",  # r06-green; stale rotation
-    "hash_split_corpus",  # r06-green; stale rotation
-    "stratified_sample_docs",  # r06-green; stale rotation
-    "gapfill_interpolate",  # r06-green; stale rotation
-    "profile_documents",  # r06-green; stale rotation
-    "chunk_documents",  # r06-green; stale rotation
-    "min_cost_supplier",  # r06-green; stale rotation
-    "map_functions",  # r06-green; stale rotation
-    "null_semantics_family",  # r06-green; stale rotation
-    "fuzzy_match_levenshtein",  # r06-green; stale rotation
-    "bitwise_functions",  # r06-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

@@ -608,6 +608,45 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "variant_props_agg",
+    sql="""
+SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_min,
+  CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max,
+  CAST(count(json_extract_string(props, '$.missing')) AS BIGINT) AS n_missing
+FROM events
+WHERE props IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path end-to-end: ``parse_json`` lifts events.props
+    into the binary VARIANT encoding once, then typed extraction
+    (``variant_get`` int) and a missing-path probe (``try_variant_get``
+    -> NULL, counted as 0) feed a grouped agg. VARIANT is the
+    semi-structured scale story — parse once, shredded binary access per
+    field instead of re-parsing the JSON string per extraction (the
+    json_get variant above re-parses per call). Oracle: DuckDB
+    json_extract over the same strings."""
+    e = _t(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = e.select(F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+            F.expr("try_variant_get(v, '$.missing', 'string')").alias("miss"),
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("miss").cast("long").alias("n_missing"),
+        )
+    )
+
+
 # ==========================================================================
 # LLM-data-pipeline extension: text analysis, dedup family, similarity
 # search (north star). Oracle SQL for hash-based operators replicates the

@@ -1301,3 +1301,75 @@ def q_orc_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("min_date"),
         F.count_distinct("o_orderpriority").cast("long").alias("n_prios"),
     )
+
+
+@_register(
+    "xml_quarantine_roundtrip",
+    sql="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+  CAST(2 AS BIGINT) AS n_rejects
+FROM orders WHERE o_orderkey % 11 = 3
+GROUP BY o_orderstatus
+""",
+)
+def q_xml_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerant XML ingest round-trip (Spark 4's native xml source —
+    sources/text_formats.py read_xml/write_xml): an orders slice is
+    exported as <row> elements, TWO type-malformed elements are injected
+    into the landing directory, and the permissive read + quarantine
+    split must (a) recover every clean row exactly — per-status counts,
+    integer cents, priority cardinality survive double -> XML text ->
+    double — and (b) route exactly the injected elements to the reject
+    frame without aborting the job. Same 100 TB contract as CSV/JSONL
+    quarantine: a bad feed element costs its row, not the pipeline.
+    (The reference is parquet-only; XML is the legacy-feed extension.)"""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.text_formats import (
+        quarantine_corrupt,
+        read_xml,
+        write_xml,
+    )
+
+    src = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 3).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    d = _scratch("xml_quarantine", sf_dir)
+    land = os.path.join(d, "landing")
+    write_xml(src, land)
+    bad = spark.createDataFrame(
+        [
+            (
+                "<rows><row><o_orderkey>not-a-key</o_orderkey>"
+                "<o_orderstatus>O</o_orderstatus>"
+                "<o_totalprice>1.5</o_totalprice>"
+                "<o_orderpriority>1-URGENT</o_orderpriority></row>"
+                "<row><o_orderkey>7</o_orderkey>"
+                "<o_orderstatus>F</o_orderstatus>"
+                "<o_totalprice>almost-a-price</o_totalprice>"
+                "<o_orderpriority>2-HIGH</o_orderpriority></row></rows>",
+            )
+        ],
+        "value string",
+    )
+    bad.repartition(1).write.mode("append").text(land)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderpriority", T.StringType()),
+        ]
+    )
+    raw = read_xml(spark, land, schema)
+    clean, rejects = quarantine_corrupt(raw)
+    n_rejects = rejects.count()  # metadata-class driver scalar
+    out = clean.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(_cents("o_totalprice")).alias("sum_cents"),
+        F.count_distinct("o_orderpriority").cast("long").alias("n_prios"),
+    ).withColumn("n_rejects", F.lit(n_rejects).cast("long"))
+    # materialize the tiny rollup, then release quarantine_corrupt's cache
+    rows = out.collect()
+    raw.unpersist()
+    return spark.createDataFrame(rows, out.schema)

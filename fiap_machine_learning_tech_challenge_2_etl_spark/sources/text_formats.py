@@ -67,6 +67,36 @@ def read_jsonl(
     )
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML scan (Spark 4 native ``xml`` source, the merged spark-xml) with
+    explicit schema + permissive corrupt-row capture — same posture as the
+    CSV/JSONL readers: never infer (inference is a full extra scan over
+    the landing zone), never abort on a malformed element."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .format("xml")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows"
+) -> None:
+    """XML sink — legacy-system interchange exports, not the analytic
+    store (one <row> element per record under a <rows> root per file)."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).save(path)
+
+
 def quarantine_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Split a permissive read into (clean rows sans corrupt col, reject rows).
 

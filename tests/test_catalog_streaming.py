@@ -533,6 +533,39 @@ def test_csv_jsonl_tolerant_round_trip(spark, tmp_path):
     assert {(r["k"], r["v"]) for r in back.collect()} == {("a", 1), ("c", 3)}
 
 
+def test_xml_tolerant_round_trip(spark, tmp_path):
+    """Spark 4 native XML: explicit-schema read quarantines type-malformed
+    <row> elements into _corrupt_record instead of failing; clean rows
+    survive write_xml -> read_xml exactly."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.text_formats import (
+        quarantine_corrupt,
+        read_xml,
+        write_xml,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    xml_dir = tmp_path / "xml"
+    xml_dir.mkdir()
+    (xml_dir / "part.xml").write_text(
+        "<rows><row><k>a</k><v>1</v></row>"
+        "<row><k>b</k><v>not_a_number</v></row>"
+        "<row><k>c</k><v>3</v></row></rows>"
+    )
+    clean, rejects = quarantine_corrupt(read_xml(spark, str(xml_dir), schema))
+    assert {(r["k"], r["v"]) for r in clean.collect()} == {("a", 1), ("c", 3)}
+    assert rejects.count() == 1
+
+    out = str(tmp_path / "out_xml")
+    write_xml(clean, out)
+    back, _ = quarantine_corrupt(read_xml(spark, out, schema))
+    assert {(r["k"], r["v"]) for r in back.collect()} == {("a", 1), ("c", 3)}
+
+
 def test_stream_upsert_by_key_cdc_merge(spark, tmp_path):
     """Streaming CDC merge: a second drain carrying new versions of
     existing keys replaces them (no duplicates), new keys append, and

@@ -74,8 +74,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # emit as NULL, SQL parity; value-identical on null-free input) is IN
 # the r09 window — no attestation debt carried.
 _PRIORITY = (
+    "variant_props_agg",  # NEVER-attested: new r10 query leads window
     "asof_join_tolerance",  # NEVER-attested: new r10 query leads window
     "temperature_mix_corpus",  # NEVER-attested: new r10 query leads window
+    "xml_quarantine_roundtrip",  # NEVER-attested: new r10 query leads window
     "tumbling_window_agg",  # r05-green; changed-since-attestation (query_provenance)
     "skew_salted_agg",  # r05-green; changed-since-attestation (query_provenance)
     "corpus_clean_pipeline",  # r05-green; changed-since-attestation (query_provenance)
@@ -122,8 +124,6 @@ _PRIORITY = (
     "word_count_topk",  # r06-green; stale rotation
     "stats_agg_family",  # r06-green; stale rotation
     "regr_agg_family",  # r06-green; stale rotation
-    "conditional_agg_family",  # r06-green; stale rotation
-    "percentile_agg_family",  # r06-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

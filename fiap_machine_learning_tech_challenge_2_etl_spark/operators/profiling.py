@@ -197,3 +197,77 @@ def constraint_report(
         )
         report = part if report is None else report.unionAll(part)
     return report
+
+
+def psi_drift(
+    base: DataFrame,
+    cur: DataFrame,
+    column: str,
+    nbins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a baseline and a current
+    snapshot of one numeric column — the standard drift monitor a feature/
+    training-data pipeline runs between refreshes (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate).
+
+    Bin edges are equi-width over the BASELINE's min/max (drift is
+    measured against the reference binning, never re-fit on current —
+    re-fitting would hide exactly the shift being measured); current rows
+    outside the baseline range clamp into the edge bins. Each side's
+    proportions are epsilon-floored before the log so an empty bin
+    contributes a large-but-finite term. Returns one row per bucket
+    (bucket, n_base, n_cur, psi_term) — SUM(psi_term) is the index, and
+    the per-bucket terms show WHERE the mass moved.
+
+    Scale posture: one 1-row bounds aggregate on the baseline
+    (broadcast), closed-form bucket expression map-side on both scans,
+    two hash aggregates of at most ``nbins`` groups, and an nbins-row
+    join — no driver round-trip of row data at any size."""
+    bounds = base.agg(
+        F.min(F.col(column).cast("double")).alias("__lo"),
+        F.max(F.col(column).cast("double")).alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+
+    def bucketize(df: DataFrame, n_name: str) -> DataFrame:
+        bucket = F.greatest(
+            F.lit(0),
+            F.least(
+                F.coalesce(
+                    F.floor(
+                        F.try_divide(
+                            F.col(column).cast("double") - F.col("__lo"), width
+                        )
+                    ),
+                    F.lit(0),
+                ),
+                F.lit(nbins - 1),
+            ),
+        ).cast("int")
+        return (
+            df.filter(F.col(column).isNotNull())
+            .join(F.broadcast(bounds))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias(n_name))
+        )
+
+    b = bucketize(base, "n_base")
+    c = bucketize(cur, "n_cur")
+    joined = b.join(c, on="bucket", how="full").select(
+        "bucket",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tot = joined.agg(
+        F.sum("n_base").cast("double").alias("__tb"),
+        F.sum("n_cur").cast("double").alias("__tc"),
+    )
+    p_b = F.greatest(F.col("n_base") / F.col("__tb"), F.lit(eps))
+    p_c = F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(eps))
+    return joined.join(F.broadcast(tot)).select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.round((p_c - p_b) * F.log(p_c / p_b), 6).alias("psi_term"),
+    )

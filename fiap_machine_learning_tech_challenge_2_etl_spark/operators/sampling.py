@@ -257,3 +257,34 @@ def temperature_mix(
     return df.join(F.broadcast(rates), group_col).filter(
         hash_bucket(key_col, salt) < F.col(rate_col) * BUCKETS
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    weight: str | Column,
+    k: int,
+    salt: str = "",
+    score_col: str = "sample_score",
+) -> DataFrame:
+    """Per-group deterministic weighted sampling without replacement: the
+    k largest Efraimidis–Spirakis keys (u^(1/w), u md5-derived — see
+    weighted_sample_topk) WITHIN each group — "give me the 5 best-weighted
+    docs per language/source", the per-stratum dual of the global top-k.
+
+    Scale posture: the score is a map-side expression and the rank filter
+    bounds the window, so Spark plans WindowGroupLimit — a partial top-k
+    per input partition BEFORE the shuffle; per-group state is k rows no
+    matter how large the group. Ties break on ``key`` for determinism;
+    rows with weight <= 0 are excluded (zero mass)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import top_k_per_group
+
+    w_col = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_bucket(key, salt).cast("double") + 0.5) / BUCKETS  # (0,1) open
+    scored = df.filter(w_col > 0).withColumn(
+        score_col, F.round(F.pow(u, 1.0 / w_col.cast("double")), 9)
+    )
+    return top_k_per_group(
+        scored, [group_col], [F.col(score_col).desc(), F.col(key)], k
+    )

@@ -4305,6 +4305,86 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "weighted_sample_per_lang",
+    sql=f"""
+WITH scored AS (
+  SELECT lang, doc_id, n_chars,
+    round(pow((({_SQL_H60.format(x="concat('wg', CAST(doc_id AS VARCHAR))")}
+               % 10000) + 0.5) / 10000.0,
+              1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_score
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY sample_score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT lang, doc_id, n_chars, sample_score FROM r WHERE rn <= 5
+""",
+)
+def q_weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Efraimidis–Spirakis sampling: the 5 largest u^(1/w) keys
+    WITHIN each language — the per-stratum dual of weighted_sample_docs
+    (a quality-weighted subset per language for eval-set construction).
+    The rank filter bounds the window so Spark plans WindowGroupLimit:
+    per-partition partial top-k before the shuffle, k rows of state per
+    group regardless of group size."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return weighted_sample_per_group(
+        d, group_col="lang", key="doc_id", weight="n_chars", k=5, salt="wg"
+    )
+
+
+@_register(
+    "psi_drift_orders",
+    sql="""
+WITH b AS (SELECT o_totalprice AS x FROM orders
+           WHERE o_orderkey % 3 = 0 AND o_totalprice IS NOT NULL),
+c AS (SELECT o_totalprice AS x FROM orders
+      WHERE o_orderkey % 3 = 1 AND o_totalprice IS NOT NULL),
+bounds AS (SELECT min(x) AS lo, max(x) AS hi FROM b),
+bb AS (
+  SELECT CAST(greatest(0, least(floor((x - lo) / ((hi - lo) / 10.0)), 9))
+         AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_base
+  FROM b, bounds GROUP BY 1),
+cc AS (
+  SELECT CAST(greatest(0, least(floor((x - lo) / ((hi - lo) / 10.0)), 9))
+         AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_cur
+  FROM c, bounds GROUP BY 1),
+j AS (
+  SELECT bucket, coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+  FROM bb FULL JOIN cc USING (bucket)),
+t AS (SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+             CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+SELECT bucket, n_base, n_cur,
+  round((greatest(n_cur / tc, 1e-6) - greatest(n_base / tb, 1e-6))
+        * ln(greatest(n_cur / tc, 1e-6) / greatest(n_base / tb, 1e-6)),
+        6) AS psi_term
+FROM j, t
+""",
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (operators.profiling
+    .psi_drift) between two deterministic snapshots of o_totalprice:
+    equi-width bins fixed from the BASELINE's min/max (never re-fit on
+    current — re-fitting hides the shift being measured), out-of-range
+    rows clamp into edge bins, epsilon-floored proportions, one
+    psi_term row per bucket (SUM = the index). One 1-row bounds agg
+    broadcast, map-side bucketing, two nbins-group aggregates."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import psi_drift
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 3 == 0).select("o_totalprice")
+    cur = o.filter(F.col("o_orderkey") % 3 == 1).select("o_totalprice")
+    return psi_drift(base, cur, "o_totalprice", nbins=10)
+
+
+@_register(
     "outlier_clip_iqr",
     sql="""
 WITH f AS (

@@ -133,3 +133,58 @@ def test_temperature_mix_validates_params(spark, sf_dir):
         temperature_mix(d, "lang", "n_chars", "doc_id", alpha=1.5, target_frac=0.5)
     with pytest.raises(ValueError, match="target_frac"):
         temperature_mix(d, "lang", "n_chars", "doc_id", alpha=0.3, target_frac=0.0)
+
+
+def test_weighted_sample_per_group_k_and_determinism(spark, sf_dir):
+    """Per-group ES sampling: exactly min(k, group size) rows per group,
+    the SAME rows under any partitioning, scores are the group-local
+    largest, and the plan carries a WindowGroupLimit (per-partition
+    partial top-k, k rows of state per group)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = _docs(spark, sf_dir).select("lang", "doc_id", "n_chars")
+    out = weighted_sample_per_group(
+        d, group_col="lang", key="doc_id", weight="n_chars", k=5, salt="wg"
+    )
+    rows = out.collect()
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(r["lang"], set()).add(r["doc_id"])
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, ids in per_group.items():
+        assert len(ids) == min(5, sizes[lang]), (lang, len(ids))
+
+    out2 = weighted_sample_per_group(
+        d.repartition(9), group_col="lang", key="doc_id",
+        weight="n_chars", k=5, salt="wg",
+    )
+    assert {(r["lang"], r["doc_id"]) for r in rows} == {
+        (r["lang"], r["doc_id"]) for r in out2.collect()
+    }
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
+    """PSI invariants: identical snapshots give ~0 on every bucket;
+    a location shift gives a strictly positive index; current rows
+    outside the baseline range clamp into edge bins (never dropped)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import psi_drift
+
+    base = spark.range(1000).select((F.col("id") % 100).cast("double").alias("x"))
+    same = psi_drift(base, base, "x", nbins=10).collect()
+    assert sum(abs(r["psi_term"]) for r in same) < 1e-9
+    assert sum(r["n_base"] for r in same) == 1000
+
+    shifted = spark.range(1000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("x")
+    )
+    drift = psi_drift(base, shifted, "x", nbins=10).collect()
+    assert sum(r["psi_term"] for r in drift) > 0.25  # strong shift
+    # every shifted row lands in a bucket (values >= 100 clamp to bin 9)
+    assert sum(r["n_cur"] for r in drift) == 1000
+    top_bin = next(r for r in drift if r["bucket"] == 9)
+    assert top_bin["n_cur"] > top_bin["n_base"]  # mass piled into the edge

@@ -77,6 +77,8 @@ _PRIORITY = (
     "variant_props_agg",  # NEVER-attested: new r10 query leads window
     "asof_join_tolerance",  # NEVER-attested: new r10 query leads window
     "temperature_mix_corpus",  # NEVER-attested: new r10 query leads window
+    "weighted_sample_per_lang",  # NEVER-attested: new r10 query leads window
+    "psi_drift_orders",  # NEVER-attested: new r10 query leads window
     "xml_quarantine_roundtrip",  # NEVER-attested: new r10 query leads window
     "tumbling_window_agg",  # r05-green; changed-since-attestation (query_provenance)
     "skew_salted_agg",  # r05-green; changed-since-attestation (query_provenance)
@@ -92,6 +94,7 @@ _PRIORITY = (
     "cdc_apply_events",  # r07-green; changed-since-attestation (query_provenance)
     "stream_static_enrich_roundtrip",  # r07-green; changed-since-attestation (query_provenance)
     "snapshot_diff_orders",  # r08-green; changed-since-attestation (query_provenance)
+    "outlier_clip_iqr",  # r08-green; changed-since-attestation (query_provenance)
     "equidepth_binning",  # r08-green; changed-since-attestation (query_provenance)
     "token_budget_select",  # r08-green; changed-since-attestation (query_provenance)
     "asof_join_events",  # r09-green; changed-since-attestation (query_provenance)
@@ -121,9 +124,6 @@ _PRIORITY = (
     "date_functions",  # r06-green; stale rotation
     "sql_entry_tpch_q3",  # r06-green; stale rotation
     "label_centroids",  # r06-green; stale rotation
-    "word_count_topk",  # r06-green; stale rotation
-    "stats_agg_family",  # r06-green; stale rotation
-    "regr_agg_family",  # r06-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

@@ -80,13 +80,11 @@ _PRIORITY = (
     "weighted_sample_per_lang",  # NEVER-attested: new r10 query leads window
     "psi_drift_orders",  # NEVER-attested: new r10 query leads window
     "xml_quarantine_roundtrip",  # NEVER-attested: new r10 query leads window
-    "tumbling_window_agg",  # r05-green; changed-since-attestation (query_provenance)
     "skew_salted_agg",  # r05-green; changed-since-attestation (query_provenance)
     "corpus_clean_pipeline",  # r05-green; changed-since-attestation (query_provenance)
     "range_join_shipments",  # r05-green; changed-since-attestation (query_provenance)
     "theta_sketch_overlap",  # r05-green; changed-since-attestation (query_provenance)
     "dedup_cluster_cc",  # r06-green; changed-since-attestation (query_provenance)
-    "gapfill_interpolate",  # r06-green; changed-since-attestation (query_provenance)
     "embedding_ann_lsh",  # r07-green; changed-since-attestation (query_provenance)
     "interval_coalesce",  # r07-green; changed-since-attestation (query_provenance)
     "scd2_user_history",  # r07-green; changed-since-attestation (query_provenance)
@@ -94,7 +92,6 @@ _PRIORITY = (
     "cdc_apply_events",  # r07-green; changed-since-attestation (query_provenance)
     "stream_static_enrich_roundtrip",  # r07-green; changed-since-attestation (query_provenance)
     "snapshot_diff_orders",  # r08-green; changed-since-attestation (query_provenance)
-    "outlier_clip_iqr",  # r08-green; changed-since-attestation (query_provenance)
     "equidepth_binning",  # r08-green; changed-since-attestation (query_provenance)
     "token_budget_select",  # r08-green; changed-since-attestation (query_provenance)
     "asof_join_events",  # r09-green; changed-since-attestation (query_provenance)
@@ -110,6 +107,7 @@ _PRIORITY = (
     "multimodal_frame_sample",  # r05-green; stale rotation
     "winnowing_fingerprints",  # r05-green; stale rotation
     "embedding_near_dup_exact",  # r05-green; stale rotation
+    "tumbling_window_agg",  # r05-green; stale rotation
     "session_window_agg",  # r05-green; stale rotation
     "seasonal_decompose_daily",  # r05-green; stale rotation
     "attribution_first_last_touch",  # r05-green; stale rotation
@@ -124,6 +122,8 @@ _PRIORITY = (
     "date_functions",  # r06-green; stale rotation
     "sql_entry_tpch_q3",  # r06-green; stale rotation
     "label_centroids",  # r06-green; stale rotation
+    "word_count_topk",  # r06-green; stale rotation
+    "stats_agg_family",  # r06-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

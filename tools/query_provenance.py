@@ -6,30 +6,30 @@ its code changed since the round that attested it?" — and, for stale
 rows outside the current window, documents the unchanged-ness guarantee
 ("green at r05 + untouched since") without replaying history.
 
-Per query it computes the last commit touching:
-- the query function block itself (``git log -L start,end:file`` —
-  function-level history, so churn elsewhere in queries_catalog.py does
-  NOT dirty unrelated queries), which includes the ``@_register(...)``
-  decorator and therefore the oracle SQL string; and
+Method: CONTENT hashing, not line-range tracing. For each query, the
+tool extracts (via ``ast``) the source text of
+- the query function block itself, decorators included — so the
+  ``@_register(...)`` oracle SQL literal counts — and
 - every package callable the function imports IN ITS BODY (the repo
-  convention keeps operator imports function-local), ALSO at function
-  granularity — so a module-level refactor elsewhere in dedup.py does
-  not dirty a query whose one imported operator is untouched. Imported
-  names that aren't introspectable functions/classes fall back to file
-  granularity.
+  convention keeps operator imports function-local); imported
+  submodules or non-extractable names fall back to whole-file text,
+from BOTH the current worktree and the file as it existed at the
+query's latest-green round boundary commit (the ``round N: verdict``
+commit — only driver artifacts land between the end-of-round snapshot
+the driver attested and that commit). The query is
+CHANGED-SINCE-ATTESTATION iff any extracted text differs. Comparing
+content (rather than ``git log -L`` line ranges) means an insertion
+ADJACENT to an untouched function does not false-flag it, and a dirty
+worktree is handled naturally — the current side reads files, not
+history.
 
 Scope notes: universal glue (load_testdata/_t/_register, session.py) is
 deliberately excluded — every attestation round exercises it under all
 50 window queries, so it can never be silently stale; including it
-would flag all 188 queries on any loader touch and drown the signal.
+would flag all ~190 queries on any loader touch and drown the signal.
 Depth is 1: a change to a module-private helper called by an imported
 operator is not traced (the helper's callers almost always change in
 the same commit; the per-round judge diff remains the backstop).
-
-A query is CHANGED-SINCE-ATTESTATION iff any of those commits is NOT an
-ancestor of its latest-green round's boundary commit (the ``round N:
-verdict`` commit — only driver artifacts land between the end-of-round
-snapshot the driver attested and that boundary).
 
 Usage:
     python tools/query_provenance.py            # full markdown table
@@ -42,6 +42,7 @@ Usage:
 
 from __future__ import annotations
 
+import ast
 import inspect
 import json
 import os
@@ -69,86 +70,68 @@ def boundary_commit(rnd: int) -> str | None:
     return out or None
 
 
-def is_ancestor(commit: str, boundary: str) -> bool:
-    if commit == DIRTY_SENTINEL:
-        return False
+def file_at(commit: str, rel: str) -> str | None:
+    """File content at a commit, or None if it didn't exist there."""
     r = subprocess.run(
-        ["git", "merge-base", "--is-ancestor", commit, boundary],
-        cwd=REPO,
-        capture_output=True,
+        ["git", "show", f"{commit}:{rel}"], cwd=REPO, capture_output=True, text=True
     )
-    return r.returncode == 0
+    return r.stdout if r.returncode == 0 else None
 
 
-def _dirty_files() -> set[str]:
-    out = _git("status", "--porcelain")
-    return {line[3:].strip() for line in out.splitlines() if line.strip()}
+def extract_block(text: str | None, fn_name: str) -> str | None:
+    """Source text of top-level ``def fn_name`` (decorators included), or
+    None if absent/unparseable. Registry queries and operators are all
+    top-level defs, so no qualname walk is needed."""
+    if text is None:
+        return None
+    try:
+        tree = ast.parse(text)
+    except SyntaxError:
+        return None
+    lines = text.splitlines()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and (
+            node.name == fn_name
+        ):
+            start = min([d.lineno for d in node.decorator_list] + [node.lineno])
+            return "\n".join(lines[start - 1 : node.end_lineno])
+    return None
 
 
-DIRTY = None  # populated in main()
-DIRTY_SENTINEL = "DIRTY-WORKTREE"
-
-
-def fn_last_commit(fn) -> tuple[str, str]:
-    """(commit, 'file:start-end') of the last change to the function block
-    (decorators included, so the oracle SQL literal counts). A file with
-    uncommitted modifications returns a sentinel commit that is never an
-    ancestor of any boundary — live line numbers don't align with HEAD
-    content, so ``-L`` would trace the wrong range (or fall off the end of
-    the HEAD version); conservatively everything in a dirty file counts as
-    changed until committed."""
-    file = os.path.relpath(inspect.getsourcefile(fn), REPO)
-    if DIRTY and file in DIRTY:
-        return DIRTY_SENTINEL, file
-    lines, start = inspect.getsourcelines(fn)
-    start = max(start, 1)  # modules report start=0; -L is 1-based
-    end = max(start + len(lines) - 1, start)
-    commit = _git("log", "-1", "--format=%H", f"-L{start},{end}:{file}", "--no-patch")
-    # -L output includes the commit hash on the first line even with
-    # --no-patch on some git versions emitting diffs; take the first token
-    commit = commit.splitlines()[0].strip()
-    return commit, f"{file}:{start}-{end}"
-
-
-def body_deps(fn) -> list[tuple[str, object | None]]:
-    """(label, callable-or-None) per imported package name in the body;
-    callable present -> function-level tracking, None -> file-level."""
+def body_deps(fn) -> list[tuple[str, str, str | None]]:
+    """(label, rel_file, fn_name-or-None) per package import in the body;
+    fn_name None -> whole-file tracking (submodule import or
+    non-extractable name)."""
     import importlib
 
     src = inspect.getsource(fn)
-    deps: list[tuple[str, object | None]] = []
+    deps: list[tuple[str, str, str | None]] = []
     seen: set[str] = set()
     for m in IMPORT_RE.finditer(src):
         mod_path = PKG + m.group(1)
         names = [n.strip() for n in m.group(2).split(",") if n.strip()]
-        rel = os.path.join(*mod_path.split(".")) + ".py"
         for name in names:
             name = name.split(" as ")[0].strip()
             label = f"{mod_path}.{name}"
             if label in seen:
                 continue
             seen.add(label)
-            obj = None
             try:
                 obj = getattr(importlib.import_module(mod_path), name)
-                inspect.getsourcelines(obj)  # introspectable?
-            except Exception:
+            except AttributeError:
+                obj = None
+            if inspect.isfunction(obj) or inspect.isclass(obj):
+                rel = os.path.relpath(inspect.getsourcefile(obj), REPO)
+                deps.append((label, rel, obj.__name__))
+            else:
+                # submodule import (or constant): track the module file text
                 try:
-                    # `from pkg.sub import module` — submodules aren't
-                    # attributes until imported; import directly and track
-                    # the module file as a whole
-                    obj = importlib.import_module(f"{mod_path}.{name}")
-                    inspect.getsourcelines(obj)
+                    sub = importlib.import_module(f"{mod_path}.{name}")
+                    rel = os.path.relpath(inspect.getsourcefile(sub), REPO)
                 except Exception:
-                    obj = None
-            deps.append((label if obj is not None else rel, obj))
+                    rel = os.path.join(*mod_path.split(".")) + ".py"
+                deps.append((label, rel, None))
     return deps
-
-
-def file_last_commit(rel: str) -> str:
-    if DIRTY and rel in DIRTY:
-        return DIRTY_SENTINEL
-    return _git("log", "-1", "--format=%H", "--", rel)
 
 
 def main(argv: list[str]) -> int:
@@ -156,8 +139,6 @@ def main(argv: list[str]) -> int:
 
     check = "--check" in argv
     changed_only = "--changed" in argv
-    global DIRTY
-    DIRTY = _dirty_files()
 
     with open(os.path.join(REPO, "ATTESTATION_LEDGER.json")) as f:
         ledger = json.load(f)
@@ -166,35 +147,51 @@ def main(argv: list[str]) -> int:
         r: boundary_commit(r) for r in sorted({g for g in greens.values() if g})
     }
 
-    dep_cache: dict[str, str] = {}
-    short = lambda c: c[:7] if c else "-"
+    cur_text: dict[str, str | None] = {}
+    old_text: dict[tuple[str, str], str | None] = {}
+
+    def current(rel: str) -> str | None:
+        if rel not in cur_text:
+            p = os.path.join(REPO, rel)
+            cur_text[rel] = open(p).read() if os.path.exists(p) else None
+        return cur_text[rel]
+
+    def at_boundary(commit: str, rel: str) -> str | None:
+        key = (commit, rel)
+        if key not in old_text:
+            old_text[key] = file_at(commit, rel)
+        return old_text[key]
+
+    def block_changed(commit: str, rel: str, fn_name: str | None) -> bool:
+        """True iff the tracked text (function block, or whole file when
+        fn_name is None) differs between the boundary commit and now.
+        Absent-at-boundary counts as changed (the code is newer than the
+        attestation)."""
+        now = current(rel)
+        then = at_boundary(commit, rel)
+        if fn_name is None:
+            return now != then
+        return extract_block(now, fn_name) != extract_block(then, fn_name)
+
     changed: list[str] = []
     rows: list[str] = []
     for name, fn in queries_catalog.SPARK_QUERIES.items():
-        fn_commit, loc = fn_last_commit(fn)
-        dep_commits = []
-        for label, obj in body_deps(fn):
-            if label not in dep_cache:
-                dep_cache[label] = (
-                    fn_last_commit(obj)[0] if obj is not None else file_last_commit(label)
-                )
-            dep_commits.append((label, dep_cache[label]))
+        fn_rel = os.path.relpath(inspect.getsourcefile(fn), REPO)
+        deps = body_deps(fn)
         g = greens.get(name)
         bnd = boundaries.get(g) if g else None
         stale_srcs = []
         if bnd:
-            if not is_ancestor(fn_commit, bnd):
-                stale_srcs.append(f"fn@{short(fn_commit)}")
-            for label, c in dep_commits:
-                if not is_ancestor(c, bnd):
-                    stale_srcs.append(f"{label.rsplit('.', 1)[-1]}@{short(c)}")
+            if block_changed(bnd, fn_rel, fn.__name__):
+                stale_srcs.append("fn")
+            for label, rel, dep_fn in deps:
+                if block_changed(bnd, rel, dep_fn):
+                    stale_srcs.append(label.rsplit(".", 1)[-1])
         status = "CHANGED: " + ",".join(stale_srcs) if stale_srcs else "attested"
         if stale_srcs or g is None:
             changed.append(name)
-        rows.append(
-            f"| {name} | r{g or '--'} | {short(fn_commit)} | "
-            f"{','.join(short(c) for _, c in dep_commits) or '-'} | {status} |"
-        )
+        dep_names = ",".join(lbl.rsplit(".", 1)[-1] for lbl, _, _ in deps) or "-"
+        rows.append(f"| {name} | r{g or '--'} | {dep_names} | {status} |")
 
     if changed_only:
         print(",".join(changed))
@@ -210,8 +207,8 @@ def main(argv: list[str]) -> int:
             return 1
         print(f"provenance clean: {len(changed)} changed, all in changed_lead")
         return 0
-    print("| query | green | fn last commit | body-dep last commits | status |")
-    print("|---|---|---|---|---|")
+    print("| query | green | body deps | status |")
+    print("|---|---|---|---|")
     for r in rows:
         print(r)
     print(f"\n{len(changed)} changed-since-attestation: {changed}")

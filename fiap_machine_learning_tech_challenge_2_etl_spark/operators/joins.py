@@ -101,7 +101,11 @@ def asof_join(
         if "__rts" in set(left.columns) | set(right.columns):
             raise ValueError("column name '__rts' is reserved by asof tolerance")
     r_struct_type = T.StructType(
-        ([T.StructField("__rts", right.schema[ts_col].dataType)] if tolerance else [])
+        (
+            [T.StructField("__rts", right.schema[ts_col].dataType)]
+            if tolerance is not None  # `is not None`: tolerance=0 is valid
+            else []
+        )
         + [right.schema[c] for c in struct_fields]
     )
     l_tag = left.select(

@@ -505,6 +505,65 @@ def test_asof_join_matches_bruteforce_oracle(spark, left, right):
 
 @settings(max_examples=6, deadline=None)
 @given(
+    left=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.one_of(st.none(), st.integers(0, 20)),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    right=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.one_of(st.none(), st.integers(0, 20)),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=0,
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),  # unique (key, ts): asof precondition
+    ),
+    tol=st.sampled_from([0, 1, 3, 8, 25]),
+)
+def test_asof_join_tolerance_matches_bruteforce_oracle(spark, left, right, tol):
+    """asof_join with a staleness tolerance == the Python oracle 'latest
+    right row at or before AND at most tol old, else no match' — on random
+    inputs with NULL keys/ts on both sides. The match decision is made on
+    the CARRIED row: a fresh-enough older row never substitutes for a
+    too-stale latest row (pandas merge_asof semantics), and tol=0 admits
+    only exact-ts matches."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, ts long, a long")
+    got = {
+        r["lid"]: r["a"]
+        for r in asof_join(
+            ldf, rdf, on="k", ts_col="ts", right_value_cols=["a"], tolerance=tol
+        ).collect()
+    }
+
+    def oracle(k, t):
+        if k is None or t is None:
+            return None
+        cands = [
+            rr
+            for rr in right
+            if rr[0] is not None and rr[1] is not None and rr[0] == k and rr[1] <= t
+        ]
+        if not cands:
+            return None
+        best = max(cands, key=lambda rr: rr[1])
+        return best[2] if best[1] >= t - tol else None
+
+    for i, (k, t) in enumerate(left):
+        assert got[i] == oracle(k, t), (i, k, t, tol, got[i], oracle(k, t))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
     points=st.lists(st.integers(-50, 150), min_size=1, max_size=15),
     intervals=st.lists(
         st.tuples(st.integers(-50, 140), st.integers(0, 40)),

@@ -187,16 +187,22 @@ def constraint_report(
                 F.col(f"__orph_{c}") == 0,
             )
         )
-    report = None
-    for check, target, value, passed in rows:
-        part = one.select(
+    # assemble the tall report with ONE reference to the 1-row aggregate:
+    # inline(array(struct...)) explodes every check from the same row. A
+    # per-check select + unionAll would re-reference `one` — and DataFrame
+    # plans have no subtree reuse, so the full fact scan + anti-joins
+    # re-ran once PER CHECK (measured 15 source scans for a 10-check
+    # report), breaking this function's own one-pass contract.
+    entries = [
+        F.struct(
             check.alias("check"),
             target.alias("target"),
-            value.alias("value"),
+            value.cast("double").alias("value"),
             passed.alias("passed"),
         )
-        report = part if report is None else report.unionAll(part)
-    return report
+        for check, target, value, passed in rows
+    ]
+    return one.select(F.inline(F.array(*entries)))
 
 
 def psi_drift(

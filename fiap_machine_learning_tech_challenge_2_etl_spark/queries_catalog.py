@@ -5285,7 +5285,18 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("clean_text") != "")
         .select("doc_id", "clean_text")
     )
-    scored = unigram_logprob_scores(cleaned, column="clean_text", keep_raw=True)
+    # Materialize the two stage boundaries. Each downstream stage
+    # references its input several times (unigram fits vocab AND scores;
+    # the quality gate aggregates AND filters), and DataFrame plans have
+    # no CTE reuse — unmaterialized, the composed plan re-ran
+    # segment_dedup under every reference (57 source scans, ~2x wall vs
+    # the stages standalone). Checkpointing the cleaned corpus (the
+    # intermediate a real curation pipeline writes anyway) and the
+    # 3-longs-per-doc score frame makes each stage run once.
+    cleaned = cleaned.localCheckpoint()
+    scored = unigram_logprob_scores(
+        cleaned, column="clean_text", keep_raw=True
+    ).localCheckpoint()
     g = scored.agg(
         F.expr(
             "-((-CAST(sum(sum_lp6) AS BIGINT)) div CAST(sum(n_toks) AS BIGINT))"
@@ -5600,7 +5611,16 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("tok")
     )
-    dt = toks.join(F.broadcast(topt), "tok").select("doc_id", "tok").distinct()
+    # dt is referenced three times (both self-join sides + per-token doc
+    # counts) and its subtree holds the top-K shuffle + distinct — with no
+    # plan reuse that subtree re-ran per reference. It is tiny (<= docs x
+    # K rows), so materialize it once.
+    dt = (
+        toks.join(F.broadcast(topt), "tok")
+        .select("doc_id", "tok")
+        .distinct()
+        .localCheckpoint()
+    )
     a, b = dt.alias("a"), dt.alias("b")
     pc = (
         a.join(

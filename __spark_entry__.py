@@ -90,10 +90,12 @@ _PRIORITY = (
     "scd2_user_history",  # r07-green; changed-since-attestation (query_provenance)
     "data_quality_report",  # r07-green; changed-since-attestation (query_provenance)
     "cdc_apply_events",  # r07-green; changed-since-attestation (query_provenance)
+    "pmi_collocations",  # r07-green; changed-since-attestation (query_provenance)
     "stream_static_enrich_roundtrip",  # r07-green; changed-since-attestation (query_provenance)
     "snapshot_diff_orders",  # r08-green; changed-since-attestation (query_provenance)
     "equidepth_binning",  # r08-green; changed-since-attestation (query_provenance)
     "token_budget_select",  # r08-green; changed-since-attestation (query_provenance)
+    "corpus_curation_pipeline",  # r08-green; changed-since-attestation (query_provenance)
     "asof_join_events",  # r09-green; changed-since-attestation (query_provenance)
     "point_in_time_state_join",  # r09-green; changed-since-attestation (query_provenance)
     "jsonl_quarantine_roundtrip",  # r09-green; changed-since-attestation (query_provenance)
@@ -122,8 +124,6 @@ _PRIORITY = (
     "date_functions",  # r06-green; stale rotation
     "sql_entry_tpch_q3",  # r06-green; stale rotation
     "label_centroids",  # r06-green; stale rotation
-    "word_count_topk",  # r06-green; stale rotation
-    "stats_agg_family",  # r06-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

@@ -8,6 +8,7 @@ plan properties themselves are pinned here.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from fiap_machine_learning_tech_challenge_2_etl_spark.queries_catalog import SPARK_QUERIES
@@ -610,3 +611,17 @@ def test_orc_sink_scan_prunes_partitions_and_columns(spark, sf_dir, tmp_path):
     assert "o_orderstatus" in pf, plan
     rs = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "o_orderkey" in rs and "o_totalprice" not in rs, plan
+
+
+@pytest.mark.slow
+def test_catalog_scan_budgets(spark, sf_dir):
+    """No registry query's executed plan re-reads its parquet sources more
+    than its budget allows (tools/plan_audit.py — deliberate multi-scan
+    designs carry allowlisted budgets with reasons). Guards against the
+    plan-reuse pathology where a frame referenced N times re-runs its
+    whole subtree N times (corpus_curation_pipeline hit 57 scans before
+    this gate existed)."""
+    from tools.plan_audit import run_audit
+
+    over = run_audit(spark, sf_dir, emit=lambda *_: None)
+    assert not over, over

@@ -1088,3 +1088,53 @@ def test_numeric_histogram_matches_python_model(spark, xs, nbins):
     for b, (blo, bhi, _) in got.items():
         assert blo == round(lo + b * (hi - lo) / nbins, 6)
         assert bhi == round(lo + (b + 1) * (hi - lo) / nbins, 6)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    base=st.lists(st.integers(-50, 150), min_size=2, max_size=40),
+    cur=st.lists(st.integers(-200, 300), min_size=1, max_size=40),
+    nbins=st.sampled_from([2, 5, 10]),
+)
+def test_psi_drift_matches_python_model(spark, base, cur, nbins):
+    """psi_drift on random integer snapshots == a direct Python model of
+    the same formula: equi-width bins over the BASELINE min/max, edge-bin
+    clamp for out-of-range current values, eps-floored proportions,
+    (p_c - p_b) * ln(p_c / p_b) rounded to 6 dp — including the
+    degenerate constant-baseline case (width 0 -> everything in bin 0)."""
+    import math
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.profiling import psi_drift
+
+    bdf = spark.createDataFrame([(float(x),) for x in base], "x double")
+    cdf = spark.createDataFrame([(float(x),) for x in cur], "x double")
+    got = {
+        r["bucket"]: (r["n_base"], r["n_cur"], r["psi_term"])
+        for r in psi_drift(bdf, cdf, "x", nbins=nbins).collect()
+    }
+
+    lo, hi = float(min(base)), float(max(base))
+    width = (hi - lo) / nbins
+
+    def bucket(x):
+        if width == 0.0:
+            return 0
+        return max(0, min(int(math.floor((x - lo) / width)), nbins - 1))
+
+    nb: dict = {}
+    nc: dict = {}
+    for x in base:
+        nb[bucket(x)] = nb.get(bucket(x), 0) + 1
+    for x in cur:
+        nc[bucket(x)] = nc.get(bucket(x), 0) + 1
+    buckets = set(nb) | set(nc)
+    tb, tc = float(len(base)), float(len(cur))
+    eps = 1e-6
+    for b in buckets:
+        p_b = max(nb.get(b, 0) / tb, eps)
+        p_c = max(nc.get(b, 0) / tc, eps)
+        want = round((p_c - p_b) * math.log(p_c / p_b), 6)
+        gb, gc, gpsi = got[b]
+        assert (gb, gc) == (nb.get(b, 0), nc.get(b, 0)), (b, got[b])
+        assert abs(gpsi - want) < 1e-9, (b, gpsi, want)
+    assert set(got) == buckets

@@ -1138,3 +1138,51 @@ def test_psi_drift_matches_python_model(spark, base, cur, nbins):
         assert (gb, gc) == (nb.get(b, 0), nc.get(b, 0)), (b, got[b])
         assert abs(gpsi - want) < 1e-9, (b, gpsi, want)
     assert set(got) == buckets
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    masses=st.dictionaries(
+        st.sampled_from(["g0", "g1", "g2", "g3", "g4"]),
+        st.integers(min_value=1, max_value=500),
+        min_size=2,
+        max_size=5,
+    ),
+    alpha=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+    frac=st.sampled_from([0.25, 0.5, 1.0]),
+)
+def test_temperature_mix_rates_match_python_model(spark, masses, alpha, frac):
+    """temperature_mix keep rates on random group-mass layouts == the
+    Python closed form round(min(1, frac * (p^alpha / sum p^alpha) / p), 6)
+    — including alpha=0 (uniform target), alpha=1 (natural proportions ->
+    flat frac), and rate clipping when a rare group's boost exceeds 1.
+    Rows are one-per-unit-mass so group mass == row count."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = []
+    rid = 0
+    for g, m in masses.items():
+        for _ in range(m):
+            rows.append((rid, g, 1))
+            rid += 1
+    df = spark.createDataFrame(rows, "row_id long, grp string, w int")
+    kept = temperature_mix(
+        df, group_col="grp", weight_col="w", key_col="row_id",
+        alpha=alpha, target_frac=frac,
+    )
+    got = {
+        r["grp"]: r["keep_rate"]
+        for r in kept.select("grp", "keep_rate").distinct().collect()
+    }
+    tot = sum(masses.values())
+    z = sum((m / tot) ** alpha for m in masses.values())
+    for g, m in masses.items():
+        p = m / tot
+        want = round(min(1.0, frac * ((p**alpha) / z) / p), 6)
+        # a group may vanish from `kept` if its sampled-in set is empty;
+        # only compare rates for groups that surfaced
+        if g in got:
+            assert abs(got[g] - want) < 1e-9, (g, got[g], want, alpha, frac)
+    assert got, "no group surfaced at all"

@@ -700,3 +700,94 @@ def shingle_containment_pairs(
         .select("id_a", "id_b", "n_common", cont.alias("containment"))
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    column: str = "text",
+    k: int = 10,
+    stride: int = 5,
+) -> DataFrame:
+    """Overlapping-window exact substring dedup — the seed-and-remove
+    variant of ``segment_dedup`` after Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"): disjoint segments miss
+    a duplicated span that straddles a segment boundary, so this cuts
+    OVERLAPPING ``k``-token windows every ``stride`` tokens (stride < k),
+    finds windows occurring verbatim in more than one document, and
+    removes every token position covered by a duplicated window. Any
+    duplicated span of at least ``k + stride - 1`` tokens is guaranteed
+    to contain a complete shared window regardless of alignment.
+
+    Returns one row per document: ``(id_col, n_toks, n_kept,
+    clean_text)`` — clean_text is '' when every token was covered.
+
+    Scale posture: windowing is a narrow map (sequence + slice +
+    array_join, no UDF); the duplicated-window set is ONE hash aggregate
+    on the window string (map-side partial count-distinct collapse);
+    coverage is an equi-join back on the same key followed by a bounded
+    position explode (k rows per duplicated window, k is a constant);
+    survivors are a left-anti join on (doc, position); reconstruction
+    re-aggregates per doc with state bounded by document length. The
+    window-string shuffle carries ~len/stride strings of k tokens per
+    doc — the stride trades shuffle volume against the k+stride-1
+    detection floor."""
+    if not 1 <= stride <= k:
+        raise ValueError(f"need 1 <= stride <= k, got stride={stride}, k={k}")
+    t = df.select(id_col, ws_tokens(column).alias("__toks"))
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)), F.lit(stride))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.array_join(F.slice(F.col("__toks"), s, k), " ").alias("wstr"),
+        ),
+    )
+    stream = (
+        t.select(id_col, n.alias("__n"), F.explode(wins).alias("w"))
+        .select(id_col, "__n", F.col("w.start").alias("start"), F.col("w.wstr").alias("wstr"))
+        .filter(F.col("wstr") != "")
+    )
+    dup = (
+        stream.groupBy("wstr")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("wstr")
+    )
+    covered = (
+        stream.join(dup, "wstr")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(
+                    F.col("start"),
+                    F.least(F.col("start") + F.lit(k - 1), F.col("__n")),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = (
+        t.select(id_col, F.posexplode("__toks").alias("pos0", "tok"))
+        .filter(F.col("tok") != "")
+        .select(id_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    surv = toks.join(covered, [id_col, "pos"], "left_anti")
+    recon = surv.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_toks"))
+    return totals.join(recon, id_col, "left").select(
+        id_col,
+        "n_toks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

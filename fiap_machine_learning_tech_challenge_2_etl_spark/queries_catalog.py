@@ -4663,6 +4663,68 @@ def q_segment_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "overlap_span_dedup",
+    sql=r"""
+WITH t AS (
+  SELECT doc_id,
+    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+      AS toks
+  FROM documents
+), s0 AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    unnest(generate_series(1, greatest(len(toks) - 7, 1), 4)) AS start
+  FROM t
+), w AS (
+  SELECT doc_id, n, start,
+    array_to_string(list_slice(toks, start, start + 7), ' ') AS wstr
+  FROM s0
+  WHERE array_to_string(list_slice(toks, start, start + 7), ' ') <> ''
+), dup AS (
+  SELECT wstr FROM w GROUP BY wstr HAVING count(DISTINCT doc_id) > 1
+), cov AS (
+  SELECT DISTINCT w.doc_id,
+    unnest(generate_series(w.start, least(w.start + 7, w.n))) AS pos
+  FROM w JOIN dup USING (wstr)
+), tk AS (
+  SELECT doc_id, pos, toks[pos] AS tok
+  FROM (SELECT doc_id, toks,
+          unnest(generate_series(1, len(toks))) AS pos FROM t)
+  WHERE toks[pos] <> ''
+), surv AS (
+  SELECT tk.* FROM tk LEFT JOIN cov
+    ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+  WHERE cov.pos IS NULL
+), recon AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM surv GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM tk GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_toks,
+  CAST(coalesce(recon.n_kept, 0) AS BIGINT) AS n_kept,
+  coalesce(recon.clean_text, '') AS clean_text
+FROM tot LEFT JOIN recon USING (doc_id)
+""",
+)
+def q_overlap_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window exact substring dedup (Lee et al. 2021 seed-and-
+    remove): k=8-token windows every stride=4 tokens, windows shared
+    across documents mark their covered positions for removal, survivors
+    reconstruct in order. Catches duplicated spans that straddle
+    segment_dedup's disjoint boundaries — any shared span of >= k+stride-1
+    = 11 tokens is detected regardless of alignment. See
+    operators.dedup.remove_duplicated_spans."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    return remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), k=8, stride=4
+    )
+
+
+@_register(
     "mixture_rebalance_downsample",
     sql=f"""
 WITH cnt AS (

@@ -1186,3 +1186,45 @@ def test_temperature_mix_rates_match_python_model(spark, masses, alpha, frac):
         if g in got:
             assert abs(got[g] - want) < 1e-9, (g, got[g], want, alpha, frac)
     assert got, "no group surfaced at all"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(_WORDS, min_size=2, max_size=8),
+    k=st.sampled_from([3, 5]),
+    stride=st.sampled_from([1, 2, 3]),
+)
+def test_overlap_span_dedup_matches_python_model(spark, docs, k, stride):
+    """remove_duplicated_spans == the python model: overlapping k-token
+    windows at the given stride (short docs -> one whole-doc window),
+    windows shared across docs mark their covered positions, survivors
+    rejoin in order — and a position covered by ANY duplicated window is
+    removed even when other windows covering it are unique."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    if stride > k:
+        stride = k
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_toks"], r["n_kept"], r["clean_text"])
+        for r in remove_duplicated_spans(df, k=k, stride=stride).collect()
+    }
+
+    def windows(ws):
+        last = max(len(ws) - k + 1, 1)
+        return [(s, " ".join(ws[s - 1 : s - 1 + k])) for s in range(1, last + 1, stride)]
+
+    seen: dict = {}
+    for i, ws in enumerate(docs):
+        for _s, wstr in windows(ws):
+            seen.setdefault(wstr, set()).add(i)
+    for i, ws in enumerate(docs):
+        cov = set()
+        for s, wstr in windows(ws):
+            if len(seen[wstr]) > 1:
+                cov.update(range(s, min(s + k - 1, len(ws)) + 1))
+        kept = [w for p, w in enumerate(ws, start=1) if p not in cov]
+        assert out[i] == (len(ws), len(kept), " ".join(kept)), (i, k, stride)

@@ -79,6 +79,7 @@ _PRIORITY = (
     "temperature_mix_corpus",  # NEVER-attested: new r10 query leads window
     "weighted_sample_per_lang",  # NEVER-attested: new r10 query leads window
     "psi_drift_orders",  # NEVER-attested: new r10 query leads window
+    "overlap_span_dedup",  # NEVER-attested: new r10 query leads window
     "xml_quarantine_roundtrip",  # NEVER-attested: new r10 query leads window
     "skew_salted_agg",  # r05-green; changed-since-attestation (query_provenance)
     "corpus_clean_pipeline",  # r05-green; changed-since-attestation (query_provenance)
@@ -123,7 +124,6 @@ _PRIORITY = (
     "string_functions",  # r06-green; stale rotation
     "date_functions",  # r06-green; stale rotation
     "sql_entry_tpch_q3",  # r06-green; stale rotation
-    "label_centroids",  # r06-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

@@ -80,6 +80,9 @@ def test_dedup_pair_ops_zero_cross_replica_10x(spark):
     assert len(pair_rows) == 4, rows  # minhash, simhash, ngram, containment
     for r in pair_rows:
         assert r["cross_replica_pairs"] == 0, r
+    # overlap_span_dedup ran its exact reps-x row/kept-mass invariants
+    # inside run_stress; re-check it reported
+    assert any(r["op"] == "overlap_span_dedup" for r in rows), rows
 
 
 @pytest.mark.slow

@@ -170,6 +170,52 @@ def run_stress(
         lambda d: D.shingle_containment_pairs(d, column="text", min_containment=0.7),
         ("id_a", "id_b"),
     )
+
+    # Overlapping-span dedup: per-replica vocab renaming preserves the
+    # base corpus's duplicate-window structure exactly, so on the
+    # DISJOINT construction both the row count AND the total surviving
+    # token mass must scale EXACTLY reps-x — any deviation means a window
+    # matched across replicas (vocabulary leak) or position bookkeeping
+    # drifted with data volume. (Skipped for --dense: appending the
+    # replica tag changes window alignment per replica.)
+    if not dense:
+        ts = {}
+        for tag, df in (("base", docs1), ("scaled", docsN)):
+            best = None
+            agg = None
+            for _ in range(2):
+                t0 = time.time()
+                agg = (
+                    D.remove_duplicated_spans(df, k=8, stride=4)
+                    .agg(
+                        F.count(F.lit(1)).alias("n_rows"),
+                        F.sum("n_kept").alias("kept_mass"),
+                    )
+                    .first()
+                )
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            ts[tag] = (best, agg["n_rows"], agg["kept_mass"])
+        assert ts["scaled"][1] == reps * ts["base"][1], ts
+        assert ts["scaled"][2] == reps * ts["base"][2], ts
+        r = ts["scaled"][0] / ts["base"][0]
+        results.append(
+            {
+                "op": "overlap_span_dedup",
+                "reps": reps,
+                "t_base": ts["base"][0],
+                "rows_base": ts["base"][1],
+                "t_scaled": ts["scaled"][0],
+                "rows_scaled": ts["scaled"][1],
+                "ratio": r,
+                "cross_replica_pairs": None,
+            }
+        )
+        emit(
+            f"| overlap_span_dedup | {ts['base'][0]:.2f} s ({ts['base'][1]:,} rows) "
+            f"| {ts['scaled'][0]:.2f} s ({ts['scaled'][1]:,} rows) | {r:.2f}x | "
+            f"kept mass exact {reps}x |"
+        )
     return results
 
 

@@ -296,3 +296,15 @@ def test_asof_join_tolerance_interval_and_reserved_guard(spark):
             right_value_cols=["snap_id"],
             tolerance="24 HOURS",
         )
+
+
+def test_asof_join_tolerance_rejects_negative(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, "u", 5)], "event_id long, user_id string, ts long")
+    right = spark.createDataFrame([("u", 3, 9)], "user_id string, ts long, snap_id long")
+    with pytest.raises(ValueError, match="tolerance"):
+        J.asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_value_cols=["snap_id"], tolerance=-1,
+        )

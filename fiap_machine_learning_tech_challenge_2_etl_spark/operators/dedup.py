@@ -719,8 +719,9 @@ def remove_duplicated_spans(
     duplicated span of at least ``k + stride - 1`` tokens is guaranteed
     to contain a complete shared window regardless of alignment.
 
-    Returns one row per document: ``(id_col, n_toks, n_kept,
-    clean_text)`` — clean_text is '' when every token was covered.
+    Returns one row per document — including documents whose text is
+    NULL/empty/whitespace-only (``n_toks`` 0): ``(id_col, n_toks, n_kept,
+    clean_text)``; clean_text is '' when every token was covered.
 
     Scale posture: windowing is a narrow map (sequence + slice +
     array_join, no UDF); the duplicated-window set is ONE hash aggregate
@@ -784,7 +785,17 @@ def remove_duplicated_spans(
             " ",
         ).alias("clean_text"),
     )
-    totals = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_toks"))
+    # totals from the per-doc frame, not the token stream: a NULL/empty/
+    # whitespace-only document has zero token rows and would otherwise
+    # vanish from the output, breaking the one-row-per-document contract
+    totals = t.select(
+        id_col,
+        F.coalesce(  # NULL text -> NULL token array -> size NULL -> 0
+            F.size(F.filter("__toks", lambda x: x != "")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_toks"),
+    )
     return totals.join(recon, id_col, "left").select(
         id_col,
         "n_toks",

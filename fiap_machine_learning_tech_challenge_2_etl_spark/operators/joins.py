@@ -94,11 +94,14 @@ def asof_join(
         return left
     from pyspark.sql import types as T
 
-    if isinstance(tolerance, (int, float)) and tolerance < 0:
+    negative = (isinstance(tolerance, (int, float)) and tolerance < 0) or (
+        isinstance(tolerance, str) and tolerance.lstrip().startswith("-")
+    )
+    if negative:
         # pandas merge_asof contract: a negative bound can never admit a
         # carried row (carried ts <= left ts), so every output would be
-        # silently NULL — fail loudly instead
-        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+        # silently NULL — fail loudly instead (covers "-24 HOURS" too)
+        raise ValueError(f"tolerance must be >= 0, got {tolerance!r}")
     struct_fields = list(right_value_cols)
     if tolerance is not None:
         # carry the matched right ts alongside the values so freshness is

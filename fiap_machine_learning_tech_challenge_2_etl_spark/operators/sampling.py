@@ -226,7 +226,11 @@ def temperature_mix(
     languages/sources, bounded), two single-partition window passes over
     that TINY frame only (never the corpus) for the cross-group
     normalizations, broadcast of the rates back, map-side filter. NULL
-    groups are not mixture components and are dropped explicitly.
+    groups are not mixture components and are dropped explicitly, as are
+    rows with NULL or non-positive weight (zero mass — like
+    weighted_sample_per_group; without the filter a NULL-mass group's
+    rate is NULL and its rows vanish silently, and a negative mass makes
+    pow(p, alpha) NaN and poisons EVERY group's normalizer).
 
     Returns kept rows with ``rate_col`` attached (all original columns)."""
     if not 0.0 <= alpha <= 1.0:
@@ -235,7 +239,7 @@ def temperature_mix(
         raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
     from pyspark.sql import Window
 
-    df = df.filter(F.col(group_col).isNotNull())
+    df = df.filter(F.col(group_col).isNotNull() & (F.col(weight_col) > 0))
     w = Window.partitionBy()  # the ≤|groups|-row rates frame, NOT the corpus
     rates = (
         df.groupBy(group_col)

@@ -2602,7 +2602,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "temperature_mix_corpus",
     sql="""
-WITH d AS (SELECT * FROM documents WHERE lang IS NOT NULL),
+WITH d AS (SELECT * FROM documents WHERE lang IS NOT NULL AND n_chars > 0),
 m AS (SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS mass FROM d GROUP BY 1),
 p AS (SELECT lang, mass / (SELECT sum(mass) FROM m) AS p FROM m),
 q AS (SELECT lang, p, pow(p, 0.3) / (SELECT sum(pow(p, 0.3)) FROM p) AS q
@@ -4699,7 +4699,12 @@ WITH t AS (
     string_agg(tok, ' ' ORDER BY pos) AS clean_text
   FROM surv GROUP BY doc_id
 ), tot AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM tk GROUP BY doc_id
+  -- per-doc frame, not the token stream: empty/NULL-text docs must
+  -- still emit a (doc_id, 0, 0, '') row (one-row-per-document contract)
+  SELECT doc_id,
+    CAST(coalesce(len(list_filter(toks, x -> x <> '')), 0) AS BIGINT)
+      AS n_toks
+  FROM t
 )
 SELECT tot.doc_id, tot.n_toks,
   CAST(coalesce(recon.n_kept, 0) AS BIGINT) AS n_kept,

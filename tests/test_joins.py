@@ -308,3 +308,19 @@ def test_asof_join_tolerance_rejects_negative(spark):
             left, right, on="user_id", ts_col="ts",
             right_value_cols=["snap_id"], tolerance=-1,
         )
+
+
+def test_asof_join_tolerance_rejects_negative_interval_string(spark):
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-02 00:00:00")], "event_id long, user_id string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 7)], "user_id string, ts string, snap_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="tolerance"):
+        J.asof_join(
+            left, right, on="user_id", ts_col="ts",
+            right_value_cols=["snap_id"], tolerance="-24 HOURS",
+        )

@@ -1228,3 +1228,25 @@ def test_overlap_span_dedup_matches_python_model(spark, docs, k, stride):
                 cov.update(range(s, min(s + k - 1, len(ws)) + 1))
         kept = [w for p, w in enumerate(ws, start=1) if p not in cov]
         assert out[i] == (len(ws), len(kept), " ".join(kept)), (i, k, stride)
+
+
+def test_overlap_span_dedup_keeps_empty_docs(spark):
+    """One row per document INCLUDING NULL/empty/whitespace-only text
+    (n_toks 0, clean_text '') — a curation pipeline that joins the result
+    back by doc_id must not silently lose documents."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_toks"], r["n_kept"], r["clean_text"])
+        for r in remove_duplicated_spans(df, k=3, stride=1).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (4, 4, "a b c d")  # unique doc survives whole
+    for d in (2, 3, 4):
+        assert out[d] == (0, 0, ""), (d, out[d])

@@ -188,3 +188,23 @@ def test_psi_drift_zero_on_identical_and_positive_on_shift(spark):
     assert sum(r["n_cur"] for r in drift) == 1000
     top_bin = next(r for r in drift if r["bucket"] == 9)
     assert top_bin["n_cur"] > top_bin["n_base"]  # mass piled into the edge
+
+
+def test_temperature_mix_zero_mass_rows_dropped_without_poison(spark):
+    """NULL / non-positive weights carry no mass: their rows are excluded,
+    the remaining groups' rates are unaffected (no NULL-rate silent drop,
+    no NaN normalizer poison from negative mass)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 10), (3, "b", 10), (4, "b", None), (5, "c", -7)],
+        "row_id long, grp string, w int",
+    )
+    kept = temperature_mix(
+        df, group_col="grp", weight_col="w", key_col="row_id",
+        alpha=1.0, target_frac=1.0,
+    )
+    rows = kept.collect()
+    assert all(r["keep_rate"] == 1.0 for r in rows)  # alpha=1, frac=1
+    ids = {r["row_id"] for r in rows}
+    assert ids == {1, 2, 3}  # zero-mass rows 4 (NULL) and 5 (negative) out

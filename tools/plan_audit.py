@@ -4,8 +4,12 @@ DataFrame plans have no CTE/subtree reuse — a frame referenced N times
 re-runs its whole lineage N times. At sf0.1 that hides inside the noise
 floor; at 100 TB a duplicated SHUFFLE subtree is the difference between
 one pass and five. This tool builds every registry query's executed
-plan (plan-time only, nothing runs) and counts ``Scan parquet``
-occurrences, failing any query whose count exceeds its budget.
+plan and counts ``Scan parquet`` occurrences, failing any query whose
+count exceeds its budget. NOTE: "builds the plan" is not free for every
+query — round-trip queries execute real work inside their builder
+(scratch-dir writes, quarantine collects, eager localCheckpoints), so
+the audit costs roughly one light pass over the registry, which is why
+it is a slow-gated test rather than a default one.
 
 The default budget is SCAN_BUDGET_DEFAULT; queries that legitimately
 read sources many times carry explicit entries in SCAN_ALLOWLIST with
@@ -13,6 +17,16 @@ the reason recorded next to the number. The audit rule of thumb:
 re-running map-side work per reference is fine; re-running a shuffle
 subtree per reference is a bug (see BENCH_NOTES "catalog-wide scan-count
 audit" — corpus_curation_pipeline was 57 scans before this existed).
+
+KNOWN BLIND SPOT: queries that materialize driver-side and return
+``spark.createDataFrame(rows, ...)`` (the CSV/JSONL/XML quarantine
+round trips — they must collect to release their cached scan) audit as
+a LocalRelation with zero parquet scans, so their internal scan
+discipline is NOT covered here; it is pinned by their operators'
+docstrings and the quarantine unit tests instead. They are listed in
+LOCAL_RELATION_QUERIES so the audit can assert the blind spot stays
+exactly this size — a new zero-scan query outside that list fails the
+audit as suspicious rather than passing silently.
 
 ``run_audit`` is importable (tests/test_plans.py wraps it as a slow
 gate). Usage: python tools/plan_audit.py [sf_dir]
@@ -43,6 +57,16 @@ SCAN_ALLOWLIST: dict[str, tuple[int, str]] = {
     "association_rules_lift": (7, "item/pair/total supports off one basket frame"),
 }
 
+# Queries whose builder collects and returns a local frame (plan =
+# LocalRelation, 0 parquet scans by construction). Kept explicit so a
+# NEW zero-scan query is flagged as suspicious instead of silently
+# passing the budget with a vacuous plan.
+LOCAL_RELATION_QUERIES = {
+    "csv_quarantine_roundtrip",
+    "jsonl_quarantine_roundtrip",
+    "xml_quarantine_roundtrip",
+}
+
 
 def run_audit(spark, sf_dir: str, emit=print) -> list[tuple[str, int, int]]:
     """Build every query's executed plan; return [(name, scans, budget)]
@@ -59,6 +83,22 @@ def run_audit(spark, sf_dir: str, emit=print) -> list[tuple[str, int, int]]:
             emit(f"plan_audit: SKIP {name}: {type(exc).__name__}")
             continue
         scans = plan.count("Scan parquet")
+        # legitimate zero-parquet plans: iterative ops rooted at their
+        # localCheckpoint blocks (Scan ExistingRDD), non-parquet readbacks
+        # (Scan orc/csv/json/xml/text), and the known collect-and-return
+        # set. Anything else with zero scans is the audit being dodged —
+        # flag it rather than passing a vacuous budget check.
+        has_other_source = any(
+            f"Scan {fmt}" in plan
+            for fmt in ("ExistingRDD", "orc", "csv", "json", "xml", "text")
+        )
+        if scans == 0 and not has_other_source and (
+            name not in LOCAL_RELATION_QUERIES
+        ):
+            over.append((name, scans, -1))
+            emit(f"plan_audit: SUSPICIOUS {name}: no data-source scan in "
+                 "plan and not in LOCAL_RELATION_QUERIES")
+            continue
         budget = SCAN_ALLOWLIST.get(name, (SCAN_BUDGET_DEFAULT, ""))[0]
         if scans > budget:
             over.append((name, scans, budget))

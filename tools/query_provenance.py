@@ -46,7 +46,6 @@ import ast
 import inspect
 import json
 import os
-import re
 import subprocess
 import sys
 
@@ -54,9 +53,6 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 PKG = "fiap_machine_learning_tech_challenge_2_etl_spark"
-IMPORT_RE = re.compile(
-    rf"from {PKG}((?:\.\w+)+) import \(?([\w,\s]+?)\)?$", re.MULTILINE
-)
 
 
 def _git(*args: str) -> str:
@@ -98,39 +94,57 @@ def extract_block(text: str | None, fn_name: str) -> str | None:
     return None
 
 
+def _body_imports(fn) -> list[tuple[str, str]]:
+    """(module_path, name) pairs for every ``from <pkg>... import ...``
+    in the function body, parsed with ``ast`` — a regex over the source
+    silently dropped names after the first line of multi-line
+    parenthesized imports, leaving those operators untracked by the
+    staleness gate."""
+    import textwrap
+
+    src = textwrap.dedent(inspect.getsource(fn))
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return []
+    out: list[tuple[str, str]] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.module and (
+            node.module == PKG or node.module.startswith(PKG + ".")
+        ):
+            for alias in node.names:
+                out.append((node.module, alias.name))
+    return out
+
+
 def body_deps(fn) -> list[tuple[str, str, str | None]]:
     """(label, rel_file, fn_name-or-None) per package import in the body;
     fn_name None -> whole-file tracking (submodule import or
     non-extractable name)."""
     import importlib
 
-    src = inspect.getsource(fn)
     deps: list[tuple[str, str, str | None]] = []
     seen: set[str] = set()
-    for m in IMPORT_RE.finditer(src):
-        mod_path = PKG + m.group(1)
-        names = [n.strip() for n in m.group(2).split(",") if n.strip()]
-        for name in names:
-            name = name.split(" as ")[0].strip()
-            label = f"{mod_path}.{name}"
-            if label in seen:
-                continue
-            seen.add(label)
+    for mod_path, name in _body_imports(fn):
+        label = f"{mod_path}.{name}"
+        if label in seen:
+            continue
+        seen.add(label)
+        try:
+            obj = getattr(importlib.import_module(mod_path), name)
+        except AttributeError:
+            obj = None
+        if inspect.isfunction(obj) or inspect.isclass(obj):
+            rel = os.path.relpath(inspect.getsourcefile(obj), REPO)
+            deps.append((label, rel, obj.__name__))
+        else:
+            # submodule import (or constant): track the module file text
             try:
-                obj = getattr(importlib.import_module(mod_path), name)
-            except AttributeError:
-                obj = None
-            if inspect.isfunction(obj) or inspect.isclass(obj):
-                rel = os.path.relpath(inspect.getsourcefile(obj), REPO)
-                deps.append((label, rel, obj.__name__))
-            else:
-                # submodule import (or constant): track the module file text
-                try:
-                    sub = importlib.import_module(f"{mod_path}.{name}")
-                    rel = os.path.relpath(inspect.getsourcefile(sub), REPO)
-                except Exception:
-                    rel = os.path.join(*mod_path.split(".")) + ".py"
-                deps.append((label, rel, None))
+                sub = importlib.import_module(f"{mod_path}.{name}")
+                rel = os.path.relpath(inspect.getsourcefile(sub), REPO)
+            except Exception:
+                rel = os.path.join(*mod_path.split(".")) + ".py"
+            deps.append((label, rel, None))
     return deps
 
 

@@ -1981,6 +1981,70 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "url_functions",
+    sql="""
+WITH u AS (
+  SELECT doc_id,
+    concat('https://', source, '.example.com/docs/', lang, '/',
+           CAST(doc_id AS VARCHAR), '?q=', CAST(doc_id % 7 AS VARCHAR),
+           '&fmt=txt') AS url
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+), p AS (
+  SELECT doc_id,
+    regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+    regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+    CAST(regexp_extract(url, '[?&]q=([^&]*)', 1) AS INT) AS q_param,
+    'https' AS proto
+  FROM u
+)
+SELECT host, proto, CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+  CAST(sum(q_param) AS BIGINT) AS sum_q,
+  min(path) AS min_path
+FROM p GROUP BY host, proto
+""",
+)
+def q_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-parsing family (web-corpus provenance surface): deterministic
+    URLs built from document metadata, decomposed with Spark's native
+    ``parse_url`` (HOST / PATH / QUERY-param / PROTOCOL — JVM-side, fused
+    into the scan projection), then rolled up per domain — the
+    domain-level aggregation behind per-site quality stats, crawl
+    blocklists, and URL-based dedup keys. Oracle mirrors the parse with
+    anchored regexp_extract over the same constructed strings."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull() & F.col("lang").isNotNull()
+    )
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/docs/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?q="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&fmt=txt"),
+        ).alias("url"),
+    )
+    p = u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).cast("int").alias("q_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+    )
+    return p.groupBy("host", "proto").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count_distinct("path").cast("long").alias("n_paths"),
+        F.sum("q_param").cast("long").alias("sum_q"),
+        F.min("path").alias("min_path"),
+    )
+
+
+@_register(
     "date_functions",
     sql="""
 SELECT o_orderkey,

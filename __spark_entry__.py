@@ -76,6 +76,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     "variant_props_agg",  # NEVER-attested: new r10 query leads window
     "asof_join_tolerance",  # NEVER-attested: new r10 query leads window
+    "url_functions",  # NEVER-attested: new r10 query leads window
     "temperature_mix_corpus",  # NEVER-attested: new r10 query leads window
     "weighted_sample_per_lang",  # NEVER-attested: new r10 query leads window
     "psi_drift_orders",  # NEVER-attested: new r10 query leads window
@@ -123,7 +124,6 @@ _PRIORITY = (
     "window_ranking_family",  # r06-green; stale rotation
     "string_functions",  # r06-green; stale rotation
     "date_functions",  # r06-green; stale rotation
-    "sql_entry_tpch_q3",  # r06-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

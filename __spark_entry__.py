@@ -65,65 +65,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order. Bare ``attestation_ledger.py --check`` verifies this
 # tuple (it reads max_round and the changed set from the committed
 # ledger).
-# ROUND-10 NOTE: lead with any new/operator-changed queries (pass them
-# via --changed), then regenerate via the ledger tool — expected window
-# if nothing changes: the three rows the r09 leads pushed out
-# (exact_dedup_docs, ngram_jaccard_topk, minhash_signatures), then the
-# remaining r05 rows in registry order (minhash_lsh_candidates onward),
-# then r06. ewma_user_daily's r09 operator change (NaN-poisoned tails
-# emit as NULL, SQL parity; value-identical on null-free input) is IN
-# the r09 window — no attestation debt carried.
+# ROUND-11 NOTE: window regenerated stalest-first via
+# ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
+# the one never-attested r11 query (stream_interval_join_outer_roundtrip
+# — the LEFT-OUTER watermarked stream-stream interval join), then the 8
+# changed-since-attestation rows (asof_join grew call-site interval/
+# degenerate-call validation; temperature_mix/weighted samplers now
+# reject pre-existing rate/score columns; temporal_split_embargo
+# validates the embargo body; stream_stream_interval_join grew
+# ``how=`` outer modes) — all behavior-preserving on valid input, but
+# the operators' AST hashes moved so they re-attest. Then the whole
+# r06 cohort retires, then r07 in registry order. Post-r11 oldest
+# green should be >= r07 (pytest gate: test_attestation_ledger.py
+# asserts oldest_green >= current_round - 4).
 _PRIORITY = (
-    "variant_props_agg",  # NEVER-attested: new r10 query leads window
-    "asof_join_tolerance",  # NEVER-attested: new r10 query leads window
-    "url_functions",  # NEVER-attested: new r10 query leads window
-    "temperature_mix_corpus",  # NEVER-attested: new r10 query leads window
-    "weighted_sample_per_lang",  # NEVER-attested: new r10 query leads window
-    "psi_drift_orders",  # NEVER-attested: new r10 query leads window
-    "overlap_span_dedup",  # NEVER-attested: new r10 query leads window
-    "xml_quarantine_roundtrip",  # NEVER-attested: new r10 query leads window
-    "skew_salted_agg",  # r05-green; changed-since-attestation (query_provenance)
-    "corpus_clean_pipeline",  # r05-green; changed-since-attestation (query_provenance)
-    "range_join_shipments",  # r05-green; changed-since-attestation (query_provenance)
-    "theta_sketch_overlap",  # r05-green; changed-since-attestation (query_provenance)
-    "dedup_cluster_cc",  # r06-green; changed-since-attestation (query_provenance)
-    "embedding_ann_lsh",  # r07-green; changed-since-attestation (query_provenance)
-    "interval_coalesce",  # r07-green; changed-since-attestation (query_provenance)
-    "scd2_user_history",  # r07-green; changed-since-attestation (query_provenance)
-    "data_quality_report",  # r07-green; changed-since-attestation (query_provenance)
-    "cdc_apply_events",  # r07-green; changed-since-attestation (query_provenance)
-    "pmi_collocations",  # r07-green; changed-since-attestation (query_provenance)
-    "stream_static_enrich_roundtrip",  # r07-green; changed-since-attestation (query_provenance)
-    "snapshot_diff_orders",  # r08-green; changed-since-attestation (query_provenance)
-    "equidepth_binning",  # r08-green; changed-since-attestation (query_provenance)
-    "token_budget_select",  # r08-green; changed-since-attestation (query_provenance)
-    "corpus_curation_pipeline",  # r08-green; changed-since-attestation (query_provenance)
-    "asof_join_events",  # r09-green; changed-since-attestation (query_provenance)
-    "point_in_time_state_join",  # r09-green; changed-since-attestation (query_provenance)
-    "jsonl_quarantine_roundtrip",  # r09-green; changed-since-attestation (query_provenance)
-    "csv_quarantine_roundtrip",  # r09-green; changed-since-attestation (query_provenance)
-    "exact_dedup_docs",  # r05-green; stale rotation
-    "ngram_jaccard_topk",  # r05-green; stale rotation
-    "minhash_signatures",  # r05-green; stale rotation
-    "embedding_cosine_topk",  # r05-green; stale rotation
-    "embedding_topk_pairs",  # r05-green; stale rotation
-    "multimodal_features",  # r05-green; stale rotation
-    "multimodal_frame_sample",  # r05-green; stale rotation
-    "winnowing_fingerprints",  # r05-green; stale rotation
-    "embedding_near_dup_exact",  # r05-green; stale rotation
-    "tumbling_window_agg",  # r05-green; stale rotation
-    "session_window_agg",  # r05-green; stale rotation
-    "seasonal_decompose_daily",  # r05-green; stale rotation
-    "attribution_first_last_touch",  # r05-green; stale rotation
-    "set_ops",  # r06-green; stale rotation
-    "rollup_agg",  # r06-green; stale rotation
-    "cube_agg",  # r06-green; stale rotation
-    "grouping_sets_agg",  # r06-green; stale rotation
-    "pivot_event_counts",  # r06-green; stale rotation
-    "unpivot_stats",  # r06-green; stale rotation
-    "window_ranking_family",  # r06-green; stale rotation
-    "string_functions",  # r06-green; stale rotation
-    "date_functions",  # r06-green; stale rotation
+    "stream_interval_join_outer_roundtrip",  # NEVER-attested: new r11 query leads window
+    "weighted_sample_docs",  # r7-green; changed-since-attestation (query_provenance)
+    "temporal_split_embargo",  # r7-green; changed-since-attestation (query_provenance)
+    "stream_interval_join_roundtrip",  # r9-green; changed-since-attestation (query_provenance)
+    "asof_join_events",  # r10-green; changed-since-attestation (query_provenance)
+    "asof_join_tolerance",  # r10-green; changed-since-attestation (query_provenance)
+    "temperature_mix_corpus",  # r10-green; changed-since-attestation (query_provenance)
+    "weighted_sample_per_lang",  # r10-green; changed-since-attestation (query_provenance)
+    "point_in_time_state_join",  # r10-green; changed-since-attestation (query_provenance)
+    "sql_entry_tpch_q3",  # r6-green; stale rotation
+    "label_centroids",  # r6-green; stale rotation
+    "word_count_topk",  # r6-green; stale rotation
+    "stats_agg_family",  # r6-green; stale rotation
+    "regr_agg_family",  # r6-green; stale rotation
+    "conditional_agg_family",  # r6-green; stale rotation
+    "percentile_agg_family",  # r6-green; stale rotation
+    "range_frame_window",  # r6-green; stale rotation
+    "gapfill_forward_fill",  # r6-green; stale rotation
+    "exists_subquery_agg",  # r6-green; stale rotation
+    "scalar_subquery_agg",  # r6-green; stale rotation
+    "hash_split_corpus",  # r6-green; stale rotation
+    "stratified_sample_docs",  # r6-green; stale rotation
+    "gapfill_interpolate",  # r6-green; stale rotation
+    "profile_documents",  # r6-green; stale rotation
+    "chunk_documents",  # r6-green; stale rotation
+    "min_cost_supplier",  # r6-green; stale rotation
+    "map_functions",  # r6-green; stale rotation
+    "null_semantics_family",  # r6-green; stale rotation
+    "fuzzy_match_levenshtein",  # r6-green; stale rotation
+    "bitwise_functions",  # r6-green; stale rotation
+    "event_sequence_assembly",  # r6-green; stale rotation
+    "pii_redaction",  # r6-green; stale rotation
+    "repetition_ngram_stats",  # r6-green; stale rotation
+    "bucketed_join_colocated",  # r6-green; stale rotation
+    "range_clustered_pruned_scan",  # r6-green; stale rotation
+    "embedding_ann_ivf",  # r7-green; stale rotation
+    "array_functions",  # r7-green; stale rotation
+    "frequent_tokens_sketch",  # r7-green; stale rotation
+    "variant_shred_props",  # r7-green; stale rotation
+    "regex_functions",  # r7-green; stale rotation
+    "window_value_family",  # r7-green; stale rotation
+    "sequence_packing",  # r7-green; stale rotation
+    "quality_upsample_repeat",  # r7-green; stale rotation
+    "tfidf_top_terms",  # r7-green; stale rotation
+    "decontaminate_ngram_overlap",  # r7-green; stale rotation
+    "set_ops_all",  # r7-green; stale rotation
+    "sort_nulls_family",  # r7-green; stale rotation
+    "rollup_grouping_id",  # r7-green; stale rotation
+    "try_arithmetic_family",  # r7-green; stale rotation
+    "embedding_quantize_int8",  # r7-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

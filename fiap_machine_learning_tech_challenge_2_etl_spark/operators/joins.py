@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import validate_interval_body
+
 
 def join_dims(
     fact: DataFrame,
@@ -90,8 +92,6 @@ def asof_join(
 
     Output: all left columns + ``right_value_cols`` (null = no match).
     """
-    if not right_value_cols:
-        return left
     from pyspark.sql import types as T
 
     negative = (isinstance(tolerance, (int, float)) and tolerance < 0) or (
@@ -102,12 +102,18 @@ def asof_join(
         # carried row (carried ts <= left ts), so every output would be
         # silently NULL — fail loudly instead (covers "-24 HOURS" too)
         raise ValueError(f"tolerance must be >= 0, got {tolerance!r}")
-    struct_fields = list(right_value_cols)
+    if isinstance(tolerance, str):
+        validate_interval_body(tolerance, "tolerance")
     if tolerance is not None:
         # carry the matched right ts alongside the values so freshness is
         # testable after the carry; reserved name, rejected if colliding
         if "__rts" in set(left.columns) | set(right.columns):
             raise ValueError("column name '__rts' is reserved by asof tolerance")
+    if not right_value_cols:
+        # degenerate no-value call — validated above so an invalid
+        # tolerance is never silently accepted on this path
+        return left
+    struct_fields = list(right_value_cols)
     r_struct_type = T.StructType(
         (
             [T.StructField("__rts", right.schema[ts_col].dataType)]

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from fiap_machine_learning_tech_challenge_2_etl_spark.operators.dedup import token_hash60
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import reject_reserved as _reject_reserved
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import validate_interval_body
 
 BUCKETS = 10_000
 
@@ -109,6 +111,7 @@ def weighted_sample_topk(
     never a global sort). One pass, no shuffle beyond k rows per
     partition. Rows with weight <= 0 are excluded (zero mass).
     """
+    _reject_reserved(df, score_col)  # withColumn would silently overwrite
     w_col = F.col(weight) if isinstance(weight, str) else weight
     u = (hash_bucket(key, salt).cast("double") + 0.5) / BUCKETS  # (0,1) open
     score = F.pow(u, 1.0 / w_col.cast("double"))
@@ -143,7 +146,7 @@ def temporal_split_embargo(
             f"percentile(unix_micros({ts_col}), {cutoff_fraction})"
         ).alias("__cut_us")
     ).select(F.floor(F.col("__cut_us")).cast("long").alias("__cut_us"))
-    emb = F.expr(f"INTERVAL {embargo}")
+    emb = F.expr(f"INTERVAL {validate_interval_body(embargo, 'embargo')}")
     labeled = (
         df.join(F.broadcast(cut))
         .withColumn("__cut_ts", F.timestamp_micros(F.col("__cut_us")))
@@ -237,6 +240,9 @@ def temperature_mix(
         raise ValueError(f"alpha must be in [0, 1], got {alpha}")
     if not 0.0 < target_frac <= 1.0:
         raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    # rate_col rides the broadcast join back onto df — a pre-existing
+    # column of that name would make the join output ambiguous
+    _reject_reserved(df, rate_col)
     from pyspark.sql import Window
 
     df = df.filter(F.col(group_col).isNotNull() & (F.col(weight_col) > 0))
@@ -284,6 +290,7 @@ def weighted_sample_per_group(
     rows with weight <= 0 are excluded (zero mass)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.windows import top_k_per_group
 
+    _reject_reserved(df, score_col)  # withColumn would silently overwrite
     w_col = F.col(weight) if isinstance(weight, str) else weight
     u = (hash_bucket(key, salt).cast("double") + 0.5) / BUCKETS  # (0,1) open
     scored = df.filter(w_col > 0).withColumn(

@@ -1105,6 +1105,98 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_interval_join_outer_roundtrip",
+    sql="""
+SELECT l.event_id AS click_id, r.event_id AS view_id, l.user_id,
+  epoch_us(CAST(l.ts AS TIMESTAMP)) - epoch_us(CAST(r.ts AS TIMESTAMP)) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id
+  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP)
+  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 6 HOUR
+""",
+)
+@_with_stream_shuffle
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream interval join
+    (streaming/incremental.py stream_stream_interval_join how='left_outer'):
+    clicks joined to the same user's views in the preceding 6 hours, and
+    clicks with NO such view emitted NULL-padded — the semantically hard
+    half of late-data enrichment, because an unmatched left row may only
+    be declared unmatched once the watermark proves no future right row
+    can still match it (state eviction at left.ts + max_delay).
+
+    The stream therefore needs its watermark PUSHED past every real row's
+    eviction point before it stops: two sentinel generations (user_id -1,
+    max_ts + 2 and + 4 days, appended to BOTH sides so they cannot alter
+    real matches) run through two extra availableNow passes — the first
+    advances the watermark, the second's batch performs the eviction that
+    emits the NULL rows. Exactly-once per unmatched click is the state
+    store's contract, and the value-hash against the batch LEFT JOIN
+    oracle would catch any duplicate or dropped emission."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    e = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    d = _scratch("stream_ivjoin_outer", sf_dir)
+    lin = os.path.join(d, "l")
+    rin = os.path.join(d, "r")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    e.filter(F.col("event_type") == "click").repartition(1).write.parquet(lin)
+    e.filter(F.col("event_type") == "view").repartition(1).write.parquet(rin)
+    max_ts = e.agg(F.max("ts")).collect()[0][0]  # one scalar, not data
+    schema = spark.read.parquet(lin).schema
+
+    def run_once() -> None:
+        left = spark.readStream.schema(schema).parquet(lin)
+        right = spark.readStream.schema(schema).parquet(rin)
+        joined = stream_stream_interval_join(
+            left,
+            right,
+            key="user_id",
+            max_delay="6 hours",
+            watermark="12 hours",
+            how="left_outer",
+        ).select(
+            F.col("event_id").alias("click_id"),
+            F.col("event_id_r").alias("view_id"),
+            F.col("user_id"),
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))).alias(
+                "gap_us"
+            ),
+        )
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(outp)
+
+        (
+            joined.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    for gen, days in ((900_000_000, 2), (900_000_001, 4)):
+        sentinel = spark.range(1).select(
+            F.lit(gen).alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+        )
+        sentinel.repartition(1).write.mode("append").parquet(lin)
+        sentinel.withColumn("event_type", F.lit("view")).repartition(1).write.mode(
+            "append"
+        ).parquet(rin)
+        run_once()
+    # eqNullSafe: NULL-user clicks are real unmatched rows, keep them
+    return spark.read.parquet(outp).filter(~F.col("user_id").eqNullSafe(-1))
+
+
+@_register(
     "compaction_roundtrip",
     sql="""
 SELECT CAST(48 AS BIGINT) AS files_before,

@@ -23,12 +23,26 @@ def get_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    streaming: bool = False,
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     Parameters are overridable for tests/bench; defaults suit the
     local[N] container while remaining correct on a multi-executor
     cluster (every conf here is cluster-safe).
+
+    ``streaming=True`` switches the state store to RocksDB
+    (RocksDBStateStoreProvider, in-box since Spark 3.2): the default
+    HDFSBackedStateStoreProvider keeps every key's state in executor heap,
+    which is the first thing to fall over at 100 TB stream state (GC
+    stalls, OOM at tens of millions of keys/executor); RocksDB spills to
+    local disk with bounded memory, supports changelog checkpointing, and
+    is what transformWithStateInPandas requires anyway. Probed live in
+    this container (stateful roundtrip passes — see
+    tests/test_catalog_streaming.py::test_rocksdb_state_store_roundtrip).
+    Note SparkSession configs are per-JVM-session: if a session already
+    exists, getOrCreate() returns it unchanged, so tests that need the
+    flag set it via spark.conf.set (it is runtime-settable).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
@@ -50,6 +64,12 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
+    if streaming:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

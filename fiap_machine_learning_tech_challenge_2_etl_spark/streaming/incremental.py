@@ -17,12 +17,13 @@ session window is Spark-native; the running-stats operator shows
 ``applyInPandasWithState`` for semantics the built-ins don't cover.
 
 Spark 4's ``transformWithStateInPandas`` (the successor API: typed
-value/list/map state, timers, TTL) is exercised by a GATED test
-(tests/test_catalog_streaming.py::test_transform_with_state_running_sum):
-its state-server protocol needs ``google.protobuf``, which this container
-lacks and cannot install, so the test skips here and runs wherever the
-dependency exists. applyInPandasWithState remains the hermetic custom-
-stateful path.
+value/list/map state, timers, TTL) has a first-class twin operator,
+``running_user_stats_tws``, plus GATED tests
+(tests/test_catalog_streaming.py::test_transform_with_state_running_sum,
+::test_tws_running_stats_parity): its state-server protocol needs
+``google.protobuf``, which this container lacks and cannot install, so
+the tests skip here and run wherever the dependency exists.
+applyInPandasWithState remains the hermetic custom-stateful path.
 """
 
 from __future__ import annotations
@@ -33,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import validate_interval_body
 
 
 def run_incremental_pipeline(
@@ -232,6 +235,84 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """True when transformWithStateInPandas can actually execute here: its
+    Python-worker <-> JVM state server speaks protobuf, so the API imports
+    fine but dies in the worker without ``google.protobuf``."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of :func:`running_user_stats` —
+    identical semantics (per-user running count/sum across micro-batches,
+    same output schema) on Spark 4's current-generation stateful API.
+
+    Why a twin exists: transformWithStateInPandas supersedes
+    applyInPandasWithState with typed value/list/map state, event- and
+    processing-time timers, and state TTL — the API new stateful operators
+    should target. It REQUIRES the RocksDB state store provider
+    (``get_session(streaming=True)``) and ``google.protobuf`` in the
+    Python workers; this raises eagerly with the dependency story when
+    protobuf is absent (the in-worker failure is an opaque stack
+    otherwise). Value parity with the applyInPandasWithState op and the
+    batch oracle is pinned by
+    tests/test_catalog_streaming.py::test_tws_running_stats_parity
+    (protobuf-gated, like the Avro jar tests).
+    """
+    if not tws_available():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf in the Python "
+            "workers (state-server protocol); install protobuf or use "
+            "running_user_stats (applyInPandasWithState) instead"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _RunningStats(StatefulProcessor):
+        def init(self, handle) -> None:  # StatefulProcessorHandle
+            self._state = handle.getValueState(
+                "running",
+                T.StructType(
+                    [
+                        T.StructField("n", T.LongType()),
+                        T.StructField("total", T.DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            batch_n = 0
+            for pdf in rows:
+                batch_n += len(pdf)
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "batch_n": [batch_n],
+                    "running_n": [n],
+                    "running_total": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningStats(),
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -241,6 +322,7 @@ def stream_stream_interval_join(
     max_delay: str = "1 hour",
     watermark: str = "1 hour",
     right_suffix: str = "_r",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left row matched to
     right rows with the same key whose timestamp falls in
@@ -253,12 +335,28 @@ def stream_stream_interval_join(
     executor is O(key-cardinality x max_delay-worth of rows), independent
     of total stream length.
 
+    ``how`` extends the join to the semantically hard half of late-data
+    enrichment: ``left_outer`` / ``right_outer`` / ``full_outer`` emit the
+    unmatched side NULL-padded — but only once the watermark passes the
+    row's eviction point, because until then a future match could still
+    arrive. Spark generates these rows at state eviction, so outer results
+    trail the inner results by up to ``watermark + max_delay`` of event
+    time; a terminal batch of late max-timestamp rows (or availableNow's
+    end-of-data watermark advance) is what flushes the final NULL rows.
+    Exactly-once per unmatched row is Spark's state-store contract: the
+    row is deleted from state as the NULL-padded result is emitted.
+
     Output columns are FLAT and unambiguous: left columns keep their
     names, every right column gets ``right_suffix`` appended. A bare
     two-sided join would return duplicate ``key``/``ts`` column names —
     unwritable to any file sink (Found duplicate column(s)) and
     unselectable without knowing internal aliases; the suffix makes the
     result sinkable as-is."""
+    allowed_how = {"inner", "left_outer", "right_outer", "full_outer"}
+    if how not in allowed_how:
+        raise ValueError(f"how must be one of {sorted(allowed_how)}, got {how!r}")
+    validate_interval_body(max_delay, "max_delay")
+    validate_interval_body(watermark, "watermark")
     renamed = {c: c + right_suffix for c in right.columns}
     collisions = sorted(set(renamed.values()) & set(left.columns))
     if collisions:
@@ -277,7 +375,7 @@ def stream_stream_interval_join(
         & (rt <= lt)
         & (rt >= lt - F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def materialized_rollup(

@@ -2,7 +2,53 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+# Spark SQL interval unit keywords (singular; plural accepted too).
+_INTERVAL_UNITS = frozenset(
+    {
+        "year",
+        "month",
+        "week",
+        "day",
+        "hour",
+        "minute",
+        "second",
+        "millisecond",
+        "microsecond",
+    }
+)
+_INTERVAL_PAIR = re.compile(r"^\d+$")
+
+
+def validate_interval_body(value: str, param: str) -> str:
+    """Validate a SQL INTERVAL body (e.g. ``"24 HOURS"``,
+    ``"1 HOUR 30 MINUTES"``) BEFORE it is interpolated into ``F.expr``.
+
+    ``F.expr(f"INTERVAL {value}")`` is lazy — a malformed body only fails
+    at analysis time with a generic parse error far from the call site
+    (and naming no parameter). Fail eagerly here with the parameter name
+    instead. Negative magnitudes are rejected by shape (callers that want
+    a dedicated negative-value message check sign first). Returns the
+    value unchanged so call sites can validate inline."""
+    tokens = value.split()
+    ok = len(tokens) >= 2 and len(tokens) % 2 == 0
+    if ok:
+        for mag, unit in zip(tokens[::2], tokens[1::2]):
+            if not _INTERVAL_PAIR.match(mag):
+                ok = False
+                break
+            if unit.lower().rstrip("s") not in _INTERVAL_UNITS:
+                ok = False
+                break
+    if not ok:
+        raise ValueError(
+            f"{param} must be a SQL INTERVAL body like '24 HOURS' or "
+            f"'1 HOUR 30 MINUTES', got {value!r}"
+        )
+    return value
 
 
 def reject_reserved(df: DataFrame, *names: str) -> None:

@@ -120,3 +120,29 @@ def test_query_provenance_check_clean():
         timeout=570,
     )
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_attestation_freshness_never_decays():
+    """Steady-state freshness invariant: with 197 registry rows and a
+    50-row per-round window, every row re-attests within ceil(197/50) = 4
+    rounds, so the oldest latest-green round must never trail the
+    ledger's max_round by more than 4. A violation means window rotation
+    regressed (e.g. a cohort was skipped) and stale attestations are
+    silently accumulating."""
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    path = os.path.join(repo, "ATTESTATION_LEDGER.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed ledger")
+    committed = json.load(open(path))
+    max_round = committed["max_round"]
+    greens = [
+        rec["latest_green"]
+        for rec in committed["queries"].values()
+        if rec["latest_green"] is not None
+    ]
+    assert greens, "ledger has no green rows at all"
+    oldest = min(greens)
+    assert oldest >= max_round - 4, (
+        f"oldest green attestation is r{oldest}, more than 4 rounds behind "
+        f"ledger max_round r{max_round} — window rotation has stalled"
+    )

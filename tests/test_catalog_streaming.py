@@ -970,3 +970,269 @@ def test_incremental_pipeline_semi_join_pruning_regime(spark, tmp_path):
         F.min("count").alias("lo"), F.max("count").alias("hi")
     ).first()
     assert (per["lo"], per["hi"]) == (2, 2)
+
+
+def test_stream_interval_join_outer_unmatched_exactly_once(spark, tmp_path):
+    """LEFT-OUTER interval join: a click with no view in its window emits
+    exactly ONE NULL-padded row, and only after the watermark passes its
+    eviction point (left.ts + max_delay). Sentinel rows (user -1, far
+    future, on BOTH sides) push the watermark; two extra availableNow
+    passes perform advance-then-evict. Matched clicks emit exactly one
+    joined row and never a NULL twin."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    lin, rin = str(tmp_path / "l"), str(tmp_path / "r")
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    hours = lambda h: F.timestamp_micros(F.lit(3_600_000_000) * h)  # noqa: E731
+    # clicks: users 0..9 at t=1000+u hours; views: only EVEN users, 30 min
+    # before their click (inside the 1h window)
+    clicks = spark.createDataFrame(
+        [(u, u) for u in range(10)], "event_id long, user_id long"
+    ).select("event_id", "user_id", hours(1000 + F.col("user_id")).alias("ts"))
+    views = spark.createDataFrame(
+        [(100 + u, u) for u in range(0, 10, 2)], "event_id long, user_id long"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(
+            F.lit(3_600_000_000) * (1000 + F.col("user_id")) - F.lit(1_800_000_000)
+        ).alias("ts"),
+    )
+    clicks.coalesce(1).write.parquet(lin)
+    views.coalesce(1).write.parquet(rin)
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def run_once() -> None:
+        j = stream_stream_interval_join(
+            spark.readStream.schema(schema).parquet(lin),
+            spark.readStream.schema(schema).parquet(rin),
+            max_delay="1 hour",
+            watermark="1 hour",
+            how="left_outer",
+        )
+
+        def sink(b, _e):
+            b.write.mode("append").parquet(outp)
+
+        (
+            j.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    got_early = spark.read.parquet(outp).filter(F.col("user_id") >= 0)
+    # End of run 1: max event time is click u=9 at 1009h, so the watermark
+    # is 1008h (1h delay) and availableNow's terminal no-data batch evicts
+    # exactly the unmatched clicks whose eviction point ts+1h < 1008h —
+    # odd users 1,3,5. Users 7 and 9 must NOT have emitted: the watermark
+    # has not yet proven no future view can match them.
+    early_nulls = {
+        r["user_id"]
+        for r in got_early.filter(F.col("user_id_r").isNull()).collect()
+    }
+    assert early_nulls == {1, 3, 5}
+    for gen, h in ((900, 5000), (901, 9000)):
+        s = spark.createDataFrame(
+            [(gen, -1)], "event_id long, user_id long"
+        ).select("event_id", "user_id", hours(h).alias("ts"))
+        s.coalesce(1).write.mode("append").parquet(lin)
+        s.coalesce(1).write.mode("append").parquet(rin)
+        run_once()
+    out = spark.read.parquet(outp).filter(F.col("user_id") >= 0)
+    rows = {
+        r["event_id"]: (r["event_id_r"], r["user_id_r"])
+        for r in out.collect()
+    }
+    assert out.count() == 10  # exactly once per click — no dup emissions
+    for u in range(10):
+        if u % 2 == 0:
+            assert rows[u] == (100 + u, u)  # matched: joined row, no NULL twin
+        else:
+            assert rows[u] == (None, None)  # unmatched: one NULL-padded row
+
+
+def test_stream_interval_join_validation(spark):
+    """Invalid ``how`` and malformed interval bodies fail eagerly at the
+    call site with the parameter name, not at analysis time with a
+    generic parse error."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="how must be one of"):
+        stream_stream_interval_join(df, df, how="left")
+    with pytest.raises(ValueError, match="max_delay"):
+        stream_stream_interval_join(df, df, max_delay="an hour")
+    with pytest.raises(ValueError, match="watermark"):
+        stream_stream_interval_join(df, df, watermark="1 lightyear")
+
+
+def test_rocksdb_state_store_roundtrip(spark, tmp_path):
+    """RocksDB state store (get_session(streaming=True)'s provider): the
+    custom stateful operator must produce identical running stats under
+    RocksDBStateStoreProvider — the provider that survives 100 TB stream
+    state (disk-backed, bounded memory) where the default heap-backed
+    store OOMs. Also pins that get_session(streaming=True) actually sets
+    the conf (runtime-settable, so it applies to the shared session too)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        running_user_stats,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    try:
+        s2 = get_session("tests", shuffle_partitions=8, streaming=True)
+        assert s2.conf.get(key).endswith("RocksDBStateStoreProvider")
+        src = str(tmp_path / "src")
+        (
+            spark.range(0, 200)
+            .select(
+                (F.col("id") % 7).alias("user_id"),
+                F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+                F.col("id").cast("double").alias("value"),
+            )
+            .coalesce(1)
+            .write.parquet(src)
+        )
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            running_user_stats(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("rocks_rt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r["user_id"]: (r["n"], r["t"])
+                for r in spark.sql(
+                    "SELECT user_id, max(running_n) n, max(running_total) t "
+                    "FROM rocks_rt GROUP BY user_id"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        exp = {
+            k: (
+                len(range(k, 200, 7)),
+                float(sum(range(k, 200, 7))),
+            )
+            for k in range(7)
+        }
+        assert got == exp
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs google.protobuf (state-server "
+    "protocol); absent in this container — gate documented in "
+    "streaming/incremental.py::tws_available",
+)
+def test_tws_running_stats_parity(spark, tmp_path):
+    """running_user_stats_tws (transformWithStateInPandas) must produce
+    the SAME final per-user (running_n, running_total) as the
+    applyInPandasWithState op and the batch oracle, across two
+    micro-batches (state survival on the successor API)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        running_user_stats,
+        running_user_stats_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        for lo, hi in ((0, 150), (150, 300)):
+            (
+                spark.range(lo, hi)
+                .select(
+                    (F.col("id") % 5).alias("user_id"),
+                    F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+                    (F.col("id") * 0.5).alias("value"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+
+        def final_stats(op, name):
+            stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(
+                "user_id long, ts timestamp, value double"
+            ).parquet(src)
+            q = (
+                op(stream)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+                return {
+                    r["user_id"]: (r["n"], r["t"])
+                    for r in spark.sql(
+                        f"SELECT user_id, max(running_n) n, "
+                        f"max(running_total) t FROM {name} GROUP BY user_id"
+                    ).collect()
+                }
+            finally:
+                q.stop()
+
+        a = final_stats(running_user_stats, "tws_parity_apiws")
+        b = final_stats(running_user_stats_tws, "tws_parity_tws")
+        oracle = {
+            k: (len(range(k, 300, 5)), float(sum(i * 0.5 for i in range(k, 300, 5))))
+            for k in range(5)
+        }
+        assert a == oracle
+        assert b == oracle
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+@pytest.mark.skipif(
+    _protobuf_available(),
+    reason="only meaningful where protobuf is ABSENT (this container)",
+)
+def test_tws_gate_message_without_protobuf(spark):
+    """Without protobuf the TWS twin must fail eagerly with the dependency
+    story and the applyInPandasWithState fallback — not an opaque stack
+    from inside the Python worker's state server."""
+    import pytest as _pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        running_user_stats_tws,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0)], "user_id long, value double"
+    )
+    with _pytest.raises(RuntimeError, match="protobuf.*running_user_stats"):
+        running_user_stats_tws(df)

@@ -324,3 +324,47 @@ def test_asof_join_tolerance_rejects_negative_interval_string(spark):
             left, right, on="user_id", ts_col="ts",
             right_value_cols=["snap_id"], tolerance="-24 HOURS",
         )
+
+
+def test_asof_join_validates_on_degenerate_empty_value_cols(spark):
+    """The no-value-columns early return must STILL validate tolerance —
+    an invalid tolerance on the degenerate call was silently accepted
+    before (validation ran after the early return)."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "k long, ts_s string"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="tolerance must be >= 0"):
+        asof_join(df, df, on="k", ts_col="ts", right_value_cols=[], tolerance=-5)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            df, df, on="k", ts_col="ts", right_value_cols=[], tolerance="24 parsecs"
+        )
+    # valid degenerate call still returns left unchanged
+    out = asof_join(df, df, on="k", ts_col="ts", right_value_cols=[])
+    assert out.columns == df.columns
+
+
+def test_asof_join_rejects_malformed_interval_body(spark):
+    """A malformed INTERVAL body fails eagerly at the call site naming
+    'tolerance', not at analysis time with a generic parse error."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0)], "k long, ts_s string, v double"
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    with pytest.raises(ValueError, match="tolerance must be a SQL INTERVAL"):
+        asof_join(
+            df, df, on="k", ts_col="ts", right_value_cols=["v"], tolerance="HOURS 24"
+        )
+    # well-formed multi-unit bodies pass validation
+    out = asof_join(
+        df, df, on="k", ts_col="ts", right_value_cols=["v"],
+        tolerance="1 HOUR 30 MINUTES",
+    )
+    assert out.count() == 1

@@ -208,3 +208,54 @@ def test_temperature_mix_zero_mass_rows_dropped_without_poison(spark):
     assert all(r["keep_rate"] == 1.0 for r in rows)  # alpha=1, frac=1
     ids = {r["row_id"] for r in rows}
     assert ids == {1, 2, 3}  # zero-mass rows 4 (NULL) and 5 (negative) out
+
+
+def test_temperature_mix_rejects_existing_rate_col(spark):
+    """rate_col rides the broadcast join back onto df — a pre-existing
+    column of that name must be rejected (ambiguous join output), per the
+    repo's reject_reserved convention."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [("en", 1.0, "a", 0.5)], "lang string, w double, k string, keep_rate double"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        temperature_mix(df, "lang", "w", "k", alpha=0.5, target_frac=0.5)
+
+
+def test_weighted_samplers_reject_existing_score_col(spark):
+    """weighted_sample_topk / weighted_sample_per_group must refuse an
+    input already carrying score_col instead of silently overwriting it."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        weighted_sample_per_group,
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [("en", "a", 1.0, 0.9)],
+        "lang string, k string, w double, sample_score double",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        weighted_sample_topk(df, "k", "w", k=1)
+    with pytest.raises(ValueError, match="reserved"):
+        weighted_sample_per_group(df, "lang", "k", "w", k=1)
+
+
+def test_temporal_split_rejects_malformed_embargo(spark):
+    """The embargo INTERVAL body is validated eagerly with the parameter
+    name, not left to a generic analysis-time parse error."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.sampling import (
+        temporal_split_embargo,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:00:00",)], "ts_s string"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"))
+    with pytest.raises(ValueError, match="embargo"):
+        temporal_split_embargo(df, "ts", embargo="soon")

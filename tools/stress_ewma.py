@@ -72,6 +72,11 @@ def run_stress(spark, n_rows: int = 1_000_000, emit=print) -> dict:
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.timeseries import ewma
 
     null_at = int(n_rows * 0.9)  # poison late: ~90% of the series is live
+    while null_at % SIDE_MOD == 7:
+        # the NULL must land on the 'huge' key — a seq belonging to the
+        # interleaved 'side' key would inject nothing and the poisoned-tail
+        # assert below would fail confusingly (min of an empty filter)
+        null_at += 1
     old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
     try:

@@ -1465,3 +1465,85 @@ def q_xml_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     raw.unpersist()
     return spark.createDataFrame(rows, out.schema)
+
+
+@_register(
+    "state_store_inspect_roundtrip",
+    sql="""
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS state_n,
+  CAST(round(sum(value) * 100) AS BIGINT) AS state_total_cents
+FROM events WHERE user_id % 9 = 0
+GROUP BY user_id
+""",
+)
+@_with_stream_shuffle
+def q_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline state-store observability (streaming/state_reader.py
+    read_state_store / read_state_metadata, the Spark 4 state data
+    source): a per-user streaming count/sum aggregate is fed in TWO
+    availableNow runs over one checkpoint (even event_ids, then odd), and
+    the attested values are read FROM THE CHECKPOINT'S STATE FILES — not
+    from any sink the stream wrote. If the state a restart would resume
+    from is exactly the whole-corpus batch aggregate (the oracle), then
+    checkpoint persistence, cross-run state merge, and the offline reader
+    all hold at once. This is the incident-response primitive for a
+    100 TB stream: validate terabytes of live state against a batch
+    recomputation without replaying the source. state-metadata is
+    asserted in-body (one stateStoreSave operator, partition count from
+    the stream's conf) so a topology regression fails loudly here rather
+    than as an oracle diff."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.state_reader import (
+        read_state_metadata,
+        read_state_store,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 9 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    d = _scratch("state_inspect", sf_dir)
+    inp = os.path.join(d, "in")
+    ckpt = os.path.join(d, "ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+        )
+        (
+            # state is the product — sink to the noop source, which still
+            # PROCESSES every partition (commit validation requires all
+            # state partitions to run; a swallow-the-frame lambda fails it)
+            agg.writeStream.foreachBatch(
+                lambda b, _eid: b.write.format("noop").mode("overwrite").save()
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    e.filter(F.col("event_id") % 2 == 0).repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    e.filter(F.col("event_id") % 2 == 1).repartition(1).write.mode("append").parquet(inp)
+    run_once()
+
+    meta = read_state_metadata(spark, ckpt)
+    ops = [(r.operatorName, r.numPartitions) for r in meta.collect()]  # topology rows
+    assert ops == [("stateStoreSave", 4)], f"unexpected state topology: {ops}"
+
+    st = read_state_store(spark, ckpt)  # flattened: user_id, count, sum
+    key_col, n_col, sum_col = st.columns[0], st.columns[1], st.columns[2]
+    return st.select(
+        F.col(key_col).alias("user_id"),
+        F.col(n_col).cast("long").alias("state_n"),
+        F.round(F.col(sum_col) * 100).cast("long").alias("state_total_cents"),
+    )

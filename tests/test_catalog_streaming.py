@@ -1236,3 +1236,138 @@ def test_tws_gate_message_without_protobuf(spark):
     )
     with _pytest.raises(RuntimeError, match="protobuf.*running_user_stats"):
         running_user_stats_tws(df)
+
+
+# ---------------------------------------------------------------------------
+# state_reader: offline checkpoint state observability (Spark 4 state source)
+# ---------------------------------------------------------------------------
+
+
+def _run_state_agg(spark, inp: str, ckpt: str) -> None:
+    """One availableNow pass of a per-key count/sum agg over `inp`,
+    committing state into `ckpt`; the noop sink still runs every
+    partition (state commit validation requires it)."""
+    schema = "k LONG, v DOUBLE"
+    stream = spark.readStream.schema(schema).parquet(inp)
+    agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("t"))
+    (
+        agg.writeStream.foreachBatch(
+            lambda b, _e: b.write.format("noop").mode("overwrite").save()
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def test_state_store_reader_validates_against_batch(spark, tmp_path):
+    """read_state_store must return exactly the state a restart would
+    resume from: after two availableNow runs, the per-key state equals
+    the batch aggregate of ALL input; batchId=0 reads the older partial
+    state (first run only) — the time-travel half of the reader."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.state_reader import (
+        read_state_store,
+    )
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    first = [(1, 1.0), (2, 2.0), (1, 3.0)]
+    second = [(2, 5.0), (3, 7.0)]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        spark.createDataFrame(first, "k LONG, v DOUBLE").coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        _run_state_agg(spark, inp, ckpt)
+        spark.createDataFrame(second, "k LONG, v DOUBLE").coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        _run_state_agg(spark, inp, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    final = {
+        (r["k"]): (r["n"], r["t"])
+        for r in read_state_store(spark, ckpt)
+        .select(F.col("k"), F.col("count").alias("n"), F.col("sum").alias("t"))
+        .collect()
+    }
+    assert final == {1: (2, 4.0), 2: (2, 7.0), 3: (1, 7.0)}
+
+    at_batch0 = {
+        (r["k"]): (r["count"], r["sum"])
+        for r in read_state_store(spark, ckpt, batch_id=0).collect()
+    }
+    assert at_batch0 == {1: (2, 4.0), 2: (1, 2.0)}
+
+    # raw mode keeps the reader's native nested schema
+    raw = read_state_store(spark, ckpt, flatten=False)
+    assert {f.name for f in raw.schema.fields} == {"key", "value", "partition_id"}
+
+
+def test_state_metadata_and_size_report(spark, tmp_path):
+    """state-metadata reads the topology without touching state files;
+    state_size_report's per-partition key counts sum to the distinct-key
+    count (the streaming skew report)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.state_reader import (
+        read_state_metadata,
+        state_size_report,
+    )
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        spark.createDataFrame(
+            [(i % 5, float(i)) for i in range(20)], "k LONG, v DOUBLE"
+        ).coalesce(1).write.parquet(inp)
+        _run_state_agg(spark, inp, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    meta = read_state_metadata(spark, ckpt).collect()
+    assert [(m["operatorName"], m["numPartitions"]) for m in meta] == [
+        ("stateStoreSave", 3)
+    ]
+    report = state_size_report(spark, ckpt).collect()
+    assert sum(r["n_keys"] for r in report) == 5
+    assert all(0 <= r["partition_id"] < 3 for r in report)
+
+
+def test_read_state_store_arg_and_collision_validation(spark, tmp_path):
+    """store_name and join_side are mutually exclusive; join_side is
+    enum-checked; a key/value field-name collision refuses to flatten
+    (silent shadowing would corrupt a validation join)."""
+    import pytest as _pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.state_reader import (
+        read_state_store,
+    )
+
+    with _pytest.raises(ValueError, match="not both"):
+        read_state_store(spark, "/nonexistent", store_name="x", join_side="left")
+    with _pytest.raises(ValueError, match="join_side"):
+        read_state_store(spark, "/nonexistent", join_side="up")
+
+    # craft a collision: grouping column named 'count' meets the count
+    # agg's buffer field also named 'count'
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    spark.createDataFrame([(1,), (1,), (2,)], "count LONG").coalesce(1).write.parquet(
+        inp
+    )
+    stream = spark.readStream.schema("count LONG").parquet(inp)
+    agg = stream.groupBy("count").agg(F.count(F.lit(1)).alias("n"))
+    (
+        agg.writeStream.foreachBatch(
+            lambda b, _e: b.write.format("noop").mode("overwrite").save()
+        )
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    with _pytest.raises(ValueError, match="collision"):
+        read_state_store(spark, ckpt)

@@ -81,6 +81,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     "stream_interval_join_outer_roundtrip",  # NEVER-attested: new r11 query leads window
     "state_store_inspect_roundtrip",  # NEVER-attested: new r11 state-reader query
+    "binary_file_ingest_roundtrip",  # NEVER-attested: new r11 binaryFile ingest
     "weighted_sample_docs",  # r7-green; changed-since-attestation (query_provenance)
     "temporal_split_embargo",  # r7-green; changed-since-attestation (query_provenance)
     "stream_interval_join_roundtrip",  # r9-green; changed-since-attestation (query_provenance)
@@ -128,7 +129,6 @@ _PRIORITY = (
     "set_ops_all",  # r7-green; stale rotation
     "sort_nulls_family",  # r7-green; stale rotation
     "rollup_grouping_id",  # r7-green; stale rotation
-    "try_arithmetic_family",  # r7-green; stale rotation
 )
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,

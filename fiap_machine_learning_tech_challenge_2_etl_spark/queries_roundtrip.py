@@ -1547,3 +1547,58 @@ def q_state_store_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(n_col).cast("long").alias("state_n"),
         F.round(F.col(sum_col) * 100).cast("long").alias("state_total_cents"),
     )
+
+
+@_register(
+    "binary_file_ingest_roundtrip",
+    sql="""
+SELECT CAST(length(text) % 8 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+  CAST(sum(CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT)
+           % 1000000007) AS BIGINT) AS text_checksum
+FROM documents
+GROUP BY 1
+""",
+)
+def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingest via the binaryFile source (sources/binary.py
+    read_binary_files) — the front door of the multimodal pipeline: asset
+    corpora arrive as FILES, not table rows. ``documents`` is landed as 8
+    opaque files (one hex-encoded doc per line; hex, not base64, because
+    it can never contain a line break), scanned back with
+    ``format("binaryFile")`` + glob pushdown, decoded JVM-side
+    (split/unhex — no Python in the loop), and the reassembled corpus is
+    checksummed per length-bucket against the parquet source. Hash
+    equality proves the bytes survived file landing -> binary scan ->
+    decode with zero loss; the in-body assert pins that the glob saw
+    exactly the 8 landed part files (a 9th file, or a missed one, is an
+    ingest bug even when its content hashes to the same total)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.binary import read_binary_files
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    d = _scratch("binfile_ingest", sf_dir)
+    land = os.path.join(d, "landing")
+    docs.select(F.hex(F.encode("text", "UTF-8")).alias("value")).repartition(
+        8
+    ).write.text(land)
+
+    raw = read_binary_files(spark, land, glob="*.txt")
+    n_files = raw.count()  # metadata-class driver scalar (file listing)
+    assert n_files == 8, f"binaryFile glob saw {n_files} files, expected 8"
+
+    texts = (
+        raw.select(
+            F.explode(F.split(F.decode(F.col("content"), "UTF-8"), "\n")).alias("hx")
+        )
+        .filter(F.length("hx") > 0)
+        .select(F.decode(F.unhex("hx"), "UTF-8").alias("text"))
+    )
+    h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
+    return texts.groupBy(
+        (F.length("text") % 8).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("sum_chars"),
+        F.sum(h60 % 1000000007).cast("long").alias("text_checksum"),
+    )

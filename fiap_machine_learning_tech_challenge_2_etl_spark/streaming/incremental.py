@@ -346,13 +346,20 @@ def stream_stream_interval_join(
     Exactly-once per unmatched row is Spark's state-store contract: the
     row is deleted from state as the NULL-padded result is emitted.
 
+    ``left_semi`` keeps each left row AT MOST ONCE if any right row
+    matches its interval (output schema = left schema, no right columns)
+    — the streaming filter-by-existence, e.g. "clicks that had a
+    preceding view" without duplicating the click per view. Existence is
+    monotone, so the row emits on its FIRST match (no watermark wait);
+    only the silent drop of a never-matched row happens at eviction.
+
     Output columns are FLAT and unambiguous: left columns keep their
     names, every right column gets ``right_suffix`` appended. A bare
     two-sided join would return duplicate ``key``/``ts`` column names —
     unwritable to any file sink (Found duplicate column(s)) and
     unselectable without knowing internal aliases; the suffix makes the
     result sinkable as-is."""
-    allowed_how = {"inner", "left_outer", "right_outer", "full_outer"}
+    allowed_how = {"inner", "left_outer", "right_outer", "full_outer", "left_semi"}
     if how not in allowed_how:
         raise ValueError(f"how must be one of {sorted(allowed_how)}, got {how!r}")
     validate_interval_body(max_delay, "max_delay")

@@ -1371,3 +1371,55 @@ def test_read_state_store_arg_and_collision_validation(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="collision"):
         read_state_store(spark, ckpt)
+
+
+def test_stream_interval_join_left_semi(spark, tmp_path):
+    """LEFT-SEMI interval join: clicks with at least one view in their
+    window emit exactly once with the LEFT schema only (no right columns,
+    no per-view duplication — user 4 has TWO matching views and still one
+    output row); never-matched clicks never appear."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+
+    lin, rin = str(tmp_path / "l"), str(tmp_path / "r")
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    hours = lambda h: F.timestamp_micros(F.lit(3_600_000_000) * h)  # noqa: E731
+    clicks = spark.createDataFrame(
+        [(u, u) for u in range(10)], "event_id long, user_id long"
+    ).select("event_id", "user_id", hours(1000 + F.col("user_id")).alias("ts"))
+    # views: even users 30 min before their click; user 4 twice (45 min
+    # and 30 min before) to pin the no-duplication contract
+    view_rows = [(100 + u, u, 30) for u in range(0, 10, 2)] + [(200, 4, 45)]
+    views = spark.createDataFrame(
+        view_rows, "event_id long, user_id long, mins_before long"
+    ).select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(
+            F.lit(3_600_000_000) * (1000 + F.col("user_id"))
+            - F.col("mins_before") * 60_000_000
+        ).alias("ts"),
+    )
+    clicks.coalesce(1).write.parquet(lin)
+    views.coalesce(1).write.parquet(rin)
+    schema = "event_id long, user_id long, ts timestamp"
+
+    j = stream_stream_interval_join(
+        spark.readStream.schema(schema).parquet(lin),
+        spark.readStream.schema(schema).parquet(rin),
+        max_delay="1 hour",
+        watermark="1 hour",
+        how="left_semi",
+    )
+    assert j.columns == ["event_id", "user_id", "ts"]  # left schema only
+    (
+        j.writeStream.foreachBatch(lambda b, _e: b.write.mode("append").parquet(outp))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.read.parquet(outp)
+    assert out.count() == 5  # one row per matched click, user 4 NOT doubled
+    assert {r["user_id"] for r in out.collect()} == {0, 2, 4, 6, 8}

@@ -8,6 +8,8 @@ streaming run processed only the new file — not just that rows came back.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from fiap_machine_learning_tech_challenge_2_etl_spark import queries_roundtrip as rt
@@ -240,3 +242,48 @@ def test_priority_window_invariants():
     assert not missing, f"_PRIORITY names not in registry: {missing}"
     assert list(qs)[: len(pri)] == pri
     assert set(qs) == set(ent.oracle_sql()), "registry/oracle key mismatch"
+
+
+def test_binary_file_source_pushdown_filters(spark, tmp_path):
+    """read_binary_files: glob and mtime predicates prune at the file
+    LISTING (the incremental-ingest contract), recursive lookup walks
+    nested dirs, and content round-trips byte-exact."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.binary import read_binary_files
+
+    root = tmp_path / "assets"
+    (root / "nested").mkdir(parents=True)
+    (root / "a.bin").write_bytes(b"\x00\x01\xffpayload-a")
+    (root / "b.txt").write_bytes(b"text-b")
+    (root / "nested" / "c.bin").write_bytes(b"payload-c")
+
+    allf = read_binary_files(spark, str(root))
+    assert {os.path.basename(r.path) for r in allf.select("path").collect()} == {
+        "a.bin",
+        "b.txt",
+        "c.bin",
+    }
+    # glob pushdown: only *.bin; nested still included (recursive)
+    bins = read_binary_files(spark, str(root), glob="*.bin")
+    assert {os.path.basename(r.path) for r in bins.select("path").collect()} == {
+        "a.bin",
+        "c.bin",
+    }
+    # non-recursive: direct children only
+    flat = read_binary_files(spark, str(root), glob="*.bin", recursive=False)
+    assert {os.path.basename(r.path) for r in flat.select("path").collect()} == {
+        "a.bin"
+    }
+    # mtime pushdown is listing-level: a before-epoch-ish bound sees all,
+    # an in-the-future lower bound sees none
+    assert read_binary_files(spark, str(root), modified_after="2000-01-01T00:00:00").count() == 3
+    assert read_binary_files(spark, str(root), modified_before="2000-01-01T00:00:00").count() == 0
+    # bytes survive: content is the exact file payload
+    got = {
+        os.path.basename(r.path): bytes(r.content)
+        for r in allf.select("path", "content").collect()
+    }
+    assert got["a.bin"] == b"\x00\x01\xffpayload-a"
+    assert got["c.bin"] == b"payload-c"
+    # length column matches payload size without reading content
+    lens = {os.path.basename(r.path): r.length for r in allf.select("path", "length").collect()}
+    assert lens == {"a.bin": 12, "b.txt": 6, "c.bin": 9}

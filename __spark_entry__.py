@@ -67,8 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-11 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the one never-attested r11 query (stream_interval_join_outer_roundtrip
-# — the LEFT-OUTER watermarked stream-stream interval join), then the 8
+# the five never-attested r11 queries (TPC-H Q5/Q10, the LEFT-OUTER
+# watermarked stream-stream interval join, the state-store-reader
+# roundtrip, the binaryFile ingest roundtrip), then the 8
 # changed-since-attestation rows (asof_join grew call-site interval/
 # degenerate-call validation; temperature_mix/weighted samplers now
 # reject pre-existing rate/score columns; temporal_split_embargo
@@ -79,9 +80,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # green should be >= r07 (pytest gate: test_attestation_ledger.py
 # asserts oldest_green >= current_round - 4).
 _PRIORITY = (
+    "tpch_q5_local_supplier_volume",  # NEVER-attested: new r11 query leads window
+    "tpch_q10_returned_items",  # NEVER-attested: new r11 query leads window
     "stream_interval_join_outer_roundtrip",  # NEVER-attested: new r11 query leads window
-    "state_store_inspect_roundtrip",  # NEVER-attested: new r11 state-reader query
-    "binary_file_ingest_roundtrip",  # NEVER-attested: new r11 binaryFile ingest
+    "state_store_inspect_roundtrip",  # NEVER-attested: new r11 query leads window
+    "binary_file_ingest_roundtrip",  # NEVER-attested: new r11 query leads window
     "weighted_sample_docs",  # r7-green; changed-since-attestation (query_provenance)
     "temporal_split_embargo",  # r7-green; changed-since-attestation (query_provenance)
     "stream_interval_join_roundtrip",  # r9-green; changed-since-attestation (query_provenance)
@@ -127,9 +130,9 @@ _PRIORITY = (
     "tfidf_top_terms",  # r7-green; stale rotation
     "decontaminate_ngram_overlap",  # r7-green; stale rotation
     "set_ops_all",  # r7-green; stale rotation
-    "sort_nulls_family",  # r7-green; stale rotation
-    "rollup_grouping_id",  # r7-green; stale rotation
 )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md section 2,
     ordered so queries needing a (fresh) driver attestation come first."""

@@ -8188,6 +8188,121 @@ def q_attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@_register(
+    "tpch_q5_local_supplier_volume",
+    sql="""
+SELECT n_name,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the canonical 6-way snowflake,
+    plus the Q5 twist: customer and supplier must share a nation
+    (c_nationkey = s_nationkey), an extra equi-predicate BETWEEN two
+    dimension paths, not a new join. Plan shape at 100 TB: the date
+    filter prunes orders at the scan, the big exchange is
+    lineitem><orders on orderkey, and the region filter cascades through
+    broadcast nation to cut supplier before the fact join. Only the
+    FIXED-cardinality dims (region 5, nation 25) carry explicit
+    broadcast hints — supplier and customer scale with SF, so their
+    join strategy is left to AQE (broadcast at bench SF, shuffle at
+    100 TB); hard-hinting them would OOM the driver at scale. Revenue
+    in integer cents for cross-engine exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            c,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    sql="""
+SELECT c_custkey, c_name, n_name,
+  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS revenue_cents
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name, acctbal_cents
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): which customers returned the
+    most revenue in a quarter. Fact-fact join on orderkey with BOTH scans
+    predicate-pruned (quarter on orders, returnflag on lineitem), customer
+    brought in AFTER the fact join (join the smaller filtered fact result,
+    not the raw lineitem), nation broadcast, then a grouped top-20 with a
+    total-order tiebreak (revenue desc, custkey asc) so LIMIT is
+    deterministic across engines — the global sort moves only 20 rows per
+    partition (TakeOrderedAndProject), never the full aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

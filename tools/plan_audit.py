@@ -90,8 +90,8 @@ def run_audit(spark, sf_dir: str, emit=print) -> list[tuple[str, int, int]]:
         # flag it rather than passing a vacuous budget check.
         has_other_source = any(
             f"Scan {fmt}" in plan
-            for fmt in ("ExistingRDD", "orc", "csv", "json", "xml", "text")
-        )
+            for fmt in ("ExistingRDD", "orc", "csv", "json", "xml", "text", "binaryFile")
+        ) or "StateScan" in plan  # statestore reader (state_reader.py)
         if scans == 0 and not has_other_source and (
             name not in LOCAL_RELATION_QUERIES
         ):

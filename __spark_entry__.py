@@ -67,9 +67,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-11 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the five never-attested r11 queries (TPC-H Q5/Q10, the LEFT-OUTER
+# the six never-attested r11 queries (TPC-H Q5/Q10, the LEFT-OUTER
 # watermarked stream-stream interval join, the state-store-reader
-# roundtrip, the binaryFile ingest roundtrip), then the 8
+# roundtrip, the binaryFile ingest roundtrip, the Python streaming
+# DataSource roundtrip), then the 8
 # changed-since-attestation rows (asof_join grew call-site interval/
 # degenerate-call validation; temperature_mix/weighted samplers now
 # reject pre-existing rate/score columns; temporal_split_embargo
@@ -85,6 +86,7 @@ _PRIORITY = (
     "stream_interval_join_outer_roundtrip",  # NEVER-attested: new r11 query leads window
     "state_store_inspect_roundtrip",  # NEVER-attested: new r11 query leads window
     "binary_file_ingest_roundtrip",  # NEVER-attested: new r11 query leads window
+    "python_stream_source_roundtrip",  # NEVER-attested: new r11 query leads window
     "weighted_sample_docs",  # r7-green; changed-since-attestation (query_provenance)
     "temporal_split_embargo",  # r7-green; changed-since-attestation (query_provenance)
     "stream_interval_join_roundtrip",  # r9-green; changed-since-attestation (query_provenance)
@@ -129,7 +131,6 @@ _PRIORITY = (
     "quality_upsample_repeat",  # r7-green; stale rotation
     "tfidf_top_terms",  # r7-green; stale rotation
     "decontaminate_ngram_overlap",  # r7-green; stale rotation
-    "set_ops_all",  # r7-green; stale rotation
 )
 
 

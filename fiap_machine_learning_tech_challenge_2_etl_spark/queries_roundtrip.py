@@ -1602,3 +1602,63 @@ def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).cast("long").alias("sum_chars"),
         F.sum(h60 % 1000000007).cast("long").alias("text_checksum"),
     )
+
+
+@_register(
+    "python_stream_source_roundtrip",
+    sql="""
+SELECT CAST(i % 16 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(i) AS BIGINT) AS sum_ids,
+  CAST(sum(8 + (CAST(concat('0x', substring(md5(CAST(i AS VARCHAR)), 1, 2))
+                     AS INT) % 25)) AS BIGINT) AS sum_tokens
+FROM range(0, 1600) t(i)
+GROUP BY 1
+""",
+)
+@_with_stream_shuffle
+def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source end to end
+    (sources/pydatasource.py SynthDocsStreamReader): the synthetic-corpus
+    generator driven through Spark's streaming engine — offset log,
+    partition-planned executor-side reads, checkpoint restart — in TWO
+    availableNow runs on one checkpoint (target 800 rows, then 1600).
+    The second run must generate ONLY the continuation (rows 800..1599):
+    any offset-log bug double-generates or skips, and the oracle —
+    DuckDB replaying the generator's closed form (n_tokens is
+    8 + (first md5 byte % 25), reproduced byte-for-byte in SQL) over
+    range(0,1600) — catches either as a value-hash diff. This is the
+    connector-author contract: a Python source participates in
+    exactly-once micro-batching identically to a built-in one."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pydatasource import SynthDocsDataSource
+
+    spark.dataSource.register(SynthDocsDataSource)
+    d = _scratch("py_stream_source", sf_dir)
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+
+    def run_once(target_rows: int) -> None:
+        s = (
+            spark.readStream.format("synthdocs")
+            .option("target_rows", target_rows)
+            .option("n_partitions", 4)
+            .load()
+        )
+        (
+            s.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(outp)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once(800)
+    run_once(1600)
+    back = spark.read.parquet(outp)
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )

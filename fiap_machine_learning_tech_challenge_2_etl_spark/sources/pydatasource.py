@@ -19,13 +19,24 @@ Usage::
     df = (spark.read.format("synthdocs")
           .option("n_partitions", 8).option("rows_per_partition", 1000)
           .load())
+
+The source is DUAL-MODE: ``spark.readStream.format("synthdocs")`` drives
+the same generator through the Python streaming DataSource API
+(``SynthDocsStreamReader`` — offset log, partition-planned executor-side
+reads, checkpoint restart), so the custom-connector surface is attested
+end to end in both execution modes with one row-content contract.
 """
 
 from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import StructType
 
 _WORDS = (
@@ -63,6 +74,49 @@ class SynthDocsReader(DataSourceReader):
             yield (doc_id, text, len(text.split()), doc_id % 16)
 
 
+class SynthDocsStreamReader(DataSourceStreamReader):
+    """Streaming half of the source (Spark 4 Python streaming DataSource):
+    a micro-batch generator whose offset IS the row index.
+
+    Offset model: the external "source" is the monotone row counter; its
+    current high-water mark comes from the ``target_rows`` option (a real
+    connector would ask the upstream system — Kafka end offsets, a ledger
+    table's max id).  ``latestOffset`` reports that target; Spark hands
+    ``partitions(start, end)`` the committed/available offset pair, the
+    range splits into ``n_partitions`` slices, and each EXECUTOR
+    materializes only its slice — the planner never sees a row.  Restart
+    semantics fall out of the offset log: a second run on the same
+    checkpoint with a larger target resumes at the committed row and
+    generates ONLY the continuation (exactly-once attested by the
+    ``python_stream_source_roundtrip`` oracle).  Row content is the same
+    pure ``_doc_text(doc_id)`` the batch reader uses, so batch and stream
+    reads of the same id range are value-identical (pinned by
+    test_synthdocs_stream_matches_batch)."""
+
+    def __init__(self, options):
+        self.target_rows = int(options.get("target_rows", 800))
+        self.n_partitions = int(options.get("n_partitions", 4))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        return {"row": self.target_rows}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["row"], end["row"]
+        step = max((e - s + self.n_partitions - 1) // self.n_partitions, 1)
+        return [_Partition(i, i, min(i + step, e)) for i in range(s, e, step)]
+
+    def read(self, partition):
+        for doc_id in range(partition.start, partition.end):
+            text = _doc_text(doc_id)
+            yield (doc_id, text, len(text.split()), doc_id % 16)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing external to acknowledge — the offset log is truth
+
+
 class SynthDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -73,3 +127,6 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SynthDocsReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return SynthDocsStreamReader(self.options)

@@ -119,3 +119,56 @@ def test_hll_union_of_partials_equals_direct_sketch(spark):
     assert merged == direct
     # lgK=14 relative error ~0.8%; observed 1903/1900 = 0.16%
     assert abs(merged - 1900) * 100 <= 1900
+
+
+def test_synthdocs_stream_matches_batch_and_resumes(spark, tmp_path):
+    """The streaming half of the Python DataSource: (a) streamed rows are
+    value-identical to the batch read of the same id range (one content
+    contract, two execution modes); (b) a second run on the SAME
+    checkpoint with a larger target generates ONLY the continuation —
+    the offset log gives a Python source the same exactly-once contract
+    as a built-in one."""
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pydatasource import (
+        SynthDocsDataSource,
+    )
+
+    spark.dataSource.register(SynthDocsDataSource)
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once(target: int) -> None:
+        s = (
+            spark.readStream.format("synthdocs")
+            .option("target_rows", target)
+            .option("n_partitions", 3)
+            .load()
+        )
+        (
+            s.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(outp)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once(120)
+    first = spark.read.parquet(outp)
+    assert first.count() == 120
+    run_once(200)
+    both = spark.read.parquet(outp)
+    # exactly-once continuation: 200 rows total, ids 0..199, no dup
+    assert both.count() == 200
+    assert both.select("doc_id").distinct().count() == 200
+    assert both.agg(F.max("doc_id")).collect()[0][0] == 199
+
+    # batch/stream parity: same ids -> identical rows
+    batch = (
+        spark.read.format("synthdocs")
+        .option("n_partitions", 4)
+        .option("rows_per_partition", 50)
+        .load()
+    )
+    assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, both.collect()))

@@ -67,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-11 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the six never-attested r11 queries (TPC-H Q5/Q10, the LEFT-OUTER
+# the eight never-attested r11 queries (TPC-H Q5/Q10/Q14/Q18, the LEFT-OUTER
 # watermarked stream-stream interval join, the state-store-reader
 # roundtrip, the binaryFile ingest roundtrip, the Python streaming
 # DataSource roundtrip), then the 8
@@ -83,6 +83,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     "tpch_q5_local_supplier_volume",  # NEVER-attested: new r11 query leads window
     "tpch_q10_returned_items",  # NEVER-attested: new r11 query leads window
+    "tpch_q14_promo_effect",  # NEVER-attested: new r11 query leads window
+    "tpch_q18_large_volume_customer",  # NEVER-attested: new r11 query leads window
     "stream_interval_join_outer_roundtrip",  # NEVER-attested: new r11 query leads window
     "state_store_inspect_roundtrip",  # NEVER-attested: new r11 query leads window
     "binary_file_ingest_roundtrip",  # NEVER-attested: new r11 query leads window
@@ -129,8 +131,6 @@ _PRIORITY = (
     "window_value_family",  # r7-green; stale rotation
     "sequence_packing",  # r7-green; stale rotation
     "quality_upsample_repeat",  # r7-green; stale rotation
-    "tfidf_top_terms",  # r7-green; stale rotation
-    "decontaminate_ngram_overlap",  # r7-green; stale rotation
 )
 
 

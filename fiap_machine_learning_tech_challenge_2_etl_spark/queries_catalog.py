@@ -8303,6 +8303,109 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tpch_q14_promo_effect",
+    sql="""
+SELECT
+  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+    ELSE 0 END)
+    / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)),
+    6) AS promo_revenue_pct,
+  CAST(sum(CASE WHEN p_type = 'PROMO'
+    THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+    ELSE 0 END) AS BIGINT) AS promo_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS total_cents
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of one month's revenue that
+    came from promo parts — a month-pruned fact scan joined to the part
+    dimension, conditional aggregation, single global row. The division
+    happens on two EXACT bigint cent-sums (numerator/denominator each
+    deterministic), so the only float op is one final divide, rounded to
+    6 decimals on both engines. At 100 TB the part join is the broadcast
+    (fixed 0.2% of lineitem bytes per SF ratio but orders of magnitude
+    smaller after the month prune) — left to AQE, same reasoning as Q5."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    p = _t(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("promo_cents") / F.col("total_cents"), 6
+            ).alias("promo_revenue_pct"),
+            F.col("promo_cents").cast("long"),
+            F.col("total_cents").cast("long"),
+        )
+    )
+
+
+@_register(
+    "tpch_q18_large_volume_customer",
+    sql="""
+SELECT c_custkey, c_name, o_orderkey,
+  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+  sum_qty
+FROM customer, orders,
+  (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+   FROM lineitem GROUP BY l_orderkey
+   HAVING sum(l_quantity) > 300) big
+WHERE o_orderkey = big.l_orderkey AND c_custkey = o_custkey
+ORDER BY totalprice_cents DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose lineitems sum past
+    a quantity threshold, decorated with the customer — the
+    aggregate-then-semi-join shape. The HAVING runs FIRST on lineitem
+    alone (map-side partial agg, one exchange on orderkey), shrinking the
+    fact to the rare qualifying orders before any join; orders then joins
+    that tiny frame (AQE broadcasts the aggregated side), customer joins
+    last. Ordering carries an orderkey tiebreak so LIMIT 100 is
+    deterministic cross-engine. The anti-pattern this query exists to
+    reject — join first, filter later — would shuffle the full
+    lineitem x orders product at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice_cents").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -1423,3 +1423,71 @@ def test_stream_interval_join_left_semi(spark, tmp_path):
     out = spark.read.parquet(outp)
     assert out.count() == 5  # one row per matched click, user 4 NOT doubled
     assert {r["user_id"] for r in out.collect()} == {0, 2, 4, 6, 8}
+
+
+def test_state_reader_join_side_reads_buffered_join_state(spark, tmp_path):
+    """read_state_store(join_side=...) on a stream-stream join checkpoint:
+    Spark keeps FOUR stores per side; joinSide unions them instead of the
+    caller naming each. The left buffer must hold exactly the clicks not
+    yet evictable at the final watermark, keyed as the join key."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        stream_stream_interval_join,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.state_reader import (
+        read_state_metadata,
+        read_state_store,
+    )
+
+    lin, rin = str(tmp_path / "l"), str(tmp_path / "r")
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    hours = lambda h: F.timestamp_micros(F.lit(3_600_000_000) * h)  # noqa: E731
+    clicks = spark.createDataFrame(
+        [(u, u) for u in range(6)], "event_id long, user_id long"
+    ).select("event_id", "user_id", hours(1000 + F.col("user_id")).alias("ts"))
+    views = spark.createDataFrame(
+        [(100, 0)], "event_id long, user_id long"
+    ).select("event_id", "user_id", hours(1000).alias("ts"))
+    clicks.coalesce(1).write.parquet(lin)
+    views.coalesce(1).write.parquet(rin)
+    schema = "event_id long, user_id long, ts timestamp"
+    def run_once() -> None:
+        j = stream_stream_interval_join(
+            spark.readStream.schema(schema).parquet(lin),
+            spark.readStream.schema(schema).parquet(rin),
+            max_delay="1 hour",
+            watermark="1 hour",
+        )
+        (
+            j.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(outp)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    meta = read_state_metadata(spark, ckpt).collect()
+    assert {m["operatorName"] for m in meta} == {"symmetricHashJoin"}
+
+    def left_users() -> list[int]:
+        st = read_state_store(spark, ckpt, join_side="left", flatten=False)
+        return sorted(r["key"][0] for r in st.select("key").collect())
+
+    # a batch's watermark only takes effect in the NEXT batch, so after
+    # one drain NOTHING is evicted: the left buffer holds all six clicks
+    assert left_users() == [0, 1, 2, 3, 4, 5]
+
+    # sentinel generation far in the future advances the watermark past
+    # every real row's eviction point; the next drain flushes the buffers
+    sent = spark.createDataFrame(
+        [(900, -1)], "event_id long, user_id long"
+    ).select("event_id", "user_id", hours(5000).alias("ts"))
+    sent.coalesce(1).write.mode("append").parquet(lin)
+    sent.coalesce(1).write.mode("append").parquet(rin)
+    run_once()
+    # every real click evicted; only the sentinel remains buffered
+    assert left_users() == [-1]
+    right_state = read_state_store(spark, ckpt, join_side="right", flatten=False)
+    assert sorted(r["key"][0] for r in right_state.select("key").collect()) == [-1]

@@ -67,10 +67,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-11 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the eight never-attested r11 queries (TPC-H Q5/Q10/Q14/Q18, the LEFT-OUTER
+# the nine never-attested r11 queries (TPC-H Q5/Q10/Q14/Q18, the LEFT-OUTER
 # watermarked stream-stream interval join, the state-store-reader
 # roundtrip, the binaryFile ingest roundtrip, the Python streaming
-# DataSource roundtrip), then the 8
+# DataSource roundtrip, the manifest-committed Python sink roundtrip),
+# then the 8
 # changed-since-attestation rows (asof_join grew call-site interval/
 # degenerate-call validation; temperature_mix/weighted samplers now
 # reject pre-existing rate/score columns; temporal_split_embargo
@@ -89,6 +90,7 @@ _PRIORITY = (
     "state_store_inspect_roundtrip",  # NEVER-attested: new r11 query leads window
     "binary_file_ingest_roundtrip",  # NEVER-attested: new r11 query leads window
     "python_stream_source_roundtrip",  # NEVER-attested: new r11 query leads window
+    "manifest_sink_roundtrip",  # NEVER-attested: new r11 query leads window
     "weighted_sample_docs",  # r7-green; changed-since-attestation (query_provenance)
     "temporal_split_embargo",  # r7-green; changed-since-attestation (query_provenance)
     "stream_interval_join_roundtrip",  # r9-green; changed-since-attestation (query_provenance)
@@ -130,7 +132,6 @@ _PRIORITY = (
     "regex_functions",  # r7-green; stale rotation
     "window_value_family",  # r7-green; stale rotation
     "sequence_packing",  # r7-green; stale rotation
-    "quality_upsample_repeat",  # r7-green; stale rotation
 )
 
 

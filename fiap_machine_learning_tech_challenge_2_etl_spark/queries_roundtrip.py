@@ -1662,3 +1662,47 @@ def q_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_ids"),
         F.sum("n_tokens").cast("long").alias("sum_tokens"),
     )
+
+
+@_register(
+    "manifest_sink_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER end to end (sources/pysink.py
+    ManifestSinkWriter): ``documents`` written through the
+    manifest-committed sink — tasks stage uniquely-named files, the
+    driver publishes ONE atomic manifest — then read back THROUGH the
+    manifest and aggregated against the parquet source. An injected
+    orphan file (a staged-but-never-committed attempt, the speculative-
+    execution residue the protocol exists to neutralize) sits in the
+    directory during the readback; the value hash proves the manifest
+    made it invisible. This is the two-phase commit shape every
+    object-store sink needs at 100 TB: stage under unique names, publish
+    one small atomic pointer."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_sink", sf_dir)
+    docs.repartition(4).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    with open(os.path.join(d, "part-99999-orphan.jsonl"), "w") as f:
+        f.write('{"doc_id": -1, "lang": "xx", "n_chars": -1}\n')
+    back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

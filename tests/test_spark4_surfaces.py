@@ -172,3 +172,79 @@ def test_synthdocs_stream_matches_batch_and_resumes(spark, tmp_path):
         .load()
     )
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, both.collect()))
+
+
+def test_manifest_sink_commit_protocol(spark, tmp_path):
+    """Python DataSource WRITER: tasks stage uniquely-named files, the
+    driver publishes one atomic manifest; readback through the manifest
+    equals the input exactly, and a junk staged file (simulating an
+    orphaned speculative attempt) is invisible to readers."""
+    import json as _json
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        MANIFEST,
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    d = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g"), (F.col("id") * 1.5).alias("v")
+    )
+    df.repartition(4).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+
+    man = _json.load(open(os.path.join(d, MANIFEST)))
+    assert man["n_rows"] == 100
+    assert len(man["files"]) == 4
+    assert set(man["fields"]) == {"id", "g", "v"}
+
+    # orphaned attempt: staged but never committed -> invisible
+    with open(os.path.join(d, "part-99999-deadbeef.jsonl"), "w") as f:
+        f.write('{"id": -1, "g": -1, "v": -1.0}\n')
+
+    back = read_manifest_sink(spark, d)
+    assert back.count() == 100
+    assert back.filter(F.col("id") < 0).count() == 0
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(100))
+
+
+def test_manifest_sink_abort_leaves_no_manifest(spark, tmp_path):
+    """A failing task aborts the job: no manifest is published and the
+    staged files of successful sibling tasks are swept — the half-written
+    job is invisible AND garbage-free."""
+    import os
+
+    import pytest as _pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        MANIFEST,
+        ManifestSinkDataSource,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    d = str(tmp_path / "sink")
+    df = spark.range(40).select(
+        F.col("id"),
+        F.when(F.col("id") == 37, F.lit(None)).otherwise(F.col("id")).alias("poison"),
+    )
+    # a UDF that raises inside one partition fails that task -> job abort
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def boom(x):
+        if x is None:
+            raise RuntimeError("injected task failure")
+        return x
+
+    with _pytest.raises(Exception):
+        df.select(boom("poison").alias("id")).repartition(4).write.format(
+            "manifestsink"
+        ).option("path", d).mode("append").save()
+
+    assert not os.path.exists(os.path.join(d, MANIFEST))
+    staged = [p for p in os.listdir(d) if p.endswith(".jsonl")] if os.path.exists(d) else []
+    assert staged == [], f"abort left staged files: {staged}"

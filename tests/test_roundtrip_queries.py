@@ -287,3 +287,41 @@ def test_binary_file_source_pushdown_filters(spark, tmp_path):
     # length column matches payload size without reading content
     lens = {os.path.basename(r.path): r.length for r in allf.select("path", "length").collect()}
     assert lens == {"a.bin": 12, "b.txt": 6, "c.bin": 9}
+
+
+def test_files_as_assets_feeds_multimodal_pipeline(spark, tmp_path):
+    """The ingest chain raw files -> asset table -> feature extraction:
+    files_as_assets maps extensions to modalities (unknown -> 'binary',
+    never dropped), asset_id is stable across re-ingest, and the frame
+    plugs straight into multimodal.extract_features."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import extract_features
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.binary import files_as_assets
+
+    root = tmp_path / "raw"
+    root.mkdir()
+    (root / "a.png").write_bytes(b"\x89PNG-fake-bytes")
+    (root / "b.wav").write_bytes(b"RIFF-fake-audio")
+    (root / "c.mp4").write_bytes(b"ftyp-fake-video")
+    (root / "d.xyz").write_bytes(b"unknown-blob")
+
+    assets = files_as_assets(spark, str(root))
+    rows = {r["media_type"]: r for r in assets.collect()}
+    assert {r["modality"] for r in rows.values()} == {
+        "image",
+        "audio",
+        "video",
+        "binary",
+    }
+    assert rows["image/png"]["payload"] == bytearray(b"\x89PNG-fake-bytes")
+    assert all(r["width"] is None and r["duration_ms"] is None for r in rows.values())
+
+    # stable ids: re-ingest of the same paths -> identical asset_ids
+    again = files_as_assets(spark, str(root))
+    assert sorted(r["asset_id"] for r in assets.collect()) == sorted(
+        r["asset_id"] for r in again.collect()
+    )
+
+    feats = extract_features(assets, fake_decoder=True)
+    got = {r["asset_id"]: r for r in feats.collect()}
+    assert len(got) == 4
+    assert all(r["n_bytes"] > 0 and len(r["feature"]) == 8 for r in got.values())

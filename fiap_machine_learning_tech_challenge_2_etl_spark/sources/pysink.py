@@ -43,6 +43,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -106,6 +107,44 @@ class ManifestSinkWriter(DataSourceWriter):
                     pass
 
 
+class ManifestStreamSinkWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`ManifestSinkWriter`: one manifest PER
+    MICRO-BATCH (``_MANIFEST-<batchId>``), published atomically after the
+    batch's tasks all staged. Exactly-once falls out of idempotent
+    publication: if the driver dies between staging and commit, the
+    restarted batch re-runs with fresh uuids and ``os.replace`` makes the
+    LAST publication win — readers see each batch's rows exactly once
+    because they resolve only manifest-listed files, never the directory
+    listing. This is the protocol ``foreachBatch`` + dynamic-overwrite
+    implements with parquet partitions elsewhere in this repo
+    (streaming/incremental.py), expressed through the connector API a
+    custom sink author would actually use."""
+
+    def __init__(self, options, schema: StructType):
+        inner = dict(options)
+        self._delegate = ManifestSinkWriter(inner, schema, overwrite=False)
+        self.path = self._delegate.path
+
+    def write(self, iterator) -> _StagedFile:
+        return self._delegate.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        files = sorted((m.filename, m.n_rows) for m in messages if m is not None)
+        manifest = {
+            "files": [f for f, _ in files],
+            "n_rows": sum(n for _, n in files),
+            "fields": self._delegate.fields,
+            "batch_id": batchId,
+        }
+        tmp = os.path.join(self.path, f".{MANIFEST}-{batchId}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.path, f"{MANIFEST}-{batchId}"))
+
+    def abort(self, messages, batchId: int) -> None:
+        self._delegate.abort(messages)
+
+
 class ManifestSinkDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -114,16 +153,28 @@ class ManifestSinkDataSource(DataSource):
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return ManifestSinkWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema: StructType, overwrite: bool) -> DataSourceStreamWriter:
+        return ManifestStreamSinkWriter(self.options, schema)
+
 
 def read_manifest_sink(spark: SparkSession, path: str) -> DataFrame:
-    """Read a manifest-committed directory: ONLY the files the manifest
-    lists (staged-but-uncommitted and orphaned-attempt files are
-    invisible — that is the protocol's whole guarantee). Returns a
+    """Read a manifest-committed directory: ONLY the files the manifests
+    list (staged-but-uncommitted and orphaned-attempt files are
+    invisible — that is the protocol's whole guarantee). A batch write
+    leaves one ``_MANIFEST``; a streaming write leaves one
+    ``_MANIFEST-<batchId>`` per micro-batch — all are resolved, and each
+    file is read once even if a retried batch republished its manifest
+    (``os.replace`` keeps exactly one pointer per batch). Returns a
     DataFrame via Spark's JSON reader over the explicit file list, so the
     read is distributed and schema-checked like any other source."""
-    with open(os.path.join(path, MANIFEST)) as f:
-        manifest = json.load(f)
-    files = [os.path.join(path, name) for name in manifest["files"]]
+    manifests = sorted(
+        f for f in os.listdir(path)
+        if f == MANIFEST or (f.startswith(MANIFEST + "-") and not f.endswith(".tmp"))
+    )
+    files: list[str] = []
+    for m in manifests:
+        with open(os.path.join(path, m)) as f:
+            files.extend(os.path.join(path, name) for name in json.load(f)["files"])
     if not files:
-        raise ValueError(f"manifest at {path} lists no files")
+        raise ValueError(f"no committed manifest files under {path}")
     return spark.read.json(files)

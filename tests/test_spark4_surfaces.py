@@ -248,3 +248,52 @@ def test_manifest_sink_abort_leaves_no_manifest(spark, tmp_path):
     assert not os.path.exists(os.path.join(d, MANIFEST))
     staged = [p for p in os.listdir(d) if p.endswith(".jsonl")] if os.path.exists(d) else []
     assert staged == [], f"abort left staged files: {staged}"
+
+
+def test_manifest_stream_sink_per_batch_manifests(spark, tmp_path):
+    """Python STREAMING DataSource writer: each micro-batch publishes its
+    own atomic _MANIFEST-<batchId>; readback through the manifests sees
+    every batch's rows exactly once, end to end through BOTH custom
+    Python connectors (synthdocs stream source -> manifest stream sink)."""
+    import json as _json
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pydatasource import (
+        SynthDocsDataSource,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        MANIFEST,
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(ManifestSinkDataSource)
+    d, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_once(target: int) -> None:
+        s = (
+            spark.readStream.format("synthdocs")
+            .option("target_rows", target)
+            .option("n_partitions", 3)
+            .load()
+        )
+        (
+            s.writeStream.format("manifestsink")
+            .option("path", d)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once(120)
+    run_once(200)
+    manifests = sorted(p for p in os.listdir(d) if p.startswith(MANIFEST))
+    assert len(manifests) == 2, manifests
+    per_batch = [_json.load(open(os.path.join(d, m)))["n_rows"] for m in manifests]
+    assert per_batch == [120, 80]
+
+    back = read_manifest_sink(spark, d)
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200

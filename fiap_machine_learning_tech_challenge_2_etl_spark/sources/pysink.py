@@ -27,6 +27,14 @@ manufactured exactly this way — stage under unique names, publish one
 small atomic pointer. JSONL keeps the demo dependency-free; the protocol
 is the point, not the format.
 
+Deployment assumption, stated plainly: tasks ``open()`` paths under the
+sink directory, so driver and executors must SHARE that filesystem —
+true in local mode and on any cluster with a shared mount (NFS, Fuse
+over an object store). A cloud deployment swaps the two ``open()`` call
+sites for an object-store client PUT and the ``os.replace`` for a
+conditional PUT of the manifest key; the commit/abort/message protocol —
+the part Spark drives — is unchanged.
+
 Usage::
 
     spark.dataSource.register(ManifestSinkDataSource)

@@ -1491,3 +1491,45 @@ def test_state_reader_join_side_reads_buffered_join_state(spark, tmp_path):
     assert left_users() == [-1]
     right_state = read_state_store(spark, ckpt, join_side="right", flatten=False)
     assert sorted(r["key"][0] for r in right_state.select("key").collect()) == [-1]
+
+
+def test_state_reader_reads_rocksdb_checkpoint(spark, tmp_path):
+    """read_state_store must read a checkpoint COMMITTED under
+    RocksDBStateStoreProvider — the provider a 100 TB stream actually
+    runs — not just the default heap-backed store. The reader resolves
+    the provider from the session conf, so the same conf that wrote the
+    state reads it; values must equal the batch aggregate exactly."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.state_reader import (
+        read_state_store,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(key, None)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.createDataFrame(
+            [(i % 6, float(i)) for i in range(30)], "k LONG, v DOUBLE"
+        ).coalesce(1).write.parquet(inp)
+        _run_state_agg(spark, inp, ckpt)
+        got = {
+            r["k"]: (r["count"], r["sum"])
+            for r in read_state_store(spark, ckpt).collect()
+        }
+        exp = {
+            k: (5, float(sum(i for i in range(30) if i % 6 == k)))
+            for k in range(6)
+        }
+        assert got == exp
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        if prev_provider is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev_provider)

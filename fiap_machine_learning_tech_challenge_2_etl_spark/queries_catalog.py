@@ -8358,6 +8358,67 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "tpch_q19_disjunctive_predicate",
+    sql="""
+SELECT
+  CAST(count(*) AS BIGINT) AS n_lines,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+       AS BIGINT) AS revenue_cents
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 10
+        AND l_quantity BETWEEN 1 AND 15)
+    OR (p_brand = 'Brand#13' AND p_size BETWEEN 11 AND 25
+        AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#20' AND p_size BETWEEN 26 AND 50
+        AND l_quantity BETWEEN 20 AND 45))
+""",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunctive-predicate join —
+    an OR of three conjunct bundles, each mixing part-side (brand, size)
+    and lineitem-side (quantity) conditions. The optimizer test embedded
+    in this query: the single-side implications must still prune the
+    SCANS even though the OR spans both tables — Catalyst extracts
+    `p_brand IN (...)` / size and quantity range unions as
+    scan-level filters (pinned in test_plans), while the full
+    cross-side OR evaluates after the join. Getting this wrong at 100 TB
+    means joining the unfiltered fact against the unfiltered dim and
+    filtering last — the plan pin is the point, the cents math is the
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#9")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(26, 50)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
+
+
+@_register(
     "tpch_q7_volume_shipping",
     sql="""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

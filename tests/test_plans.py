@@ -680,3 +680,17 @@ def test_state_inspect_plan_is_state_scan(spark, sf_dir):
     plan = _plan(SPARK_QUERIES["state_store_inspect_roundtrip"](spark, sf_dir))
     assert "StateScan" in plan or "StateTable" in plan, plan
     assert "LocalTableScan" not in plan, plan
+
+
+def test_tpch_q19_single_side_implications_pushed(spark, sf_dir):
+    """Q19's whole point: though the OR spans both join sides, the
+    single-side implications must reach BOTH scans — the quantity range
+    union on the lineitem scan, the brand(+size) union on the part scan.
+    Lose either pushdown and 100 TB of fact joins unfiltered."""
+    plan = _plan(SPARK_QUERIES["tpch_q19_disjunctive_predicate"](spark, sf_dir))
+    import re
+
+    li_scan = re.search(r"FileScan parquet \[l_partkey[^\n]*", plan).group(0)
+    p_scan = re.search(r"FileScan parquet \[p_partkey[^\n]*", plan).group(0)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in li_scan, li_scan
+    assert "EqualTo(p_brand,Brand#9)" in p_scan, p_scan

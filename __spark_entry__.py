@@ -67,8 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-11 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the eleven never-attested r11 queries (TPC-H Q5/Q7/Q10/Q14/Q18/Q19,
-# the LEFT-OUTER
+# the twelve never-attested r11 queries (TPC-H Q5/Q7/Q10/Q14/Q18/Q19,
+# the footer-skipping report, the LEFT-OUTER
 # watermarked stream-stream interval join, the state-store-reader
 # roundtrip, the binaryFile ingest roundtrip, the Python streaming
 # DataSource roundtrip, the manifest-committed Python sink roundtrip),
@@ -94,6 +94,7 @@ _PRIORITY = (
     "binary_file_ingest_roundtrip",  # NEVER-attested: new r11 query leads window
     "python_stream_source_roundtrip",  # NEVER-attested: new r11 query leads window
     "manifest_sink_roundtrip",  # NEVER-attested: new r11 query leads window
+    "footer_skipping_report",  # NEVER-attested: new r11 query leads window
     "weighted_sample_docs",  # r7-green; changed-since-attestation (query_provenance)
     "temporal_split_embargo",  # r7-green; changed-since-attestation (query_provenance)
     "stream_interval_join_roundtrip",  # r9-green; changed-since-attestation (query_provenance)
@@ -132,7 +133,6 @@ _PRIORITY = (
     "array_functions",  # r7-green; stale rotation
     "frequent_tokens_sketch",  # r7-green; stale rotation
     "variant_shred_props",  # r7-green; stale rotation
-    "regex_functions",  # r7-green; stale rotation
 )
 
 

@@ -1706,3 +1706,46 @@ def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_ids"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@_register(
+    "footer_skipping_report",
+    sql="""
+SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(min(doc_id) AS BIGINT) AS min_id,
+  CAST(max(doc_id) AS BIGINT) AS max_id
+FROM documents
+GROUP BY 1
+""",
+)
+def q_footer_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-statistics data-skipping report (sources/parquet.py
+    footer_stats_report): ``documents`` landed partitioned by
+    ``bucket = doc_id % 4``, then the per-file (n_rows, min, max) of
+    doc_id is read FROM THE PARQUET FOOTERS ONLY — distributed
+    metadata pass, zero data pages — rolled up per bucket and attested
+    against the table-scan truth (the oracle). Equality proves the
+    writer's footer stats describe the data exactly, which is the
+    entire premise of min/max file skipping: a layout whose footers
+    lied would pass a scan-based test and silently break pruning at
+    100 TB."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import footer_stats_report
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("bucket")
+    )
+    d = _scratch("footer_stats", sf_dir)
+    docs.repartition(4, "bucket").write.partitionBy("bucket").parquet(d)
+    rep = footer_stats_report(spark, d, "doc_id")
+    return (
+        rep.withColumn(
+            "bucket", F.regexp_extract("path", r"bucket=(\d+)", 1).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min(F.col("min_value").cast("long")).alias("min_id"),
+            F.max(F.col("max_value").cast("long")).alias("max_id"),
+        )
+    )

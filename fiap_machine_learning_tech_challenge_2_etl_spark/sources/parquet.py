@@ -193,3 +193,79 @@ def _is_nanos(path: str, col: str) -> bool:
         return getattr(field.type, "unit", None) == "ns"
     except Exception:  # noqa: BLE001 — unreadable footer/remote path
         return True
+
+
+def footer_stats_report(
+    spark: SparkSession, path: str, column: str
+) -> DataFrame:
+    """Per-file parquet FOOTER statistics for ``column`` — the
+    data-skipping report: one row per data file with (n_rows, min, max)
+    aggregated across its row groups, read from footers only (no data
+    pages touched). This is how a lakehouse answers "which files would
+    predicate X prune" and "did the clustering layout actually tighten
+    per-file ranges" without scanning a byte of data.
+
+    Scale posture: the driver holds only the FILE LISTING (metadata-class,
+    the same bound as the catalog partition ops); the footer reads run
+    executor-side via mapInPandas over the path list, so stats collection
+    over a million files is one distributed metadata pass (~8 KB per
+    footer), not a table scan. Files whose writer recorded no stats for
+    the column surface as NULL min/max rather than being dropped — at
+    10 PB a stats-less file is exactly the one you need to know about,
+    because every predicate must read it.
+
+    The numeric min/max are returned as strings(!) deliberately: footer
+    stats are typed per file and a report spanning mixed-schema layouts
+    must not cast its way into lying; callers cast knowing their column
+    type (the registry query does, under its oracle)."""
+    files = []
+    for root, _dirs, names in os.walk(path):
+        files.extend(
+            os.path.join(root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    if not files:
+        raise ValueError(f"no parquet data files under {path}")
+    paths = spark.createDataFrame([(p,) for p in sorted(files)], "path string")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("min_value", T.StringType()),
+            T.StructField("max_value", T.StringType()),
+        ]
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                mins, maxs = [], []
+                n_rows = md.num_rows
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema != column:
+                            continue
+                        st = col.statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                rows.append(
+                    (
+                        p,
+                        n_rows,
+                        str(min(mins)) if mins else None,
+                        str(max(maxs)) if maxs else None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["path", "n_rows", "min_value", "max_value"])
+
+    return paths.mapInPandas(read_footers, schema=out_schema)

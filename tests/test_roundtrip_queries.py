@@ -325,3 +325,90 @@ def test_files_as_assets_feeds_multimodal_pipeline(spark, tmp_path):
     got = {r["asset_id"]: r for r in feats.collect()}
     assert len(got) == 4
     assert all(r["n_bytes"] > 0 and len(r["feature"]) == 8 for r in got.values())
+
+
+def test_binary_file_streaming_incremental_ingest(spark, tmp_path):
+    """binaryFile as a STREAMING source: raw asset files landed in waves
+    are ingested incrementally (file-source bookmark = exactly once per
+    file), the incremental twin of files_as_assets' batch scan."""
+    import pyspark.sql.types as T
+
+    root, outp, ckpt = (
+        str(tmp_path / "raw"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    os.makedirs(root)
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def run_once() -> None:
+        s = (
+            spark.readStream.format("binaryFile")
+            .schema(schema)
+            .option("pathGlobFilter", "*.png")
+            .load(root)
+        )
+        (
+            s.selectExpr("path", "length")
+            .writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(outp)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    with open(os.path.join(root, "a.png"), "wb") as f:
+        f.write(b"x" * 10)
+    with open(os.path.join(root, "skip.txt"), "wb") as f:
+        f.write(b"not-an-asset")
+    run_once()
+    with open(os.path.join(root, "b.png"), "wb") as f:
+        f.write(b"y" * 20)
+    run_once()
+    run_once()  # no new files -> no new rows (bookmark holds)
+
+    got = {
+        os.path.basename(r.path): r.length
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert got == {"a.png": 10, "b.png": 20}  # each file once, glob held
+
+
+def test_footer_stats_report_reads_footers_only(spark, tmp_path):
+    """footer_stats_report: multi-row-group files aggregate to one row per
+    file with true min/max; an empty dir raises; a column with no footer
+    stats surfaces NULLs rather than dropping the file."""
+    import pytest as _pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import footer_stats_report
+
+    d = str(tmp_path / "data")
+    (
+        spark.range(1000)
+        .select(F.col("id"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)
+        .write.option("parquet.block.size", 4096)  # force several row groups
+        .parquet(d)
+    )
+    rep = footer_stats_report(spark, d, "v").collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_rows"] == 1000
+    assert int(r["min_value"]) == 0 and int(r["max_value"]) == 1998
+
+    # a column absent from the schema -> NULL stats, file still reported
+    none_rep = footer_stats_report(spark, d, "no_such_col").collect()
+    assert len(none_rep) == 1
+    assert none_rep[0]["min_value"] is None and none_rep[0]["n_rows"] == 1000
+
+    with _pytest.raises(ValueError, match="no parquet data files"):
+        footer_stats_report(spark, str(tmp_path / "empty"), "v")

@@ -67,8 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-11 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the twelve never-attested r11 queries (TPC-H Q5/Q7/Q10/Q14/Q18/Q19,
-# the footer-skipping report, the LEFT-OUTER
+# the thirteen never-attested r11 queries (TPC-H Q5/Q7/Q10/Q14/Q18/
+# Q19, the SQL-scripting entry, the footer-skipping report, the LEFT-OUTER
 # watermarked stream-stream interval join, the state-store-reader
 # roundtrip, the binaryFile ingest roundtrip, the Python streaming
 # DataSource roundtrip, the manifest-committed Python sink roundtrip),
@@ -86,6 +86,7 @@ _PRIORITY = (
     "tpch_q5_local_supplier_volume",  # NEVER-attested: new r11 query leads window
     "tpch_q10_returned_items",  # NEVER-attested: new r11 query leads window
     "tpch_q14_promo_effect",  # NEVER-attested: new r11 query leads window
+    "sql_scripting_entry",  # NEVER-attested: new r11 query leads window
     "tpch_q19_disjunctive_predicate",  # NEVER-attested: new r11 query leads window
     "tpch_q7_volume_shipping",  # NEVER-attested: new r11 query leads window
     "tpch_q18_large_volume_customer",  # NEVER-attested: new r11 query leads window
@@ -132,7 +133,6 @@ _PRIORITY = (
     "embedding_ann_ivf",  # r7-green; stale rotation
     "array_functions",  # r7-green; stale rotation
     "frequent_tokens_sketch",  # r7-green; stale rotation
-    "variant_shred_props",  # r7-green; stale rotation
 )
 
 

@@ -8358,6 +8358,60 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sql_scripting_entry",
+    sql="""
+WITH t AS (
+  SELECT CAST(floor(avg(round(o_totalprice * 100))) AS BIGINT) AS thr
+  FROM orders
+)
+SELECT o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n_above,
+  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+  t.thr AS threshold_cents
+FROM orders, t
+WHERE CAST(round(o_totalprice * 100) AS BIGINT) > t.thr
+GROUP BY o_orderstatus, t.thr
+""",
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING entry (BEGIN...END, DECLARE/SET session
+    variables): a data-dependent threshold is computed into a variable by
+    one statement and consumed by the next — the procedural
+    multi-statement pattern (compute parameter -> use parameter) running
+    entirely inside the SQL engine, no driver round-trip between the
+    statements and no temp-table materialization. The oracle is the
+    equivalent single declarative query (scalar CTE), so the hash check
+    proves the scripting path computes exactly what the set-based form
+    does. Integer-cents threshold with explicit floor() on BOTH engines
+    (bare double->bigint casts round differently across engines)."""
+    for t in ("orders",):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql(
+            """
+BEGIN
+  DECLARE thr BIGINT;
+  SET thr = (SELECT CAST(floor(avg(round(o_totalprice * 100))) AS BIGINT)
+             FROM orders);
+  SELECT o_orderstatus,
+    CAST(count(*) AS BIGINT) AS n_above,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      AS sum_cents,
+    thr AS threshold_cents
+  FROM orders
+  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > thr
+  GROUP BY o_orderstatus;
+END
+"""
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@_register(
     "tpch_q19_disjunctive_predicate",
     sql="""
 SELECT

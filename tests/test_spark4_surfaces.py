@@ -297,3 +297,31 @@ def test_manifest_stream_sink_per_batch_manifests(spark, tmp_path):
     back = read_manifest_sink(spark, d)
     assert back.count() == 200
     assert back.select("doc_id").distinct().count() == 200
+
+
+def test_parameterized_sql_named_args(spark, sf_dir):
+    """spark.sql named-parameter binding (:param + args dict): the value
+    arrives as a typed literal, not string interpolation — quotes in the
+    value cannot break the query (injection-safe by construction)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    load_testdata(spark, sf_dir, ["orders"])["orders"].createOrReplaceTempView(
+        "orders_p"
+    )
+    n_f = spark.sql(
+        "SELECT count(*) AS n FROM orders_p WHERE o_orderstatus = :st",
+        args={"st": "F"},
+    ).collect()[0]["n"]
+    assert n_f > 0
+    # a hostile value is just an unmatched literal, never parsed as SQL
+    evil = spark.sql(
+        "SELECT count(*) AS n FROM orders_p WHERE o_orderstatus = :st",
+        args={"st": "F' OR '1'='1"},
+    ).collect()[0]["n"]
+    assert evil == 0
+    # positional binding too
+    pos = spark.sql(
+        "SELECT count(*) AS n FROM orders_p WHERE o_orderstatus = ?",
+        args=["F"],
+    ).collect()[0]["n"]
+    assert pos == n_f

@@ -165,6 +165,29 @@ class ManifestSinkDataSource(DataSource):
         return ManifestStreamSinkWriter(self.options, schema)
 
 
+def vacuum_manifest_sink(path: str) -> list[str]:
+    """Sweep data files no manifest references — the residue of aborted
+    jobs, failed speculative attempts, and batch retries that staged
+    under a fresh uuid before republishing. Safe BY CONSTRUCTION: a file
+    becomes visible only by appearing in a manifest, and manifests are
+    only ever published after their files are fully staged, so deleting
+    an unreferenced file can never remove live data (the same invariant
+    table formats rely on for their VACUUM). Returns the removed file
+    names; driver-side listing only — the directory's file count is the
+    same metadata-class bound as the catalog ops."""
+    referenced: set[str] = set()
+    for m in os.listdir(path):
+        if m == MANIFEST or (m.startswith(MANIFEST + "-") and not m.endswith(".tmp")):
+            with open(os.path.join(path, m)) as f:
+                referenced.update(json.load(f)["files"])
+    removed = []
+    for name in sorted(os.listdir(path)):
+        if name.endswith(".jsonl") and name not in referenced:
+            os.remove(os.path.join(path, name))
+            removed.append(name)
+    return removed
+
+
 def read_manifest_sink(spark: SparkSession, path: str) -> DataFrame:
     """Read a manifest-committed directory: ONLY the files the manifests
     list (staged-but-uncommitted and orphaned-attempt files are

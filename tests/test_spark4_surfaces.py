@@ -325,3 +325,32 @@ def test_parameterized_sql_named_args(spark, sf_dir):
         args=["F"],
     ).collect()[0]["n"]
     assert pos == n_f
+
+
+def test_manifest_sink_vacuum_sweeps_only_unreferenced(spark, tmp_path):
+    """vacuum removes exactly the files no manifest references; committed
+    data survives and reads identically after the sweep."""
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+        vacuum_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    d = str(tmp_path / "sink")
+    spark.range(50).repartition(2).write.format("manifestsink").option(
+        "path", d
+    ).mode("append").save()
+    for orphan in ("part-90000-dead.jsonl", "part-90001-beef.jsonl"):
+        with open(os.path.join(d, orphan), "w") as f:
+            f.write('{"id": -1}\n')
+
+    before = read_manifest_sink(spark, d).agg(F.sum("id")).collect()[0][0]
+    removed = vacuum_manifest_sink(d)
+    assert removed == ["part-90000-dead.jsonl", "part-90001-beef.jsonl"]
+    assert len([p for p in os.listdir(d) if p.endswith(".jsonl")]) == 2
+    after = read_manifest_sink(spark, d).agg(F.sum("id")).collect()[0][0]
+    assert before == after == sum(range(50))
+    assert vacuum_manifest_sink(d) == []  # idempotent

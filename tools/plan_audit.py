@@ -65,6 +65,20 @@ LOCAL_RELATION_QUERIES = {
     "csv_quarantine_roundtrip",
     "jsonl_quarantine_roundtrip",
     "xml_quarantine_roundtrip",
+    # SQL scripting executes the whole BEGIN..END eagerly inside
+    # spark.sql() (each statement runs as it is reached — the scans DID
+    # happen, driven by the script engine); the returned frame is the
+    # last SELECT's materialized result, so the audit sees no scan.
+    "sql_scripting_entry",
+}
+
+# Queries whose returned frame is a distributed METADATA pass: a
+# driver-listed path frame (LocalTableScan of file names — metadata-class,
+# same bound as the catalog ops) fanned out through MapInPandas that reads
+# footers, never data pages. Zero data-source scans is their CONTRACT, not
+# an audit dodge; kept explicit with the same no-silent-growth rule.
+METADATA_PASS_QUERIES = {
+    "footer_skipping_report",  # parquet.py:footer_stats_report
 }
 
 
@@ -92,6 +106,13 @@ def run_audit(spark, sf_dir: str, emit=print) -> list[tuple[str, int, int]]:
             f"Scan {fmt}" in plan
             for fmt in ("ExistingRDD", "orc", "csv", "json", "xml", "text", "binaryFile")
         ) or "StateScan" in plan  # statestore reader (state_reader.py)
+        if name in METADATA_PASS_QUERIES:
+            # contract: MapInPandas over a path list, no data-source scan
+            if "MapInPandas" not in plan:
+                over.append((name, scans, -1))
+                emit(f"plan_audit: SUSPICIOUS {name}: metadata-pass query "
+                     "lost its MapInPandas footer stage")
+            continue
         if scans == 0 and not has_other_source and (
             name not in LOCAL_RELATION_QUERIES
         ):

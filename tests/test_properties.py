@@ -1250,3 +1250,30 @@ def test_overlap_span_dedup_keeps_empty_docs(spark):
     assert out[1] == (4, 4, "a b c d")  # unique doc survives whole
     for d in (2, 3, 4):
         assert out[d] == (0, 0, ""), (d, out[d])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12), min_size=1, max_size=60
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_footer_stats_equal_true_extremes(spark, tmp_path_factory, xs, n_files):
+    """Property: for ANY data distribution and file split, the footer
+    stats report's per-file (n_rows, min, max) aggregates to exactly the
+    true count/min/max of the written column — footer stats never lie,
+    which is the premise every min/max skipping decision rests on."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import footer_stats_report
+
+    d = str(tmp_path_factory.mktemp("fsprop"))
+    spark.createDataFrame([(x,) for x in xs], "v long").repartition(
+        n_files
+    ).write.mode("overwrite").parquet(d)
+    rep = footer_stats_report(spark, d, "v").collect()
+    # files with rows carry stats; empty split files carry NULLs
+    assert sum(r["n_rows"] for r in rep) == len(xs)
+    mins = [int(r["min_value"]) for r in rep if r["min_value"] is not None]
+    maxs = [int(r["max_value"]) for r in rep if r["max_value"] is not None]
+    assert min(mins) == min(xs)
+    assert max(maxs) == max(xs)

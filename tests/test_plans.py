@@ -694,3 +694,38 @@ def test_tpch_q19_single_side_implications_pushed(spark, sf_dir):
     p_scan = re.search(r"FileScan parquet \[p_partkey[^\n]*", plan).group(0)
     assert "GreaterThanOrEqual(l_quantity,1.0)" in li_scan, li_scan
     assert "EqualTo(p_brand,Brand#9)" in p_scan, p_scan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter): on a
+    shuffle join with a selective creation side, Spark builds a bloom
+    filter from the filtered dim keys and applies might_contain on the
+    fact scan side — rows that cannot match are dropped BEFORE the
+    shuffle. At 100 TB this engages out of the box (the application side
+    clears the default 10 GB scan threshold); at bench SF the thresholds
+    are lowered to observe the same plan."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_testdata(spark, sf_dir, ["lineitem", "orders"])
+        li, o = t["lineitem"], t["orders"]
+        sel = o.filter(F.col("o_totalprice") > 400000.0)
+        j = li.join(sel, li["l_orderkey"] == sel["o_orderkey"]).groupBy(
+            "o_orderstatus"
+        ).count()
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -81,7 +81,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # the operators' AST hashes moved so they re-attest. Then the whole
 # r06 cohort retires, then r07 in registry order. Post-r11 oldest
 # green should be >= r07 (pytest gate: test_attestation_ledger.py
-# asserts oldest_green >= current_round - 4).
+# asserts oldest_green >= max_round - (ceil(N/50)+1), derived from the
+# live registry size).
 _PRIORITY = (
     "tpch_q5_local_supplier_volume",  # NEVER-attested: new r11 query leads window
     "tpch_q10_returned_items",  # NEVER-attested: new r11 query leads window

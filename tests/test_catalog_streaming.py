@@ -1533,3 +1533,54 @@ def test_state_reader_reads_rocksdb_checkpoint(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev_provider)
+
+
+def test_watermark_progress_observability(spark, tmp_path):
+    """StreamingQuery.lastProgress surfaces the event-time watermark —
+    the signal an operator (or an SRE dashboard) uses to know how far the
+    stream has provably advanced. Pin: after draining a batch whose max
+    event time is T, the reported watermark equals T - delay (truncated
+    to the batch boundary contract: watermark applies NEXT batch, so the
+    second drain reports the first batch's T - delay)."""
+
+    inp, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    hours = lambda h: F.timestamp_micros(F.lit(3_600_000_000) * h)  # noqa: E731
+    spark.createDataFrame([(1,)], "k long").select(
+        "k", hours(100).alias("ts")
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    progresses = []
+
+    def run_once() -> None:
+        s = spark.readStream.schema("k long, ts timestamp").parquet(inp)
+        agg = (
+            s.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"), "k")
+            .count()
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda b, _e: b.write.format("noop").mode("overwrite").save()
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses.append(q.lastProgress)
+
+    run_once()
+    spark.createDataFrame([(2,)], "k long").select(
+        "k", hours(200).alias("ts")
+    ).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+
+    # each availableNow run's terminal batch advances the watermark to
+    # its own max event time - delay, and lastProgress reports it:
+    # run 1 ends at 100h - 2h = 98h, run 2 (resuming from the restored
+    # 98h) ends at 200h - 2h = 198h
+    wm0 = progresses[0]["eventTime"]["watermark"]
+    wm1 = progresses[1]["eventTime"]["watermark"]
+    assert wm0.startswith("1970-01-05T02:00:00"), progresses[0]["eventTime"]
+    assert wm1.startswith("1970-01-09T06:00:00"), progresses[1]["eventTime"]

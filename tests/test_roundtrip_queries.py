@@ -412,3 +412,23 @@ def test_footer_stats_report_reads_footers_only(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no parquet data files"):
         footer_stats_report(spark, str(tmp_path / "empty"), "v")
+
+
+def test_sink_zstd_codec_roundtrip(spark, sf_dir, tmp_path):
+    """compression='zstd' (the modern corpus codec: ~30% smaller than
+    snappy at similar scan speed) lands .zstd.parquet files that read
+    back value-identical; codec is per-writer, not a session toggle."""
+    from glob import glob as _glob
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import write_partitioned_parquet
+
+    docs = load_testdata(spark, sf_dir, ["documents"])["documents"]
+    d = str(tmp_path / "zstd_sink")
+    write_partitioned_parquet(docs, d, ["lang"], compression="zstd")
+    files = _glob(os.path.join(d, "lang=*", "part-*.parquet"))
+    assert files and all(".zstd." in os.path.basename(f) for f in files), files[:3]
+    back = spark.read.parquet(d)
+    assert back.count() == docs.count()
+    a = docs.agg(F.sum("n_chars"), F.sum("doc_id")).collect()
+    b = back.agg(F.sum("n_chars"), F.sum("doc_id")).collect()
+    assert a == b

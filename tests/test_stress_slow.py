@@ -127,6 +127,8 @@ def test_streaming_ops_replica_invariants_10x(spark):
         "windowed_counts(5m, complete)",
         "materialized_rollup(2-wave late data)",
         "versioned_upsert(batching-independence)",
+        "stream_outer_interval_join(3 drains)",
+        "python_stream_source(ckpt resume)",
     }
     for r in rows:
         assert r["rows_scaled"] == 10 * r["rows_base"], r

@@ -57,7 +57,16 @@ or cross-replica leakage breaks the equality.
   output partition touched by both, per-partition counts + cents
   asserted equal to the batch computation full-width.
 
-Usage: python tools/stress_streaming.py [--ops ingest,dedup,window,rollup,upsert,merge] [base_sf_dir] [reps]
+- ``outer_join`` — LEFT-OUTER stream-stream interval join at Nx the
+  keys: three drains (initial + sentinel advance + evict) flush the
+  NULL-padded unmatched rows, and the final output must equal the batch
+  LEFT JOIN of the same feed row-count-exact.
+- ``pysource`` — Python streaming DataSource at Nx the rows: two
+  availableNow runs on one checkpoint generate every row exactly once
+  across the resume, and the streamed corpus must bit_xor-checksum-equal
+  the batch reader at the same size.
+
+Usage: python tools/stress_streaming.py [--ops ingest,dedup,window,rollup,upsert,merge,outer_join,pysource] [base_sf_dir] [reps]
 Prints a markdown table; paste into BENCH_NOTES.md.
 """
 
@@ -77,7 +86,9 @@ from pyspark.sql import functions as F
 SHIFT = 10**9  # replica r occupies event_id/user_id range [r*SHIFT, ...)
 LATE_OFF = 10**15  # late-wave rows get fresh ids clear of every replica range
 
-KNOWN_OPS = frozenset({"ingest", "dedup", "window", "rollup", "upsert", "merge"})
+KNOWN_OPS = frozenset(
+    {"ingest", "dedup", "window", "rollup", "upsert", "merge", "outer_join", "pysource"}
+)
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -563,6 +574,135 @@ def run_stress(
             return n_a
 
         run("versioned_upsert(batching-independence)", upsert)
+
+    if wants("outer_join"):
+
+        def outer_join(feed, r, tag):
+            """LEFT-OUTER stream-stream interval join at r-x the keys:
+            exactly-once NULL emission at watermark eviction, asserted
+            row-for-row against the batch LEFT JOIN of the same feed.
+            Three drains per leg — initial + two sentinel generations
+            (advance watermark, then evict) — the operator's documented
+            flush protocol."""
+            from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+                stream_stream_interval_join,
+            )
+
+            spark = feed.sparkSession
+            d = _scratch(f"outerjoin_{tag}")
+            lin, rin, outp, ckpt = (
+                os.path.join(d, s) for s in ("l", "r", "out", "ckpt")
+            )
+            cols = ["event_id", "ts", "user_id", "event_type"]
+            clicks = feed.filter(F.col("event_type").startswith("click")).select(cols)
+            views = feed.filter(F.col("event_type").startswith("view")).select(cols)
+            clicks.coalesce(4).write.parquet(lin)
+            views.coalesce(4).write.parquet(rin)
+            max_ts = feed.agg(F.max("ts")).collect()[0][0]  # one scalar
+            schema = spark.read.parquet(lin).schema
+
+            def run_once() -> None:
+                j = stream_stream_interval_join(
+                    spark.readStream.schema(schema).parquet(lin),
+                    spark.readStream.schema(schema).parquet(rin),
+                    key="user_id",
+                    max_delay="6 hours",
+                    watermark="12 hours",
+                    how="left_outer",
+                ).select("event_id", "event_id_r", "user_id")
+                (
+                    j.writeStream.foreachBatch(
+                        lambda b, _e: b.write.mode("append").parquet(outp)
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
+
+            run_once()
+            for gen, days in ((9_000_000_001, 2), (9_000_000_002, 4)):
+                s = spark.range(1).select(
+                    F.lit(gen).alias("event_id"),
+                    (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                    F.lit(-1).cast("long").alias("user_id"),
+                    F.lit("sentinel").alias("event_type"),
+                )
+                s.coalesce(1).write.mode("append").parquet(lin)
+                s.coalesce(1).write.mode("append").parquet(rin)
+                run_once()
+            out = spark.read.parquet(outp).filter(F.col("user_id") >= 0)
+            n = out.count()
+            # batch twin: same interval condition, LEFT join, same feed
+            rv = views.select(
+                F.col("event_id").alias("v_id"),
+                F.col("ts").alias("v_ts"),
+                F.col("user_id").alias("v_user"),
+            )
+            b = clicks.join(
+                rv,
+                (F.col("user_id") == F.col("v_user"))
+                & (F.col("v_ts") <= F.col("ts"))
+                & (F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 6 HOURS")),
+                "left_outer",
+            ).count()
+            assert n == b, (tag, n, b)
+            return n
+
+        run("stream_outer_interval_join(3 drains)", outer_join)
+
+    if wants("pysource"):
+
+        def pysource(feed, r, tag):
+            """Python streaming DataSource at r-x the rows: two
+            availableNow runs on one checkpoint (half target, then full)
+            must generate every row EXACTLY once across the resume, and
+            the streamed corpus must checksum-equal the batch reader at
+            the same size (one content contract, two engines paths)."""
+            from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pydatasource import (
+                SynthDocsDataSource,
+            )
+
+            spark = feed.sparkSession
+            spark.dataSource.register(SynthDocsDataSource)
+            d = _scratch(f"pysource_{tag}")
+            outp, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
+            target = 20_000 * r
+
+            for t in (target // 2, target):
+                s = (
+                    spark.readStream.format("synthdocs")
+                    .option("target_rows", t)
+                    .option("n_partitions", 8)
+                    .load()
+                )
+                (
+                    s.writeStream.foreachBatch(
+                        lambda b, _e: b.write.mode("append").parquet(outp)
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
+            back = spark.read.parquet(outp)
+            n = back.count()
+            assert n == back.select("doc_id").distinct().count() == target, (
+                tag, n, target,
+            )
+            batch = (
+                spark.read.format("synthdocs")
+                .option("n_partitions", 8)
+                .option("rows_per_partition", target // 8)
+                .load()
+            )
+            cs = lambda df: df.agg(  # noqa: E731  — bit_xor: order-insensitive, overflow-free
+                F.expr("bit_xor(xxhash64(doc_id, text, n_tokens, bucket))")
+            ).collect()[0][0]
+            assert cs(back) == cs(batch), tag
+            return n
+
+        run("python_stream_source(ckpt resume)", pysource)
 
     return results
 

@@ -8407,7 +8407,12 @@ END
 """
         )
     finally:
-        if prev is not None:
+        if prev is None:
+            # get(key, None) means "was unset": restore by unsetting, not
+            # by skipping — leaving scripting enabled would leak into
+            # every later query on the shared session
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
 
 

@@ -1135,6 +1135,7 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     store's contract, and the value-hash against the batch LEFT JOIN
     oracle would catch any duplicate or dropped emission."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        drain_interval_join_with_sentinel_flush,
         stream_stream_interval_join,
     )
 
@@ -1149,10 +1150,8 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_ts = e.agg(F.max("ts")).collect()[0][0]  # one scalar, not data
     schema = spark.read.parquet(lin).schema
 
-    def run_once() -> None:
-        left = spark.readStream.schema(schema).parquet(lin)
-        right = spark.readStream.schema(schema).parquet(rin)
-        joined = stream_stream_interval_join(
+    def build_join(left: DataFrame, right: DataFrame) -> DataFrame:
+        return stream_stream_interval_join(
             left,
             right,
             key="user_id",
@@ -1168,30 +1167,9 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-        def sink(batch_df: DataFrame, epoch_id: int) -> None:
-            batch_df.write.mode("append").parquet(outp)
-
-        (
-            joined.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
-
-    run_once()
-    for gen, days in ((900_000_000, 2), (900_000_001, 4)):
-        sentinel = spark.range(1).select(
-            F.lit(gen).alias("event_id"),
-            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("click").alias("event_type"),
-        )
-        sentinel.repartition(1).write.mode("append").parquet(lin)
-        sentinel.withColumn("event_type", F.lit("view")).repartition(1).write.mode(
-            "append"
-        ).parquet(rin)
-        run_once()
+    drain_interval_join_with_sentinel_flush(
+        spark, lin, rin, outp, ckpt, schema, max_ts, build_join
+    )
     # eqNullSafe: NULL-user clicks are real unmatched rows, keep them
     return spark.read.parquet(outp).filter(~F.col("user_id").eqNullSafe(-1))
 
@@ -1579,9 +1557,14 @@ def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("text")
     d = _scratch("binfile_ingest", sf_dir)
     land = os.path.join(d, "landing")
-    docs.select(F.hex(F.encode("text", "UTF-8")).alias("value")).repartition(
-        8
-    ).write.text(land)
+    # every data line gets an 'x' sentinel prefix so an EMPTY document
+    # (hex '') still lands as the non-empty line "x" — the empty-line
+    # filter below then removes ONLY the trailing-newline split artifact,
+    # never a real row (an unprefixed protocol would silently drop
+    # empty-text docs and value-hash-diverge from the oracle)
+    docs.select(
+        F.concat(F.lit("x"), F.hex(F.encode("text", "UTF-8"))).alias("value")
+    ).repartition(8).write.text(land)
 
     raw = read_binary_files(spark, land, glob="*.txt")
     n_files = raw.count()  # metadata-class driver scalar (file listing)
@@ -1592,7 +1575,7 @@ def q_binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.decode(F.col("content"), "UTF-8"), "\n")).alias("hx")
         )
         .filter(F.length("hx") > 0)
-        .select(F.decode(F.unhex("hx"), "UTF-8").alias("text"))
+        .select(F.decode(F.unhex(F.substring("hx", 2, 1 << 30)), "UTF-8").alias("text"))
     )
     h60 = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
     return texts.groupBy(

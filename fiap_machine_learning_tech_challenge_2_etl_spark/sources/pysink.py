@@ -95,16 +95,24 @@ class ManifestSinkWriter(DataSourceWriter):
         files = sorted(
             (m.filename, m.n_rows) for m in messages if m is not None
         )
-        manifest = {
-            "files": [f for f, _ in files],
-            "n_rows": sum(n for _, n in files),
-            "fields": self.fields,
-        }
+        names = [f for f, _ in files]
+        n_rows = sum(n for _, n in files)
+        target = os.path.join(self.path, MANIFEST)
+        # mode semantics live HERE, in what the manifest lists: append
+        # merges the previous manifest's files (both writes stay visible
+        # and vacuum-safe), overwrite publishes only this job's files
+        # (the old ones become unreferenced -> reclaimed by vacuum)
+        if not self.overwrite and os.path.exists(target):
+            with open(target) as f:
+                prev = json.load(f)
+            names = sorted(set(prev["files"]) | set(names))
+            n_rows += prev["n_rows"]
+        manifest = {"files": names, "n_rows": n_rows, "fields": self.fields}
         tmp = os.path.join(self.path, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         # the ONE atomic operation: publish the pointer
-        os.replace(tmp, os.path.join(self.path, MANIFEST))
+        os.replace(tmp, target)
 
     def abort(self, messages) -> None:
         for m in messages:

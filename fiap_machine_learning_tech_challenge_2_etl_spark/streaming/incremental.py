@@ -385,6 +385,64 @@ def stream_stream_interval_join(
     return lw.join(rw, cond, how)
 
 
+def drain_interval_join_with_sentinel_flush(
+    spark: SparkSession,
+    left_in: str,
+    right_in: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    max_ts,
+    build_join,
+    sentinel_ids: Sequence[int] = (900_000_000, 900_000_001),
+    sentinel_days: Sequence[int] = (2, 4),
+) -> None:
+    """Drive a watermarked stream-stream interval join over file-landed
+    inputs to a COMPLETE flush — the three-drain protocol OUTER modes
+    require, encoded once for every harness that needs it (the
+    ``stream_interval_join_outer_roundtrip`` registry query and the
+    ``stress_streaming --ops outer_join`` leg both call this; keeping two
+    hand-copies of the protocol in sync was a drift hazard).
+
+    Protocol: one initial availableNow drain, then two sentinel
+    generations (``user_id = -1``, ``event_type = 'sentinel'``, at
+    ``max_ts + N days``, appended to BOTH sides so they cannot alter real
+    matches) each followed by a drain — the first advances the watermark
+    past every real row's eviction point, the second's batch performs the
+    eviction that emits the NULL-padded unmatched rows. Callers filter
+    ``user_id`` sentinel rows from ``out_path`` afterwards.
+
+    ``build_join(left_stream, right_stream)`` returns the sink-ready
+    frame (the join plus the caller's projection); inputs must carry
+    columns ``event_id, ts, user_id, event_type``."""
+    def run_once() -> None:
+        joined = build_join(
+            spark.readStream.schema(schema).parquet(left_in),
+            spark.readStream.schema(schema).parquet(right_in),
+        )
+        (
+            joined.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(out_path)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once()
+    for gen, days in zip(sentinel_ids, sentinel_days):
+        sentinel = spark.range(1).select(
+            F.lit(gen).alias("event_id"),
+            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(left_in)
+        sentinel.coalesce(1).write.mode("append").parquet(right_in)
+        run_once()
+
+
 def materialized_rollup(
     spark: SparkSession,
     input_dir: str,

@@ -20,7 +20,9 @@ _INTERVAL_UNITS = frozenset(
         "microsecond",
     }
 )
-_INTERVAL_PAIR = re.compile(r"^\d+$")
+# fractional magnitudes are legal SQL ("INTERVAL 0.5 SECONDS" parses);
+# rejecting them here would narrow behavior callers had before validation
+_INTERVAL_PAIR = re.compile(r"^\d+(\.\d+)?$")
 
 
 def validate_interval_body(value: str, param: str) -> str:

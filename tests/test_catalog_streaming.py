@@ -793,12 +793,12 @@ def test_upsert_by_key_versioned_reserved_columns_raise(spark, tmp_path):
 
 
 def _protobuf_available() -> bool:
-    try:
-        from google.protobuf import descriptor  # noqa: F401
+    """Delegates to the library's own gate (streaming.incremental
+    .tws_available) so the skipif condition and the operator's eager
+    raise can never drift apart."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import tws_available
 
-        return True
-    except Exception:
-        return False
+    return tws_available()
 
 
 @pytest.mark.skipif(

@@ -368,3 +368,30 @@ def test_asof_join_rejects_malformed_interval_body(spark):
         tolerance="1 HOUR 30 MINUTES",
     )
     assert out.count() == 1
+
+
+def test_asof_tolerance_fractional_seconds_accepted(spark):
+    """Fractional interval magnitudes are legal SQL ('INTERVAL 0.5
+    SECONDS' parses) and worked before eager validation existed; the
+    validator must not narrow that. A carried row 0.3 s stale survives a
+    0.5 s tolerance; one 0.7 s stale does not."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1_000_000), (2, 2_000_000)], "k long, us long"
+    ).select("k", F.timestamp_micros(F.col("us")).alias("ts"))
+    right = spark.createDataFrame(
+        [(1, 700_000, 10.0), (2, 1_300_000, 20.0)], "k long, us long, v double"
+    ).select("k", F.timestamp_micros(F.col("us")).alias("ts"), "v")
+    out = {
+        r["k"]: r["v"]
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            ts_col="ts",
+            right_value_cols=["v"],
+            tolerance="0.5 SECONDS",
+        ).collect()
+    }
+    assert out == {1: 10.0, 2: None}  # 0.3s stale kept, 0.7s stale dropped

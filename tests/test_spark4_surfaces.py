@@ -354,3 +354,36 @@ def test_manifest_sink_vacuum_sweeps_only_unreferenced(spark, tmp_path):
     after = read_manifest_sink(spark, d).agg(F.sum("id")).collect()[0][0]
     assert before == after == sum(range(50))
     assert vacuum_manifest_sink(d) == []  # idempotent
+
+
+def test_manifest_sink_append_merges_overwrite_replaces(spark, tmp_path):
+    """Mode semantics live in the manifest: a second append write merges
+    the previous manifest (both jobs' rows visible, vacuum-safe); an
+    overwrite write publishes only its own files and vacuum then reclaims
+    the orphaned previous generation."""
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+        vacuum_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    d = str(tmp_path / "sink")
+    w = lambda lo, hi, mode: (  # noqa: E731
+        spark.range(lo, hi).repartition(2).write.format("manifestsink")
+        .option("path", d).mode(mode).save()
+    )
+    w(0, 30, "append")
+    w(30, 50, "append")
+    assert read_manifest_sink(spark, d).count() == 50  # both appends visible
+    assert vacuum_manifest_sink(d) == []  # every staged file referenced
+
+    w(100, 110, "overwrite")
+    back = read_manifest_sink(spark, d)
+    assert back.count() == 10
+    assert back.agg(F.min("id")).collect()[0][0] == 100
+    removed = vacuum_manifest_sink(d)  # the 4 pre-overwrite files orphaned
+    assert len(removed) == 4
+    assert read_manifest_sink(spark, d).count() == 10  # still intact

@@ -107,11 +107,14 @@ def run_audit(spark, sf_dir: str, emit=print) -> list[tuple[str, int, int]]:
             for fmt in ("ExistingRDD", "orc", "csv", "json", "xml", "text", "binaryFile")
         ) or "StateScan" in plan  # statestore reader (state_reader.py)
         if name in METADATA_PASS_QUERIES:
-            # contract: MapInPandas over a path list, no data-source scan
-            if "MapInPandas" not in plan:
+            # contract: MapInPandas over a path list AND zero data-source
+            # scans — a fallback table scan creeping in next to the footer
+            # pass must fail here, not ride the carve-out
+            if "MapInPandas" not in plan or scans > 0:
                 over.append((name, scans, -1))
-                emit(f"plan_audit: SUSPICIOUS {name}: metadata-pass query "
-                     "lost its MapInPandas footer stage")
+                emit(f"plan_audit: SUSPICIOUS {name}: metadata-pass contract "
+                     f"broken (MapInPandas={'MapInPandas' in plan}, "
+                     f"data scans={scans})")
             continue
         if scans == 0 and not has_other_source and (
             name not in LOCAL_RELATION_QUERIES

@@ -585,6 +585,7 @@ def run_stress(
             (advance watermark, then evict) — the operator's documented
             flush protocol."""
             from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+                drain_interval_join_with_sentinel_flush,
                 stream_stream_interval_join,
             )
 
@@ -601,37 +602,22 @@ def run_stress(
             max_ts = feed.agg(F.max("ts")).collect()[0][0]  # one scalar
             schema = spark.read.parquet(lin).schema
 
-            def run_once() -> None:
-                j = stream_stream_interval_join(
-                    spark.readStream.schema(schema).parquet(lin),
-                    spark.readStream.schema(schema).parquet(rin),
+            def build_join(left, right):
+                return stream_stream_interval_join(
+                    left,
+                    right,
                     key="user_id",
                     max_delay="6 hours",
                     watermark="12 hours",
                     how="left_outer",
                 ).select("event_id", "event_id_r", "user_id")
-                (
-                    j.writeStream.foreachBatch(
-                        lambda b, _e: b.write.mode("append").parquet(outp)
-                    )
-                    .option("checkpointLocation", ckpt)
-                    .trigger(availableNow=True)
-                    .start()
-                    .awaitTermination()
-                )
 
-            run_once()
-            for gen, days in ((9_000_000_001, 2), (9_000_000_002, 4)):
-                s = spark.range(1).select(
-                    F.lit(gen).alias("event_id"),
-                    (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-                    F.lit(-1).cast("long").alias("user_id"),
-                    F.lit("sentinel").alias("event_type"),
-                )
-                s.coalesce(1).write.mode("append").parquet(lin)
-                s.coalesce(1).write.mode("append").parquet(rin)
-                run_once()
-            out = spark.read.parquet(outp).filter(F.col("user_id") >= 0)
+            drain_interval_join_with_sentinel_flush(
+                spark, lin, rin, outp, ckpt, schema, max_ts, build_join,
+                sentinel_ids=(9_000_000_001, 9_000_000_002),
+            )
+            # sentinels carry user_id -1; eqNullSafe keeps NULL-user rows
+            out = spark.read.parquet(outp).filter(~F.col("user_id").eqNullSafe(-1))
             n = out.count()
             # batch twin: same interval condition, LEFT join, same feed
             rv = views.select(

@@ -88,6 +88,7 @@ _PRIORITY = (
     "tpch_q10_returned_items",  # NEVER-attested: new r11 query leads window
     "tpch_q14_promo_effect",  # NEVER-attested: new r11 query leads window
     "sql_scripting_entry",  # NEVER-attested: new r11 query leads window
+    "recursive_cte_reachability",  # NEVER-attested: new r11 query leads window
     "tpch_q19_disjunctive_predicate",  # NEVER-attested: new r11 query leads window
     "tpch_q7_volume_shipping",  # NEVER-attested: new r11 query leads window
     "tpch_q18_large_volume_customer",  # NEVER-attested: new r11 query leads window
@@ -133,7 +134,6 @@ _PRIORITY = (
     "range_clustered_pruned_scan",  # r6-green; stale rotation
     "embedding_ann_ivf",  # r7-green; stale rotation
     "array_functions",  # r7-green; stale rotation
-    "frequent_tokens_sketch",  # r7-green; stale rotation
 )
 
 

@@ -8417,6 +8417,72 @@ END
 
 
 @_register(
+    "recursive_cte_reachability",
+    sql="""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey <> b.l_partkey AND a.l_orderkey % 5 = 0
+),
+reach(id, depth) AS (
+  SELECT min(src), 0 FROM edges
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 2
+)
+SELECT CAST(t.depth AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_parts
+FROM (SELECT id, min(depth) AS depth FROM reach GROUP BY id) t
+GROUP BY 1
+""",
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 RECURSIVE CTE (``WITH RECURSIVE``): depth-bounded BFS over
+    the co-purchase part graph declared in PURE SQL — the engine manages
+    the iteration the DataFrame graph operators (operators/graph.py)
+    hand-roll, and per-node min-depth grouping gives set semantics on the
+    cyclic graph. Cross-validates the declarative-recursion surface
+    against DuckDB's recursive CTE bit-for-bit.
+
+    Two deliberate performance choices, both measured (local[32], sf0.1):
+    the edge list is built ONCE as a DataFrame and localCheckpoint-ed so
+    every recursion level joins a materialized frame instead of
+    re-deriving the self-join; and the seed is a driver-side SCALAR
+    (metadata-class, like max-ts collects elsewhere) interpolated as a
+    literal — an aggregate anchor (``SELECT min(src), 0 FROM edges``)
+    measured ~8 s of fixed overhead vs ~1.4 s with the literal, the
+    anchor apparently re-evaluated against the un-materialized plan.
+    DuckDB evaluates its CTE once, so its aggregate anchor equals the
+    literal seed by construction."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    edges.createOrReplaceTempView("rcte_edges")
+    seed = int(edges.agg(F.min("src")).collect()[0][0])  # one scalar
+    return spark.sql(
+        f"""
+WITH RECURSIVE reach(id, depth) AS (
+  SELECT CAST({seed} AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN rcte_edges e ON e.src = r.id
+  WHERE r.depth < 2
+)
+SELECT CAST(t.depth AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_parts
+FROM (SELECT id, min(depth) AS depth FROM reach GROUP BY id) t
+GROUP BY 1
+"""
+    )
+
+
+@_register(
     "tpch_q19_disjunctive_predicate",
     sql="""
 SELECT

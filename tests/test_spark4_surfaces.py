@@ -387,3 +387,25 @@ def test_manifest_sink_append_merges_overwrite_replaces(spark, tmp_path):
     removed = vacuum_manifest_sink(d)  # the 4 pre-overwrite files orphaned
     assert len(removed) == 4
     assert read_manifest_sink(spark, d).count() == 10  # still intact
+
+
+def test_recursive_cte_cycle_terminates_with_depth_bound(spark):
+    """WITH RECURSIVE on a CYCLIC graph: the depth bound is what
+    guarantees termination (UNION ALL recursion would otherwise loop on
+    the 3-cycle forever), and per-node min-depth grouping gives BFS
+    distances."""
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    ).createOrReplaceTempView("cyc_edges")
+    rows = spark.sql(
+        """
+WITH RECURSIVE reach(id, depth) AS (
+  SELECT CAST(1 AS BIGINT), 0
+  UNION ALL
+  SELECT e.dst, r.depth + 1 FROM reach r JOIN cyc_edges e ON e.src = r.id
+  WHERE r.depth < 10
+)
+SELECT id, min(depth) AS d FROM reach GROUP BY id ORDER BY id
+"""
+    ).collect()
+    assert [(r["id"], r["d"]) for r in rows] == [(1, 0), (2, 1), (3, 2)]

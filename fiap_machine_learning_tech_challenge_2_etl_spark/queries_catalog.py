@@ -8465,7 +8465,12 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     edges.createOrReplaceTempView("rcte_edges")
-    seed = int(edges.agg(F.min("src")).collect()[0][0])  # one scalar
+    seed_raw = edges.agg(F.min("src")).collect()[0][0]  # one scalar
+    # empty edge set -> no seed; fail loudly (the DuckDB oracle's
+    # aggregate anchor would emit a (NULL, 0) row here and the two
+    # engines would silently diverge on a degenerate corpus)
+    assert seed_raw is not None, "co-purchase edge set is empty; no BFS seed"
+    seed = int(seed_raw)
     return spark.sql(
         f"""
 WITH RECURSIVE reach(id, depth) AS (

@@ -67,7 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-11 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the thirteen never-attested r11 queries (TPC-H Q5/Q7/Q10/Q14/Q18/
+# the fourteen never-attested r11 queries (recursive-CTE
+# reachability, TPC-H Q5/Q7/Q10/Q14/Q18/
 # Q19, the SQL-scripting entry, the footer-skipping report, the LEFT-OUTER
 # watermarked stream-stream interval join, the state-store-reader
 # roundtrip, the binaryFile ingest roundtrip, the Python streaming

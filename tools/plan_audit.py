@@ -102,10 +102,18 @@ def run_audit(spark, sf_dir: str, emit=print) -> list[tuple[str, int, int]]:
         # (Scan orc/csv/json/xml/text), and the known collect-and-return
         # set. Anything else with zero scans is the audit being dodged —
         # flag it rather than passing a vacuous budget check.
-        has_other_source = any(
-            f"Scan {fmt}" in plan
-            for fmt in ("ExistingRDD", "orc", "csv", "json", "xml", "text", "binaryFile")
-        ) or "StateScan" in plan  # statestore reader (state_reader.py)
+        has_other_source = (
+            any(
+                f"Scan {fmt}" in plan
+                for fmt in ("ExistingRDD", "orc", "csv", "json", "xml", "text", "binaryFile")
+            )
+            or "StateScan" in plan  # statestore reader (state_reader.py)
+            # recursive CTE: the engine-managed iteration renders as a
+            # UnionLoop whose per-level source (the localCheckpoint-ed
+            # edge frame) lives inside the loop body, not as a top-level
+            # Scan node (recursive_cte_reachability)
+            or "UnionLoop" in plan
+        )
         if name in METADATA_PASS_QUERIES:
             # contract: MapInPandas over a path list AND zero data-source
             # scans — a fallback table scan creeping in next to the footer

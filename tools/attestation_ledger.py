@@ -16,6 +16,11 @@ Usage:
     python tools/attestation_ledger.py [--changed a,b]  # write ledger, print window
     python tools/attestation_ledger.py --check [--changed a,b]
         # exit 1 if __spark_entry__._PRIORITY != computed window
+    python tools/attestation_ledger.py --open-round
+        # round-OPEN ritual: regenerate the ledger at the latest driver
+        # round and `git add` the driver artifacts (CORRECTNESS_r{N},
+        # BENCH_r{N}, BENCH_LOCAL, LEAKCHECK, VERDICT, ADVICE) + the
+        # ledger, ready for the round's first commit
 
 ``--check`` is round-boundary safe: it reads the committed ledger's
 recorded ``max_round`` (so a newer driver-written CORRECTNESS file can't
@@ -206,6 +211,26 @@ def main(argv: list[str]) -> int:
     for q in window:
         lg = ledger.get(q, {}).get("latest_green")
         print(f"  r{lg or '--'}: {q}")
+
+    if "--open-round" in argv:
+        # Stage last round's driver artifacts so "ingest driver output" is
+        # the FIRST commit of every round (r09-r11 verdicts all flagged the
+        # end-of-round gap where these stay untracked).
+        import subprocess
+
+        rnd = observed_max_round()
+        candidates = [
+            f"CORRECTNESS_r{rnd}.json",
+            f"BENCH_r{rnd}.json",
+            "BENCH_LOCAL.json",
+            "LEAKCHECK.json",
+            "VERDICT.md",
+            "ADVICE.md",
+            "ATTESTATION_LEDGER.json",
+        ]
+        present = [p for p in candidates if os.path.exists(os.path.join(REPO, p))]
+        subprocess.run(["git", "-C", REPO, "add", "--"] + present, check=True)
+        print(f"--open-round: staged {present} (round {rnd}); commit them now")
     return 0
 
 

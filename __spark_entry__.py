@@ -65,76 +65,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order. Bare ``attestation_ledger.py --check`` verifies this
 # tuple (it reads max_round and the changed set from the committed
 # ledger).
-# ROUND-11 NOTE: window regenerated stalest-first via
-# ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the fourteen never-attested r11 queries (recursive-CTE
-# reachability, TPC-H Q5/Q7/Q10/Q14/Q18/
-# Q19, the SQL-scripting entry, the footer-skipping report, the LEFT-OUTER
-# watermarked stream-stream interval join, the state-store-reader
-# roundtrip, the binaryFile ingest roundtrip, the Python streaming
-# DataSource roundtrip, the manifest-committed Python sink roundtrip),
-# then the 8
-# changed-since-attestation rows (asof_join grew call-site interval/
-# degenerate-call validation; temperature_mix/weighted samplers now
-# reject pre-existing rate/score columns; temporal_split_embargo
-# validates the embargo body; stream_stream_interval_join grew
-# ``how=`` outer modes) — all behavior-preserving on valid input, but
-# the operators' AST hashes moved so they re-attest. Then the whole
-# r06 cohort retires, then r07 in registry order. Post-r11 oldest
-# green should be >= r07 (pytest gate: test_attestation_ledger.py
+# ROUND-12 NOTE: window regenerated stalest-first at round OPEN
+# (``attestation_ledger.py --open-round`` after ingesting the r11
+# driver artifacts; r11 attested its whole 50-row window green, so no
+# changed-lead entries at open). Leads: the 27 remaining r07-green rows
+# (the r06 cohort fully retired in r11), then r08 in registry order.
+# New never-attested queries added during round 12 will re-lead the
+# window when it is regenerated before round close. Post-r12 oldest
+# green should be >= r08 (pytest gate: test_attestation_ledger.py
 # asserts oldest_green >= max_round - (ceil(N/50)+1), derived from the
 # live registry size).
 _PRIORITY = (
-    "tpch_q5_local_supplier_volume",  # NEVER-attested: new r11 query leads window
-    "tpch_q10_returned_items",  # NEVER-attested: new r11 query leads window
-    "tpch_q14_promo_effect",  # NEVER-attested: new r11 query leads window
-    "sql_scripting_entry",  # NEVER-attested: new r11 query leads window
-    "recursive_cte_reachability",  # NEVER-attested: new r11 query leads window
-    "tpch_q19_disjunctive_predicate",  # NEVER-attested: new r11 query leads window
-    "tpch_q7_volume_shipping",  # NEVER-attested: new r11 query leads window
-    "tpch_q18_large_volume_customer",  # NEVER-attested: new r11 query leads window
-    "stream_interval_join_outer_roundtrip",  # NEVER-attested: new r11 query leads window
-    "state_store_inspect_roundtrip",  # NEVER-attested: new r11 query leads window
-    "binary_file_ingest_roundtrip",  # NEVER-attested: new r11 query leads window
-    "python_stream_source_roundtrip",  # NEVER-attested: new r11 query leads window
-    "manifest_sink_roundtrip",  # NEVER-attested: new r11 query leads window
-    "footer_skipping_report",  # NEVER-attested: new r11 query leads window
-    "weighted_sample_docs",  # r7-green; changed-since-attestation (query_provenance)
-    "temporal_split_embargo",  # r7-green; changed-since-attestation (query_provenance)
-    "stream_interval_join_roundtrip",  # r9-green; changed-since-attestation (query_provenance)
-    "asof_join_events",  # r10-green; changed-since-attestation (query_provenance)
-    "asof_join_tolerance",  # r10-green; changed-since-attestation (query_provenance)
-    "temperature_mix_corpus",  # r10-green; changed-since-attestation (query_provenance)
-    "weighted_sample_per_lang",  # r10-green; changed-since-attestation (query_provenance)
-    "point_in_time_state_join",  # r10-green; changed-since-attestation (query_provenance)
-    "sql_entry_tpch_q3",  # r6-green; stale rotation
-    "label_centroids",  # r6-green; stale rotation
-    "word_count_topk",  # r6-green; stale rotation
-    "stats_agg_family",  # r6-green; stale rotation
-    "regr_agg_family",  # r6-green; stale rotation
-    "conditional_agg_family",  # r6-green; stale rotation
-    "percentile_agg_family",  # r6-green; stale rotation
-    "range_frame_window",  # r6-green; stale rotation
-    "gapfill_forward_fill",  # r6-green; stale rotation
-    "exists_subquery_agg",  # r6-green; stale rotation
-    "scalar_subquery_agg",  # r6-green; stale rotation
-    "hash_split_corpus",  # r6-green; stale rotation
-    "stratified_sample_docs",  # r6-green; stale rotation
-    "gapfill_interpolate",  # r6-green; stale rotation
-    "profile_documents",  # r6-green; stale rotation
-    "chunk_documents",  # r6-green; stale rotation
-    "min_cost_supplier",  # r6-green; stale rotation
-    "map_functions",  # r6-green; stale rotation
-    "null_semantics_family",  # r6-green; stale rotation
-    "fuzzy_match_levenshtein",  # r6-green; stale rotation
-    "bitwise_functions",  # r6-green; stale rotation
-    "event_sequence_assembly",  # r6-green; stale rotation
-    "pii_redaction",  # r6-green; stale rotation
-    "repetition_ngram_stats",  # r6-green; stale rotation
-    "bucketed_join_colocated",  # r6-green; stale rotation
-    "range_clustered_pruned_scan",  # r6-green; stale rotation
-    "embedding_ann_ivf",  # r7-green; stale rotation
-    "array_functions",  # r7-green; stale rotation
+    "tpch_q13_customer_distribution",  # NEVER-attested: new r12 query leads window
+    "tpch_q21_suppliers_kept_waiting",  # NEVER-attested: new r12 query leads window
+    "tpch_q22_global_sales_opportunity",  # NEVER-attested: new r12 query leads window
+    "frequent_tokens_sketch",  # r7-green; stale rotation
+    "variant_shred_props",  # r7-green; stale rotation
+    "regex_functions",  # r7-green; stale rotation
+    "window_value_family",  # r7-green; stale rotation
+    "sequence_packing",  # r7-green; stale rotation
+    "quality_upsample_repeat",  # r7-green; stale rotation
+    "tfidf_top_terms",  # r7-green; stale rotation
+    "decontaminate_ngram_overlap",  # r7-green; stale rotation
+    "set_ops_all",  # r7-green; stale rotation
+    "sort_nulls_family",  # r7-green; stale rotation
+    "rollup_grouping_id",  # r7-green; stale rotation
+    "try_arithmetic_family",  # r7-green; stale rotation
+    "embedding_quantize_int8",  # r7-green; stale rotation
+    "char_entropy_quality",  # r7-green; stale rotation
+    "zscore_normalize",  # r7-green; stale rotation
+    "generator_functions",  # r7-green; stale rotation
+    "embedding_matryoshka_truncate",  # r7-green; stale rotation
+    "unigram_logprob_quality",  # r7-green; stale rotation
+    "segment_dedup_reconstruct",  # r7-green; stale rotation
+    "sliding_window_agg",  # r7-green; stale rotation
+    "incremental_rollup_maintain",  # r7-green; stale rotation
+    "event_debounce",  # r7-green; stale rotation
+    "funnel_view_click_purchase",  # r7-green; stale rotation
+    "bpe_pair_merge_candidates",  # r7-green; stale rotation
+    "span_corruption_pairs",  # r7-green; stale rotation
+    "source_overlap_matrix",  # r7-green; stale rotation
+    "zorder_clustered_pruned_scan",  # r7-green; stale rotation
+    "stream_dedup_roundtrip",  # r7-green; stale rotation
+    "stream_running_stats_roundtrip",  # r7-green; stale rotation
+    "compaction_roundtrip",  # r7-green; stale rotation
+    "rolling_stats",  # r8-green; stale rotation
+    "simhash_docs",  # r8-green; stale rotation
+    "minhash_lsh_near_dup",  # r8-green; stale rotation
+    "simhash_near_dup",  # r8-green; stale rotation
+    "embedding_near_dup",  # r8-green; stale rotation
+    "value_histogram",  # r8-green; stale rotation
+    "dedup_canonical_docs",  # r8-green; stale rotation
+    "leakage_safe_split",  # r8-green; stale rotation
+    "incremental_cross_dedup",  # r8-green; stale rotation
+    "outlier_clip_iqr",  # r8-green; stale rotation
+    "mixture_rebalance_downsample",  # r8-green; stale rotation
+    "pagerank_supply_graph",  # r8-green; stale rotation
+    "hard_negative_mining",  # r8-green; stale rotation
+    "psi_drift_report",  # r8-green; stale rotation
+    "triangle_count_near_dup",  # r8-green; stale rotation
+    "shingle_containment_pairs",  # r8-green; stale rotation
+    "knn_label_noise",  # r8-green; stale rotation
 )
 
 

@@ -8662,6 +8662,132 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "tpch_q13_customer_distribution",
+    sql="""
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution), adapted: the synthetic
+    orders table has no o_comment, so the NOT-LIKE filter runs on
+    o_orderpriority (same shape: a negated pattern predicate that lives in
+    the JOIN CONDITION, not a WHERE — moving it to WHERE would silently
+    drop zero-order customers, the exact corruption this query exists to
+    catch). Two-level aggregate: count-per-customer (shuffle on custkey,
+    map-side partial), then a tiny histogram agg over the counts. The
+    LEFT OUTER join must SURVIVE optimization — Catalyst may flip the
+    build side but may not convert it to inner (count(o_orderkey) counts
+    only matched rows; unmatched customers land in the c_count=0 bucket).
+    At 100 TB: orders is the big side, so the planner shuffles both on the
+    join key; the second aggregate's input is |customers| rows and its
+    output is ~50 — cheap by construction. Reference parity: grouped-count
+    shapes in etl/transform_1.py aggregations."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(~F.col("o_orderpriority").like("%URGENT%"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q21_LATE = "TIMESTAMP '2000-01-01 00:00:00'"
+
+_Q21_SQL = f"""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate >= {_Q21_LATE}
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate >= {_Q21_LATE})
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@_register("tpch_q21_suppliers_kept_waiting", sql=_Q21_SQL)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: the synthetic
+    lineitem has no receipt/commit dates, so "late" is a per-lineitem
+    shipdate-after-cutoff flag — preserving the defining structure: an
+    EXISTS and a NOT EXISTS BOTH correlated on the same lineitem self-join
+    key (l_orderkey) with a suppkey inequality, the hardest decorrelation
+    in the TPC-H suite. Identical ANSI text on both engines: Catalyst must
+    decorrelate the EXISTS into a left-semi and the NOT EXISTS into a
+    left-anti hash join on l_orderkey (no per-row subquery execution, no
+    cartesian product — pinned in tests/test_plans.py). At 100 TB the
+    three lineitem scans share one parquet source with pushed predicates;
+    the semi/anti probes shuffle on the same orderkey as the main join, so
+    AQE coalesces them into one exchange lineage. Reference parity:
+    multi-table existence checks in etl/transform_2.py merge logic."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_CODES = "(1, 3, 5, 7, 9, 11, 13)"
+_Q22_LAPSE = "TIMESTAMP '2000-06-01 00:00:00'"
+
+_Q22_SQL = f"""
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(acctbal_cents) AS BIGINT) AS totacctbal_cents
+FROM (
+  SELECT CAST(c_nationkey AS INTEGER) AS cntrycode,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+  FROM customer
+  WHERE c_nationkey IN {_Q22_CODES}
+    AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0 AND c_nationkey IN {_Q22_CODES})
+    AND NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= {_Q22_LAPSE})
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@_register("tpch_q22_global_sales_opportunity", sql=_Q22_SQL)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: the synthetic
+    customer has no phone column, so the country code is c_nationkey
+    against an IN-list, and "no orders" (every synthetic customer has
+    orders) becomes "no RECENT orders" — a lapsed-customer anti-join on a
+    date-filtered orders scan. Shape preserved exactly: an UNCORRELATED
+    scalar-average subquery (one tiny agg, broadcast as a literal-like
+    single-row join) gating the balance filter, plus a NOT EXISTS that
+    Catalyst turns into a left-anti hash join against orders. Money stays
+    in integer cents per row BEFORE the sum (cross-engine float-sum
+    determinism). At 100 TB the anti-join probe side is orders filtered by
+    the pushed o_orderdate predicate; customer's IN-list also pushes to
+    the scan footer. Identical ANSI text on both engines."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q22_SQL)
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

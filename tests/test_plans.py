@@ -682,6 +682,53 @@ def test_state_inspect_plan_is_state_scan(spark, sf_dir):
     assert "LocalTableScan" not in plan, plan
 
 
+def test_tpch_q13_outer_join_survives_and_double_aggregates(spark, sf_dir):
+    """Q13's defining properties: (1) the LEFT OUTER join must survive
+    optimization — the NOT-LIKE filter lives in the join CONDITION, so
+    converting to inner would drop zero-order customers (the c_count=0
+    bucket) while still passing a rows>0 smoke check; (2) the histogram
+    is a TWO-level hash aggregate (per-custkey count, then count-of-counts)
+    with map-side partials — the second agg's input is |customers| rows,
+    its output ~50; (3) the negated pattern predicate is pushed into the
+    orders parquet scan, not evaluated post-join."""
+    plan = _plan(SPARK_QUERIES["tpch_q13_customer_distribution"](spark, sf_dir))
+    assert "LeftOuter" in plan, plan
+    assert "Inner" not in plan, plan
+    import re
+
+    assert re.search(r"HashAggregate\(keys=\[c_custkey#\d+L\]", plan), plan
+    assert re.search(r"HashAggregate\(keys=\[c_count#\d+L\]", plan), plan
+    assert "Not(StringContains(o_orderpriority,URGENT))" in plan, plan
+
+
+def test_tpch_q21_decorrelates_to_semi_and_anti(spark, sf_dir):
+    """Q21's defining property: the EXISTS and NOT EXISTS — both
+    correlated on the lineitem self-join key with a suppkey inequality —
+    decorrelate to a left-SEMI and a left-ANTI hash join on l_orderkey.
+    No per-row subquery execution, no nested-loop/cartesian fallback
+    (the non-equi suppkey term rides the hash join as its residual
+    condition), and the lateness cutoff is pushed into both the outer
+    and the anti-probe lineitem scans."""
+    plan = _plan(SPARK_QUERIES["tpch_q21_suppliers_kept_waiting"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("GreaterThanOrEqual(l_shipdate,2000-01-01T00:00)") >= 2, plan
+
+
+def test_tpch_q22_anti_join_and_scalar_subquery(spark, sf_dir):
+    """Q22: the NOT EXISTS becomes a left-ANTI join against the
+    date-filtered orders scan (pushed o_orderdate predicate), and the
+    uncorrelated scalar-average subquery runs ONCE as its own tiny
+    subplan (a Subquery/scalar-subquery node), never per-row."""
+    plan = _plan(SPARK_QUERIES["tpch_q22_global_sales_opportunity"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-06-01T00:00)" in plan, plan
+    assert "Subquery" in plan or "scalar-subquery" in plan, plan
+
+
 def test_tpch_q19_single_side_implications_pushed(spark, sf_dir):
     """Q19's whole point: though the OR spans both join sides, the
     single-side implications must reach BOTH scans — the quantity range

@@ -65,20 +65,28 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order. Bare ``attestation_ledger.py --check`` verifies this
 # tuple (it reads max_round and the changed set from the committed
 # ledger).
-# ROUND-12 NOTE: window regenerated stalest-first at round OPEN
-# (``attestation_ledger.py --open-round`` after ingesting the r11
-# driver artifacts; r11 attested its whole 50-row window green, so no
-# changed-lead entries at open). Leads: the 27 remaining r07-green rows
-# (the r06 cohort fully retired in r11), then r08 in registry order.
-# New never-attested queries added during round 12 will re-lead the
-# window when it is regenerated before round close. Post-r12 oldest
-# green should be >= r08 (pytest gate: test_attestation_ledger.py
-# asserts oldest_green >= max_round - (ceil(N/50)+1), derived from the
-# live registry size).
+# ROUND-12 NOTE: window regenerated stalest-first via
+# ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
+# the 5 never-attested r12 queries (TPC-H Q13/Q21/Q22, the chained
+# dedup->windowed-agg multi-stateful stream, manifest-sink time
+# travel), then 3 changed-since-attestation rows (pysink rewritten as
+# a versioned commit log; footer_stats_report listing ported to the
+# Hadoop FS API; SynthDocsStreamReader offset-rollback clamp — the
+# last added manually: provenance tracks SynthDocsDataSource, whose
+# AST does not include the stream-reader class). Then the r07 cohort
+# retires, then r08 in registry order. Post-r12 oldest green should
+# be >= r08 (pytest gate: test_attestation_ledger.py asserts
+# oldest_green >= max_round - (ceil(N/50)+1), derived from the live
+# registry size).
 _PRIORITY = (
     "tpch_q13_customer_distribution",  # NEVER-attested: new r12 query leads window
     "tpch_q21_suppliers_kept_waiting",  # NEVER-attested: new r12 query leads window
     "tpch_q22_global_sales_opportunity",  # NEVER-attested: new r12 query leads window
+    "stream_dedup_windowed_chain_roundtrip",  # NEVER-attested: new r12 query leads window
+    "manifest_sink_time_travel",  # NEVER-attested: new r12 query leads window
+    "python_stream_source_roundtrip",  # r11-green; changed-since-attestation (r12 rewrite)
+    "manifest_sink_roundtrip",  # r11-green; changed-since-attestation (r12 rewrite)
+    "footer_skipping_report",  # r11-green; changed-since-attestation (r12 rewrite)
     "frequent_tokens_sketch",  # r7-green; stale rotation
     "variant_shred_props",  # r7-green; stale rotation
     "regex_functions",  # r7-green; stale rotation
@@ -121,11 +129,6 @@ _PRIORITY = (
     "outlier_clip_iqr",  # r8-green; stale rotation
     "mixture_rebalance_downsample",  # r8-green; stale rotation
     "pagerank_supply_graph",  # r8-green; stale rotation
-    "hard_negative_mining",  # r8-green; stale rotation
-    "psi_drift_report",  # r8-green; stale rotation
-    "triangle_count_near_dup",  # r8-green; stale rotation
-    "shingle_containment_pairs",  # r8-green; stale rotation
-    "knn_label_noise",  # r8-green; stale rotation
 )
 
 

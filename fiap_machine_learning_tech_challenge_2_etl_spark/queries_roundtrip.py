@@ -804,6 +804,88 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stream_dedup_windowed_chain_roundtrip",
+    sql="""
+SELECT CAST(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+    AS window_start,
+  event_type, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+WHERE user_id % 7 = 0
+GROUP BY 1, 2
+""",
+)
+@_with_stream_shuffle
+def q_stream_dedup_windowed_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful streaming operators in ONE query
+    (streaming/incremental.py dedup_then_windowed_counts, Spark 4
+    multi-stateful support): at-least-once redelivery (every input file
+    delivered TWICE) -> watermarked dropDuplicatesWithinWatermark ->
+    tumbling hourly aggregate, one checkpoint, one watermark lineage.
+    The oracle is the batch rollup of the UNDUPLICATED feed — equality
+    proves the dedup state absorbed the redelivery BEFORE the aggregate
+    state counted it (a lost or double-counted row shifts n_events or
+    sum_cents somewhere). Run 2 delivers one far-future sentinel over
+    the same checkpoint to advance the watermark past every real window
+    so append mode flushes them; the sentinel's own window provably
+    cannot emit. The two stateful stages shuffle on different keys
+    (event_id, then window+event_type) exactly as they would at 100 TB —
+    fusing them into one query removes the intermediate sink a
+    pre-Spark-3.5 pipeline needed."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        dedup_then_windowed_counts,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    d = _scratch("stream_dedup_chain", sf_dir)
+    inp = os.path.join(d, "in")
+    outp = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+    schema = e.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(inp)
+        agg = dedup_then_windowed_counts(stream, window="1 hour", watermark="10 minutes")
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.write.mode("append").parquet(outp)
+
+        (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    # at-least-once redelivery: the same rows land twice
+    e.repartition(1).write.mode("append").parquet(inp)
+    e.repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    # sentinel 2 days past corpus end: advances the GLOBAL watermark past
+    # every real window's end so the append-mode tail flushes; its own
+    # window cannot emit (the watermark stops 10 min short of it)
+    sentinel = e.agg((F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "ts",
+        F.lit("zz").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    sentinel.repartition(1).write.mode("append").parquet(inp)
+    run_once()
+    back = read_parquet_dir(spark, outp)
+    return back.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+    )
+
+
+@_register(
     "stream_session_window_roundtrip",
     sql="""
 WITH src AS (
@@ -1684,6 +1766,54 @@ def q_manifest_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(d, "part-99999-orphan.jsonl"), "w") as f:
         f.write('{"doc_id": -1, "lang": "xx", "n_chars": -1}\n')
     back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_sink_time_travel",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id % 3 < 2
+GROUP BY lang
+""",
+)
+def q_manifest_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the manifest sink's versioned commit log
+    (sources/pysink.py): three append jobs land disjoint thirds of
+    ``documents`` as commits v1/v2/v3, then the readback PINS
+    ``version=2`` — the snapshot as of the second commit. The oracle is
+    the first two thirds computed directly from the parquet source, so
+    the value hash proves (a) version resolution returns exactly the
+    pinned commits' files, (b) the later commit is invisible at the pin,
+    and (c) an in-flight job (a staged-but-uncommitted file injected
+    before the read) can never leak into a pinned snapshot. This is the
+    snapshot-isolation contract a 100 TB table format provides: readers
+    name a version and get an immutable answer while writers keep
+    committing."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_time_travel", sf_dir)
+    for third in (0, 1, 2):  # -> commits v1, v2, v3
+        docs.filter(F.col("doc_id") % 3 == third).repartition(2).write.format(
+            "manifestsink"
+        ).option("path", d).mode("append").save()
+    # an in-flight concurrent job: staged, no manifest — invisible at any pin
+    with open(os.path.join(d, "part-77777-inflight.jsonl"), "w") as f:
+        f.write('{"doc_id": -1, "lang": "xx", "n_chars": -1}\n')
+    back = read_manifest_sink(spark, d, version=2)
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("sum_ids"),

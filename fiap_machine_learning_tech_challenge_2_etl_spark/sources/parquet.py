@@ -195,6 +195,54 @@ def _is_nanos(path: str, col: str) -> bool:
         return True
 
 
+def _list_data_files(spark: SparkSession, path: str) -> list[str]:
+    """Recursive COMMITTED-data-file listing through the Hadoop FileSystem
+    API — the same scheme-agnostic RPC surface ``_probe_layout`` and the
+    sink existence probes use, so the listing works on any Spark-supported
+    filesystem (file/hdfs/s3a/abfs), not just the driver's local mount.
+    Files under hidden directories (a stale ``_temporary/`` or
+    ``.staging/`` tree from a failed write) and hidden files are pruned —
+    uncommitted data must not leak into a metadata report. Spark Connect
+    sessions (no ``_jvm``) fall back to a local ``os.walk`` with the same
+    pruning rules."""
+    try:
+        jvm = spark._jvm
+    except AttributeError:
+        jvm = None
+    if jvm is not None:
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        try:
+            root_uri = fs.getFileStatus(jpath).getPath().toUri()
+            it = fs.listFiles(jpath, True)
+        except _Py4JError:  # missing root: caller raises "no data files"
+            return []
+        root = root_uri.getPath().rstrip("/")
+        files = []
+        while it.hasNext():
+            p = it.next().getPath()
+            if not p.getName().endswith(".parquet"):
+                continue
+            uri = p.toUri()
+            rel = uri.getPath()[len(root):].lstrip("/")
+            if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+                continue
+            scheme = uri.getScheme()
+            # plain path for local files (what pyarrow opens directly);
+            # full URI for remote schemes (pyarrow resolves via fsspec)
+            files.append(uri.getPath() if scheme in (None, "file") else p.toString())
+        return sorted(files)
+    files = []
+    for walk_root, dirs, names in os.walk(path):
+        dirs[:] = [x for x in dirs if not x.startswith(("_", "."))]
+        files.extend(
+            os.path.join(walk_root, n)
+            for n in names
+            if n.endswith(".parquet") and not n.startswith(("_", "."))
+        )
+    return sorted(files)
+
+
 def footer_stats_report(
     spark: SparkSession, path: str, column: str
 ) -> DataFrame:
@@ -218,13 +266,7 @@ def footer_stats_report(
     stats are typed per file and a report spanning mixed-schema layouts
     must not cast its way into lying; callers cast knowing their column
     type (the registry query does, under its oracle)."""
-    files = []
-    for root, _dirs, names in os.walk(path):
-        files.extend(
-            os.path.join(root, n)
-            for n in names
-            if n.endswith(".parquet") and not n.startswith(("_", "."))
-        )
+    files = _list_data_files(spark, path)
     if not files:
         raise ValueError(f"no parquet data files under {path}")
     paths = spark.createDataFrame([(p,) for p in sorted(files)], "path string")

@@ -105,6 +105,25 @@ class SynthDocsStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         s, e = start["row"], end["row"]
+        if e <= s:
+            # e == s: no new rows. e < s: the checkpoint was restarted with
+            # target_rows BELOW the committed offset — an explicit operator
+            # ROLLBACK of the source's high-water mark. Either way emit one
+            # empty partition (an explicit zero-row batch; an empty
+            # partition LIST is Spark-version dependent). Raising here
+            # instead would WEDGE the checkpoint: Spark logs the planned
+            # offset before calling partitions(), and recovery replays the
+            # logged batch with the same (start, end) — the raise repeats
+            # forever even after target_rows is restored (verified
+            # empirically). Documented consequence of a rollback: Spark
+            # commits the smaller offset, so a later catch-up re-emits the
+            # rolled-back window — duplicates in append sinks, absorbed by
+            # idempotent/keyed sinks. Exactly what Kafka's
+            # failOnDataLoss=false path does for backwards offsets, chosen
+            # here because the alternative (fail) is unrecoverable in the
+            # Python API (latestOffset cannot see the committed offset to
+            # refuse the rollback before it is logged).
+            return [_Partition(0, s, s)]
         step = max((e - s + self.n_partitions - 1) // self.n_partitions, 1)
         return [_Partition(i, i, min(i + step, e)) for i in range(s, e, step)]
 

@@ -414,6 +414,36 @@ def test_footer_stats_report_reads_footers_only(spark, tmp_path):
         footer_stats_report(spark, str(tmp_path / "empty"), "v")
 
 
+def test_footer_stats_report_prunes_hidden_trees(spark, tmp_path):
+    """Uncommitted residue — a stale _temporary/ tree from a failed write,
+    a .staging/ dir, a _hidden file — must NOT leak into the skipping
+    report: the listing (Hadoop FS API, scheme-agnostic) prunes every
+    path with a hidden segment, so the stats describe committed data
+    only."""
+    import os
+    import shutil
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import footer_stats_report
+
+    d = str(tmp_path / "data")
+    spark.range(100).select(F.col("id").alias("v")).coalesce(1).write.parquet(d)
+    committed = [n for n in os.listdir(d) if n.endswith(".parquet")]
+    # plant junk parquet under hidden trees AND as a hidden sibling file
+    for junk_dir in ("_temporary/0/task_1", ".staging"):
+        os.makedirs(os.path.join(d, junk_dir))
+        shutil.copy(
+            os.path.join(d, committed[0]),
+            os.path.join(d, junk_dir, "junk.parquet"),
+        )
+    shutil.copy(
+        os.path.join(d, committed[0]), os.path.join(d, "_orphan.parquet")
+    )
+    rep = footer_stats_report(spark, d, "v").collect()
+    assert len(rep) == 1, [r.path for r in rep]
+    assert rep[0]["n_rows"] == 100
+    assert os.path.basename(rep[0]["path"]) == committed[0]
+
+
 def test_sink_zstd_codec_roundtrip(spark, sf_dir, tmp_path):
     """compression='zstd' (the modern corpus codec: ~30% smaller than
     snappy at similar scan speed) lands .zstd.parquet files that read

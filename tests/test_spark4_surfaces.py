@@ -174,6 +174,56 @@ def test_synthdocs_stream_matches_batch_and_resumes(spark, tmp_path):
     assert sorted(map(tuple, batch.collect())) == sorted(map(tuple, both.collect()))
 
 
+def test_synthdocs_stream_restart_below_committed_offset(spark, tmp_path):
+    """Restarting a checkpoint with target_rows BELOW the committed offset
+    is an explicit ROLLBACK of the source's high-water mark. The pinned
+    semantics: the rollback batch emits ZERO rows without failing (a raise
+    would wedge the checkpoint — Spark logs the planned offset before
+    partitions() runs and replays it on every recovery, verified
+    empirically), Spark commits the smaller offset, and a later catch-up
+    re-emits the rolled-back window — duplicates in an append sink by
+    design (Kafka failOnDataLoss=false semantics), absorbed by
+    idempotent/keyed sinks."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pydatasource import (
+        SynthDocsDataSource,
+    )
+
+    spark.dataSource.register(SynthDocsDataSource)
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once(target: int) -> None:
+        s = (
+            spark.readStream.format("synthdocs")
+            .option("target_rows", target)
+            .option("n_partitions", 3)
+            .load()
+        )
+        (
+            s.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(outp)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_once(90)
+    run_once(40)  # rollback: zero-row batch, no failure, offset -> 40
+    mid = spark.read.parquet(outp)
+    assert mid.count() == 90  # the rollback batch itself emitted nothing
+    run_once(130)  # catch-up re-emits the rolled-back window 40..89
+    final = spark.read.parquet(outp)
+    assert final.count() == 180  # 90 original + 90 catch-up (40..129)
+    assert final.select("doc_id").distinct().count() == 130  # ids 0..129
+    # the re-emitted window is exactly the rollback span, each id once
+    dup_ids = (
+        final.groupBy("doc_id").count().filter(F.col("count") > 1)
+    )
+    assert dup_ids.count() == 50  # ids 40..89 seen twice, rest once
+    assert dup_ids.agg(F.min("doc_id"), F.max("doc_id")).collect()[0] == (40, 89)
+
+
 def test_manifest_sink_commit_protocol(spark, tmp_path):
     """Python DataSource WRITER: tasks stage uniquely-named files, the
     driver publishes one atomic manifest; readback through the manifest
@@ -197,10 +247,11 @@ def test_manifest_sink_commit_protocol(spark, tmp_path):
         "append"
     ).save()
 
-    man = _json.load(open(os.path.join(d, MANIFEST)))
+    man = _json.load(open(os.path.join(d, MANIFEST + ".v00000001")))
     assert man["n_rows"] == 100
     assert len(man["files"]) == 4
     assert set(man["fields"]) == {"id", "g", "v"}
+    assert man["mode"] == "append"
 
     # orphaned attempt: staged but never committed -> invisible
     with open(os.path.join(d, "part-99999-deadbeef.jsonl"), "w") as f:
@@ -245,7 +296,16 @@ def test_manifest_sink_abort_leaves_no_manifest(spark, tmp_path):
             "manifestsink"
         ).option("path", d).mode("append").save()
 
-    assert not os.path.exists(os.path.join(d, MANIFEST))
+    published = (
+        [p for p in os.listdir(d) if p.startswith(MANIFEST)]
+        if os.path.exists(d)
+        else []
+    )
+    assert published == [], f"abort published manifests: {published}"
+    # staged files of BOTH kinds are gone: sibling tasks' completed files
+    # (swept by job abort) AND the failing task's own in-progress file
+    # (removed by its mid-write cleanup before the task error propagated —
+    # it never produced a commit message, so abort() alone couldn't see it)
     staged = [p for p in os.listdir(d) if p.endswith(".jsonl")] if os.path.exists(d) else []
     assert staged == [], f"abort left staged files: {staged}"
 
@@ -357,14 +417,16 @@ def test_manifest_sink_vacuum_sweeps_only_unreferenced(spark, tmp_path):
 
 
 def test_manifest_sink_append_merges_overwrite_replaces(spark, tmp_path):
-    """Mode semantics live in the manifest: a second append write merges
-    the previous manifest (both jobs' rows visible, vacuum-safe); an
-    overwrite write publishes only its own files and vacuum then reclaims
-    the orphaned previous generation."""
+    """Mode semantics live in the commit LOG: each append publishes a
+    delta commit (both jobs' rows visible — no read-modify-write of the
+    other's manifest); an overwrite publishes a BASE commit readers
+    resolve from. The superseded generation stays TIME-TRAVELABLE until
+    its versions are expired, after which vacuum reclaims its files."""
     import os
 
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
         ManifestSinkDataSource,
+        expire_manifest_versions,
         read_manifest_sink,
         vacuum_manifest_sink,
     )
@@ -380,13 +442,161 @@ def test_manifest_sink_append_merges_overwrite_replaces(spark, tmp_path):
     assert read_manifest_sink(spark, d).count() == 50  # both appends visible
     assert vacuum_manifest_sink(d) == []  # every staged file referenced
 
-    w(100, 110, "overwrite")
+    w(100, 110, "overwrite")  # version 3: a BASE commit
     back = read_manifest_sink(spark, d)
     assert back.count() == 10
     assert back.agg(F.min("id")).collect()[0][0] == 100
+    # pre-overwrite snapshots remain readable (time travel)...
+    assert read_manifest_sink(spark, d, version=2).count() == 50
+    # ...so vacuum reclaims NOTHING until the old versions are expired
+    assert vacuum_manifest_sink(d) == []
+    expired = expire_manifest_versions(d, min_version=3)
+    assert len(expired) == 2
     removed = vacuum_manifest_sink(d)  # the 4 pre-overwrite files orphaned
     assert len(removed) == 4
     assert read_manifest_sink(spark, d).count() == 10  # still intact
+    # expiring below a delta commit is refused (would orphan its base)
+    import pytest as _pytest
+
+    w(110, 115, "append")  # version 4: delta on the v3 base
+    with _pytest.raises(ValueError):
+        expire_manifest_versions(d, min_version=4)
+
+
+def test_manifest_sink_concurrent_appends_lose_nothing(spark, tmp_path):
+    """The ADVICE race, reproduced at the protocol level: two append jobs
+    whose commits interleave (each staged before either published). With
+    a read-modify-write merge the second publication would silently drop
+    the first's files; the commit LOG instead gives each its own version
+    and readers union both — no lost update, and vacuum sees every file
+    referenced."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkWriter,
+        _StagedFile,
+        read_manifest_sink,
+        vacuum_manifest_sink,
+    )
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    schema = StructType([StructField("id", LongType())])
+    wa = ManifestSinkWriter({"path": d}, schema, overwrite=False)
+    wb = ManifestSinkWriter({"path": d}, schema, overwrite=False)
+    # both jobs stage BEFORE either commits — the interleaving that
+    # loses data under last-publish-wins
+    for name, ids in (("part-00000-aaaa.jsonl", [1, 2]), ("part-00000-bbbb.jsonl", [3])):
+        with open(os.path.join(d, name), "w") as f:
+            f.writelines(f'{{"id": {i}}}\n' for i in ids)
+    wa.commit([_StagedFile("part-00000-aaaa.jsonl", 2)])
+    wb.commit([_StagedFile("part-00000-bbbb.jsonl", 1)])
+    back = read_manifest_sink(spark, d)
+    assert sorted(r.id for r in back.collect()) == [1, 2, 3]
+    assert vacuum_manifest_sink(d) == []
+
+
+def test_manifest_sink_time_travel_pins_snapshot(spark, tmp_path):
+    """version=k resolves commits <= k only: a later commit — including
+    one still IN FLIGHT (staged files, manifest not yet published) — is
+    invisible at the pinned version, and the pinned answer never changes
+    as the log grows (snapshot isolation)."""
+    import os
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    d = str(tmp_path / "sink")
+    for lo, hi in ((0, 10), (10, 30), (30, 60)):
+        spark.range(lo, hi).coalesce(1).write.format("manifestsink").option(
+            "path", d
+        ).mode("append").save()
+    assert read_manifest_sink(spark, d, version=1).count() == 10
+    assert read_manifest_sink(spark, d, version=2).count() == 30
+    assert read_manifest_sink(spark, d).count() == 60
+    # an in-flight job: staged, not committed — invisible everywhere
+    with open(os.path.join(d, "part-00000-inflight.jsonl"), "w") as f:
+        f.write('{"id": 999}\n')
+    assert read_manifest_sink(spark, d, version=2).count() == 30
+    assert read_manifest_sink(spark, d).count() == 60
+    assert (
+        read_manifest_sink(spark, d).filter(F.col("id") == 999).count() == 0
+    )
+
+
+def test_manifest_stream_sink_rejects_complete_mode(spark, tmp_path):
+    """outputMode('complete') republishes the cumulative result every
+    batch; per-batch delta manifests would double-count every row present
+    in more than one batch — the sink refuses the mode at plan time."""
+    import pytest as _pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    d = str(tmp_path / "sink")
+    counts = (
+        spark.readStream.format("rate").option("rowsPerSecond", 10).load()
+        .groupBy("value").count()
+    )
+    with _pytest.raises(Exception, match="complete mode|append/update"):
+        (
+            counts.writeStream.format("manifestsink")
+            .option("path", d)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+
+def test_manifest_sink_midwrite_failure_cleans_own_staging(spark, tmp_path):
+    """A task that dies INSIDE write() — after its staged file exists —
+    never returns a commit message, so job abort can't sweep it; the
+    task's own except-path cleanup must. Pipelines the poison UDF into
+    the write stage (no shuffle barrier after it) so the raise happens
+    mid-iteration, then asserts no .jsonl survives. Single-partition so
+    the assertion isolates the except-path cleanup itself (a multi-task
+    job's SIBLING files are abort()-swept, but a sibling completing
+    after the sweep can land later — those are invisible-by-protocol and
+    vacuum's job, covered by the abort + vacuum tests)."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql.functions import udf
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    d = str(tmp_path / "sink")
+
+    @udf("long")
+    def boom(x):
+        if x == 17:
+            raise RuntimeError("injected mid-write failure")
+        return x
+
+    df = spark.range(40).repartition(1)  # shuffle FIRST...
+    poisoned = df.select(boom("id").alias("id"))  # ...then poison pipelines
+    with _pytest.raises(Exception):
+        poisoned.write.format("manifestsink").option("path", d).mode(
+            "append"
+        ).save()
+    leftovers = (
+        [p for p in os.listdir(d) if p.endswith(".jsonl")]
+        if os.path.exists(d)
+        else []
+    )
+    assert leftovers == [], f"mid-write failure left staging: {leftovers}"
 
 
 def test_recursive_cte_cycle_terminates_with_depth_bound(spark):

@@ -60,18 +60,58 @@ class _Partition(InputPartition):
 
 
 class SynthDocsReader(DataSourceReader):
+    """Batch reader with TWO wire formats, chosen by ``.option("arrow",
+    "true")``: the default yields row TUPLES (one Python object per cell,
+    pickled row-at-a-time to the JVM), the Arrow path yields
+    ``pyarrow.RecordBatch`` chunks (columnar, zero-copy into Spark's
+    vectorized reader). Same rows either way — the roundtrip test pins
+    bit-equality — but the Arrow path is the one a connector author
+    ships: the per-row Python->JVM conversion is the dominant cost of a
+    Python source at scale (measured delta recorded in BENCH_NOTES.md
+    round 12)."""
+
     def __init__(self, options):
         self.n_partitions = int(options.get("n_partitions", 4))
         self.rows_per_partition = int(options.get("rows_per_partition", 100))
+        self.arrow = str(options.get("arrow", "false")).lower() == "true"
+        self.arrow_batch_rows = int(options.get("arrow_batch_rows", 4096))
 
     def partitions(self):
         r = self.rows_per_partition
         return [_Partition(i, i * r, (i + 1) * r) for i in range(self.n_partitions)]
 
     def read(self, partition):
+        if self.arrow:
+            yield from _arrow_batches(
+                partition.start, partition.end, self.arrow_batch_rows
+            )
+            return
         for doc_id in range(partition.start, partition.end):
             text = _doc_text(doc_id)
             yield (doc_id, text, len(text.split()), doc_id % 16)
+
+
+def _arrow_batches(start: int, end: int, batch_rows: int):
+    """Generate the synthdocs rows as pyarrow RecordBatches: the columnar
+    build amortizes Python-object overhead across the batch, and Spark's
+    Arrow ingestion skips per-row pickling entirely. Types mirror SCHEMA
+    exactly (int64/string/int32/int32) — a mismatch would fail loudly in
+    Spark's schema check rather than coerce silently."""
+    import pyarrow as pa
+
+    for lo in range(start, end, batch_rows):
+        hi = min(lo + batch_rows, end)
+        ids = list(range(lo, hi))
+        texts = [_doc_text(i) for i in ids]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, type=pa.int64()),
+                pa.array(texts, type=pa.string()),
+                pa.array([len(t.split()) for t in texts], type=pa.int32()),
+                pa.array([i % 16 for i in ids], type=pa.int32()),
+            ],
+            names=["doc_id", "text", "n_tokens", "bucket"],
+        )
 
 
 class SynthDocsStreamReader(DataSourceStreamReader):

@@ -121,6 +121,35 @@ def test_hll_union_of_partials_equals_direct_sketch(spark):
     assert abs(merged - 1900) * 100 <= 1900
 
 
+def test_synthdocs_arrow_path_bit_equal_to_tuple_path(spark):
+    """The Arrow wire format (.option('arrow','true'): read() yields
+    pyarrow RecordBatches instead of row tuples) is a pure serialization
+    change: same options -> bit-identical rows, schema included, across
+    an arrow_batch_rows boundary (batch 4096 vs 100-row partitions and
+    a non-divisible 1000-row run)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pydatasource import (
+        SynthDocsDataSource,
+    )
+
+    spark.dataSource.register(SynthDocsDataSource)
+
+    def load(arrow: bool, rows: int, parts: int):
+        return (
+            spark.read.format("synthdocs")
+            .option("n_partitions", parts)
+            .option("rows_per_partition", rows // parts)
+            .option("arrow", str(arrow).lower())
+            .option("arrow_batch_rows", 300)  # force mid-partition batch splits
+            .load()
+        )
+
+    for rows, parts in ((400, 4), (1000, 4)):
+        t = load(False, rows, parts)
+        a = load(True, rows, parts)
+        assert a.schema == t.schema
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, t.collect()))
+
+
 def test_synthdocs_stream_matches_batch_and_resumes(spark, tmp_path):
     """The streaming half of the Python DataSource: (a) streamed rows are
     value-identical to the batch read of the same id range (one content

@@ -67,8 +67,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-12 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 5 never-attested r12 queries (TPC-H Q13/Q21/Q22, the chained
-# dedup->windowed-agg multi-stateful stream, manifest-sink time
+# the 13 never-attested r12 queries (TPC-H Q6/Q8/Q9/Q11/Q12/Q13/Q15/
+# Q16/Q20/Q21/Q22 — completing the 22-query TPC-H suite alongside the
+# existing Q1-Q5/Q7/Q10/Q14/Q17-Q19 shapes — plus the chained
+# dedup->windowed-agg multi-stateful stream and manifest-sink time
 # travel), then 3 changed-since-attestation rows (pysink rewritten as
 # a versioned commit log; footer_stats_report listing ported to the
 # Hadoop FS API; SynthDocsStreamReader offset-rollback clamp — the
@@ -84,6 +86,14 @@ _PRIORITY = (
     "tpch_q22_global_sales_opportunity",  # NEVER-attested: new r12 query leads window
     "stream_dedup_windowed_chain_roundtrip",  # NEVER-attested: new r12 query leads window
     "manifest_sink_time_travel",  # NEVER-attested: new r12 query leads window
+    "tpch_q6_forecasting_revenue",  # NEVER-attested: new r12 query leads window
+    "tpch_q8_national_market_share",  # NEVER-attested: new r12 query leads window
+    "tpch_q9_product_type_profit",  # NEVER-attested: new r12 query leads window
+    "tpch_q11_important_stock",  # NEVER-attested: new r12 query leads window
+    "tpch_q12_shipping_priority_split",  # NEVER-attested: new r12 query leads window
+    "tpch_q15_top_supplier",  # NEVER-attested: new r12 query leads window
+    "tpch_q16_supplier_relationship",  # NEVER-attested: new r12 query leads window
+    "tpch_q20_potential_part_promotion",  # NEVER-attested: new r12 query leads window
     "python_stream_source_roundtrip",  # r11-green; changed-since-attestation (r12 rewrite)
     "manifest_sink_roundtrip",  # r11-green; changed-since-attestation (r12 rewrite)
     "footer_skipping_report",  # r11-green; changed-since-attestation (r12 rewrite)
@@ -121,14 +131,6 @@ _PRIORITY = (
     "simhash_docs",  # r8-green; stale rotation
     "minhash_lsh_near_dup",  # r8-green; stale rotation
     "simhash_near_dup",  # r8-green; stale rotation
-    "embedding_near_dup",  # r8-green; stale rotation
-    "value_histogram",  # r8-green; stale rotation
-    "dedup_canonical_docs",  # r8-green; stale rotation
-    "leakage_safe_split",  # r8-green; stale rotation
-    "incremental_cross_dedup",  # r8-green; stale rotation
-    "outlier_clip_iqr",  # r8-green; stale rotation
-    "mixture_rebalance_downsample",  # r8-green; stale rotation
-    "pagerank_supply_graph",  # r8-green; stale rotation
 )
 
 

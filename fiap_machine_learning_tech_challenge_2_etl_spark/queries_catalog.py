@@ -8788,6 +8788,387 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+    AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@_register("tpch_q6_forecasting_revenue", sql=_Q6_SQL)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-aggregate —
+    no join, one pass, every predicate sargable. Identical ANSI text on
+    both engines. At 100 TB this query IS the pushdown test: all three
+    range predicates (shipdate, discount, quantity) must reach the
+    parquet scan as PushedFilters so row groups outside the year/range
+    are skipped from footer stats alone, and the single global aggregate
+    is a two-level partial/final with ~nothing crossing the exchange.
+    Revenue summed as per-row integer cents (cross-engine float
+    determinism)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+@_register(
+    "tpch_q8_national_market_share",
+    sql="""
+SELECT o_year,
+  round(sum(CASE WHEN supp_nation = 'NATION_8' THEN volume_cents ELSE 0 END)
+        / sum(volume_cents), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+             AS volume_cents,
+         n2.n_name AS supp_nation
+  FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of a part
+    type's volume inside a region's market, by year — the 8-way join
+    where nation again plays TWO roles (customer-side n1 restricted
+    through region, supplier-side n2 kept whole for the share CASE).
+    DataFrame-side the dims resolve innermost-first: region->n1 filters
+    the customer side to one region (broadcast), n2 decorates the
+    supplier side (broadcast), part's type filter broadcasts, and only
+    lineitem><orders shuffles. The share is a conditional-sum ratio over
+    integer cents, rounded to 6 places on both engines. Reference
+    parity: two-role dim joins in etl/transform_2.py."""
+    t = {
+        n: _t(spark, sf_dir, n)
+        for n in (
+            "part", "lineitem", "supplier", "orders", "customer", "nation", "region"
+        )
+    }
+    asia = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    econ = t["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(econ), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("cust_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("volume_cents"),
+            "supp_nation",
+        )
+    )
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_8", F.col("volume_cents")).otherwise(
+            F.lit(0)
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(share_num / F.sum("volume_cents"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@_register(
+    "tpch_q9_product_type_profit",
+    sql="""
+SELECT nation, o_year, CAST(sum(profit_cents) AS BIGINT) AS sum_profit_cents
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round((l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity) * 100) AS BIGINT)
+             AS profit_cents
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), adapted: the synthetic schema has
+    no partsupp, so supply cost is modeled as 0.6 x p_retailprice per
+    unit — preserving the defining shape: a profit EXPRESSION spanning
+    three tables' columns (lineitem price/discount/quantity, part
+    retailprice, via the join), aggregated by supplier nation x order
+    year with a substring part filter. Plan posture: part (name-filtered)
+    and supplier+nation broadcast; lineitem><orders is the only shuffle;
+    the profit arithmetic runs JVM-side in integer cents before the
+    partial agg. The anti-pattern at 100 TB — computing profit after a
+    full materialized join — never exists: codegen fuses expression and
+    join probe."""
+    t = {
+        n: _t(spark, sf_dir, n)
+        for n in ("part", "supplier", "lineitem", "orders", "nation")
+    }
+    gear = t["part"].filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            profit_cents.alias("profit_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("profit_cents").alias("sum_profit_cents"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_Q11_VALUE = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+_Q11_SQL = f"""
+SELECT l_partkey AS ps_partkey,
+  CAST(sum({_Q11_VALUE}) AS BIGINT) AS value_cents
+FROM lineitem, supplier, nation
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_5'
+GROUP BY l_partkey
+HAVING sum({_Q11_VALUE}) >
+  (SELECT sum({_Q11_VALUE}) * 0.001
+   FROM lineitem, supplier, nation
+   WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+     AND n_name = 'NATION_5')
+ORDER BY value_cents DESC, ps_partkey
+"""
+
+
+@_register("tpch_q11_important_stock", sql=_Q11_SQL)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: no partsupp
+    in the synthetic schema, so "stock value" is one nation's lineitem
+    revenue per part — preserving the defining shape: a grouped sum
+    filtered by HAVING against an UNCORRELATED scalar subquery computing
+    a FRACTION OF THE GLOBAL TOTAL over the same join. Identical ANSI
+    text on both engines: Catalyst evaluates the scalar subquery once
+    (its own tiny plan over the same broadcast-dim join), then filters
+    the per-part aggregate against the literal-like result — two passes
+    over the nation's lineitems, zero per-row subquery execution. At
+    100 TB both passes prune to one nation's suppliers via the broadcast
+    semi-join before touching the fact."""
+    for t in ("lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q11_SQL)
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders, lineitem
+WHERE o_orderkey = l_orderkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@_register("tpch_q12_shipping_priority_split", sql=_Q12_SQL)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted: the
+    synthetic lineitem has no shipmode or commit/receipt dates, so the
+    grouping dimension is l_returnflag and the date window runs on
+    shipdate — preserving the defining shape: a fact-fact join whose
+    aggregate is a pair of CONDITIONAL COUNTS (CASE inside sum) pivoting
+    the priority column into high/low columns. Identical ANSI text on
+    both engines. The CASE arithmetic is JVM-side, folded into the
+    map-side partial agg, so only (flag, 2 counters) x partitions cross
+    the exchange at any scale."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q12_SQL)
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    sql="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+        AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_cents = (SELECT max(total_cents) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): a derived revenue view consumed TWICE —
+    once for the per-supplier totals, once reduced to its global max —
+    joined back to recover the winning supplier(s). The naive
+    two-branch formulation scans lineitem twice (measured: Spark's
+    exchange reuse does NOT unify the branches, 6 FileScans in the final
+    adaptive plan), so the max is computed instead as a GLOBAL WINDOW
+    over the already-aggregated frame: ONE lineitem scan, one exchange
+    to aggregate per supplier, one single-partition pass over the
+    |suppliers|-sized result for the max, filter, decorate. At 100 TB
+    that trades a second fact scan (petabytes) for shuffling the
+    supplier-grained aggregate (dim-scale) — strictly better. Integer
+    cents make the max-equality deterministic including ties (plan pin:
+    exactly one lineitem FileScan)."""
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "long"
+    )
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(cents).alias("total_cents"))
+    )
+    max_cents = F.max("total_cents").over(Window.partitionBy())
+    return (
+        revenue.withColumn("max_cents", max_cents)
+        .filter(F.col("total_cents") == F.col("max_cents"))
+        .join(
+            _t(spark, sf_dir, "supplier"),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@_register("tpch_q16_supplier_relationship", sql=_Q16_SQL)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: partsupp is
+    lineitem's (partkey, suppkey) pairs and the excluded-supplier
+    predicate is a negative account balance (no comment column) —
+    preserving the defining shape: COUNT(DISTINCT) per group UNDER a
+    NOT IN subquery. The NOT IN compiles to a NULL-AWARE anti join
+    (s_suppkey is non-null here, but the operator must be the null-aware
+    variant — plain anti join has different three-valued-logic semantics
+    and would silently diverge if the subquery ever produced a NULL);
+    the distinct-count shuffles on the group keys with l_suppkey carried
+    for the final exact distinct. Identical ANSI text on both
+    engines."""
+    for t in ("lineitem", "part", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+SELECT s_name, CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(l_quantity) > (
+      SELECT 0.25 * sum(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = lineitem.l_partkey
+        AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+  AND s_nationkey = n_nationkey
+  AND n_name IN ('NATION_2', 'NATION_12', 'NATION_22')
+ORDER BY s_name
+"""
+
+
+@_register("tpch_q20_potential_part_promotion", sql=_Q20_SQL)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: availability is
+    shipped quantity (no partsupp), and a supplier qualifies when it
+    shipped MORE THAN 25% of a promoted part's year volume — preserving
+    the defining NESTED decorrelation: an IN subquery whose HAVING
+    compares a grouped aggregate against a CORRELATED scalar aggregate
+    over the same fact (correlation key = the grouping column
+    l_partkey). Catalyst rewrites inner-out: the correlated scalar
+    becomes a grouped subplan joined on partkey
+    (RewriteCorrelatedScalarSubquery), the part IN-list a semi join, the
+    outer IN another semi join to supplier — three joins, zero per-row
+    subqueries, pinned cartesian-free. Identical ANSI text on both
+    engines."""
+    for t in ("supplier", "nation", "lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q20_SQL)
+
+
 # Round-trip oracle queries for the sink/catalog/incremental surface live in
 # their own module; importing it here (after _register exists) adds its
 # entries to SPARK_QUERIES/ORACLE_SQL so every consumer of this registry

@@ -729,6 +729,68 @@ def test_tpch_q22_anti_join_and_scalar_subquery(spark, sf_dir):
     assert "Subquery" in plan or "scalar-subquery" in plan, plan
 
 
+def test_tpch_q6_all_predicates_reach_scan(spark, sf_dir):
+    """Q6 is the pushdown benchmark: all three range predicates must land
+    in the lineitem scan's PushedFilters (footer-level row-group skipping)
+    and the projection must prune to the four touched columns — a scan
+    reading more is wrong at any scale. maxMetadataStringLength is raised
+    so the assertion sees the full filter list, not its elision."""
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", None)
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        plan = _plan(SPARK_QUERIES["tpch_q6_forecasting_revenue"](spark, sf_dir))
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate,1997-01-01T00:00)",
+        "LessThan(l_shipdate,1998-01-01T00:00)",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, (pushed, plan)
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>" in plan
+    ), plan
+
+
+def test_tpch_q15_single_fact_scan(spark, sf_dir):
+    """Q15's defining trap: the revenue view consumed twice (totals +
+    global max). The naive two-branch plan scans lineitem TWICE (measured:
+    exchange reuse does not unify the branches); the shipped formulation
+    computes the max as a global window over the aggregated frame —
+    exactly ONE lineitem FileScan, with the second pass over dim-scale
+    data."""
+    plan = _plan(SPARK_QUERIES["tpch_q15_top_supplier"](spark, sf_dir))
+    import re
+
+    li_scans = re.findall(r"FileScan parquet \[[^\]]*l_suppkey", plan)
+    assert len(li_scans) == 1, plan
+
+
+def test_tpch_q16_not_in_is_null_aware_anti_join(spark, sf_dir):
+    """Q16's NOT IN must compile to the NULL-AWARE anti join (the trailing
+    'true' flag on the LeftAnti hash join) — a plain anti join has
+    different three-valued-logic semantics and silently diverges the
+    moment the subquery produces a NULL."""
+    plan = _plan(SPARK_QUERIES["tpch_q16_supplier_relationship"](spark, sf_dir))
+    import re
+
+    assert re.search(r"LeftAnti, BuildRight, true", plan), plan
+
+
+def test_tpch_q20_nested_in_decorrelates_to_semi_joins(spark, sf_dir):
+    """Q20's nested IN + correlated-scalar HAVING must fully decorrelate:
+    three semi joins (part IN-list, supplier IN, plus the rewritten
+    correlated aggregate's join), zero cartesian/nested-loop fallback."""
+    plan = _plan(SPARK_QUERIES["tpch_q20_potential_part_promotion"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_tpch_q19_single_side_implications_pushed(spark, sf_dir):
     """Q19's whole point: though the OR spans both join sides, the
     single-side implications must reach BOTH scans — the quantity range

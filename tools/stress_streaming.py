@@ -66,7 +66,7 @@ or cross-replica leakage breaks the equality.
   across the resume, and the streamed corpus must bit_xor-checksum-equal
   the batch reader at the same size.
 
-Usage: python tools/stress_streaming.py [--ops ingest,dedup,window,rollup,upsert,merge,outer_join,pysource] [base_sf_dir] [reps]
+Usage: python tools/stress_streaming.py [--ops ingest,dedup,window,rollup,upsert,merge,outer_join,pysource,dedup_chain] [base_sf_dir] [reps]
 Prints a markdown table; paste into BENCH_NOTES.md.
 """
 
@@ -87,7 +87,17 @@ SHIFT = 10**9  # replica r occupies event_id/user_id range [r*SHIFT, ...)
 LATE_OFF = 10**15  # late-wave rows get fresh ids clear of every replica range
 
 KNOWN_OPS = frozenset(
-    {"ingest", "dedup", "window", "rollup", "upsert", "merge", "outer_join", "pysource"}
+    {
+        "ingest",
+        "dedup",
+        "window",
+        "rollup",
+        "upsert",
+        "merge",
+        "outer_join",
+        "pysource",
+        "dedup_chain",
+    }
 )
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -636,6 +646,83 @@ def run_stress(
             return n
 
         run("stream_outer_interval_join(3 drains)", outer_join)
+
+    if wants("dedup_chain"):
+
+        def dedup_chain(feed, r, tag):
+            """CHAINED stateful ops (dedup -> windowed agg, one query) at
+            r-x the group keys: every file redelivered twice, one
+            checkpoint, sentinel flush. Output must equal the batch
+            rollup of the UNDUPLICATED feed cent-exactly — a duplicate
+            that leaks past the dedup state inflates some window's count;
+            a row lost at the stateful handoff deflates one."""
+            from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+                dedup_then_windowed_counts,
+            )
+
+            spark = feed.sparkSession
+            d = _scratch(f"dedupchain_{tag}")
+            inp, outp, ckpt = (os.path.join(d, s) for s in ("in", "out", "ckpt"))
+            cols = ["event_id", "ts", "event_type", "value"]
+            src = feed.select(cols)
+            # at-least-once redelivery: the same rows land twice
+            src.coalesce(4).write.mode("append").parquet(inp)
+            src.coalesce(4).write.mode("append").parquet(inp)
+            schema = spark.read.parquet(inp).schema
+
+            def run_once():
+                stream = spark.readStream.schema(schema).parquet(inp)
+                agg = dedup_then_windowed_counts(
+                    stream, window="1 hour", watermark="10 minutes"
+                )
+                (
+                    agg.writeStream.foreachBatch(
+                        lambda b, _e: b.write.mode("append").parquet(outp)
+                    )
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                    .awaitTermination()
+                )
+
+            run_once()
+            # sentinel 2 days past corpus end flushes the append-mode tail
+            sentinel = src.agg(
+                (F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts")
+            ).select(
+                F.lit(-1).cast("long").alias("event_id"),
+                "ts",
+                F.lit("zz#sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+            sentinel.coalesce(1).write.mode("append").parquet(inp)
+            run_once()
+            out = spark.read.parquet(outp)
+            # batch twin of the chain over the UNDUPLICATED feed
+            twin = (
+                src.groupBy(
+                    F.window("ts", "1 hour").getField("start").alias("window_start"),
+                    "event_type",
+                )
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.sum("value").alias("sum_value"),
+                )
+            )
+            key = [
+                "window_start",
+                "event_type",
+                "n_events",
+                F.round(F.col("sum_value") * 100).cast("long").alias("sum_cents"),
+            ]
+            got, want = out.select(*key), twin.select(*key)
+            n_got, n_want = got.count(), want.count()
+            n_match = got.join(want, got.columns).count()
+            assert n_got == n_want == n_match, (tag, n_got, n_want, n_match)
+            return n_got
+
+        run("dedup_windowed_chain(2 drains)", dedup_chain)
 
     if wants("pysource"):
 

@@ -55,6 +55,10 @@ SCAN_ALLOWLIST: dict[str, tuple[int, str]] = {
     "set_ops": (7, "six set-operation operands"),
     "set_ops_all": (7, "set-operation operands"),
     "association_rules_lift": (7, "item/pair/total supports off one basket frame"),
+    "tpch_q8_national_market_share": (
+        8,
+        "8-way join: 7 sources + nation in two roles; each scanned once",
+    ),
 }
 
 # Queries whose builder collects and returns a local frame (plan =

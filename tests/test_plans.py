@@ -740,8 +740,10 @@ def test_tpch_q6_all_predicates_reach_scan(spark, sf_dir):
         spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
         plan = _plan(SPARK_QUERIES["tpch_q6_forecasting_revenue"](spark, sf_dir))
     finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+        # restore even when the conf was previously unset (engine default
+        # 100) — leaking 2000 into the shared session fixture would make
+        # every later plan assertion run against untruncated metadata
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev or "100")
     for pushed in (
         "GreaterThanOrEqual(l_shipdate,1997-01-01T00:00)",
         "LessThan(l_shipdate,1998-01-01T00:00)",

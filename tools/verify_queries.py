@@ -5,6 +5,12 @@ DuckDB on the same parquet, then compares row count, column-name set, and an
 order-insensitive multiset of canonicalized row values. Usage:
 
     python tools/verify_queries.py [sf_dir] [query ...]
+    python tools/verify_queries.py --vanilla [sf_dir] [query ...]
+        # TRULY VANILLA SparkSession (no engine confs at all) — proves an
+        # attestation does not depend on session configuration the engine
+        # sets, exactly the driver's execution environment
+    python tools/verify_queries.py --window [sf_dir]
+        # run exactly the 50-query _PRIORITY attestation window
 """
 
 from __future__ import annotations
@@ -47,13 +53,25 @@ def row_multiset(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    vanilla = "--vanilla" in argv
+    window = "--window" in argv
+    argv = [a for a in argv if a not in ("--vanilla", "--window")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as ent
-    from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
 
-    spark = get_session("verify-queries")
+    if window:
+        only |= set(ent._PRIORITY)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
+
+        spark = get_session("verify-queries")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")

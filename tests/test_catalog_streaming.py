@@ -1307,6 +1307,84 @@ def test_state_store_reader_validates_against_batch(spark, tmp_path):
     assert {f.name for f in raw.schema.fields} == {"key", "value", "partition_id"}
 
 
+def test_state_reader_addresses_both_chained_operators(spark, tmp_path):
+    """A CHAINED multi-stateful query (dedup -> windowed agg, one
+    checkpoint) holds TWO state stores; the offline reader must address
+    each by operator_id and return deterministic contents: after one
+    availableNow drain (watermark still at epoch during the batch), the
+    dedup store holds every distinct event key and the agg store holds
+    every (window, event_type) group — both asserted against the batch
+    computation of the same feed. This is the observability contract
+    multi-stateful queries need at 100 TB: per-operator state audits
+    without a stream replay."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        dedup_then_windowed_counts,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.state_reader import (
+        read_state_metadata,
+        read_state_store,
+    )
+
+    inp, outp, ckpt = (str(tmp_path / s) for s in ("in", "out", "ckpt"))
+    rows = [
+        # hour = i%4; type alternates by i//4 so EVERY hour carries both
+        (i, f"2024-01-01 0{i % 4}:10:00", "click" if (i // 4) % 2 else "view", float(i))
+        for i in range(20)
+    ]
+    feed = spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, event_type STRING, value DOUBLE"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        # redelivered twice: the dedup operator has real work to do
+        feed.coalesce(1).write.mode("append").parquet(inp)
+        feed.coalesce(1).write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(feed.schema).parquet(inp)
+        agg = dedup_then_windowed_counts(stream, window="1 hour", watermark="10 minutes")
+        (
+            agg.writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(outp)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    meta = read_state_metadata(spark, ckpt)
+    ops = {
+        r["operatorId"]: r["operatorName"] for r in meta.collect()
+    }
+    assert len(ops) == 2, ops  # two stateful operators, one checkpoint
+    names = set(ops.values())
+    assert any("dedupe" in n.lower() for n in names), names
+    assert any("aggregate" in n.lower() or "statestore" in n.lower() for n in names), names
+
+    dedup_op = next(k for k, v in ops.items() if "dedupe" in v.lower())
+    agg_op = next(k for k, v in ops.items() if k != dedup_op)
+    # BOTH stores are already watermark-BOUNDED — the whole point of the
+    # chain. After the drain the watermark stands at max(ts)-10min =
+    # 03:00, so: the dedup store evicted every key whose
+    # expiresAt(=ts+10min) fell behind it and holds only the 03:10 keys
+    # (i%4==3 -> 5 of 20)...
+    dedup_state = read_state_store(spark, ckpt, operator_id=dedup_op, flatten=False)
+    assert dedup_state.count() == 5
+    # ...and the agg store emitted-and-dropped every closed window,
+    # holding only the unclosed 03:00 hour (x 2 event types)
+    agg_state = read_state_store(spark, ckpt, operator_id=agg_op, flatten=False)
+    assert agg_state.count() == 2
+    # emitted output + retained state together cover all 8 (hour, type)
+    # groups exactly once — nothing lost, nothing duplicated at the
+    # stateful-stateful handoff
+    emitted = spark.read.parquet(outp)
+    assert emitted.count() == 6
+    assert emitted.select("window_start", "event_type").distinct().count() == 6
+
+
 def test_state_metadata_and_size_report(spark, tmp_path):
     """state-metadata reads the topology without touching state files;
     state_size_report's per-partition key counts sum to the distinct-key

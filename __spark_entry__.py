@@ -84,8 +84,6 @@ _PRIORITY = (
     "tpch_q13_customer_distribution",  # NEVER-attested: new r12 query leads window
     "tpch_q21_suppliers_kept_waiting",  # NEVER-attested: new r12 query leads window
     "tpch_q22_global_sales_opportunity",  # NEVER-attested: new r12 query leads window
-    "stream_dedup_windowed_chain_roundtrip",  # NEVER-attested: new r12 query leads window
-    "manifest_sink_time_travel",  # NEVER-attested: new r12 query leads window
     "tpch_q6_forecasting_revenue",  # NEVER-attested: new r12 query leads window
     "tpch_q8_national_market_share",  # NEVER-attested: new r12 query leads window
     "tpch_q9_product_type_profit",  # NEVER-attested: new r12 query leads window
@@ -94,6 +92,8 @@ _PRIORITY = (
     "tpch_q15_top_supplier",  # NEVER-attested: new r12 query leads window
     "tpch_q16_supplier_relationship",  # NEVER-attested: new r12 query leads window
     "tpch_q20_potential_part_promotion",  # NEVER-attested: new r12 query leads window
+    "stream_dedup_windowed_chain_roundtrip",  # NEVER-attested: new r12 query leads window
+    "manifest_sink_time_travel",  # NEVER-attested: new r12 query leads window
     "python_stream_source_roundtrip",  # r11-green; changed-since-attestation (r12 rewrite)
     "manifest_sink_roundtrip",  # r11-green; changed-since-attestation (r12 rewrite)
     "footer_skipping_report",  # r11-green; changed-since-attestation (r12 rewrite)

@@ -134,9 +134,20 @@ def body_deps(fn) -> list[tuple[str, str, str | None]]:
             obj = getattr(importlib.import_module(mod_path), name)
         except AttributeError:
             obj = None
-        if inspect.isfunction(obj) or inspect.isclass(obj):
+        if inspect.isfunction(obj):
             rel = os.path.relpath(inspect.getsourcefile(obj), REPO)
             deps.append((label, rel, obj.__name__))
+        elif inspect.isclass(obj):
+            # CLASS deps track the WHOLE FILE, not the class block:
+            # extract_block only matches top-level defs (a class name
+            # hashed to None on both sides, i.e. silently untracked —
+            # the r12 blind spot where SynthDocsStreamReader changed but
+            # the query importing SynthDocsDataSource stayed "attested"),
+            # and classes routinely delegate to module siblings the block
+            # wouldn't cover. Whole-file is conservatively noisy, never
+            # silently stale.
+            rel = os.path.relpath(inspect.getsourcefile(obj), REPO)
+            deps.append((label, rel, None))
         else:
             # submodule import (or constant): track the module file text
             try:

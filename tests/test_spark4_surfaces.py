@@ -558,6 +558,27 @@ def test_manifest_sink_time_travel_pins_snapshot(spark, tmp_path):
     )
 
 
+def test_manifest_log_depth_invariants(tmp_path):
+    """The commit-log depth cycle as a permanent gate (the 500-commit
+    leg lives in tools/stress_manifest_log.py): 120 commits, pinned
+    resolves exact at every probe, mid-log overwrite restarts resolution
+    at the base while pre-base pins stay readable, expire+vacuum reclaim
+    exactly the orphaned generation. Pure driver protocol — no Spark
+    session needed."""
+    import sys
+
+    sys.path.insert(0, _REPO_TOOLS)
+    from stress_manifest_log import run_depth
+
+    r = run_depth(str(tmp_path), 120)
+    assert r["n"] == 120
+
+
+import os as _os
+
+_REPO_TOOLS = _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "tools")
+
+
 def test_manifest_stream_sink_rejects_complete_mode(spark, tmp_path):
     """outputMode('complete') republishes the cumulative result every
     batch; per-batch delta manifests would double-count every row present

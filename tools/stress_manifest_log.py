@@ -44,11 +44,11 @@ from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (  #
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    d = os.path.join(_REPO, "_scratch", "stress_manifest_log")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
+def run_depth(d: str, n: int) -> dict:
+    """Drive n commits + the full pin/overwrite/expire/vacuum cycle in
+    directory ``d`` (must exist, empty); every invariant is asserted
+    in-line. Returns timing fields. Importable — wrapped as a pytest
+    gate (test_manifest_log_depth_invariants) at a smaller n."""
     schema = StructType([StructField("id", LongType())])
 
     t0 = time.time()
@@ -86,11 +86,20 @@ def main() -> None:
     assert len(removed) == n
     assert len(resolve_manifest_files(d)) == 1  # the base snapshot survives
 
+    return {"n": n, "t_commit": t_commit, "t_resolve": t_resolve}
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    d = os.path.join(_REPO, "_scratch", "stress_manifest_log")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    r = run_depth(d, n)
     print(
         "| manifest_log depth %d | %.3f s total commit (%.2f ms/commit, "
         "O(versions) listing) | %.2f ms/pinned resolve | overwrite+expire+"
         "vacuum exact |"
-        % (n, t_commit, 1000 * t_commit / n, 1000 * t_resolve)
+        % (n, r["t_commit"], 1000 * r["t_commit"] / n, 1000 * r["t_resolve"])
     )
 
 

@@ -386,6 +386,9 @@ def test_manifest_stream_sink_per_batch_manifests(spark, tmp_path):
     back = read_manifest_sink(spark, d)
     assert back.count() == 200
     assert back.select("doc_id").distinct().count() == 200
+    # time travel over the STREAM namespace: batchId doubles as the
+    # commit version, so version=0 pins the first micro-batch's snapshot
+    assert read_manifest_sink(spark, d, version=0).count() == 120
 
 
 def test_parameterized_sql_named_args(spark, sf_dir):

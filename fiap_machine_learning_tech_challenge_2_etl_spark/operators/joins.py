@@ -264,6 +264,69 @@ def salted_agg(
     return partial.groupBy(*keys).agg(*phase2)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Salted equi-join for a shuffle join whose LEFT side is skewed on
+    the key: hot keys funnel whole populations into single reducer
+    tasks, and the straggler IS the job's wall clock at 100 TB. Salting
+    splits every left key into ``salt_buckets`` sub-keys and REPLICATES
+    each right row across all buckets, so the join shuffles on
+    ``(key, salt)`` and a hot key's rows land on ``salt_buckets``
+    reducers instead of one.
+
+    Semantics-preserving for ``inner`` and ``left`` joins: each left row
+    carries exactly ONE salt and the right side holds every salt copy,
+    so each (left, right) match pairs exactly once. ``right``/``full``
+    outer are REFUSED — an unmatched right row would surface once per
+    salt copy (validated, not documented away).
+
+    When to reach for this instead of AQE's skew-join split
+    (``spark.sql.adaptive.skewJoin``, on by default in get_session —
+    pinned by test_aqe_skew_join_splits_hot_partition): AQE splits a
+    skewed SHUFFLE PARTITION after seeing map output sizes, which fixes
+    most batch skew for free; explicit salting is the tool when AQE
+    cannot act — stream-static joins (no AQE inside streaming queries),
+    a skewed key that also dominates a downstream same-key aggregate
+    (the salt carries through), or engines/configs without runtime
+    replan. Cost model, stated plainly: right side is materialized
+    ``salt_buckets`` x into the exchange — size the bucket count so
+    |right| x buckets stays exchange-friendly (it spreads across
+    reducers, unlike a broadcast's per-executor full copy).
+
+    ``salt_source``: left column whose hash assigns the salt (pick a
+    high-cardinality column, e.g. an id). Default: a deterministic hash
+    over ALL left columns — duplicate rows share a salt (slightly less
+    spread), but results are reproducible across retries, which
+    ``monotonically_increasing_id`` would not be. NEVER the join key:
+    hash(key) gives every row of a hot key the SAME salt, i.e. no
+    spread at all."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: an "
+            "unmatched right row would be emitted once per salt copy under "
+            "right/full outer"
+        )
+    for side, df in (("left", left), ("right", right)):
+        if "__salt" in df.columns:
+            raise ValueError(f"{side} input must not contain reserved column '__salt'")
+    src = (
+        F.hash(F.col(salt_source))
+        if salt_source
+        else F.hash(*[F.col(c) for c in left.columns])
+    )
+    l_salted = left.withColumn("__salt", F.pmod(src, F.lit(salt_buckets)))
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return l_salted.join(r_replicated, on=[on, "__salt"], how=how).drop("__salt")
+
+
 def top_k(df: DataFrame, order_by: Sequence, k: int) -> DataFrame:
     """Global top-k: orderBy + limit. Spark plans TakeOrderedAndProject —
     each task keeps a k-row heap, the driver merges k*tasks rows; no global

@@ -1576,6 +1576,68 @@ def q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "skew_salted_join",
+    sql="""
+WITH fact AS (
+  SELECT CASE WHEN user_id % 10 < 9 THEN -1 ELSE user_id END AS hot_key,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events
+), dim AS (
+  SELECT DISTINCT
+    CASE WHEN user_id % 10 < 9 THEN -1 ELSE user_id END AS hot_key,
+    CASE WHEN user_id % 10 < 9 THEN 'hot' ELSE 'cold' END AS tier
+  FROM events
+)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(value_cents) AS BIGINT) AS sum_cents
+FROM fact JOIN dim USING (hot_key)
+GROUP BY tier
+ORDER BY tier
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/joins.py salted_join) over an
+    engineered 90%-hot key: ~90% of events collapse onto hot_key=-1, the
+    single-reducer straggler shape. The salt splits the hot key across
+    16 sub-keys (left hashes to ONE salt, dim rows replicate across all
+    16), the join shuffles on (key, salt), and the oracle is the PLAIN
+    join — salting must be invisible in the result, which is the whole
+    contract (the value hash catches a dropped or double-paired row
+    immediately). AQE's skew-join split is the first-line fix for batch
+    skew (pinned separately by test_aqe_skew_join_splits_hot_partition);
+    the explicit operator is for the cases AQE can't touch —
+    stream-static joins and salt-carrying downstream aggregates."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.joins import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") % 10 < 9, F.lit(-1).cast("long")).otherwise(
+        F.col("user_id")
+    )
+    fact = ev.select(
+        hot.alias("hot_key"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    dim = (
+        ev.select(
+            hot.alias("hot_key"),
+            F.when(F.col("user_id") % 10 < 9, F.lit("hot"))
+            .otherwise(F.lit("cold"))
+            .alias("tier"),
+        )
+        .distinct()
+    )
+    return (
+        salted_join(fact, dim, on="hot_key", salt_buckets=16)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value_cents").alias("sum_cents"),
+        )
+        .orderBy("tier")
+    )
+
+
 def _corpus_clean_sql() -> str:
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import STOPWORDS
 

@@ -90,6 +90,57 @@ def test_salted_agg_matches_plain_groupby(spark, sf_dir):
     assert plain == salted
 
 
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be INVISIBLE in the result: inner and left joins
+    over a 90%-hot key equal the plain join row-for-row (including left
+    rows with no dim match under how='left'), and the salt genuinely
+    spreads — the hot key's left rows occupy more than one salt bucket."""
+    left = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(-1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    # dim misses some cold keys -> exercises unmatched-left under 'left'
+    right = spark.range(0, 1000, 2).select(
+        F.when(F.col("id") % 10 < 9, F.lit(-1)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") * 10).alias("attr"),
+    ).distinct()
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, left.join(right, on="k", how=how).collect())
+        )
+        salted = sorted(
+            map(tuple, J.salted_join(left, right, on="k", how=how, salt_buckets=8).collect())
+        )
+        assert plain == salted, how
+    # spread: the hot key's rows land in >1 salt bucket
+    n_salts = (
+        left.withColumn(
+            "__s", F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(8))
+        )
+        .filter(F.col("k") == -1)
+        .select("__s")
+        .distinct()
+        .count()
+    )
+    assert n_salts > 1
+
+
+def test_salted_join_validates_modes_and_reserved(spark):
+    """right/full outer are refused (an unmatched right row would emit
+    once per salt copy); reserved __salt column on either side raises."""
+    import pytest
+
+    l = spark.createDataFrame([(1, 2)], "k long, v long")
+    r = spark.createDataFrame([(1, 3)], "k long, a long")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            J.salted_join(l, r, on="k", how=how)
+    with pytest.raises(ValueError, match="__salt"):
+        J.salted_join(l.withColumn("__salt", F.lit(0)), r, on="k")
+    with pytest.raises(ValueError, match="__salt"):
+        J.salted_join(l, r.withColumn("__salt", F.lit(0)), on="k")
+
+
 def test_tumbling_and_session_aggs(spark):
     rows = [
         (1, "2024-01-01 00:01:00"),

@@ -807,6 +807,65 @@ def test_tpch_q19_single_side_implications_pushed(spark, sf_dir):
     assert "EqualTo(p_brand,Brand#9)" in p_scan, p_scan
 
 
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE skew-join (on by default in get_session): a shuffle join whose
+    left side is 90%-one-key produces one enormous shuffle partition;
+    OptimizeSkewedJoin must SPLIT it at runtime — the executed join node
+    carries the skew=true marker. At 100 TB the default thresholds
+    (256 MB / 5x median) engage on real skew; at bench SF they are
+    lowered to observe the same re-plan.
+
+    Two structural preconditions, found empirically and worth knowing at
+    100 TB — either one silently disables the split:
+    - the skewed exchange needs MULTIPLE MAPPERS (the split unit is one
+      mapper's output range for the hot reduce partition; a single-file
+      scan = one map task = nothing to split — hence repartition(16));
+    - the downstream aggregate must NOT group on the join key (the rule
+      refuses to break output partitioning a same-key consumer would
+      reuse — grouping on the dim attribute keeps it eligible).
+    operators/joins.py salted_join covers the cases AQE cannot touch
+    (stream-static joins, salt-carrying downstream aggregates)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.parquet import load_testdata
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "2KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ev = load_testdata(spark, sf_dir, ["events"])["events"].repartition(16)
+        hot = F.when(F.col("user_id") % 10 < 9, F.lit(-1).cast("long")).otherwise(
+            F.col("user_id")
+        )
+        fact = ev.select(hot.alias("k"), "value")
+        dim = (
+            ev.select(hot.alias("k"))
+            .distinct()
+            .withColumn("attr", F.col("k") * 2)
+            .localCheckpoint()
+        )
+        j = (
+            fact.join(dim, on="k")
+            .groupBy("attr")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        )
+        j.collect()  # AQE re-plans at runtime — inspect the FINAL plan
+        plan = _plan(j)
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     """Runtime bloom-filter join pruning (InjectRuntimeFilter): on a
     shuffle join with a selective creation side, Spark builds a bloom

@@ -67,11 +67,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-12 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 13 never-attested r12 queries (TPC-H Q6/Q8/Q9/Q11/Q12/Q13/Q15/
+# the 14 never-attested r12 queries (TPC-H Q6/Q8/Q9/Q11/Q12/Q13/Q15/
 # Q16/Q20/Q21/Q22 — completing the 22-query TPC-H suite alongside the
 # existing Q1-Q5/Q7/Q10/Q14/Q17-Q19 shapes — plus the chained
-# dedup->windowed-agg multi-stateful stream and manifest-sink time
-# travel), then 3 changed-since-attestation rows (pysink rewritten as
+# dedup->windowed-agg multi-stateful stream, manifest-sink time
+# travel, and the salted skew join), then 3 changed-since-attestation
+# rows (pysink rewritten as
 # a versioned commit log; footer_stats_report listing ported to the
 # Hadoop FS API; SynthDocsStreamReader offset-rollback clamp — the
 # last added manually: provenance tracks SynthDocsDataSource, whose
@@ -81,6 +82,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest_green >= max_round - (ceil(N/50)+1), derived from the live
 # registry size).
 _PRIORITY = (
+    "skew_salted_join",  # NEVER-attested: new r12 query leads window
     "tpch_q13_customer_distribution",  # NEVER-attested: new r12 query leads window
     "tpch_q21_suppliers_kept_waiting",  # NEVER-attested: new r12 query leads window
     "tpch_q22_global_sales_opportunity",  # NEVER-attested: new r12 query leads window
@@ -130,7 +132,6 @@ _PRIORITY = (
     "rolling_stats",  # r8-green; stale rotation
     "simhash_docs",  # r8-green; stale rotation
     "minhash_lsh_near_dup",  # r8-green; stale rotation
-    "simhash_near_dup",  # r8-green; stale rotation
 )
 
 

@@ -129,6 +129,7 @@ def test_streaming_ops_replica_invariants_10x(spark):
         "versioned_upsert(batching-independence)",
         "stream_outer_interval_join(3 drains)",
         "python_stream_source(ckpt resume)",
+        "dedup_windowed_chain(2 drains)",
     }
     for r in rows:
         assert r["rows_scaled"] == 10 * r["rows_base"], r

@@ -125,6 +125,38 @@ def test_salted_join_matches_plain_join(spark):
     assert n_salts > 1
 
 
+def test_salted_join_works_stream_static(spark, tmp_path):
+    """The docstring's headline use case, attested: AQE cannot re-plan
+    inside a streaming query, so a skewed STREAM-STATIC join gets no
+    runtime skew split — salted_join is the fix that works there. The
+    salt expression is deterministic (F.hash over left columns, never
+    monotonically_increasing_id), so it is legal in a streaming plan;
+    output must equal the batch plain join of the same data."""
+    import os
+
+    rows = [(-1 if i % 10 < 9 else i, float(i)) for i in range(500)]
+    batch = spark.createDataFrame(rows, "k long, v double")
+    dim = spark.createDataFrame(
+        [(-1, "hot"), (33, "cold")], "k long, tier string"
+    )
+    inp, outp, ckpt = (str(tmp_path / s) for s in ("in", "out", "ckpt"))
+    batch.coalesce(2).write.parquet(inp)
+    stream = spark.readStream.schema(batch.schema).parquet(inp)
+    joined = J.salted_join(stream, dim, on="k", salt_buckets=8)
+    (
+        joined.writeStream.foreachBatch(
+            lambda b, _e: b.write.mode("append").parquet(outp)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = sorted(map(tuple, spark.read.parquet(outp).collect()))
+    want = sorted(map(tuple, batch.join(dim, on="k").collect()))
+    assert got == want
+
+
 def test_salted_join_validates_modes_and_reserved(spark):
     """right/full outer are refused (an unmatched right row would emit
     once per salt copy); reserved __salt column on either side raises."""

@@ -67,9 +67,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-12 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 14 never-attested r12 queries (TPC-H Q6/Q8/Q9/Q11/Q12/Q13/Q15/
+# the 15 never-attested r12 queries (TPC-H Q1/Q6/Q8/Q9/Q11/Q12/Q13/Q15/
 # Q16/Q20/Q21/Q22 — completing the 22-query TPC-H suite alongside the
-# existing Q1-Q5/Q7/Q10/Q14/Q17-Q19 shapes — plus the chained
+# existing Q2-Q5/Q7/Q10/Q14/Q17-Q19 shapes — plus the chained
 # dedup->windowed-agg multi-stateful stream, manifest-sink time
 # travel, and the salted skew join), then 3 changed-since-attestation
 # rows (pysink rewritten as
@@ -86,6 +86,7 @@ _PRIORITY = (
     "tpch_q13_customer_distribution",  # NEVER-attested: new r12 query leads window
     "tpch_q21_suppliers_kept_waiting",  # NEVER-attested: new r12 query leads window
     "tpch_q22_global_sales_opportunity",  # NEVER-attested: new r12 query leads window
+    "tpch_q1_pricing_summary",  # NEVER-attested: new r12 query leads window
     "tpch_q6_forecasting_revenue",  # NEVER-attested: new r12 query leads window
     "tpch_q8_national_market_share",  # NEVER-attested: new r12 query leads window
     "tpch_q9_product_type_profit",  # NEVER-attested: new r12 query leads window
@@ -131,7 +132,6 @@ _PRIORITY = (
     "compaction_roundtrip",  # r7-green; stale rotation
     "rolling_stats",  # r8-green; stale rotation
     "simhash_docs",  # r8-green; stale rotation
-    "minhash_lsh_near_dup",  # r8-green; stale rotation
 )
 
 

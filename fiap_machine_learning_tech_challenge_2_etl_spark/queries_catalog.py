@@ -8850,6 +8850,42 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q22_SQL)
 
 
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+      AS sum_qty_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS sum_base_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+      AS BIGINT) AS sum_disc_cents,
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+      AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@_register("tpch_q1_pricing_summary", sql=_Q1_SQL)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) as a first-class named row —
+    the canonical wide scan-aggregate: one lineitem pass, ~6 output
+    groups, four money expressions folded into the map-side partial agg
+    so only (flag, status, 5 accumulators) x partitions cross the
+    exchange at any scale. Every money sum is per-row integer cents
+    BEFORE aggregation (cross-engine float determinism; the spec's avg
+    columns are derivable as sum/count and add no coverage, so the row
+    keeps the exact-integer surface). Identical ANSI text on both
+    engines; the shipdate cutoff pushes to the scan footer. The grouped
+    hash-agg SHAPE was attested since r01 (grouped agg family,
+    queries_catalog.py:377) — this row makes the suite's Q1 claim
+    explicit and value-hash-attested under its own name."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_Q1_SQL)
+
+
 _Q6_SQL = """
 SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
     AS BIGINT) AS revenue_cents

@@ -322,7 +322,12 @@ def expire_manifest_versions(path: str, min_version: int) -> list[str]:
     expire past the newest BASE commit at or below ``min_version``'s
     snapshot — expiring a base a surviving delta still builds on would
     corrupt every later snapshot, so the floor is validated, not
-    trusted. Returns the removed manifest names."""
+    trusted. Consequence, stated plainly: a STREAM directory (per-batch
+    delta manifests, no base commits ever) can never be expired — there
+    retention would DELETE rows from the current snapshot, not clean up
+    superseded history, which is a different, deliberately-destructive
+    operation (a TTL sweep) this function refuses to impersonate.
+    Returns the removed manifest names."""
     commits = _list_commits(path)
     keep = [c for c in commits if c[0] >= min_version]
     if not keep:

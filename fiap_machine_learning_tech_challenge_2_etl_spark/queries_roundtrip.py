@@ -1822,6 +1822,169 @@ def q_manifest_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "manifest_sink_parquet_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_manifest_sink_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMNAR staging through the manifest commit log
+    (sources/pysink.py ``option("format", "parquet")``): tasks stage
+    Arrow-written parquet files — chunked RecordBatch writes, schema
+    derived from the writer's Spark schema — and the SAME two-phase
+    protocol publishes the pointer. The readback resolves through the
+    log and reads parquet with the schema PINNED from the manifests
+    (never inferred); an injected orphan ``.parquet`` (speculative
+    residue) is invisible. This is the at-scale shape: at 100 TB the
+    protocol carries columnar files, and the value hash proves format is
+    orthogonal to the commit semantics."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_sink_parquet", sf_dir)
+    docs.repartition(4).write.format("manifestsink").option("path", d).option(
+        "format", "parquet"
+    ).mode("append").save()
+    # orphaned speculative attempt, parquet flavor: staged, never committed
+    src = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(d, src), os.path.join(d, "part-99999-orphan.parquet"))
+    back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_checkpoint_resolve_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_manifest_checkpoint_resolve_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECKPOINT-accelerated log resolution (sources/pysink.py
+    ``_CHECKPOINT.v*`` + the ``_LAST_CHECKPOINT`` hint — Delta's
+    last-checkpoint design re-expressed): three append jobs land
+    disjoint thirds of ``documents`` with ``checkpointInterval=2``, so
+    commit v2 also publishes a rollup of the resolved state. The
+    readback therefore resolves through checkpoint-v2 + the v3 delta —
+    one tiny rollup read plus a dense forward probe, NO directory
+    listing and no O(history) manifest opens — and the value hash proves
+    the fast path returns exactly the full-log answer. This is what
+    keeps a 100 TB table's metadata path flat at tens of thousands of
+    commits."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_ckpt_resolve", sf_dir)
+    for third in (0, 1, 2):  # -> commits v1, v2 (+checkpoint), v3
+        docs.filter(F.col("doc_id") % 3 == third).repartition(2).write.format(
+            "manifestsink"
+        ).option("path", d).option("checkpointInterval", "2").mode("append").save()
+    back = read_manifest_sink(spark, d)  # ckpt@2 + delta v3, hint-guided
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "stream_manifest_compaction_roundtrip",
+    sql="""
+SELECT CAST(i % 16 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(i) AS BIGINT) AS sum_ids,
+  CAST(sum(8 + (CAST(concat('0x', substring(md5(CAST(i AS VARCHAR)), 1, 2))
+                     AS INT) % 25)) AS BIGINT) AS sum_tokens
+FROM range(0, 1200) t(i)
+GROUP BY 1
+""",
+)
+@_with_stream_shuffle
+def q_stream_manifest_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-LOG COMPACTION -> RETENTION end to end (sources/pysink.py
+    compact_stream_manifests): the synthdocs Python stream source feeds
+    the manifest stream sink in three availableNow runs on one
+    checkpoint (batches 0/1/2 of 400 rows each, exactly-once per-batch
+    manifests), then batches <= 1 are compacted into ONE BASE manifest —
+    metadata only, no data file touched — after which
+    ``expire_manifest_versions`` (illegal on a raw all-delta stream log)
+    and ``vacuum_manifest_sink`` run legally below the base. The
+    readback resolves base+delta and the value hash proves compaction,
+    expiry, and vacuum changed NOTHING about the visible rows: the
+    oracle replays the generator's closed form over range(0,1200). This
+    is how streamed history becomes expirable at 100 TB without a
+    TTL-sweep footgun."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pydatasource import (
+        SynthDocsDataSource,
+    )
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        compact_stream_manifests,
+        expire_manifest_versions,
+        read_manifest_sink,
+        vacuum_manifest_sink,
+    )
+
+    spark.dataSource.register(SynthDocsDataSource)
+    spark.dataSource.register(ManifestSinkDataSource)
+    d = _scratch("stream_manifest_compaction", sf_dir)
+    out, ckpt = os.path.join(d, "out"), os.path.join(d, "ckpt")
+
+    def run_once(target_rows: int) -> None:
+        s = (
+            spark.readStream.format("synthdocs")
+            .option("target_rows", target_rows)
+            .option("n_partitions", 3)
+            .load()
+        )
+        (
+            s.writeStream.format("manifestsink")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    for target in (400, 800, 1200):  # -> batches 0, 1, 2
+        run_once(target)
+    compact_stream_manifests(out, upto_batch=1)
+    expire_manifest_versions(out, min_version=1)  # legal now: floor is a base
+    vacuum_manifest_sink(out, grace_seconds=0)  # all survivors referenced
+    back = read_manifest_sink(spark, out)  # base(0..1) + delta batch 2
+    return back.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+    )
+
+
+@_register(
     "footer_skipping_report",
     sql="""
 SELECT CAST(doc_id % 4 AS BIGINT) AS bucket,

@@ -592,11 +592,17 @@ def dedup_then_windowed_counts(
     the single-query chain shares one watermark lineage — the dedup
     consumes event-time ``ts``, the window aggregates the SAME column,
     and the engine tracks the watermark across both stateful operators.
-    Works on batch DataFrames too (watermark no-op, dedup becomes
-    dropDuplicates semantics within the batch)."""
-    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        list(keys)
-    )
+
+    Batch inputs take an explicit branch: ``dropDuplicatesWithinWatermark``
+    is streaming-only (it raises AnalysisException on a batch Dataset),
+    so a non-streaming DataFrame gets plain ``dropDuplicates`` — the
+    batch-semantics twin (whole-input dedup; no watermark to bound)."""
+    if events.isStreaming:
+        deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    else:
+        deduped = events.dropDuplicates(list(keys))
     return (
         deduped.groupBy(F.window("ts", window).alias("win"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))

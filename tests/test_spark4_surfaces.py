@@ -440,12 +440,16 @@ def test_manifest_sink_vacuum_sweeps_only_unreferenced(spark, tmp_path):
             f.write('{"id": -1}\n')
 
     before = read_manifest_sink(spark, d).agg(F.sum("id")).collect()[0][0]
-    removed = vacuum_manifest_sink(d)
+    # default grace period: the just-written orphans are indistinguishable
+    # from a CONCURRENT job's staged-not-yet-committed files, so vacuum
+    # refuses them until they age past the grace window
+    assert vacuum_manifest_sink(d) == []
+    removed = vacuum_manifest_sink(d, grace_seconds=0)  # no writer in flight
     assert removed == ["part-90000-dead.jsonl", "part-90001-beef.jsonl"]
     assert len([p for p in os.listdir(d) if p.endswith(".jsonl")]) == 2
     after = read_manifest_sink(spark, d).agg(F.sum("id")).collect()[0][0]
     assert before == after == sum(range(50))
-    assert vacuum_manifest_sink(d) == []  # idempotent
+    assert vacuum_manifest_sink(d, grace_seconds=0) == []  # idempotent
 
 
 def test_manifest_sink_append_merges_overwrite_replaces(spark, tmp_path):
@@ -472,7 +476,7 @@ def test_manifest_sink_append_merges_overwrite_replaces(spark, tmp_path):
     w(0, 30, "append")
     w(30, 50, "append")
     assert read_manifest_sink(spark, d).count() == 50  # both appends visible
-    assert vacuum_manifest_sink(d) == []  # every staged file referenced
+    assert vacuum_manifest_sink(d, grace_seconds=0) == []  # all files referenced
 
     w(100, 110, "overwrite")  # version 3: a BASE commit
     back = read_manifest_sink(spark, d)
@@ -481,10 +485,11 @@ def test_manifest_sink_append_merges_overwrite_replaces(spark, tmp_path):
     # pre-overwrite snapshots remain readable (time travel)...
     assert read_manifest_sink(spark, d, version=2).count() == 50
     # ...so vacuum reclaims NOTHING until the old versions are expired
-    assert vacuum_manifest_sink(d) == []
+    assert vacuum_manifest_sink(d, grace_seconds=0) == []
     expired = expire_manifest_versions(d, min_version=3)
     assert len(expired) == 2
-    removed = vacuum_manifest_sink(d)  # the 4 pre-overwrite files orphaned
+    # the 4 pre-overwrite files are now orphaned (grace 0: no writer in flight)
+    removed = vacuum_manifest_sink(d, grace_seconds=0)
     assert len(removed) == 4
     assert read_manifest_sink(spark, d).count() == 10  # still intact
     # expiring below a delta commit is refused (would orphan its base)

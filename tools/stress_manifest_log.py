@@ -1,10 +1,11 @@
 """Depth stress for the versioned manifest commit log (sources/pysink.py).
 
 A long-lived table accumulates COMMITS, not just rows — the question at
-depth is whether the metadata path stays metadata-priced: commit cost is
-O(existing versions) (one directory listing to find the next number, no
-manifest contents read), resolve cost is O(versions <= pin) manifest
-reads (tiny JSON), and pinned snapshots must be bit-stable while the log
+depth is whether the metadata path stays metadata-priced: commit claims
+its version from FILENAMES alone (one directory name listing, zero
+manifest contents read), resolve replays from the newest CHECKPOINT
+rollup (<= checkpointInterval manifest reads regardless of depth — flat,
+not O(versions)), and pinned snapshots must be bit-stable while the log
 keeps growing. This drives N commits through the REAL writer protocol
 (driver-side commit objects; no Spark jobs — the executor half is
 covered by the registry roundtrips), then:
@@ -79,10 +80,14 @@ def run_depth(d: str, n: int) -> dict:
     assert len(resolve_manifest_files(d)) == 1
     assert len(resolve_manifest_files(d, version=n)) == n  # pre-base pin intact
 
-    # retention: expire below the base, vacuum the orphaned generation
+    # retention: expire below the base (commits AND the checkpoints that
+    # summarize only-expired prefixes), vacuum the orphaned generation —
+    # grace_seconds=0 because this single-process stress has no writer in
+    # flight (the default grace would correctly refuse the fresh files)
     expired = expire_manifest_versions(d, min_version=base_v)
-    assert len(expired) == n
-    removed = vacuum_manifest_sink(d)
+    n_ckpt = sum(1 for name in expired if name.startswith("_CHECKPOINT"))
+    assert len(expired) == n + n_ckpt, (len(expired), n, n_ckpt)
+    removed = vacuum_manifest_sink(d, grace_seconds=0)
     assert len(removed) == n
     assert len(resolve_manifest_files(d)) == 1  # the base snapshot survives
 
@@ -97,8 +102,8 @@ def main() -> None:
     r = run_depth(d, n)
     print(
         "| manifest_log depth %d | %.3f s total commit (%.2f ms/commit, "
-        "O(versions) listing) | %.2f ms/pinned resolve | overwrite+expire+"
-        "vacuum exact |"
+        "filename-only claim + ckpt every 16) | %.2f ms/pinned resolve "
+        "(checkpoint replay) | overwrite+expire+vacuum exact |"
         % (n, r["t_commit"], 1000 * r["t_commit"] / n, 1000 * r["t_resolve"])
     )
 

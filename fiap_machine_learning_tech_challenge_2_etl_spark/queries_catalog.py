@@ -1179,6 +1179,101 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ppm_decode_gray_stats",
+    sql="""
+WITH px AS (
+  SELECT d.doc_id,
+    (((d.doc_id*7 + (3*p.i)*13) % 256)
+     + ((d.doc_id*7 + (3*p.i+1)*13) % 256)
+     + ((d.doc_id*7 + (3*p.i+2)*13) % 256)) // 3 AS gray
+  FROM documents d, range(0, 16) p(i)
+), per_asset AS (
+  SELECT doc_id, sum(gray) AS gs, min(gray) AS gmin, max(gray) AS gmax
+  FROM px GROUP BY doc_id
+)
+SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_assets,
+  CAST(sum(gs) AS BIGINT) AS sum_gray,
+  CAST(min(gmin) AS BIGINT) AS min_gray,
+  CAST(max(gmax) AS BIGINT) AS max_gray
+FROM per_asset GROUP BY 1
+""",
+)
+def q_ppm_decode_gray_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end to end (operators/multimodal.py decode_ppm):
+    deterministic binary-PPM (P6) assets are ENCODED executor-side from a
+    closed form (raster byte i = (doc_id*7 + i*13) % 256, through the real
+    encoder), then DECODED by the real pure-Python kernel — header
+    tokenizer, raster reshape, integer grayscale — inside an
+    Arrow-batched mapInPandas, rolled up per bucket. The DuckDB oracle
+    replays the closed form through the SAME grayscale arithmetic, so the
+    value hash attests the decode itself, not just the plumbing: a
+    kernel that misparsed the header or mis-strode the raster diverges
+    immediately. Closes the one multimodal family that was previously a
+    stubbed boundary. Scale shape: generation and decode are narrow
+    per-row maps (no shuffle until the final 8-group rollup); payloads
+    never leave the executor."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import (
+        ppm_gray_stats,
+        synth_ppm_assets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = ppm_gray_stats(synth_ppm_assets(docs, width=4, height=4))
+    return stats.groupBy((F.col("asset_id") % 8).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("gray_sum").cast("long").alias("sum_gray"),
+        F.min("gray_min").cast("long").alias("min_gray"),
+        F.max("gray_max").cast("long").alias("max_gray"),
+    )
+
+
+@_register(
+    "wav_pcm_decode_stats",
+    sql="""
+WITH smp AS (
+  SELECT d.doc_id, ((d.doc_id*31 + r.i*17) % 2048) - 1024 AS s
+  FROM documents d, range(0, 64) r(i)
+), per_asset AS (
+  SELECT doc_id, sum(s*s) AS energy, max(abs(s)) AS peak, count(*) AS n_frames
+  FROM smp GROUP BY doc_id
+)
+SELECT CAST(doc_id % 8 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_assets,
+  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+  CAST(sum(energy) AS BIGINT) AS sum_energy,
+  CAST(max(peak) AS BIGINT) AS max_peak
+FROM per_asset GROUP BY 1
+""",
+)
+def q_wav_pcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end (operators/multimodal.py
+    decode_wav_pcm): deterministic WAV/PCM16 mono assets are written
+    executor-side through the genuine stdlib ``wave`` encoder (RIFF
+    container, fmt chunk, little-endian samples from a closed form),
+    then parsed back by the real ``wave``-based kernel inside
+    Arrow-batched mapInPandas — frame count from the container header,
+    exact int64 signal energy and peak from the decoded samples. The
+    oracle replays the sample formula in SQL, so a decoder that
+    misread the sample width, endianness, or frame count diverges in
+    the value hash. Together with ppm_decode_gray_stats this makes
+    image AND audio real-decode families, not stubs."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.operators.multimodal import (
+        synth_wav_assets,
+        wav_pcm_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    stats = wav_pcm_stats(synth_wav_assets(docs, n_samples=64, framerate=8000))
+    return stats.groupBy((F.col("asset_id") % 8).cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum("n_frames").cast("long").alias("sum_frames"),
+        F.sum("energy").cast("long").alias("sum_energy"),
+        F.max("peak").cast("long").alias("max_peak"),
+    )
+
+
+@_register(
     "winnowing_fingerprints",
     sql=f"""
 WITH g0 AS (
@@ -2180,6 +2275,12 @@ def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TPCH_Q3_SQL)
 
 
+# First-class TPC-H name for the same operator (the "all 22 queries
+# greppable as tpch_qN" registry contract): identical function, identical
+# oracle — an alias row, zero new operator code.
+_register("tpch_q3_shipping_priority", sql=_TPCH_Q3_SQL)(q_sql_entry)
+
+
 @_register(
     "array_functions",
     sql="""
@@ -2638,6 +2739,10 @@ def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q4_EXISTS_SQL)
 
 
+# First-class TPC-H alias row (see tpch_q3_shipping_priority note).
+_register("tpch_q4_order_priority", sql=_Q4_EXISTS_SQL)(q_exists_subquery)
+
+
 _Q17_SCALAR_SQL = """
 SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -2658,6 +2763,10 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q17_SCALAR_SQL)
+
+
+# First-class TPC-H alias row (see tpch_q3_shipping_priority note).
+_register("tpch_q17_small_quantity_revenue", sql=_Q17_SCALAR_SQL)(q_scalar_subquery)
 
 
 # ==========================================================================
@@ -3053,6 +3162,10 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("part", "lineitem", "supplier"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q2_MIN_JOINBACK_SQL)
+
+
+# First-class TPC-H alias row (see tpch_q3_shipping_priority note).
+_register("tpch_q2_min_cost_supplier", sql=_Q2_MIN_JOINBACK_SQL)(q_min_cost_supplier)
 
 
 @_register(
@@ -8802,8 +8915,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian product — pinned in tests/test_plans.py). At 100 TB the
     three lineitem scans share one parquet source with pushed predicates;
     the semi/anti probes shuffle on the same orderkey as the main join, so
-    AQE coalesces them into one exchange lineage. Reference parity:
-    multi-table existence checks in etl/transform_2.py merge logic."""
+    AQE coalesces them into one exchange lineage. Extension beyond the
+    reference (its ETL is single-table, no joins — etl/transform_1.py);
+    the spec here is TPC-H Q21 itself."""
     for t in ("supplier", "lineitem", "orders", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_Q21_SQL)
@@ -8945,8 +9059,9 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer side to one region (broadcast), n2 decorates the
     supplier side (broadcast), part's type filter broadcasts, and only
     lineitem><orders shuffles. The share is a conditional-sum ratio over
-    integer cents, rounded to 6 places on both engines. Reference
-    parity: two-role dim joins in etl/transform_2.py."""
+    integer cents, rounded to 6 places on both engines. Extension beyond
+    the reference (its ETL is single-table, no joins — etl/transform_1.py);
+    the spec here is TPC-H Q8 itself."""
     t = {
         n: _t(spark, sf_dir, n)
         for n in (

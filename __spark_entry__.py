@@ -65,73 +65,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order. Bare ``attestation_ledger.py --check`` verifies this
 # tuple (it reads max_round and the changed set from the committed
 # ledger).
-# ROUND-12 NOTE: window regenerated stalest-first via
+# ROUND-13 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 15 never-attested r12 queries (TPC-H Q1/Q6/Q8/Q9/Q11/Q12/Q13/Q15/
-# Q16/Q20/Q21/Q22 — completing the 22-query TPC-H suite alongside the
-# existing Q2-Q5/Q7/Q10/Q14/Q17-Q19 shapes — plus the chained
-# dedup->windowed-agg multi-stateful stream, manifest-sink time
-# travel, and the salted skew join), then 3 changed-since-attestation
-# rows (pysink rewritten as
-# a versioned commit log; footer_stats_report listing ported to the
-# Hadoop FS API; SynthDocsStreamReader offset-rollback clamp — the
-# last added manually: provenance tracks SynthDocsDataSource, whose
-# AST does not include the stream-reader class). Then the r07 cohort
-# retires, then r08 in registry order. Post-r12 oldest green should
-# be >= r08 (pytest gate: test_attestation_ledger.py asserts
+# the 9 never-attested r13 queries (REAL multimodal decode kernels —
+# PPM image + WAV PCM audio, oracle-replayed closed forms; the four
+# TPC-H alias rows making all 22 queries greppable as tpch_qN;
+# parquet staging through the manifest log; checkpoint-accelerated
+# log resolution; stream-log compaction -> retention), then 5
+# changed-since-attestation rows (pysink gained cross-family guards /
+# checkpoints / the _LAST_CHECKPOINT hint / vacuum grace / pinned
+# read schemas, flagging the manifest queries; the chained stream
+# query gained its batch fallback branch; Q21/Q8 docstring citation
+# fixes). Then the r08 cohort rotates in registry order. Post-r13
+# oldest green should be >= r08 still (the r08 cohort is 56 rows —
+# larger than the 36 free slots — so it retires across r13+r14;
+# pytest gate: test_attestation_ledger.py asserts
 # oldest_green >= max_round - (ceil(N/50)+1), derived from the live
 # registry size).
 _PRIORITY = (
-    "skew_salted_join",  # NEVER-attested: new r12 query leads window
-    "tpch_q13_customer_distribution",  # NEVER-attested: new r12 query leads window
-    "tpch_q21_suppliers_kept_waiting",  # NEVER-attested: new r12 query leads window
-    "tpch_q22_global_sales_opportunity",  # NEVER-attested: new r12 query leads window
-    "tpch_q1_pricing_summary",  # NEVER-attested: new r12 query leads window
-    "tpch_q6_forecasting_revenue",  # NEVER-attested: new r12 query leads window
-    "tpch_q8_national_market_share",  # NEVER-attested: new r12 query leads window
-    "tpch_q9_product_type_profit",  # NEVER-attested: new r12 query leads window
-    "tpch_q11_important_stock",  # NEVER-attested: new r12 query leads window
-    "tpch_q12_shipping_priority_split",  # NEVER-attested: new r12 query leads window
-    "tpch_q15_top_supplier",  # NEVER-attested: new r12 query leads window
-    "tpch_q16_supplier_relationship",  # NEVER-attested: new r12 query leads window
-    "tpch_q20_potential_part_promotion",  # NEVER-attested: new r12 query leads window
-    "stream_dedup_windowed_chain_roundtrip",  # NEVER-attested: new r12 query leads window
-    "manifest_sink_time_travel",  # NEVER-attested: new r12 query leads window
-    "python_stream_source_roundtrip",  # r11-green; changed-since-attestation (r12 rewrite)
-    "manifest_sink_roundtrip",  # r11-green; changed-since-attestation (r12 rewrite)
-    "footer_skipping_report",  # r11-green; changed-since-attestation (r12 rewrite)
-    "frequent_tokens_sketch",  # r7-green; stale rotation
-    "variant_shred_props",  # r7-green; stale rotation
-    "regex_functions",  # r7-green; stale rotation
-    "window_value_family",  # r7-green; stale rotation
-    "sequence_packing",  # r7-green; stale rotation
-    "quality_upsample_repeat",  # r7-green; stale rotation
-    "tfidf_top_terms",  # r7-green; stale rotation
-    "decontaminate_ngram_overlap",  # r7-green; stale rotation
-    "set_ops_all",  # r7-green; stale rotation
-    "sort_nulls_family",  # r7-green; stale rotation
-    "rollup_grouping_id",  # r7-green; stale rotation
-    "try_arithmetic_family",  # r7-green; stale rotation
-    "embedding_quantize_int8",  # r7-green; stale rotation
-    "char_entropy_quality",  # r7-green; stale rotation
-    "zscore_normalize",  # r7-green; stale rotation
-    "generator_functions",  # r7-green; stale rotation
-    "embedding_matryoshka_truncate",  # r7-green; stale rotation
-    "unigram_logprob_quality",  # r7-green; stale rotation
-    "segment_dedup_reconstruct",  # r7-green; stale rotation
-    "sliding_window_agg",  # r7-green; stale rotation
-    "incremental_rollup_maintain",  # r7-green; stale rotation
-    "event_debounce",  # r7-green; stale rotation
-    "funnel_view_click_purchase",  # r7-green; stale rotation
-    "bpe_pair_merge_candidates",  # r7-green; stale rotation
-    "span_corruption_pairs",  # r7-green; stale rotation
-    "source_overlap_matrix",  # r7-green; stale rotation
-    "zorder_clustered_pruned_scan",  # r7-green; stale rotation
-    "stream_dedup_roundtrip",  # r7-green; stale rotation
-    "stream_running_stats_roundtrip",  # r7-green; stale rotation
-    "compaction_roundtrip",  # r7-green; stale rotation
-    "rolling_stats",  # r8-green; stale rotation
-    "simhash_docs",  # r8-green; stale rotation
+    "ppm_decode_gray_stats",  # NEVER-attested: new r13 query leads window
+    "wav_pcm_decode_stats",  # NEVER-attested: new r13 query leads window
+    "tpch_q3_shipping_priority",  # NEVER-attested: new r13 query leads window
+    "tpch_q4_order_priority",  # NEVER-attested: new r13 query leads window
+    "tpch_q17_small_quantity_revenue",  # NEVER-attested: new r13 query leads window
+    "tpch_q2_min_cost_supplier",  # NEVER-attested: new r13 query leads window
+    "manifest_sink_parquet_roundtrip",  # NEVER-attested: new r13 query leads window
+    "manifest_checkpoint_resolve_roundtrip",  # NEVER-attested: new r13 query leads window
+    "stream_manifest_compaction_roundtrip",  # NEVER-attested: new r13 query leads window
+    "tpch_q21_suppliers_kept_waiting",  # green; changed-since-attestation (r13 edit)
+    "tpch_q8_national_market_share",  # green; changed-since-attestation (r13 edit)
+    "stream_dedup_windowed_chain_roundtrip",  # green; changed-since-attestation (r13 edit)
+    "manifest_sink_roundtrip",  # green; changed-since-attestation (r13 edit)
+    "manifest_sink_time_travel",  # green; changed-since-attestation (r13 edit)
+    "minhash_lsh_near_dup",  # r8-green; stale rotation
+    "simhash_near_dup",  # r8-green; stale rotation
+    "embedding_near_dup",  # r8-green; stale rotation
+    "value_histogram",  # r8-green; stale rotation
+    "dedup_canonical_docs",  # r8-green; stale rotation
+    "leakage_safe_split",  # r8-green; stale rotation
+    "incremental_cross_dedup",  # r8-green; stale rotation
+    "outlier_clip_iqr",  # r8-green; stale rotation
+    "mixture_rebalance_downsample",  # r8-green; stale rotation
+    "pagerank_supply_graph",  # r8-green; stale rotation
+    "hard_negative_mining",  # r8-green; stale rotation
+    "psi_drift_report",  # r8-green; stale rotation
+    "triangle_count_near_dup",  # r8-green; stale rotation
+    "shingle_containment_pairs",  # r8-green; stale rotation
+    "knn_label_noise",  # r8-green; stale rotation
+    "robust_mad_scores",  # r8-green; stale rotation
+    "co_purchase_pairs",  # r8-green; stale rotation
+    "event_transition_matrix",  # r8-green; stale rotation
+    "cohort_retention",  # r8-green; stale rotation
+    "multimodal_resize_thumb",  # r8-green; stale rotation
+    "rolling_distinct_users",  # r8-green; stale rotation
+    "churn_label_next_gap",  # r8-green; stale rotation
+    "seasonal_naive_error",  # r8-green; stale rotation
+    "histogram2d_heatmap",  # r8-green; stale rotation
+    "feature_hashing_cross",  # r8-green; stale rotation
+    "recsys_negative_sampling",  # r8-green; stale rotation
+    "stratified_kfold",  # r8-green; stale rotation
+    "class_balance_weights",  # r8-green; stale rotation
+    "winsorized_stats",  # r8-green; stale rotation
+    "string_agg_family",  # r8-green; stale rotation
+    "bfs_reachable_hops",  # r8-green; stale rotation
+    "label_propagation_nations",  # r8-green; stale rotation
+    "funnel_time_to_convert",  # r8-green; stale rotation
+    "association_rules_lift",  # r8-green; stale rotation
+    "lsh_recall_eval",  # r8-green; stale rotation
+    "minhash_recall_eval",  # r8-green; stale rotation
 )
 
 

@@ -152,6 +152,21 @@ def test_expire_drops_stale_checkpoints_and_repairs_hint(tmp_path):
     assert len(vacuum_manifest_sink(d, grace_seconds=0)) == 32
 
 
+def test_concurrent_multiprocess_writers_lose_nothing(tmp_path):
+    """TRUE concurrency (separate processes, kernel-arbitrated os.link
+    claims — the real race, not an interleaved simulation): versions
+    stay dense, resolution lists every writer's files exactly once,
+    racing checkpoint publications are pure, and the hint never points
+    past the log. Full-size leg in tools/stress_manifest_concurrency.py."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stress_manifest_concurrency import run_concurrency
+
+    r = run_concurrency(str(tmp_path), n_procs=4, commits_per_proc=12)
+    assert r["total"] == 48 and r["n_ckpts"] >= 2
+
+
 # ------------------------------------------------------ legacy manifest
 
 

@@ -1911,6 +1911,76 @@ def q_manifest_checkpoint_resolve_roundtrip(
 
 
 @_register(
+    "manifest_log_stream_tail_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+)
+@_with_stream_shuffle
+def q_manifest_log_stream_tail_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The manifest commit log as a STREAMING SOURCE (sources/pysink.py
+    ManifestLogDataSource — Delta's streaming-table idea re-expressed):
+    batch jobs append commits v1/v2 of ``documents`` thirds, a stream
+    tails the log (offset = commit version, schema PINNED from the log's
+    recorded schemas) into a parquet sink via one availableNow run; a
+    THIRD commit lands and a second run on the same checkpoint consumes
+    ONLY it. The oracle is the full documents rollup, so the value hash
+    proves exactly-once tailing: a reader that re-consumed v1/v2 on the
+    second run doubles two thirds, one that missed v3 drops a third —
+    either diverges immediately. This closes the lakehouse loop at
+    100 TB: writers publish atomic commits, downstream pipelines consume
+    them incrementally with no file listing and no reprocessing."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestLogDataSource,
+        ManifestSinkDataSource,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.dataSource.register(ManifestLogDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_log_stream_tail", sf_dir)
+    log, out, ckpt = (os.path.join(d, x) for x in ("log", "out", "ckpt"))
+
+    def commit_third(third: int) -> None:
+        docs.filter(F.col("doc_id") % 3 == third).repartition(2).write.format(
+            "manifestsink"
+        ).option("path", log).mode("append").save()
+
+    def tail_once() -> None:
+        (
+            spark.readStream.format("manifestlog")
+            .option("path", log)
+            .load()
+            .writeStream.foreachBatch(
+                lambda b, _e: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    commit_third(0)
+    commit_third(1)
+    tail_once()  # consumes v1+v2
+    commit_third(2)
+    tail_once()  # consumes ONLY v3 (offset log continuation)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
     "stream_manifest_compaction_roundtrip",
     sql="""
 SELECT CAST(i % 16 AS BIGINT) AS bucket,

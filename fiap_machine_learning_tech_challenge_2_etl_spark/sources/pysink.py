@@ -126,8 +126,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
+    InputPartition,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -568,6 +570,152 @@ class ManifestSinkDataSource(DataSource):
                 "batch, which per-batch delta manifests would double-count"
             )
         return ManifestStreamSinkWriter(self.options, schema)
+
+
+class _CommittedFilesPartition(InputPartition):
+    def __init__(self, path: str, filename: str, fmt: str):
+        self.path, self.filename, self.fmt = path, filename, fmt
+
+
+class ManifestLogStreamReader(DataSourceStreamReader):
+    """The manifest log as a STREAMING SOURCE (Delta's streaming-table
+    idea re-expressed for this log): the offset IS the commit version,
+    each micro-batch reads exactly the data files the commits in
+    ``(start, end]`` published, so a query tails the table incrementally
+    with exactly-once falling out of Spark's offset log. Works on both
+    writer families — a batch commit log (``_MANIFEST.v*``, offsets from
+    0) and a streamed directory (``_MANIFEST-<batchId>``, offsets from
+    -1 so batch 0 is consumed).
+
+    Append-only contract, stated plainly: an OVERWRITE commit inside the
+    consumed range RAISES by default — a base rewrites history, and a
+    reader that already consumed part of that history would double-read
+    (a fresh reader would silently skip the superseded rows it never
+    saw). That is Delta's streaming behavior without ignoreChanges.
+    ``option("skipBases", "true")`` opts into skipping such commits
+    (consume deltas only); ``option("startingVersion", v)`` starts a
+    fresh reader above compacted/rewritten history. Consequence for
+    maintenance: run ``compact_stream_manifests`` / overwrites only
+    BELOW every active reader's committed offset, exactly like vacuum's
+    grace contract."""
+
+    def __init__(self, options, schema: StructType):
+        opts = {str(k).lower(): v for k, v in dict(options).items()}
+        path = opts.get("path")
+        if not path:
+            raise ValueError("manifestlog requires .option('path', ...)")
+        self.path = path
+        self.fields = schema.fieldNames()
+        self.types = [f.dataType.simpleString() for f in schema.fields]
+        self.skip_bases = str(opts.get("skipbases", "false")).lower() == "true"
+        self.starting_version = (
+            int(opts["startingversion"]) if "startingversion" in opts else None
+        )
+
+    def initialOffset(self) -> dict:
+        if self.starting_version is not None:
+            return {"v": self.starting_version - 1}
+        kind, _commits, _ck = _scan_names(self.path)
+        if kind is None:
+            raise ValueError(
+                f"no manifest log under {self.path}: the log must exist "
+                "before a stream can tail it (the schema is read from it)"
+            )
+        # batch versions start at 1, stream batchIds at 0 — the initial
+        # offset is one below the first consumable version
+        return {"v": 0 if kind == "batch" else -1}
+
+    def latestOffset(self) -> dict:
+        _kind, commits, _ck = _scan_names(self.path)
+        return {"v": commits[-1][0]} if commits else self.initialOffset()
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["v"], end["v"]
+        _kind, commits, _ck = _scan_names(self.path)
+        parts: list[_CommittedFilesPartition] = []
+        for v, name in commits:
+            if not s < v <= e:
+                continue
+            man = _load(self.path, name)
+            if man.get("mode", "append") == "overwrite":
+                if self.skip_bases:
+                    continue
+                raise ValueError(
+                    f"commit {v} in {self.path} is a BASE (overwrite) inside "
+                    "the streamed range: it rewrites history this reader may "
+                    "have partially consumed. Compact/overwrite only below "
+                    "active readers' offsets, start fresh readers above it "
+                    "(startingVersion), or opt into skipBases=true"
+                )
+            fmt = man.get("format", "jsonl")
+            parts.extend(
+                _CommittedFilesPartition(self.path, f, fmt) for f in man["files"]
+            )
+        if not parts:
+            # explicit zero-row batch; an empty partition list is
+            # Spark-version dependent (same contract as SynthDocsStreamReader)
+            parts = [_CommittedFilesPartition(self.path, "", "empty")]
+        return parts
+
+    def read(self, partition: _CommittedFilesPartition):
+        if partition.fmt == "empty":
+            return
+        full = os.path.join(partition.path, partition.filename)
+        if partition.fmt == "parquet":
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(full, columns=self.fields)
+            for row in table.to_pylist():
+                yield tuple(row[f] for f in self.fields)
+            return
+        casts = []
+        for t in self.types:
+            if t in ("bigint", "int", "smallint", "tinyint"):
+                casts.append(lambda x: None if x is None else int(x))
+            elif t in ("double", "float"):
+                casts.append(lambda x: None if x is None else float(x))
+            else:
+                casts.append(lambda x: x)
+        with open(full) as f:
+            for line in f:
+                rec = json.loads(line)
+                yield tuple(c(rec.get(k)) for k, c in zip(self.fields, casts))
+
+    def commit(self, end: dict) -> None:
+        pass  # retention is expire/vacuum's job; the offset log is truth
+
+
+class ManifestLogDataSource(DataSource):
+    """Read-side twin of :class:`ManifestSinkDataSource`: registers the
+    ``manifestlog`` STREAMING source over a manifest-committed directory.
+    The schema comes from what the log's commits RECORDED (same
+    pinned-schema rules as :func:`read_manifest_sink` — never inference),
+    so ``spark.readStream.format("manifestlog").option("path", d)`` is
+    fully self-describing."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifestlog"
+
+    def schema(self) -> StructType:
+        opts = {str(k).lower(): v for k, v in dict(self.options).items()}
+        path = opts.get("path")
+        if not path:
+            raise ValueError("manifestlog requires .option('path', ...)")
+        state = _resolve_state(path)
+        if not state["metas"]:
+            raise ValueError(f"no committed manifest files under {path}")
+        _fmt, schema = _pin_read_schema(state["metas"])
+        if schema is None:
+            raise ValueError(
+                f"the log under {path} predates recorded schemas (legacy "
+                "commits only) — batch-read it via read_manifest_sink and "
+                "rewrite, or pass an explicit .schema(...)"
+            )
+        return schema
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return ManifestLogStreamReader(self.options, schema)
 
 
 def resolve_manifest_files(path: str, version: int | None = None) -> list[str]:

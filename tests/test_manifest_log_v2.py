@@ -330,6 +330,101 @@ def test_stream_compaction_then_expire_reclaims_orphans(tmp_path):
     assert vacuum_manifest_sink(d, grace_seconds=0) == []
 
 
+# ------------------------------------------------- manifestlog stream source
+
+
+def _tail_once(spark, d, out, ckpt, **opts):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import ManifestLogDataSource
+
+    spark.dataSource.register(ManifestLogDataSource)
+    reader = spark.readStream.format("manifestlog").option("path", d)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    (
+        reader.load()
+        .writeStream.foreachBatch(lambda b, _e: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def test_manifestlog_stream_source_tails_commits_incrementally(spark, tmp_path):
+    """The commit log as a streaming source: offsets are commit versions,
+    so a second availableNow run on the same checkpoint consumes ONLY
+    the commits that landed since — exactly-once tailing of a table that
+    batch jobs keep appending to."""
+    d, out, ckpt = (str(tmp_path / x) for x in ("log", "out", "ckpt"))
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.range(0, 30).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    spark.range(30, 50).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    _tail_once(spark, d, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    spark.range(50, 60).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    _tail_once(spark, d, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 60  # 10 new rows, nothing re-read
+    assert got.agg(F.sum("id")).collect()[0][0] == sum(range(60))
+    assert dict(got.dtypes) == {"id": "bigint"}  # pinned from the log
+
+
+def test_manifestlog_stream_source_parquet_staged_log(spark, tmp_path):
+    d, out, ckpt = (str(tmp_path / x) for x in ("log", "out", "ckpt"))
+    spark.dataSource.register(ManifestSinkDataSource)
+    df = spark.range(40).select("id", (F.col("id") * 0.5).alias("v"))
+    df.write.format("manifestsink").option("path", d).option(
+        "format", "parquet"
+    ).mode("append").save()
+    _tail_once(spark, d, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 40
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(i * 0.5 for i in range(40))
+
+
+def test_manifestlog_stream_source_refuses_bases_unless_opted_in(spark, tmp_path):
+    d, out, ckpt = (str(tmp_path / x) for x in ("log", "out", "ckpt"))
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.range(10).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    _tail_once(spark, d, out, ckpt)
+    spark.range(100, 105).write.format("manifestsink").option("path", d).mode(
+        "overwrite"
+    ).save()
+    spark.range(200, 203).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    with pytest.raises(Exception, match="BASE .overwrite. inside"):
+        _tail_once(spark, d, out, ckpt)
+    # opting in skips the base and consumes only the append delta
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    _tail_once(spark, d, out2, ckpt2, skipBases="true")
+    ids = sorted(r.id for r in spark.read.parquet(out2).collect())
+    assert ids == list(range(10)) + [200, 201, 202]
+    # a fresh reader can instead start ABOVE the rewrite
+    out3, ckpt3 = str(tmp_path / "out3"), str(tmp_path / "ckpt3")
+    _tail_once(spark, d, out3, ckpt3, startingVersion="3")
+    assert sorted(r.id for r in spark.read.parquet(out3).collect()) == [200, 201, 202]
+
+
+def test_manifestlog_stream_source_over_streamed_directory(spark, tmp_path):
+    """Stream-kind logs (batchId versions, starting at 0) tail too: the
+    initial offset sits one below batch 0 so nothing is skipped."""
+    d, out, ckpt = (str(tmp_path / x) for x in ("log", "out", "ckpt"))
+    for b, ids in enumerate(([1, 2], [3, 4, 5])):
+        _stream_commit(d, ids, f"b{b}", b)
+    _tail_once(spark, d, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 3, 4, 5]
+
+
 def test_stream_dedup_windowed_chain_has_batch_fallback(spark, sf_dir):
     """ADVICE r12: dedup_then_windowed_counts claimed to work on batch
     DataFrames, but dropDuplicatesWithinWatermark is streaming-only.

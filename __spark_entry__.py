@@ -67,11 +67,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-13 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 10 never-attested r13 queries (REAL multimodal decode kernels —
+# the 12 never-attested r13 queries (REAL multimodal decode kernels —
 # PPM image + WAV PCM audio, oracle-replayed closed forms; the four
 # TPC-H alias rows making all 22 queries greppable as tpch_qN;
 # parquet staging through the manifest log; checkpoint-accelerated
-# log resolution; stream-log compaction -> retention; the manifest
+# log resolution; stream-log compaction -> retention; ADDITIVE schema
+# evolution with null projection; DESCRIBE HISTORY; the manifest
 # log as a STREAMING SOURCE tailed incrementally), then 5
 # changed-since-attestation rows (pysink gained cross-family guards /
 # checkpoints / the _LAST_CHECKPOINT hint / vacuum grace / pinned
@@ -92,6 +93,8 @@ _PRIORITY = (
     "tpch_q2_min_cost_supplier",  # NEVER-attested: new r13 query leads window
     "manifest_sink_parquet_roundtrip",  # NEVER-attested: new r13 query leads window
     "manifest_checkpoint_resolve_roundtrip",  # NEVER-attested: new r13 query leads window
+    "manifest_schema_evolution_roundtrip",  # NEVER-attested: new r13 query leads window
+    "manifest_history_report",  # NEVER-attested: new r13 query leads window
     "manifest_log_stream_tail_roundtrip",  # NEVER-attested: new r13 query leads window
     "stream_manifest_compaction_roundtrip",  # NEVER-attested: new r13 query leads window
     "tpch_q21_suppliers_kept_waiting",  # green; changed-since-attestation (r13 edit)
@@ -132,8 +135,6 @@ _PRIORITY = (
     "bfs_reachable_hops",  # r8-green; stale rotation
     "label_propagation_nations",  # r8-green; stale rotation
     "funnel_time_to_convert",  # r8-green; stale rotation
-    "association_rules_lift",  # r8-green; stale rotation
-    "lsh_recall_eval",  # r8-green; stale rotation
 )
 
 

@@ -1911,6 +1911,101 @@ def q_manifest_checkpoint_resolve_roundtrip(
 
 
 @_register(
+    "manifest_schema_evolution_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(count(CASE WHEN doc_id % 3 <> 0 THEN 1 END) AS BIGINT) AS n_evolved,
+  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars END) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_manifest_schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADDITIVE schema evolution through the manifest log
+    (sources/pysink.py _pin_read_schema): commit v1 lands a third of
+    ``documents`` WITHOUT ``n_chars``, commit v2 lands the rest WITH it;
+    the readback's schema is the recorded-schema UNION and v1's rows
+    project ``n_chars`` as NULL — the table-format evolution contract
+    (old files never rewritten), with type CONFLICTS still a loud
+    failure (test-pinned). The oracle computes the same null pattern
+    from the source (`count` of non-null / null-skipping `sum`), so the
+    value hash proves the projection is exact, not inferred. At 100 TB
+    this is the difference between adding a column and rewriting a
+    table."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents")
+    d = _scratch("manifest_schema_evolution", sf_dir)
+    docs.filter(F.col("doc_id") % 3 == 0).select("doc_id", "lang").repartition(
+        2
+    ).write.format("manifestsink").option("path", d).mode("append").save()
+    docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "lang", "n_chars"
+    ).repartition(2).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.count("n_chars").cast("long").alias("n_evolved"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_history_report",
+    sql="""
+SELECT CAST(t.v AS BIGINT) AS version, t.mode,
+  CAST(t.n_rows AS BIGINT) AS n_rows, CAST(2 AS INT) AS n_files
+FROM (
+  SELECT 1 AS v, 'append' AS mode,
+    (SELECT count(*) FROM documents WHERE doc_id % 3 = 0) AS n_rows
+  UNION ALL SELECT 2, 'append',
+    (SELECT count(*) FROM documents WHERE doc_id % 3 = 1)
+  UNION ALL SELECT 3, 'append',
+    (SELECT count(*) FROM documents WHERE doc_id % 3 = 2)
+  UNION ALL SELECT 4, 'overwrite',
+    (SELECT count(*) FROM documents WHERE doc_id % 7 = 0)
+) t
+""",
+)
+def q_manifest_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY over the commit log (sources/pysink.py
+    manifest_history — Delta's operation audit): three append commits
+    land ``documents`` thirds, an overwrite lands a base, and the
+    report returns one row per surviving commit with its mode and the
+    exact rows/files it published. The oracle recomputes every commit's
+    row count from the source table, so the value hash proves the log's
+    self-description matches what was actually committed — the audit
+    surface an operator trusts before expiring history at 100 TB."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        manifest_history,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    d = _scratch("manifest_history", sf_dir)
+    for third in (0, 1, 2):
+        docs.filter(F.col("doc_id") % 3 == third).repartition(2).write.format(
+            "manifestsink"
+        ).option("path", d).mode("append").save()
+    docs.filter(F.col("doc_id") % 7 == 0).repartition(2).write.format(
+        "manifestsink"
+    ).option("path", d).mode("overwrite").save()
+    return manifest_history(spark, d).select("version", "mode", "n_rows", "n_files")
+
+
+@_register(
     "manifest_log_stream_tail_roundtrip",
     sql="""
 SELECT lang,

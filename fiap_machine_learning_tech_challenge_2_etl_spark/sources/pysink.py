@@ -55,9 +55,11 @@ they summarize.
 
 SCHEMA is pinned, not inferred: every commit records the writer's full
 Spark schema (``schema_json``); readers build the read schema from the
-RESOLVED commits' manifests and raise loudly if the resolved snapshot
-mixes incompatible field sets or staged formats — a drifted commit
-fails the read instead of silently schema-merging.
+RESOLVED commits' manifests. ADDITIVE evolution is legal (a commit may
+add columns; older files project them as NULL — the union schema in
+first-appearance order), while real drift — the same field recorded
+with two types, or mixed staged formats — fails the read loudly
+instead of silently schema-merging.
 
 Streaming (``ManifestStreamSinkWriter``) publishes one manifest PER
 MICRO-BATCH (``_MANIFEST-<batchId>``, last-publication-wins so a
@@ -731,11 +733,19 @@ def resolve_manifest_files(path: str, version: int | None = None) -> list[str]:
 
 def _pin_read_schema(metas: list[dict]) -> tuple[str, StructType | None]:
     """Derive ``(format, schema)`` for a resolved snapshot from the
-    schemas its commits RECORDED at write time — and refuse a snapshot
-    whose commits disagree: a drifted-schema commit must fail the read
-    loudly, not silently schema-merge or type-drift an all-null column.
-    Legacy commits without a recorded schema fall back to inference
-    (schema None), still field-name-checked."""
+    schemas its commits RECORDED at write time. ADDITIVE evolution is
+    legal — the table-format contract: a commit may add new columns, and
+    older files project them as NULL, so the snapshot schema is the
+    commits' field UNION in first-appearance order (every field read
+    nullable — pre-evolution files genuinely lack the new columns). What
+    stays a LOUD failure is real drift: the same field name recorded
+    with two different types can't be projected, only mis-coerced — so
+    it raises instead of silently type-drifting. Legacy commits without
+    a recorded schema fall back to inference (schema None), with
+    field-set equality still required (inference can't distinguish
+    evolution from drift)."""
+    from pyspark.sql.types import StructField
+
     formats = sorted({m.get("format", "jsonl") for m in metas})
     if len(formats) > 1:
         raise ValueError(
@@ -743,29 +753,42 @@ def _pin_read_schema(metas: list[dict]) -> tuple[str, StructType | None]:
             "different formats cannot be read as one DataFrame — expire or "
             "overwrite past the older format first"
         )
-    field_sets = sorted(
-        {tuple(sorted(m["fields"])) for m in metas if m.get("fields")}
-    )
-    if len(field_sets) > 1:
-        raise ValueError(
-            "schema drift across resolved commits: the snapshot mixes field "
-            f"sets {field_sets}; refusing to infer-merge — overwrite with a "
-            "single schema or pin a version before the drift"
-        )
-    schemas = sorted({m["schema_json"] for m in metas if m.get("schema_json")})
+    schemas = [m["schema_json"] for m in metas if m.get("schema_json")]
     if not schemas:
-        return formats[0] if formats else "jsonl", None
-    parsed = [StructType.fromJson(json.loads(s)) for s in schemas]
-    canon = {
-        tuple(sorted((f.name, f.dataType.simpleString()) for f in p.fields))
-        for p in parsed
-    }
-    if len(canon) > 1:
-        raise ValueError(
-            "incompatible recorded schemas across resolved commits: "
-            f"{sorted(schemas)} — refusing to infer-merge"
+        field_sets = sorted(
+            {tuple(sorted(m["fields"])) for m in metas if m.get("fields")}
         )
-    return formats[0], parsed[0]
+        if len(field_sets) > 1:
+            raise ValueError(
+                "schema drift across resolved commits without recorded "
+                f"schemas: the snapshot mixes field sets {field_sets}; "
+                "refusing to infer-merge legacy commits"
+            )
+        return formats[0] if formats else "jsonl", None
+    if len(schemas) < len(metas):
+        raise ValueError(
+            "resolved snapshot mixes schema-recording commits with legacy "
+            "no-schema commits; overwrite past the legacy generation first"
+        )
+    merged: dict[str, StructField] = {}
+    seen_json = set()
+    for s in schemas:  # commit order: evolution appends, never reorders
+        if s in seen_json:
+            continue
+        seen_json.add(s)
+        for f in StructType.fromJson(json.loads(s)).fields:
+            have = merged.get(f.name)
+            if have is None:
+                merged[f.name] = StructField(f.name, f.dataType, nullable=True)
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"schema drift across resolved commits: field {f.name!r} "
+                    f"recorded as {have.dataType.simpleString()} and "
+                    f"{f.dataType.simpleString()} — additive evolution is "
+                    "legal, a type change is not; overwrite with a single "
+                    "schema or pin a version before the drift"
+                )
+    return formats[0], StructType(list(merged.values()))
 
 
 def read_manifest_sink(
@@ -796,6 +819,38 @@ def read_manifest_sink(
     if fmt == "parquet":
         return reader.parquet(*files)
     return reader.json(files)
+
+
+def manifest_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY for the manifest log (Delta's operation-audit
+    idea): one row per surviving commit — version, writer family, mode
+    (append delta / overwrite base), rows and files it published, its
+    recorded field list, and whether it is a stream compaction. Driver
+    reads only the small manifest JSONs (metadata-class, same bound as
+    the catalog ops) and hands Spark the rows, so the report is
+    queryable like any DataFrame. Expired versions don't appear — the
+    history is exactly what time travel can still reach."""
+    rows = []
+    for v, kind, man in _list_commits(path):
+        rows.append(
+            (
+                v,
+                kind,
+                man.get("mode", "append"),
+                man.get("n_rows"),
+                len(man.get("files", [])),
+                ",".join(man.get("fields") or []),
+                man.get("format", "jsonl"),
+                "compacted_through" in man,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "version long, kind string, mode string, n_rows long, "
+            "n_files int, fields_csv string, format string, is_compaction boolean"
+        ),
+    )
 
 
 def compact_stream_manifests(path: str, upto_batch: int) -> str:

@@ -209,8 +209,12 @@ def test_read_schema_pinned_to_recorded_schema(spark, tmp_path):
     assert back.count() == 5
 
 
-def test_schema_drift_across_resolved_commits_raises(spark, tmp_path):
-    d = str(tmp_path / "drift")
+def test_additive_schema_evolution_projects_nulls(spark, tmp_path):
+    """ADDITIVE evolution is the table-format contract: a later commit
+    adds a column, the snapshot schema is the union, and pre-evolution
+    rows project the new column as NULL. Pins BEFORE the evolution keep
+    the old schema."""
+    d = str(tmp_path / "evolve")
     s1 = StructType([StructField("id", LongType())])
     s2 = StructType([StructField("id", LongType()), StructField("x", StringType())])
     os.makedirs(d)
@@ -222,7 +226,34 @@ def test_schema_drift_across_resolved_commits_raises(spark, tmp_path):
     ManifestSinkWriter({"path": d}, s2, overwrite=False).commit(
         [_StagedFile("part-00000-b.jsonl", 1)]
     )
-    with pytest.raises(ValueError, match="schema drift"):
+    back = read_manifest_sink(spark, d)
+    assert dict(back.dtypes) == {"id": "bigint", "x": "string"}
+    rows = {r.id: r.x for r in back.collect()}
+    assert rows == {1: None, 2: "hey"}
+    # pinning BEFORE the evolution keeps the narrow schema
+    assert dict(read_manifest_sink(spark, d, version=1).dtypes) == {"id": "bigint"}
+
+
+def test_type_conflict_across_resolved_commits_raises(spark, tmp_path):
+    """Evolution is additive ONLY: the same field recorded with two
+    different types cannot be projected, so the read fails loudly
+    instead of mis-coercing; overwriting past the drift heals the
+    latest snapshot."""
+    d = str(tmp_path / "drift")
+    s1 = StructType([StructField("id", LongType()), StructField("x", LongType())])
+    s2 = StructType([StructField("id", LongType()), StructField("x", StringType())])
+    os.makedirs(d)
+    with open(os.path.join(d, "part-00000-a.jsonl"), "w") as f:
+        f.write('{"id": 1, "x": 7}\n')
+    ManifestSinkWriter({"path": d}, s1, overwrite=False).commit(
+        [_StagedFile("part-00000-a.jsonl", 1)]
+    )
+    with open(os.path.join(d, "part-00000-b.jsonl"), "w") as f:
+        f.write('{"id": 2, "x": "hey"}\n')
+    ManifestSinkWriter({"path": d}, s2, overwrite=False).commit(
+        [_StagedFile("part-00000-b.jsonl", 1)]
+    )
+    with pytest.raises(ValueError, match="schema drift.*type change is not"):
         read_manifest_sink(spark, d)
     # pinning BEFORE the drift still reads cleanly
     assert read_manifest_sink(spark, d, version=1).count() == 1
@@ -232,6 +263,21 @@ def test_schema_drift_across_resolved_commits_raises(spark, tmp_path):
         "overwrite"
     ).save()
     assert read_manifest_sink(spark, d).count() == 3
+
+
+def test_manifest_history_reports_surviving_commits(spark, tmp_path):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import manifest_history
+
+    d = str(tmp_path / "hist")
+    for b, ids in enumerate(([1], [2, 3], [4])):
+        _stream_commit(d, ids, f"b{b}", b)
+    compact_stream_manifests(d, upto_batch=1)
+    hist = {r.version: r for r in manifest_history(spark, d).collect()}
+    assert set(hist) == {1, 2}  # batch 0 folded into the base at 1
+    assert hist[1].mode == "overwrite" and hist[1].is_compaction
+    assert hist[1].n_rows == 3 and hist[1].n_files == 2
+    assert hist[2].mode == "append" and not hist[2].is_compaction
+    assert hist[2].kind == "stream" and hist[2].fields_csv == "id"
 
 
 # ------------------------------------------------------ parquet staging

@@ -194,9 +194,15 @@ def _read_hint(path: str) -> dict | None:
 
 
 def _write_hint(path: str, kind: str, version: int, checkpoint: int | None) -> None:
-    _publish_last_wins(
-        path, _HINT, {"kind": kind, "version": version, "checkpoint": checkpoint}
-    )
+    try:
+        _publish_last_wins(
+            path, _HINT, {"kind": kind, "version": version, "checkpoint": checkpoint}
+        )
+    except OSError:
+        # best-effort by contract: the commit this hint describes already
+        # published; a missing/stale hint costs the next reader a name
+        # scan, never correctness
+        pass
 
 
 def _scan_names(path: str) -> tuple[str | None, list, list]:
@@ -481,12 +487,19 @@ class ManifestSinkWriter(DataSourceWriter):
         checkpoint version for the hint."""
         if self.checkpoint_interval <= 0 or v % self.checkpoint_interval:
             return prev_ckpt
-        state = _resolve_state(self.path, version=v)
-        ck = {"version": v, "files": state["files"], "metas": state["metas"]}
         try:
+            state = _resolve_state(self.path, version=v)
+            ck = {"version": v, "files": state["files"], "metas": state["metas"]}
             _publish_exclusive(self.path, f"{_CKPT_PREFIX}{v:08d}", ck)
         except FileExistsError:
             pass  # a concurrent job already published the identical rollup
+        except Exception:
+            # STRICTLY best-effort: the commit itself already published.
+            # Raising here would make the job report failure for data
+            # that is durably live (e.g. a concurrent expire unlinking a
+            # manifest mid-rollup). A missing checkpoint costs the next
+            # resolve speed, never correctness.
+            return prev_ckpt
         return v
 
     def abort(self, messages) -> None:

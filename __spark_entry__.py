@@ -67,11 +67,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-13 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 12 never-attested r13 queries (REAL multimodal decode kernels —
+# the 13 never-attested r13 queries (REAL multimodal decode kernels —
 # PPM image + WAV PCM audio, oracle-replayed closed forms; the four
 # TPC-H alias rows making all 22 queries greppable as tpch_qN;
 # parquet staging through the manifest log; checkpoint-accelerated
-# log resolution; stream-log compaction -> retention; ADDITIVE schema
+# log resolution; stream-log compaction -> retention; OPTIMIZE
+# small-file compaction through the log; ADDITIVE schema
 # evolution with null projection; DESCRIBE HISTORY; the manifest
 # log as a STREAMING SOURCE tailed incrementally), then 5
 # changed-since-attestation rows (pysink gained cross-family guards /
@@ -94,6 +95,7 @@ _PRIORITY = (
     "manifest_sink_parquet_roundtrip",  # NEVER-attested: new r13 query leads window
     "manifest_checkpoint_resolve_roundtrip",  # NEVER-attested: new r13 query leads window
     "manifest_schema_evolution_roundtrip",  # NEVER-attested: new r13 query leads window
+    "manifest_optimize_roundtrip",  # NEVER-attested: new r13 query leads window
     "manifest_history_report",  # NEVER-attested: new r13 query leads window
     "manifest_log_stream_tail_roundtrip",  # NEVER-attested: new r13 query leads window
     "stream_manifest_compaction_roundtrip",  # NEVER-attested: new r13 query leads window
@@ -134,7 +136,6 @@ _PRIORITY = (
     "string_agg_family",  # r8-green; stale rotation
     "bfs_reachable_hops",  # r8-green; stale rotation
     "label_propagation_nations",  # r8-green; stale rotation
-    "funnel_time_to_convert",  # r8-green; stale rotation
 )
 
 

@@ -1962,6 +1962,56 @@ def q_manifest_schema_evolution_roundtrip(
 
 
 @_register(
+    "manifest_optimize_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_manifest_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE through the commit log (sources/pysink.py
+    optimize_manifest_sink): two append jobs land ``documents`` halves as
+    12 small staged files, the optimizer rewrites the snapshot as 2
+    files published in ONE overwrite commit, expire + vacuum reclaim the
+    superseded generation — and the readback still equals the source
+    exactly. This is the small-file compaction every 100 TB table needs
+    (file count, not data size, is what kills scan planning), done
+    through the same snapshot-isolated commit path as any other write:
+    readers never see a partial rewrite, time travel dies only when
+    retention says so."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        expire_manifest_versions,
+        optimize_manifest_sink,
+        read_manifest_sink,
+        resolve_manifest_files,
+        vacuum_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_optimize", sf_dir)
+    for half in (0, 1):
+        docs.filter(F.col("doc_id") % 2 == half).repartition(6).write.format(
+            "manifestsink"
+        ).option("path", d).mode("append").save()
+    optimize_manifest_sink(spark, d, target_files=2)
+    expire_manifest_versions(d, min_version=3)  # the optimize commit
+    vacuum_manifest_sink(d, grace_seconds=0)  # reclaim the 12 small files
+    assert len(resolve_manifest_files(d)) == 2
+    back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
     "manifest_history_report",
     sql="""
 SELECT CAST(t.v AS BIGINT) AS version, t.mode,

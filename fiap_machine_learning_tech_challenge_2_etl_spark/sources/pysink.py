@@ -834,6 +834,42 @@ def read_manifest_sink(
     return reader.json(files)
 
 
+def optimize_manifest_sink(
+    spark: SparkSession, path: str, target_files: int = 4
+) -> None:
+    """OPTIMIZE for the batch commit log: small-file compaction of the
+    DATA through the log itself — read the current snapshot, rewrite it
+    as ``target_files`` staged files, publish ONE overwrite commit. The
+    rewrite is just another commit, so readers never observe a partial
+    state, pre-optimize versions stay time-travelable until expired, and
+    expire + vacuum then reclaim the superseded small files — the
+    OPTIMIZE / retention / VACUUM triad table formats ship. Stream
+    directories have the metadata-level counterpart
+    (:func:`compact_stream_manifests`) instead: their family guard
+    correctly refuses a batch overwrite, and their small-file story is
+    per-batch manifests, not per-task files. Caveat shared with every
+    table format: the overwrite commit is a history rewrite, so run it
+    below active streaming readers' offsets (the ``manifestlog`` source
+    raises on it by default)."""
+    state = _resolve_state(path)
+    if state["kind"] != "batch":
+        raise ValueError(
+            f"optimize_manifest_sink expects a batch commit log; {path} "
+            "holds a stream log — use compact_stream_manifests there"
+        )
+    fmts = {m.get("format", "jsonl") for m in state["metas"]}
+    fmt = fmts.pop() if len(fmts) == 1 else "parquet"
+    (
+        read_manifest_sink(spark, path)
+        .repartition(target_files)
+        .write.format("manifestsink")
+        .option("path", path)
+        .option("format", fmt)
+        .mode("overwrite")
+        .save()
+    )
+
+
 def manifest_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY for the manifest log (Delta's operation-audit
     idea): one row per surviving commit — version, writer family, mode

@@ -376,6 +376,37 @@ def test_stream_compaction_then_expire_reclaims_orphans(tmp_path):
     assert vacuum_manifest_sink(d, grace_seconds=0) == []
 
 
+def test_optimize_rewrites_snapshot_preserving_history(spark, tmp_path):
+    """OPTIMIZE through the log: same rows, fewer files, published as one
+    overwrite commit — pre-optimize pins intact until expired, then
+    vacuum reclaims exactly the superseded small files."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import optimize_manifest_sink
+
+    d = str(tmp_path / "opt")
+    spark.dataSource.register(ManifestSinkDataSource)
+    for lo, hi in ((0, 40), (40, 100)):
+        spark.range(lo, hi).repartition(6).write.format("manifestsink").option(
+            "path", d
+        ).mode("append").save()
+    assert len(resolve_manifest_files(d)) == 12
+    before = read_manifest_sink(spark, d).agg(F.sum("id")).collect()[0][0]
+    optimize_manifest_sink(spark, d, target_files=2)
+    files = resolve_manifest_files(d)
+    assert len(files) == 2
+    assert read_manifest_sink(spark, d).agg(F.sum("id")).collect()[0][0] == before
+    # pre-optimize pins still readable; nothing reclaimable until expired
+    assert len(resolve_manifest_files(d, version=2)) == 12
+    assert vacuum_manifest_sink(d, grace_seconds=0) == []
+    expire_manifest_versions(d, min_version=3)
+    assert len(vacuum_manifest_sink(d, grace_seconds=0)) == 12
+    assert read_manifest_sink(spark, d).agg(F.sum("id")).collect()[0][0] == before
+    # stream directories are refused (their counterpart is manifest compaction)
+    d2 = str(tmp_path / "stream")
+    _stream_commit(d2, [1], "b0", 0)
+    with pytest.raises(ValueError, match="compact_stream_manifests"):
+        optimize_manifest_sink(spark, d2)
+
+
 # ------------------------------------------------- manifestlog stream source
 
 

@@ -67,11 +67,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-13 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 13 never-attested r13 queries (REAL multimodal decode kernels —
+# the 14 never-attested r13 queries (REAL multimodal decode kernels —
 # PPM image + WAV PCM audio, oracle-replayed closed forms; the four
 # TPC-H alias rows making all 22 queries greppable as tpch_qN;
 # parquet staging through the manifest log; checkpoint-accelerated
-# log resolution; stream-log compaction -> retention; OPTIMIZE
+# log resolution; manifest-level min/max file skipping;
+# stream-log compaction -> retention; OPTIMIZE
 # small-file compaction through the log; ADDITIVE schema
 # evolution with null projection; DESCRIBE HISTORY; the manifest
 # log as a STREAMING SOURCE tailed incrementally), then 5
@@ -95,6 +96,7 @@ _PRIORITY = (
     "manifest_sink_parquet_roundtrip",  # NEVER-attested: new r13 query leads window
     "manifest_checkpoint_resolve_roundtrip",  # NEVER-attested: new r13 query leads window
     "manifest_schema_evolution_roundtrip",  # NEVER-attested: new r13 query leads window
+    "manifest_stats_pruned_read",  # NEVER-attested: new r13 query leads window
     "manifest_optimize_roundtrip",  # NEVER-attested: new r13 query leads window
     "manifest_history_report",  # NEVER-attested: new r13 query leads window
     "manifest_log_stream_tail_roundtrip",  # NEVER-attested: new r13 query leads window
@@ -135,7 +137,6 @@ _PRIORITY = (
     "winsorized_stats",  # r8-green; stale rotation
     "string_agg_family",  # r8-green; stale rotation
     "bfs_reachable_hops",  # r8-green; stale rotation
-    "label_propagation_nations",  # r8-green; stale rotation
 )
 
 

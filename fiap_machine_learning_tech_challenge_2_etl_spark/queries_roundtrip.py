@@ -1962,6 +1962,56 @@ def q_manifest_schema_evolution_roundtrip(
 
 
 @_register(
+    "manifest_stats_pruned_read",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id <= 200
+GROUP BY lang
+""",
+)
+def q_manifest_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-LEVEL min/max data skipping (sources/pysink.py
+    ``statsColumns`` + prune_manifest_files — the Iceberg/Delta file-stats
+    idea): ``documents`` lands range-clustered on doc_id as 4 staged
+    files whose commits record per-file [min, max]; the readback prunes
+    to ``doc_id <= 200`` FROM METADATA ALONE (an in-query assert pins
+    that files were actually dropped) and then applies the real filter —
+    pruning is a superset contract, correctness never depends on it. The
+    value hash proves the pruned scan returns exactly the source rows.
+    At 100 TB this is the first skipping tier, ABOVE parquet footers:
+    whole files eliminated before the scan plan even sees them, from
+    one small JSON read."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        prune_manifest_files,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_stats_prune", sf_dir)
+    docs.repartitionByRange(4, "doc_id").write.format("manifestsink").option(
+        "path", d
+    ).option("statsColumns", "doc_id").mode("append").save()
+    kept, total = prune_manifest_files(d, {"doc_id": (None, 200)})
+    assert len(kept) < total, (len(kept), total)  # skipping actually skipped
+    back = read_manifest_sink(spark, d, prune={"doc_id": (None, 200)})
+    return (
+        back.filter(F.col("doc_id") <= 200)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@_register(
     "manifest_optimize_roundtrip",
     sql="""
 SELECT lang,

@@ -146,9 +146,12 @@ VACUUM_GRACE_SECONDS = 600.0
 
 
 class _StagedFile(WriterCommitMessage):
-    def __init__(self, filename: str, n_rows: int):
+    def __init__(self, filename: str, n_rows: int, stats: dict | None = None):
         self.filename = filename
         self.n_rows = n_rows
+        # per-column [min, max] over this file's non-null values —
+        # the manifest-level data-skipping stats (None when not tracked)
+        self.stats = stats
 
 
 def _publish_exclusive(path: str, name: str, manifest: dict) -> None:
@@ -297,6 +300,7 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
         if ck is not None:
             files = list(ck["files"])
             metas = list(ck.get("metas", []))
+            fstats = dict(ck.get("file_stats", {}))
             v = c + 1
             while version is None or v <= version:
                 try:
@@ -304,17 +308,20 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
                 except FileNotFoundError:
                     break
                 if man.get("mode", "append") == "overwrite":
-                    files, metas = [], []
+                    files, metas, fstats = [], [], {}
                 files.extend(man["files"])
+                fstats.update(man.get("file_stats", {}))
                 if man["files"]:
                     m = _meta_of(man)
                     if m not in metas:
                         metas.append(m)
                 v += 1
-            return {"kind": "batch", "files": files, "metas": metas}
+            return {"kind": "batch", "files": files, "metas": metas,
+                    "file_stats": fstats}
     kind, commits, ckpts = _scan_names(path)
     files: list[str] = []
     metas: list[dict] = []
+    fstats: dict[str, dict] = {}
     start_after = -1
     if kind == "batch":
         usable = [c for c in ckpts if version is None or c[0] <= version]
@@ -323,6 +330,7 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
             ck = _load(path, cname)
             files = list(ck["files"])
             metas = list(ck.get("metas", []))
+            fstats = dict(ck.get("file_stats", {}))
             start_after = cv
     for v, name in commits:
         if v <= start_after:
@@ -331,13 +339,14 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
             break
         man = _load(path, name)
         if man.get("mode", "append") == "overwrite":
-            files, metas = [], []
+            files, metas, fstats = [], [], {}
         files.extend(man["files"])
+        fstats.update(man.get("file_stats", {}))
         if man["files"]:
             m = _meta_of(man)
             if m not in metas:
                 metas.append(m)
-    return {"kind": kind, "files": files, "metas": metas}
+    return {"kind": kind, "files": files, "metas": metas, "file_stats": fstats}
 
 
 class ManifestSinkWriter(DataSourceWriter):
@@ -359,6 +368,20 @@ class ManifestSinkWriter(DataSourceWriter):
         self.checkpoint_interval = int(
             opts.get("checkpointinterval", DEFAULT_CHECKPOINT_INTERVAL)
         )
+        # manifest-level data-skipping stats: per-file [min, max] of the
+        # named columns, computed DURING staging (one compare per row per
+        # column — zero cost unless opted in) and published in the commit
+        # manifest, so readers can prune whole files from metadata alone
+        self.stats_columns = [
+            c.strip()
+            for c in str(opts.get("statscolumns", "")).split(",")
+            if c.strip()
+        ]
+        unknown = [c for c in self.stats_columns if c not in self.fields]
+        if unknown:
+            raise ValueError(
+                f"statsColumns {unknown} not in the write schema {self.fields}"
+            )
 
     # -- executor side ------------------------------------------------
     def write(self, iterator) -> _StagedFile:
@@ -368,6 +391,28 @@ class ManifestSinkWriter(DataSourceWriter):
         name = f"part-{pid:05d}-{uuid.uuid4().hex}.{self.format}"
         os.makedirs(self.path, exist_ok=True)
         staged = os.path.join(self.path, name)
+        stats: dict[str, list] = {}
+        if self.stats_columns:
+            idx = [self.fields.index(c) for c in self.stats_columns]
+            inner = iterator
+
+            def observing():
+                for row in inner:
+                    for c, i in zip(self.stats_columns, idx):
+                        v = row[i]
+                        if v is None:
+                            continue
+                        s = stats.get(c)
+                        if s is None:
+                            stats[c] = [v, v]
+                        else:
+                            if v < s[0]:
+                                s[0] = v
+                            if v > s[1]:
+                                s[1] = v
+                    yield row
+
+            iterator = observing()
         try:
             if self.format == "parquet":
                 n = self._stage_parquet(staged, iterator)
@@ -382,7 +427,7 @@ class ManifestSinkWriter(DataSourceWriter):
             except FileNotFoundError:
                 pass
             raise
-        return _StagedFile(name, n)
+        return _StagedFile(name, n, stats or None)
 
     def _stage_jsonl(self, staged: str, iterator) -> int:
         n = 0
@@ -436,6 +481,13 @@ class ManifestSinkWriter(DataSourceWriter):
             # until expired, then vacuum reclaims their files)
             "mode": "overwrite" if self.overwrite else "append",
         }
+        file_stats = {
+            m.filename: m.stats
+            for m in messages
+            if m is not None and getattr(m, "stats", None)
+        }
+        if file_stats:
+            manifest["file_stats"] = file_stats
         os.makedirs(self.path, exist_ok=True)
         # family check FIRST, before anything is published: a batch
         # commit into a stream-written directory would create two
@@ -489,7 +541,12 @@ class ManifestSinkWriter(DataSourceWriter):
             return prev_ckpt
         try:
             state = _resolve_state(self.path, version=v)
-            ck = {"version": v, "files": state["files"], "metas": state["metas"]}
+            ck = {
+                "version": v,
+                "files": state["files"],
+                "metas": state["metas"],
+                "file_stats": state["file_stats"],
+            }
             _publish_exclusive(self.path, f"{_CKPT_PREFIX}{v:08d}", ck)
         except FileExistsError:
             pass  # a concurrent job already published the identical rollup
@@ -557,6 +614,13 @@ class ManifestStreamSinkWriter(DataSourceStreamWriter):
             "batch_id": batchId,
             "mode": "append",
         }
+        file_stats = {
+            m.filename: m.stats
+            for m in messages
+            if m is not None and getattr(m, "stats", None)
+        }
+        if file_stats:
+            manifest["file_stats"] = file_stats
         os.makedirs(self.path, exist_ok=True)
         _publish_last_wins(self.path, f"{_B_PREFIX}{batchId}", manifest)
         _write_hint(self.path, "stream", batchId, None)
@@ -804,8 +868,46 @@ def _pin_read_schema(metas: list[dict]) -> tuple[str, StructType | None]:
     return formats[0], StructType(list(merged.values()))
 
 
+def prune_manifest_files(
+    path: str, predicates: dict, version: int | None = None
+) -> tuple[list[str], int]:
+    """MANIFEST-LEVEL data skipping (the Iceberg/Delta min-max idea):
+    given ``predicates = {col: (lo, hi)}`` (either bound may be None),
+    return ``(kept_files, n_total)`` where a file is dropped ONLY when
+    its commit-recorded [min, max] PROVES no row can satisfy the range —
+    a pure metadata decision, no file opened. Files without recorded
+    stats for a predicate column are always kept, so the result is a
+    SUPERSET of the matching rows' files (same contract as parquet
+    row-group skipping): callers still apply the real filter; pruning
+    only removes scan work, never rows. Stats are recorded by the writer
+    when ``option("statsColumns", "a,b")`` is set — one min/max compare
+    per row per column during staging."""
+    state = _resolve_state(path, version)
+    fstats = state.get("file_stats", {})
+    kept = []
+    for name in state["files"]:
+        st = fstats.get(name)
+        drop = False
+        if st:
+            for col, (lo, hi) in predicates.items():
+                mm = st.get(col)
+                if mm is None:
+                    continue
+                if (hi is not None and mm[0] > hi) or (
+                    lo is not None and mm[1] < lo
+                ):
+                    drop = True
+                    break
+        if not drop:
+            kept.append(os.path.join(path, name))
+    return kept, len(state["files"])
+
+
 def read_manifest_sink(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read a manifest-committed directory THROUGH its commit log: only
     the files the resolved manifests list (staged-but-uncommitted and
@@ -817,7 +919,10 @@ def read_manifest_sink(
     gets a version number > k). The read schema is PINNED to what the
     resolved commits recorded at write time (never inferred when a
     recorded schema exists), and the read is distributed — Spark's JSON
-    or parquet reader over the explicit file list."""
+    or parquet reader over the explicit file list. ``prune={col: (lo,
+    hi)}`` additionally drops files whose commit-recorded min/max PROVE
+    they hold no matching row (see :func:`prune_manifest_files`) — a
+    superset guarantee, so pair it with the real ``.filter``."""
     state = _resolve_state(path, version)
     files = [os.path.join(path, name) for name in state["files"]]
     if not files:
@@ -826,9 +931,13 @@ def read_manifest_sink(
             + (f" at version <= {version}" if version is not None else "")
         )
     fmt, schema = _pin_read_schema(state["metas"])
+    if prune:
+        files, _total = prune_manifest_files(path, prune, version)
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
+    if not files:  # everything provably pruned: an empty, schema-true frame
+        return spark.createDataFrame([], schema=schema)
     if fmt == "parquet":
         return reader.parquet(*files)
     return reader.json(files)

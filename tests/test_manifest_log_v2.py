@@ -376,6 +376,69 @@ def test_stream_compaction_then_expire_reclaims_orphans(tmp_path):
     assert vacuum_manifest_sink(d, grace_seconds=0) == []
 
 
+def test_manifest_stats_skipping_prunes_only_provable_files(spark, tmp_path):
+    """Manifest-level min/max data skipping: statsColumns records per-file
+    [min,max] during staging; pruning drops a file ONLY when its stats
+    prove no row matches, keeps stats-less files (superset contract),
+    survives the checkpoint fast path, and never changes query results."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import prune_manifest_files
+
+    d = str(tmp_path / "stats")
+    spark.dataSource.register(ManifestSinkDataSource)
+    # 4 range-disjoint files with recorded stats
+    df = spark.range(400).select("id", (F.col("id") % 7).alias("g"))
+    df.repartitionByRange(4, "id").write.format("manifestsink").option(
+        "path", d
+    ).option("statsColumns", "id").mode("append").save()
+    # one stats-less commit on top (no statsColumns): must never be pruned
+    spark.range(1000, 1005).coalesce(1).write.format("manifestsink").option(
+        "path", d
+    ).mode("append").save()
+
+    kept, total = prune_manifest_files(d, {"id": (0, 50)})
+    assert total == 5
+    assert len(kept) == 2  # one range file can match + the stats-less file
+    back = read_manifest_sink(spark, d, prune={"id": (0, 50)}).filter(
+        F.col("id") <= 50
+    )
+    full = read_manifest_sink(spark, d).filter(F.col("id") <= 50)
+    assert back.agg(F.sum("id")).collect() == full.agg(F.sum("id")).collect()
+    # open bounds: (lo, None) keeps everything at/above lo plus stats-less
+    kept_hi, _ = prune_manifest_files(d, {"id": (350, None)})
+    assert len(kept_hi) == 2
+    # all provably pruned -> empty frame with the pinned schema
+    empty = read_manifest_sink(spark, d, prune={"g": (100, 200)})
+    # g has no recorded stats anywhere -> nothing prunable, NOT empty
+    assert empty.count() == 405
+    # a range with no possible id match prunes the 4 stats files only
+    kept_none, _ = prune_manifest_files(d, {"id": (5000, 6000)})
+    assert len(kept_none) == 1  # just the stats-less file survives
+
+
+def test_manifest_stats_survive_checkpoint_fast_path(tmp_path):
+    """file_stats must ride the checkpoint rollup: a resolve that starts
+    from a checkpoint sees the same pruning metadata as a full scan."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import prune_manifest_files
+
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    for i in range(1, 20):  # past the interval-16 checkpoint
+        name = f"part-00000-v{i}.jsonl"
+        with open(os.path.join(d, name), "w") as f:
+            f.write(f'{{"id": {i}}}\n')
+        msg = _StagedFile(name, 1, stats={"id": [i, i]})
+        ManifestSinkWriter({"path": d}, SCHEMA, overwrite=False).commit([msg])
+    hint = os.path.join(d, "_LAST_CHECKPOINT")
+    kept_fast, total_fast = prune_manifest_files(d, {"id": (5, 7)})
+    os.rename(hint, hint + ".bak")
+    kept_slow, total_slow = prune_manifest_files(d, {"id": (5, 7)})
+    os.rename(hint + ".bak", hint)
+    assert kept_fast == kept_slow and total_fast == total_slow == 19
+    assert [os.path.basename(p) for p in kept_fast] == [
+        "part-00000-v5.jsonl", "part-00000-v6.jsonl", "part-00000-v7.jsonl"
+    ]
+
+
 def test_optimize_rewrites_snapshot_preserving_history(spark, tmp_path):
     """OPTIMIZE through the log: same rows, fewer files, published as one
     overwrite commit — pre-optimize pins intact until expired, then

@@ -65,78 +65,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order. Bare ``attestation_ledger.py --check`` verifies this
 # tuple (it reads max_round and the changed set from the committed
 # ledger).
-# ROUND-13 NOTE: window regenerated stalest-first via
-# ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 14 never-attested r13 queries (REAL multimodal decode kernels —
-# PPM image + WAV PCM audio, oracle-replayed closed forms; the four
-# TPC-H alias rows making all 22 queries greppable as tpch_qN;
-# parquet staging through the manifest log; checkpoint-accelerated
-# log resolution; manifest-level min/max file skipping;
-# stream-log compaction -> retention; OPTIMIZE
-# small-file compaction through the log; ADDITIVE schema
-# evolution with null projection; DESCRIBE HISTORY; the manifest
-# log as a STREAMING SOURCE tailed incrementally), then 5
-# changed-since-attestation rows (pysink gained cross-family guards /
-# checkpoints / the _LAST_CHECKPOINT hint / vacuum grace / pinned
-# read schemas, flagging the manifest queries; the chained stream
-# query gained its batch fallback branch; Q21/Q8 docstring citation
-# fixes). Then the r08 cohort rotates in registry order. Post-r13
-# oldest green should be >= r08 still (the r08 cohort is 56 rows —
-# larger than the 36 free slots — so it retires across r13+r14;
-# pytest gate: test_attestation_ledger.py asserts
-# oldest_green >= max_round - (ceil(N/50)+1), derived from the live
-# registry size).
+# ROUND-14 NOTE: window regenerated stalest-first via
+# ``query_provenance.py -> attestation_ledger.py --changed``. No
+# never-attested or changed rows at round open (r13 closed 50/50
+# green and provenance is clean), so the window is PURE stalest-first
+# rotation: the seven remaining r08-green rows lead (the r12/r13
+# verdicts' explicit carry-over debt — label_propagation_nations,
+# funnel_time_to_convert, association_rules_lift, lsh_recall_eval,
+# minhash_recall_eval, shortest_path_weighted,
+# materialized_rollup_roundtrip), then the r09 cohort in registry
+# order. Post-r14 oldest green must be >= r09. New r14 queries and
+# changed-since-attestation leads re-rotate in front as they land
+# (re-run the two tools with every feature commit).
 _PRIORITY = (
-    "ppm_decode_gray_stats",  # NEVER-attested: new r13 query leads window
-    "wav_pcm_decode_stats",  # NEVER-attested: new r13 query leads window
-    "tpch_q3_shipping_priority",  # NEVER-attested: new r13 query leads window
-    "tpch_q4_order_priority",  # NEVER-attested: new r13 query leads window
-    "tpch_q17_small_quantity_revenue",  # NEVER-attested: new r13 query leads window
-    "tpch_q2_min_cost_supplier",  # NEVER-attested: new r13 query leads window
-    "manifest_sink_parquet_roundtrip",  # NEVER-attested: new r13 query leads window
-    "manifest_checkpoint_resolve_roundtrip",  # NEVER-attested: new r13 query leads window
-    "manifest_schema_evolution_roundtrip",  # NEVER-attested: new r13 query leads window
-    "manifest_stats_pruned_read",  # NEVER-attested: new r13 query leads window
-    "manifest_optimize_roundtrip",  # NEVER-attested: new r13 query leads window
-    "manifest_history_report",  # NEVER-attested: new r13 query leads window
-    "manifest_log_stream_tail_roundtrip",  # NEVER-attested: new r13 query leads window
-    "stream_manifest_compaction_roundtrip",  # NEVER-attested: new r13 query leads window
-    "tpch_q21_suppliers_kept_waiting",  # green; changed-since-attestation (r13 edit)
-    "tpch_q8_national_market_share",  # green; changed-since-attestation (r13 edit)
-    "stream_dedup_windowed_chain_roundtrip",  # green; changed-since-attestation (r13 edit)
-    "manifest_sink_roundtrip",  # green; changed-since-attestation (r13 edit)
-    "manifest_sink_time_travel",  # green; changed-since-attestation (r13 edit)
-    "minhash_lsh_near_dup",  # r8-green; stale rotation
-    "simhash_near_dup",  # r8-green; stale rotation
-    "embedding_near_dup",  # r8-green; stale rotation
-    "value_histogram",  # r8-green; stale rotation
-    "dedup_canonical_docs",  # r8-green; stale rotation
-    "leakage_safe_split",  # r8-green; stale rotation
-    "incremental_cross_dedup",  # r8-green; stale rotation
-    "outlier_clip_iqr",  # r8-green; stale rotation
-    "mixture_rebalance_downsample",  # r8-green; stale rotation
-    "pagerank_supply_graph",  # r8-green; stale rotation
-    "hard_negative_mining",  # r8-green; stale rotation
-    "psi_drift_report",  # r8-green; stale rotation
-    "triangle_count_near_dup",  # r8-green; stale rotation
-    "shingle_containment_pairs",  # r8-green; stale rotation
-    "knn_label_noise",  # r8-green; stale rotation
-    "robust_mad_scores",  # r8-green; stale rotation
-    "co_purchase_pairs",  # r8-green; stale rotation
-    "event_transition_matrix",  # r8-green; stale rotation
-    "cohort_retention",  # r8-green; stale rotation
-    "multimodal_resize_thumb",  # r8-green; stale rotation
-    "rolling_distinct_users",  # r8-green; stale rotation
-    "churn_label_next_gap",  # r8-green; stale rotation
-    "seasonal_naive_error",  # r8-green; stale rotation
-    "histogram2d_heatmap",  # r8-green; stale rotation
-    "feature_hashing_cross",  # r8-green; stale rotation
-    "recsys_negative_sampling",  # r8-green; stale rotation
-    "stratified_kfold",  # r8-green; stale rotation
-    "class_balance_weights",  # r8-green; stale rotation
-    "winsorized_stats",  # r8-green; stale rotation
-    "string_agg_family",  # r8-green; stale rotation
-    "bfs_reachable_hops",  # r8-green; stale rotation
+    "label_propagation_nations",  # r8-green; stale rotation
+    "funnel_time_to_convert",  # r8-green; stale rotation
+    "association_rules_lift",  # r8-green; stale rotation
+    "lsh_recall_eval",  # r8-green; stale rotation
+    "minhash_recall_eval",  # r8-green; stale rotation
+    "shortest_path_weighted",  # r8-green; stale rotation
+    "materialized_rollup_roundtrip",  # r8-green; stale rotation
+    "flagship_pipeline",  # r9-green; stale rotation
+    "select_filter_project",  # r9-green; stale rotation
+    "distinct_rows",  # r9-green; stale rotation
+    "fill_defaults",  # r9-green; stale rotation
+    "sanitize_numeric",  # r9-green; stale rotation
+    "dedup_keep_first",  # r9-green; stale rotation
+    "moving_average",  # r9-green; stale rotation
+    "group_total",  # r9-green; stale rotation
+    "group_min_date",  # r9-green; stale rotation
+    "rank_in_group",  # r9-green; stale rotation
+    "all_null_column_drop",  # r9-green; stale rotation
+    "tpch_q1_agg",  # r9-green; stale rotation
+    "star_join_agg",  # r9-green; stale rotation
+    "join_topk_revenue",  # r9-green; stale rotation
+    "semi_join_customers",  # r9-green; stale rotation
+    "anti_join_customers",  # r9-green; stale rotation
+    "top_k_orders",  # r9-green; stale rotation
+    "json_extract_agg",  # r9-green; stale rotation
+    "text_stats",  # r9-green; stale rotation
+    "text_quality",  # r9-green; stale rotation
+    "language_id",  # r9-green; stale rotation
+    "doc_fingerprint",  # r9-green; stale rotation
+    "ewma_user_daily",  # r9-green; stale rotation
+    "mode_per_group",  # r9-green; stale rotation
+    "lateral_join_topk",  # r9-green; stale rotation
+    "sql_pipe_syntax_entry",  # r9-green; stale rotation
+    "benford_first_digit",  # r9-green; stale rotation
+    "sessionize_gap_islands",  # r9-green; stale rotation
+    "time_weighted_average",  # r9-green; stale rotation
+    "join_key_skew_report",  # r9-green; stale rotation
+    "multimodal_audio_energy",  # r9-green; stale rotation
+    "cusum_drift_detection",  # r9-green; stale rotation
+    "quantile_normalize_by_lang",  # r9-green; stale rotation
+    "hll_distinct_rollup",  # r9-green; stale rotation
+    "sink_partition_overwrite_roundtrip",  # r9-green; stale rotation
+    "sink_upsert_merge_roundtrip",  # r9-green; stale rotation
+    "catalog_partition_registry",  # r9-green; stale rotation
+    "runner_batch_roundtrip",  # r9-green; stale rotation
+    "msck_repair_discovery",  # r9-green; stale rotation
+    "file_list_scan",  # r9-green; stale rotation
+    "incremental_stream_roundtrip",  # r9-green; stale rotation
+    "stream_upsert_cdc_roundtrip",  # r9-green; stale rotation
+    "stream_session_window_roundtrip",  # r9-green; stale rotation
 )
 
 

@@ -4,6 +4,27 @@ CHECKPOINT rollups (O(1)-ish resolve at any depth), stream-log
 COMPACTION (makes streamed history expirable), and a retention-gated
 VACUUM.
 
+Round 14 adds the row-level-change tier real table formats ship:
+
+- REPLACE commits (``removed_files``) — one commit swaps a named subset
+  of files, the copy-on-write primitive under
+  :func:`merge_into_manifest_sink` (MERGE INTO / upsert) and
+  :func:`delete_from_manifest_sink` (DELETE WHERE), both scoped by
+  manifest-level stats pruning so an upsert of one key rewrites one
+  file, not the snapshot.
+- Commit TIMESTAMPS + ``TIMESTAMP AS OF`` (:func:`version_at_timestamp`,
+  ``read_manifest_sink(..., timestamp=...)``) with Delta's monotone
+  clamp rule for clock skew.
+- Optimistic concurrency for read-modify-write commits:
+  ``option("expectedVersion", k+1)`` claims exactly that version and
+  raises :class:`ConcurrentManifestWriteError` on a lost race (merge /
+  delete / optimize all pin their base snapshot); blind appends keep the
+  probe-upward claim (isolation level documented at the claim loop).
+- NULL-count skipping stats (``is_null`` / ``is_not_null`` predicates)
+  and JSON-safe tagged encoding for date/timestamp/decimal bounds.
+- Arrow RecordBatch reads in the ``manifestlog`` streaming source for
+  parquet-staged logs (``option("arrow", "false")`` for row tuples).
+
 The writer half of the Spark 4 Python DataSource API
 (``pyspark.sql.datasource.DataSourceWriter``), demonstrating the
 exactly-once commit protocol every serious sink implements (the same
@@ -120,6 +141,7 @@ Usage::
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -144,12 +166,89 @@ _HINT = "_LAST_CHECKPOINT"  # Delta-style pointer: latest version + checkpoint
 DEFAULT_CHECKPOINT_INTERVAL = 16
 VACUUM_GRACE_SECONDS = 600.0
 
+# stats-column types the min/max skipping layer supports: every one of
+# these has a JSON round-trip (below) whose decoded ordering equals the
+# column's real ordering, which is what the superset contract rests on.
+# Anything else (binary, arrays, structs) is refused at writer init —
+# AFTER the job ran would be the worst possible place to find out
+# (ADVICE r13: json.dump raised TypeError on date stats at commit()).
+_STATS_OK_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "decimal", "string", "boolean", "date", "timestamp",
+)
+
+
+class ConcurrentManifestWriteError(RuntimeError):
+    """A commit that pinned its base snapshot (``expectedVersion``) lost
+    the claim race: another writer published that version first. The
+    caller must re-read the new snapshot and retry its read-modify-write
+    — blindly taking the next version would silently supersede (merge,
+    delete, optimize) or resurrect (optimize racing an append) the
+    concurrent commit's rows."""
+
+
+def _enc_stat(v):
+    """JSON-safe encoding for a stats bound. Plain JSON scalars pass
+    through; date/timestamp/Decimal get a tagged wrapper whose decode
+    restores the original type so pruning compares like with like
+    (ISO strings would compare correctly for dates, but the predicate
+    side arrives as Python objects — decode keeps one ordering)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    raise TypeError(
+        f"unsupported stats value type {type(v).__name__}: statsColumns "
+        "accepts numeric/string/boolean/date/timestamp/decimal columns"
+    )
+
+
+def _dec_stat(v):
+    if not isinstance(v, dict):
+        return v
+    import datetime
+    import decimal
+
+    t, raw = v.get("t"), v.get("v")
+    if t == "ts":
+        return datetime.datetime.fromisoformat(raw)
+    if t == "date":
+        return datetime.date.fromisoformat(raw)
+    if t == "dec":
+        return decimal.Decimal(raw)
+    return raw
+
+
+def _stat_bounds(entry) -> tuple:
+    """Normalize a per-file per-column stats entry to ``(min, max,
+    nulls, rows)`` with None for anything the entry doesn't record.
+    Two on-disk generations: the legacy ``[min, max]`` list (raw JSON
+    values, no null counts) and the r14 dict ``{"min", "max", "nulls",
+    "rows"}`` with tagged encoding and null/row counts."""
+    if isinstance(entry, list):
+        return _dec_stat(entry[0]), _dec_stat(entry[1]), None, None
+    if isinstance(entry, dict):
+        return (
+            _dec_stat(entry.get("min")),
+            _dec_stat(entry.get("max")),
+            entry.get("nulls"),
+            entry.get("rows"),
+        )
+    return None, None, None, None
+
 
 class _StagedFile(WriterCommitMessage):
     def __init__(self, filename: str, n_rows: int, stats: dict | None = None):
         self.filename = filename
         self.n_rows = n_rows
-        # per-column [min, max] over this file's non-null values —
+        # per-column {"min", "max", "nulls", "rows"} over this file —
         # the manifest-level data-skipping stats (None when not tracked)
         self.stats = stats
 
@@ -269,6 +368,34 @@ def _list_commits(path: str) -> list[tuple[int, str, dict]]:
     return [(v, kind, _load(path, name)) for v, name in commits]
 
 
+def _apply_commit(
+    man: dict, files: list, metas: list, fstats: dict
+) -> tuple[list, list, dict]:
+    """Fold ONE commit into the running resolved state. Three modes:
+    ``append`` extends, ``overwrite`` is a BASE that resets the running
+    state, and ``replace`` (r14) is the copy-on-write delta — it first
+    drops exactly the files named in ``removed_files`` (and their
+    skipping stats), then adds its own staged files. Removal is by name
+    against the RUNNING state, so a replace naming an already-removed
+    file is a no-op, and a replace never reaches files behind a later
+    base. Returns the updated ``(files, metas, fstats)``."""
+    mode = man.get("mode", "append")
+    if mode == "overwrite":
+        files, metas, fstats = [], [], {}
+    elif mode == "replace":
+        removed = set(man.get("removed_files", []))
+        if removed:
+            files = [f for f in files if f not in removed]
+            fstats = {k: v for k, v in fstats.items() if k not in removed}
+    files.extend(man["files"])
+    fstats.update(man.get("file_stats", {}))
+    if man["files"]:
+        m = _meta_of(man)
+        if m not in metas:
+            metas.append(m)
+    return files, metas, fstats
+
+
 def _resolve_state(path: str, version: int | None = None) -> dict:
     """Resolve the log to ``{"files": [...], "metas": [...]}`` visible
     at ``version`` (inclusive; default latest): start from the newest
@@ -301,28 +428,24 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
             files = list(ck["files"])
             metas = list(ck.get("metas", []))
             fstats = dict(ck.get("file_stats", {}))
+            last = c
             v = c + 1
             while version is None or v <= version:
                 try:
                     man = _load(path, f"{_V_PREFIX}{v:08d}")
                 except FileNotFoundError:
                     break
-                if man.get("mode", "append") == "overwrite":
-                    files, metas, fstats = [], [], {}
-                files.extend(man["files"])
-                fstats.update(man.get("file_stats", {}))
-                if man["files"]:
-                    m = _meta_of(man)
-                    if m not in metas:
-                        metas.append(m)
+                files, metas, fstats = _apply_commit(man, files, metas, fstats)
+                last = v
                 v += 1
             return {"kind": "batch", "files": files, "metas": metas,
-                    "file_stats": fstats}
+                    "file_stats": fstats, "version": last}
     kind, commits, ckpts = _scan_names(path)
     files: list[str] = []
     metas: list[dict] = []
     fstats: dict[str, dict] = {}
     start_after = -1
+    last = -1
     if kind == "batch":
         usable = [c for c in ckpts if version is None or c[0] <= version]
         if usable:
@@ -332,21 +455,17 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
             metas = list(ck.get("metas", []))
             fstats = dict(ck.get("file_stats", {}))
             start_after = cv
+            last = cv
     for v, name in commits:
         if v <= start_after:
             continue
         if version is not None and v > version:
             break
         man = _load(path, name)
-        if man.get("mode", "append") == "overwrite":
-            files, metas, fstats = [], [], {}
-        files.extend(man["files"])
-        fstats.update(man.get("file_stats", {}))
-        if man["files"]:
-            m = _meta_of(man)
-            if m not in metas:
-                metas.append(m)
-    return {"kind": kind, "files": files, "metas": metas, "file_stats": fstats}
+        files, metas, fstats = _apply_commit(man, files, metas, fstats)
+        last = v
+    return {"kind": kind, "files": files, "metas": metas,
+            "file_stats": fstats, "version": last}
 
 
 class ManifestSinkWriter(DataSourceWriter):
@@ -382,6 +501,50 @@ class ManifestSinkWriter(DataSourceWriter):
             raise ValueError(
                 f"statsColumns {unknown} not in the write schema {self.fields}"
             )
+        # validate stats types UP FRONT (init runs before any task stages
+        # anything): a stats value json.dump can't carry would otherwise
+        # fail the job at commit(), after all the work ran
+        for f in schema.fields:
+            if f.name in self.stats_columns:
+                t = f.dataType.simpleString()
+                if not t.startswith(_STATS_OK_PREFIXES):
+                    raise ValueError(
+                        f"statsColumns column {f.name!r} has type {t}: min/max "
+                        "skipping supports numeric/string/boolean/date/"
+                        "timestamp/decimal columns only"
+                    )
+        # r14 copy-on-write: .option("replacedFiles", json.dumps([...]))
+        # turns this append into a REPLACE commit — the manifest removes
+        # exactly those files from the running snapshot before adding the
+        # staged ones. This is the primitive MERGE/DELETE publish through
+        # (merge_into/delete_from_manifest_sink build on it).
+        self.replaced_files: list[str] | None = None
+        if "replacedfiles" in opts:
+            if overwrite:
+                raise ValueError(
+                    "replacedFiles is a copy-on-write DELTA commit; it cannot "
+                    "be combined with mode('overwrite') — an overwrite already "
+                    "supersedes every file"
+                )
+            rf = json.loads(opts["replacedfiles"])
+            if not isinstance(rf, list) or not all(isinstance(x, str) for x in rf):
+                raise ValueError("replacedFiles must be a JSON list of file names")
+            bad = [x for x in rf if os.sep in x or x.startswith(("_", "."))]
+            if bad:
+                raise ValueError(
+                    f"replacedFiles must name staged data files (basenames), "
+                    f"got {bad}"
+                )
+            self.replaced_files = rf
+        # r14 optimistic concurrency: .option("expectedVersion", k+1) claims
+        # EXACTLY that version and raises ConcurrentManifestWriteError if it
+        # is taken — the compare-and-swap a read-modify-write commit (merge/
+        # delete/optimize) needs. Without it the claim loop probes upward:
+        # blind appends linearize in arrival order (write-serializable for
+        # appends; see the isolation note at the claim loop).
+        self.expected_version: int | None = (
+            int(opts["expectedversion"]) if "expectedversion" in opts else None
+        )
 
     # -- executor side ------------------------------------------------
     def write(self, iterator) -> _StagedFile:
@@ -391,7 +554,8 @@ class ManifestSinkWriter(DataSourceWriter):
         name = f"part-{pid:05d}-{uuid.uuid4().hex}.{self.format}"
         os.makedirs(self.path, exist_ok=True)
         staged = os.path.join(self.path, name)
-        stats: dict[str, list] = {}
+        minmax: dict[str, list] = {}
+        nulls: dict[str, int] = {c: 0 for c in self.stats_columns}
         if self.stats_columns:
             idx = [self.fields.index(c) for c in self.stats_columns]
             inner = iterator
@@ -401,10 +565,11 @@ class ManifestSinkWriter(DataSourceWriter):
                     for c, i in zip(self.stats_columns, idx):
                         v = row[i]
                         if v is None:
+                            nulls[c] += 1
                             continue
-                        s = stats.get(c)
+                        s = minmax.get(c)
                         if s is None:
-                            stats[c] = [v, v]
+                            minmax[c] = [v, v]
                         else:
                             if v < s[0]:
                                 s[0] = v
@@ -427,7 +592,20 @@ class ManifestSinkWriter(DataSourceWriter):
             except FileNotFoundError:
                 pass
             raise
-        return _StagedFile(name, n, stats or None)
+        stats: dict[str, dict] | None = None
+        if self.stats_columns:
+            # r14 form: tagged-encoded min/max (date/timestamp/decimal are
+            # now legal) plus null/row counts so IS [NOT] NULL predicates
+            # can prune. All-null columns record counts but no bounds.
+            stats = {}
+            for c in self.stats_columns:
+                entry: dict = {"nulls": nulls[c], "rows": n}
+                mm = minmax.get(c)
+                if mm is not None:
+                    entry["min"] = _enc_stat(mm[0])
+                    entry["max"] = _enc_stat(mm[1])
+                stats[c] = entry
+        return _StagedFile(name, n, stats)
 
     def _stage_jsonl(self, staged: str, iterator) -> int:
         n = 0
@@ -478,9 +656,20 @@ class ManifestSinkWriter(DataSourceWriter):
             # mode semantics live HERE, in how readers resolve the log:
             # an append commit is a delta; an overwrite commit is a BASE
             # readers start from (older versions stay time-travelable
-            # until expired, then vacuum reclaims their files)
-            "mode": "overwrite" if self.overwrite else "append",
+            # until expired, then vacuum reclaims their files); a replace
+            # commit is a copy-on-write delta that swaps a named subset
+            "mode": "overwrite" if self.overwrite else (
+                "replace" if self.replaced_files is not None else "append"
+            ),
+            # wall-clock commit time: what TIMESTAMP AS OF resolves on.
+            # Clock skew between writers is tolerated at READ time (the
+            # resolver clamps timestamps to be monotone in version order,
+            # Delta's rule) — recording the raw clock keeps the manifest
+            # a plain fact log.
+            "ts": time.time(),
         }
+        if self.replaced_files is not None:
+            manifest["removed_files"] = sorted(set(self.replaced_files))
         file_stats = {
             m.filename: m.stats
             for m in messages
@@ -519,13 +708,51 @@ class ManifestSinkWriter(DataSourceWriter):
         # manifest is opened, no read-modify-write of any other commit's
         # manifest): concurrent jobs serialize on the os.link claim
         # instead of last-publish-wins clobbering each other's file
-        # lists; a stale hint just means a few extra probes
-        while True:
+        # lists; a stale hint just means a few extra probes.
+        #
+        # ISOLATION LEVEL, stated plainly: without expectedVersion the
+        # probe-upward loop gives snapshot-isolated, write-serializable
+        # APPENDS — concurrent appends linearize in claim order and none
+        # is lost. It does NOT detect write-write conflicts: an append
+        # racing an overwrite may land on either side of the base
+        # (both serializations are legal — the append's rows survive iff
+        # it claims the later version), and a read-modify-write commit
+        # (merge/delete/optimize) that probes upward could silently
+        # supersede a commit it never read. RMW paths therefore pin
+        # expectedVersion = resolved_version + 1 and surface the race as
+        # ConcurrentManifestWriteError for the caller to re-read + retry
+        # — Delta's commit-conflict rule.
+        if self.expected_version is not None:
+            # density guard: versions above any survivor are consecutive
+            # (resolution probes forward name-by-name), so a claim that
+            # would leave a hole must be refused — the commit would be
+            # invisible to every fast-path resolve after it
+            pv = self.expected_version - 1
+            if pv >= 1 and not os.path.exists(
+                os.path.join(self.path, f"{_V_PREFIX}{pv:08d}")
+            ):
+                raise ValueError(
+                    f"expectedVersion={self.expected_version} would leave a "
+                    f"gap: version {pv} does not exist in {self.path}"
+                )
             try:
-                _publish_exclusive(self.path, f"{_V_PREFIX}{v:08d}", manifest)
-                break
+                _publish_exclusive(
+                    self.path, f"{_V_PREFIX}{self.expected_version:08d}", manifest
+                )
             except FileExistsError:
-                v += 1
+                raise ConcurrentManifestWriteError(
+                    f"version {self.expected_version} in {self.path} was "
+                    "claimed by a concurrent writer after this commit's base "
+                    "snapshot was read; re-read the snapshot and retry"
+                ) from None
+            v = self.expected_version
+        else:
+            while True:
+                try:
+                    _publish_exclusive(self.path, f"{_V_PREFIX}{v:08d}", manifest)
+                    break
+                except FileExistsError:
+                    v += 1
         ckpt_v = self._maybe_checkpoint(v, ckpt_v)
         _write_hint(self.path, "batch", v, ckpt_v)
 
@@ -613,6 +840,7 @@ class ManifestStreamSinkWriter(DataSourceStreamWriter):
             "format": self._delegate.format,
             "batch_id": batchId,
             "mode": "append",
+            "ts": time.time(),
         }
         file_stats = {
             m.filename: m.stats
@@ -684,25 +912,37 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("manifestlog requires .option('path', ...)")
         self.path = path
+        self.schema = schema
         self.fields = schema.fieldNames()
         self.types = [f.dataType.simpleString() for f in schema.fields]
         self.skip_bases = str(opts.get("skipbases", "false")).lower() == "true"
         self.starting_version = (
             int(opts["startingversion"]) if "startingversion" in opts else None
         )
+        # r14: parquet-staged partitions ship Arrow RecordBatches by
+        # default (columnar into Spark's vectorized reader — the per-row
+        # Python->JVM tuple conversion is the dominant cost of a Python
+        # source); option("arrow", "false") keeps the row-tuple wire
+        # format (the bit-equality test pins both paths identical)
+        self.arrow = str(opts.get("arrow", "true")).lower() == "true"
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
             return {"v": self.starting_version - 1}
-        kind, _commits, _ck = _scan_names(self.path)
+        kind, commits, _ck = _scan_names(self.path)
         if kind is None:
             raise ValueError(
                 f"no manifest log under {self.path}: the log must exist "
                 "before a stream can tail it (the schema is read from it)"
             )
         # batch versions start at 1, stream batchIds at 0 — the initial
-        # offset is one below the first consumable version
-        return {"v": 0 if kind == "batch" else -1}
+        # offset is one below the first consumable version. A legacy bare
+        # _MANIFEST folds in as batch version 0, so a log that has one
+        # starts at -1 (an explicit .schema(...) reader would otherwise
+        # silently skip v0's rows — ADVICE r13).
+        if kind == "batch":
+            return {"v": -1 if (commits and commits[0][0] == 0) else 0}
+        return {"v": -1}
 
     def latestOffset(self) -> dict:
         _kind, commits, _ck = _scan_names(self.path)
@@ -716,13 +956,18 @@ class ManifestLogStreamReader(DataSourceStreamReader):
             if not s < v <= e:
                 continue
             man = _load(self.path, name)
-            if man.get("mode", "append") == "overwrite":
+            mode = man.get("mode", "append")
+            if mode in ("overwrite", "replace"):
+                # a replace gets the SAME treatment as a base: it rewrites
+                # files whose rows this reader already emitted, so reading
+                # its added files would double-count the carried-over rows
+                # (Delta raises on updates/deletes without ignoreChanges)
                 if self.skip_bases:
                     continue
                 raise ValueError(
-                    f"commit {v} in {self.path} is a BASE (overwrite) inside "
+                    f"commit {v} in {self.path} is a {mode.upper()} inside "
                     "the streamed range: it rewrites history this reader may "
-                    "have partially consumed. Compact/overwrite only below "
+                    "have partially consumed. Compact/rewrite only below "
                     "active readers' offsets, start fresh readers above it "
                     "(startingVersion), or opt into skipBases=true"
                 )
@@ -744,6 +989,15 @@ class ManifestLogStreamReader(DataSourceStreamReader):
             import pyarrow.parquet as pq
 
             table = pq.read_table(full, columns=self.fields)
+            if self.arrow:
+                # columnar wire format: cast to the Arrow schema Spark
+                # derives from the read schema (zero-copy when already
+                # equal — the staged footer was written from the same
+                # Spark schema) and hand over whole RecordBatches
+                from pyspark.sql.pandas.types import to_arrow_schema
+
+                yield from table.cast(to_arrow_schema(self.schema)).to_batches()
+                return
             for row in table.to_pylist():
                 yield tuple(row[f] for f in self.fields)
             return
@@ -881,7 +1135,18 @@ def prune_manifest_files(
     row-group skipping): callers still apply the real filter; pruning
     only removes scan work, never rows. Stats are recorded by the writer
     when ``option("statsColumns", "a,b")`` is set — one min/max compare
-    per row per column during staging."""
+    per row per column during staging.
+
+    r14 predicate forms, all with the same only-prove-then-prune rule:
+
+    - ``{col: (lo, hi)}`` — range; prunes when [min, max] misses it, or
+      when the null/row counts prove the file holds NO non-null value.
+    - ``{col: "is_null"}`` — prunes when the recorded null count is 0.
+    - ``{col: "is_not_null"}`` — prunes when every row is null
+      (``nulls == rows``).
+
+    Legacy ``[min, max]`` stats carry no null counts, so the null
+    predicates never prune those files — superset contract intact."""
     state = _resolve_state(path, version)
     fstats = state.get("file_stats", {})
     kept = []
@@ -889,18 +1154,86 @@ def prune_manifest_files(
         st = fstats.get(name)
         drop = False
         if st:
-            for col, (lo, hi) in predicates.items():
-                mm = st.get(col)
-                if mm is None:
+            for col, pred in predicates.items():
+                entry = st.get(col)
+                if entry is None:
                     continue
-                if (hi is not None and mm[0] > hi) or (
-                    lo is not None and mm[1] < lo
-                ):
-                    drop = True
+                mn, mx, nulls, rows = _stat_bounds(entry)
+                if isinstance(pred, str):
+                    p = pred.lower()
+                    if p == "is_null":
+                        drop = nulls == 0 and rows is not None and rows > 0
+                    elif p == "is_not_null":
+                        drop = (
+                            nulls is not None
+                            and rows is not None
+                            and nulls == rows
+                        )
+                    else:
+                        raise ValueError(
+                            f"unknown stats predicate {pred!r} for {col!r}: "
+                            "use a (lo, hi) range, 'is_null', or 'is_not_null'"
+                        )
+                else:
+                    lo, hi = pred
+                    if mn is None or mx is None:
+                        # no recorded bounds: either stats-less (keep) or
+                        # provably all-null (no non-null value can match
+                        # any range — prune)
+                        drop = (
+                            nulls is not None
+                            and rows is not None
+                            and rows > 0
+                            and nulls == rows
+                        )
+                    else:
+                        drop = (hi is not None and mn > hi) or (
+                            lo is not None and mx < lo
+                        )
+                if drop:
                     break
         if not drop:
             kept.append(os.path.join(path, name))
     return kept, len(state["files"])
+
+
+def version_at_timestamp(path: str, timestamp) -> int:
+    """Resolve ``TIMESTAMP AS OF``: the newest commit version whose
+    EFFECTIVE commit time is at or before ``timestamp`` (unix seconds or
+    a ``datetime``). Effective time is the running MAXIMUM of recorded
+    wall-clock times in version order — Delta's clamp rule: a
+    clock-skewed later commit with an earlier raw timestamp inherits its
+    predecessor's time, so the version→time mapping is monotone and a
+    binary search over it is well-defined. Commits that predate recorded
+    timestamps (pre-r14 logs, legacy bare manifests) get effective time
+    0.0 — always reachable, honestly "older than anything". Raises when
+    the timestamp predates the first surviving commit. Opens each
+    surviving commit manifest once (metadata-class, maintenance-path
+    bound — same as DESCRIBE HISTORY)."""
+    import datetime
+
+    if isinstance(timestamp, datetime.datetime):
+        timestamp = timestamp.timestamp()
+    ts = float(timestamp)
+    _kind, commits, _ck = _scan_names(path)
+    if not commits:
+        raise ValueError(f"no manifest log under {path}")
+    eff = 0.0
+    best = None
+    for v, name in commits:
+        raw = _load(path, name).get("ts")
+        if raw is not None:
+            eff = max(eff, float(raw))
+        if eff <= ts:
+            best = v
+        else:
+            break  # effective times are monotone — nothing later qualifies
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first surviving commit in {path} "
+            "(older history may have been expired)"
+        )
+    return best
 
 
 def read_manifest_sink(
@@ -908,6 +1241,7 @@ def read_manifest_sink(
     path: str,
     version: int | None = None,
     prune: dict | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read a manifest-committed directory THROUGH its commit log: only
     the files the resolved manifests list (staged-but-uncommitted and
@@ -922,7 +1256,14 @@ def read_manifest_sink(
     or parquet reader over the explicit file list. ``prune={col: (lo,
     hi)}`` additionally drops files whose commit-recorded min/max PROVE
     they hold no matching row (see :func:`prune_manifest_files`) — a
-    superset guarantee, so pair it with the real ``.filter``."""
+    superset guarantee, so pair it with the real ``.filter``.
+    ``timestamp=`` (unix seconds or datetime) is TIMESTAMP AS OF — it
+    resolves to a version via :func:`version_at_timestamp` (monotone
+    clamp rule documented there); passing both pins is an error."""
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass version= or timestamp=, not both")
+        version = version_at_timestamp(path, timestamp)
     state = _resolve_state(path, version)
     files = [os.path.join(path, name) for name in state["files"]]
     if not files:
@@ -959,24 +1300,250 @@ def optimize_manifest_sink(
     per-batch manifests, not per-task files. Caveat shared with every
     table format: the overwrite commit is a history rewrite, so run it
     below active streaming readers' offsets (the ``manifestlog`` source
-    raises on it by default)."""
+    raises on it by default).
+
+    Concurrency (r14, ADVICE fix): OPTIMIZE is a read-modify-write, so
+    it PINS the snapshot it read (``version=k``) and claims EXACTLY
+    ``k+1`` — a concurrent commit landing in between surfaces as
+    :class:`ConcurrentManifestWriteError` instead of being silently
+    superseded (its rows would have vanished from the latest snapshot).
+    Callers retry by re-running optimize on the new snapshot. Skipping
+    stats survive: the rewrite re-records ``statsColumns`` derived from
+    the union of the resolved snapshot's stats keys (ADVICE fix)."""
     state = _resolve_state(path)
     if state["kind"] != "batch":
         raise ValueError(
             f"optimize_manifest_sink expects a batch commit log; {path} "
             "holds a stream log — use compact_stream_manifests there"
         )
+    base_version = state["version"]
     fmts = {m.get("format", "jsonl") for m in state["metas"]}
     fmt = fmts.pop() if len(fmts) == 1 else "parquet"
-    (
-        read_manifest_sink(spark, path)
+    stats_cols = sorted({c for st in state["file_stats"].values() for c in st})
+    writer = (
+        read_manifest_sink(spark, path, version=base_version)
         .repartition(target_files)
         .write.format("manifestsink")
         .option("path", path)
         .option("format", fmt)
-        .mode("overwrite")
-        .save()
+        .option("expectedVersion", str(base_version + 1))
     )
+    if stats_cols:
+        writer = writer.option("statsColumns", ",".join(stats_cols))
+    writer.mode("overwrite").save()
+
+
+def _basename_of_uri(uri: str) -> str:
+    # input_file_name() yields file:///abs/path/name.parquet (URL-encoded)
+    from urllib.parse import unquote, urlparse
+
+    return os.path.basename(unquote(urlparse(uri).path))
+
+
+def _read_file_list(spark: SparkSession, files: list[str], fmt: str, schema):
+    reader = spark.read.schema(schema)
+    return reader.parquet(*files) if fmt == "parquet" else reader.json(files)
+
+
+def _snapshot_for_rmw(path: str) -> tuple[dict, str, StructType, list[str]]:
+    """Shared preamble of the copy-on-write ops: pin the snapshot, pin
+    the recorded schema (legacy no-schema logs are refused — a rewrite
+    must re-stage EXACTLY the recorded types, and inference can't
+    promise that), derive the stats columns to re-record."""
+    state = _resolve_state(path)
+    if state["kind"] != "batch":
+        raise ValueError(
+            f"copy-on-write commits need a batch commit log; {path} holds "
+            f"{'a stream log' if state['kind'] == 'stream' else 'no log'}"
+        )
+    fmt, schema = _pin_read_schema(state["metas"])
+    if schema is None:
+        raise ValueError(
+            f"the log under {path} predates recorded schemas; rewrite it "
+            "(optimize after one schema-recording commit) before MERGE/DELETE"
+        )
+    stats_cols = sorted({c for st in state["file_stats"].values() for c in st})
+    return state, fmt, schema, stats_cols
+
+
+def _publish_replace(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    removed: list[str],
+    expected_version: int,
+    stats_cols: list[str],
+) -> None:
+    writer = (
+        df.write.format("manifestsink")
+        .option("path", path)
+        .option("format", fmt)
+        .option("replacedFiles", json.dumps(sorted(removed)))
+        .option("expectedVersion", str(expected_version))
+    )
+    if stats_cols:
+        writer = writer.option("statsColumns", ",".join(stats_cols))
+    writer.mode("append").save()
+
+
+def merge_into_manifest_sink(
+    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+) -> dict:
+    """Copy-on-write MERGE (upsert) through the commit log — the Delta
+    ``MERGE INTO`` shape: rows in ``updates`` REPLACE table rows with the
+    same key, keys not present anywhere INSERT. One ``replace`` commit
+    swaps exactly the files that actually hold a matching key; every
+    other file is untouched metadata — at 100 TB an upsert of one key
+    rewrites one file, not the snapshot.
+
+    Mechanics, in scan order from cheapest to priciest:
+
+    1. PIN the snapshot (version k) and the recorded schema; ``updates``
+       must carry exactly the table's columns (full-row upsert).
+    2. Stats-prune the CANDIDATE files: for a single-key merge the
+       update keys' [min, max] (one tiny aggregate) runs through
+       :func:`prune_manifest_files` — files whose recorded range provably
+       misses every update key are never opened.
+    3. Exact TOUCHED set: scan only candidates with
+       ``input_file_name()``, semi-join on the keys — a file is rewritten
+       iff it truly holds a matching key (pruning is a superset; this
+       join is the truth).
+    4. Rewrite = touched rows anti-joined on the keys, unioned with
+       ``updates``; publish ONE replace commit removing the touched
+       files, claiming EXACTLY k+1 — a concurrent commit surfaces as
+       :class:`ConcurrentManifestWriteError` (re-read, retry), never as
+       silently-superseded rows.
+
+    Duplicate keys in ``updates`` are refused (the merge would be
+    ambiguous — Delta's rule), as are NULL keys (SQL equality never
+    matches them). Time travel across the merge is intact: version k
+    still shows the pre-merge rows until expired, and vacuum reclaims
+    the swapped-out files only after an expire passes them. Returns
+    ``{"version", "base_version", "rewritten_files", "candidate_files",
+    "total_files"}`` — the scale test pins ``rewritten_files`` ⊆
+    ``candidate_files`` ⊂ ``total_files`` on a stats-pruned log."""
+    from pyspark.sql import functions as F
+
+    state, fmt, schema, stats_cols = _snapshot_for_rmw(path)
+    base_version = state["version"]
+    cols = schema.fieldNames()
+    missing = [c for c in cols if c not in updates.columns]
+    extra = [c for c in updates.columns if c not in cols]
+    if missing or extra:
+        raise ValueError(
+            f"merge updates must carry exactly the table columns {cols}: "
+            f"missing {missing}, unexpected {extra}"
+        )
+    bad_keys = [k for k in keys if k not in cols]
+    if not keys or bad_keys:
+        raise ValueError(f"merge keys {bad_keys or keys} not in table columns")
+    updates = updates.select(*cols)
+    null_or_dup = updates.select(*keys).groupBy(*keys).count()
+    problems = null_or_dup.where(
+        (F.col("count") > 1)
+        | functools.reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
+    ).limit(1).collect()
+    if problems:
+        raise ValueError(
+            "merge updates contain duplicate or NULL keys — the merge "
+            f"would be ambiguous (first offender: {problems[0]})"
+        )
+    all_files = list(state["files"])
+    candidates = [os.path.join(path, f) for f in all_files]
+    if len(keys) == 1 and state["file_stats"]:
+        b = updates.agg(
+            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
+        ).collect()[0]
+        if b["lo"] is not None:
+            candidates, _total = prune_manifest_files(
+                path, {keys[0]: (b["lo"], b["hi"])}, version=base_version
+            )
+    touched: list[str] = []
+    if candidates:
+        cand_df = _read_file_list(spark, candidates, fmt, schema).withColumn(
+            "__src", F.input_file_name()
+        )
+        key_df = updates.select(*keys).distinct()
+        touched = sorted(
+            _basename_of_uri(r["__src"])
+            for r in cand_df.join(key_df, keys, "left_semi")
+            .select("__src")
+            .distinct()
+            .collect()
+        )
+    if touched:
+        kept = _read_file_list(
+            spark, [os.path.join(path, f) for f in touched], fmt, schema
+        ).join(updates.select(*keys).distinct(), keys, "left_anti")
+        new_data = kept.select(*cols).unionByName(updates)
+    else:
+        new_data = updates
+    _publish_replace(new_data, path, fmt, touched, base_version + 1, stats_cols)
+    return {
+        "version": base_version + 1,
+        "base_version": base_version,
+        "rewritten_files": touched,
+        "candidate_files": len(candidates),
+        "total_files": len(all_files),
+    }
+
+
+def delete_from_manifest_sink(
+    spark: SparkSession, path: str, condition: str, prune: dict | None = None
+) -> dict:
+    """Copy-on-write DELETE through the commit log: remove the rows
+    matching a SQL ``condition`` by rewriting ONLY the files that hold
+    at least one matching row, published as one ``replace`` commit
+    claiming exactly base+1 (same conflict rule as merge). ``prune=``
+    takes the same predicates as :func:`prune_manifest_files` to skip
+    opening provably-unaffected files — pass the condition's range when
+    you have one (the scan is still exact; pruning is scan-work only).
+    SQL three-valued logic is honored: rows where the condition is NULL
+    are KEPT, exactly like ``DELETE WHERE``. A delete matching nothing
+    publishes NO commit (returns the unchanged version). Files whose
+    rows are all deleted simply drop out; time travel and vacuum behave
+    as for merge."""
+    from pyspark.sql import functions as F
+
+    state, fmt, schema, stats_cols = _snapshot_for_rmw(path)
+    base_version = state["version"]
+    cols = schema.fieldNames()
+    candidates = [os.path.join(path, f) for f in state["files"]]
+    if prune:
+        candidates, _total = prune_manifest_files(path, prune, version=base_version)
+    touched: list[str] = []
+    if candidates:
+        cand_df = _read_file_list(spark, candidates, fmt, schema).withColumn(
+            "__src", F.input_file_name()
+        )
+        touched = sorted(
+            _basename_of_uri(r["__src"])
+            for r in cand_df.filter(F.expr(condition))
+            .select("__src")
+            .distinct()
+            .collect()
+        )
+    if not touched:
+        return {
+            "version": base_version,
+            "base_version": base_version,
+            "rewritten_files": [],
+            "candidate_files": len(candidates),
+            "total_files": len(state["files"]),
+        }
+    kept = (
+        _read_file_list(spark, [os.path.join(path, f) for f in touched], fmt, schema)
+        .filter(~F.coalesce(F.expr(condition), F.lit(False)))
+        .select(*cols)
+    )
+    _publish_replace(kept, path, fmt, touched, base_version + 1, stats_cols)
+    return {
+        "version": base_version + 1,
+        "base_version": base_version,
+        "rewritten_files": touched,
+        "candidate_files": len(candidates),
+        "total_files": len(state["files"]),
+    }
 
 
 def manifest_history(spark: SparkSession, path: str) -> DataFrame:
@@ -987,9 +1554,13 @@ def manifest_history(spark: SparkSession, path: str) -> DataFrame:
     reads only the small manifest JSONs (metadata-class, same bound as
     the catalog ops) and hands Spark the rows, so the report is
     queryable like any DataFrame. Expired versions don't appear — the
-    history is exactly what time travel can still reach."""
+    history is exactly what time travel can still reach. ``commit_ts``
+    is the commit's recorded wall-clock time (unix seconds; NULL for
+    pre-r14 commits), ``n_removed`` the file count a replace commit
+    swapped out."""
     rows = []
     for v, kind, man in _list_commits(path):
+        ts = man.get("ts")
         rows.append(
             (
                 v,
@@ -997,16 +1568,19 @@ def manifest_history(spark: SparkSession, path: str) -> DataFrame:
                 man.get("mode", "append"),
                 man.get("n_rows"),
                 len(man.get("files", [])),
+                len(man.get("removed_files", [])),
                 ",".join(man.get("fields") or []),
                 man.get("format", "jsonl"),
                 "compacted_through" in man,
+                float(ts) if ts is not None else None,
             )
         )
     return spark.createDataFrame(
         rows,
         schema=(
             "version long, kind string, mode string, n_rows long, "
-            "n_files int, fields_csv string, format string, is_compaction boolean"
+            "n_files int, n_removed int, fields_csv string, format string, "
+            "is_compaction boolean, commit_ts double"
         ),
     )
 
@@ -1074,6 +1648,7 @@ def compact_stream_manifests(path: str, upto_batch: int) -> str:
         "mode": "overwrite",
         "batch_id": upto_batch,
         "compacted_through": upto_batch,
+        "ts": time.time(),
     }
     if schema is not None:
         manifest["schema_json"] = schema.json()

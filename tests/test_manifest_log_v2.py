@@ -542,7 +542,7 @@ def test_manifestlog_stream_source_refuses_bases_unless_opted_in(spark, tmp_path
     spark.range(200, 203).write.format("manifestsink").option("path", d).mode(
         "append"
     ).save()
-    with pytest.raises(Exception, match="BASE .overwrite. inside"):
+    with pytest.raises(Exception, match="OVERWRITE inside"):
         _tail_once(spark, d, out, ckpt)
     # opting in skips the base and consumes only the append delta
     out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")

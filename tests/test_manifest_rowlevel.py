@@ -1,0 +1,468 @@
+"""Round-14 manifest-log behaviors (sources/pysink.py): file-level
+REPLACE commits and the copy-on-write MERGE/DELETE built on them,
+commit timestamps + TIMESTAMP AS OF (monotone clamp rule), optimistic
+concurrency for read-modify-write commits (expectedVersion), JSON-safe
++ null-count skipping stats, Arrow-batched manifestlog reads, and the
+legacy-v0 streaming offset fix."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources import pysink
+from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+    MANIFEST,
+    ConcurrentManifestWriteError,
+    ManifestSinkDataSource,
+    ManifestSinkWriter,
+    _StagedFile,
+    delete_from_manifest_sink,
+    expire_manifest_versions,
+    manifest_history,
+    merge_into_manifest_sink,
+    optimize_manifest_sink,
+    prune_manifest_files,
+    read_manifest_sink,
+    vacuum_manifest_sink,
+    version_at_timestamp,
+)
+
+SCHEMA = StructType([StructField("id", LongType())])
+
+
+def _write(spark, d, lo, hi, mode="append", **opts):
+    w = (
+        spark.range(lo, hi)
+        .repartition(1)
+        .write.format("manifestsink")
+        .option("path", d)
+    )
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def _snapshot_files(d):
+    return sorted(
+        os.path.basename(f) for f in pysink.resolve_manifest_files(d)
+    )
+
+
+# ------------------------------------------------------------- replace
+
+
+def test_merge_upsert_replaces_only_touched_files(spark, tmp_path):
+    """MERGE rewrites exactly the files that hold a matching key: on a
+    stats-tracked log the untouched files survive BY NAME in the new
+    snapshot (metadata-only for them), and the pruning tier keeps files
+    whose [min,max] provably miss the update keys from even being
+    opened."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    # three disjoint-range files, one commit each, stats recorded
+    _write(spark, d, 0, 10, statsColumns="id", format="parquet")
+    _write(spark, d, 100, 110, statsColumns="id", format="parquet")
+    _write(spark, d, 200, 210, statsColumns="id", format="parquet")
+    before = _snapshot_files(d)
+    updates = spark.createDataFrame([(105,), (500,)], "id long")
+    res = merge_into_manifest_sink(spark, d, updates, ["id"])
+    # only the 100..110 file held a matching key
+    assert len(res["rewritten_files"]) == 1
+    assert res["total_files"] == 3
+    # stats pruning scoped the scan below the full snapshot
+    assert res["candidate_files"] < res["total_files"]
+    assert res["version"] == res["base_version"] + 1
+    after = _snapshot_files(d)
+    untouched = [f for f in before if f not in res["rewritten_files"]]
+    for f in untouched:
+        assert f in after  # untouched files carried over by name
+    for f in res["rewritten_files"]:
+        assert f not in after
+    # row-level result: 105 deduped (updated), 500 inserted
+    assert _ids(read_manifest_sink(spark, d)) == (
+        list(range(0, 10)) + list(range(100, 110)) + list(range(200, 210)) + [500]
+    )
+
+
+def test_merge_insert_only_publishes_replace_with_no_removals(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    res = merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([(99,)], "id long"), ["id"]
+    )
+    assert res["rewritten_files"] == []
+    assert _ids(read_manifest_sink(spark, d)) == [0, 1, 2, 3, 4, 99]
+
+
+def test_merge_duplicate_or_null_keys_refused(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    with pytest.raises(ValueError, match="duplicate or NULL keys"):
+        merge_into_manifest_sink(
+            spark, d, spark.createDataFrame([(1,), (1,)], "id long"), ["id"]
+        )
+    with pytest.raises(ValueError, match="duplicate or NULL keys"):
+        merge_into_manifest_sink(
+            spark, d, spark.createDataFrame([(None,)], "id long"), ["id"]
+        )
+
+
+def test_delete_where_rewrites_matching_files_only(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 10, statsColumns="id")
+    _write(spark, d, 100, 110, statsColumns="id")
+    res = delete_from_manifest_sink(
+        spark, d, "id >= 105", prune={"id": (105, None)}
+    )
+    assert len(res["rewritten_files"]) == 1
+    assert res["candidate_files"] == 1  # pruning skipped the 0..10 file
+    assert _ids(read_manifest_sink(spark, d)) == list(range(0, 10)) + [
+        100, 101, 102, 103, 104,
+    ]
+
+
+def test_delete_matching_nothing_publishes_no_commit(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    v0 = pysink._resolve_state(d)["version"]
+    res = delete_from_manifest_sink(spark, d, "id > 1000")
+    assert res["version"] == v0 and res["rewritten_files"] == []
+    assert pysink._resolve_state(d)["version"] == v0
+
+
+def test_delete_null_condition_rows_are_kept(spark, tmp_path):
+    """SQL three-valued logic: DELETE WHERE v > 3 keeps rows where v is
+    NULL (condition unknown), exactly like the SQL statement."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 1)], "id long, v long")
+    df.repartition(1).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    delete_from_manifest_sink(spark, d, "v > 3")
+    assert _ids(read_manifest_sink(spark, d)) == [2, 3]
+
+
+def test_time_travel_across_replace_then_vacuum_reclaims(spark, tmp_path):
+    """The full lifecycle the verdict asked for: version k still shows
+    pre-merge rows; optimize gives the log a post-merge base; expire to
+    it makes the replaced files unreferenced; vacuum reclaims them."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    res = merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([(2,), (50,)], "id long"), ["id"]
+    )
+    replaced = res["rewritten_files"]
+    assert replaced  # the single data file held id=2
+    # pre-merge snapshot intact at the base version
+    assert _ids(read_manifest_sink(spark, d, version=res["base_version"])) == [
+        0, 1, 2, 3, 4,
+    ]
+    assert _ids(read_manifest_sink(spark, d)) == [0, 1, 2, 3, 4, 50]
+    optimize_manifest_sink(spark, d, target_files=1)
+    base = pysink._resolve_state(d)["version"]
+    expire_manifest_versions(d, base)
+    removed = vacuum_manifest_sink(d, grace_seconds=0)
+    assert set(replaced) <= set(removed)
+    assert _ids(read_manifest_sink(spark, d)) == [0, 1, 2, 3, 4, 50]
+
+
+def test_manifestlog_stream_raises_on_replace_in_range(spark, tmp_path):
+    d, out, ckpt = (str(tmp_path / x) for x in ("t", "out", "ckpt"))
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    from tests.test_manifest_log_v2 import _tail_once
+
+    _tail_once(spark, d, out, ckpt)
+    merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    with pytest.raises(Exception, match="REPLACE inside"):
+        _tail_once(spark, d, out, ckpt)
+    # skipBases skips the rewrite (deltas-only contract)
+    out2, ckpt2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _write(spark, d, 90, 92)
+    _tail_once(spark, d, out2, ckpt2, skipBases="true")
+    assert sorted(r.id for r in spark.read.parquet(out2).collect()) == [
+        0, 1, 2, 3, 4, 90, 91,
+    ]
+
+
+# --------------------------------------------------------- concurrency
+
+
+def test_expected_version_cas_raises_on_lost_race(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    _write(spark, d, 5, 10)  # claims version 2
+    with pytest.raises(Exception, match="ConcurrentManifestWriteError|claimed"):
+        _write(spark, d, 10, 15, expectedVersion="2")
+    # a correct pin succeeds and lands exactly there
+    _write(spark, d, 10, 15, expectedVersion="3")
+    assert pysink._resolve_state(d)["version"] == 3
+
+
+def test_expected_version_gap_refused(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    with pytest.raises(Exception, match="gap"):
+        _write(spark, d, 5, 10, expectedVersion="5")
+
+
+def test_optimize_detects_concurrent_append(spark, tmp_path, monkeypatch):
+    """The r13 ADVICE hole: an append landing between OPTIMIZE's resolve
+    and its overwrite claim must surface as a conflict, never be
+    silently superseded (its rows would vanish from the snapshot)."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    orig = pysink.read_manifest_sink
+    state = {"raced": False}
+
+    def racing(spark_, path, **kw):
+        df = orig(spark_, path, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            _write(spark_, d, 100, 105)  # concurrent append sneaks in
+        return df
+
+    monkeypatch.setattr(pysink, "read_manifest_sink", racing)
+    with pytest.raises(Exception, match="ConcurrentManifestWriteError|claimed"):
+        optimize_manifest_sink(spark, d, target_files=1)
+    # nothing lost: the concurrent append's rows are in the snapshot
+    assert _ids(orig(spark, d)) == list(range(0, 5)) + list(range(100, 105))
+    # retry on the fresh snapshot succeeds
+    optimize_manifest_sink(spark, d, target_files=1)
+    assert _ids(orig(spark, d)) == list(range(0, 5)) + list(range(100, 105))
+
+
+def test_optimize_propagates_skipping_stats(spark, tmp_path):
+    """ADVICE fix: the OPTIMIZE rewrite re-records statsColumns derived
+    from the resolved snapshot, so manifest-level pruning keeps working
+    after compaction."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 10, statsColumns="id")
+    _write(spark, d, 1000, 1010, statsColumns="id")
+    optimize_manifest_sink(spark, d, target_files=2)
+    state = pysink._resolve_state(d)
+    # every rewritten file carries fresh id stats
+    assert state["files"] and all(
+        "id" in state["file_stats"].get(f, {}) for f in state["files"]
+    )
+    # and a provably-out-of-range predicate still prunes everything
+    kept, total = prune_manifest_files(d, {"id": (5000, None)})
+    assert total == 2 and kept == []
+
+
+# ----------------------------------------------------------- timestamps
+
+
+def test_timestamp_as_of_resolves_and_clamps(spark, tmp_path):
+    import time as _time
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    t1 = _time.time()
+    _time.sleep(0.05)
+    _write(spark, d, 5, 10)
+    t2 = _time.time()
+    assert version_at_timestamp(d, t1) == 1
+    assert version_at_timestamp(d, t2) == 2
+    assert _ids(read_manifest_sink(spark, d, timestamp=t1)) == [0, 1, 2, 3, 4]
+    assert _ids(read_manifest_sink(spark, d, timestamp=t2)) == list(range(10))
+    # datetime input works too
+    assert version_at_timestamp(d, datetime.datetime.fromtimestamp(t2)) == 2
+    # before the first commit: loud error
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(d, 0.5)
+    with pytest.raises(ValueError, match="not both"):
+        read_manifest_sink(spark, d, version=1, timestamp=t1)
+
+
+def test_timestamp_clock_skew_clamped_monotone(spark, tmp_path):
+    """Delta's clamp rule: a later commit whose recorded wall clock runs
+    BEHIND its predecessor inherits the predecessor's effective time, so
+    version_at_timestamp stays monotone in version order."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    _write(spark, d, 5, 10)
+    # skew commit 2's clock to be EARLIER than commit 1's
+    name = os.path.join(d, "_MANIFEST.v00000002")
+    man = json.load(open(name))
+    man1 = json.load(open(os.path.join(d, "_MANIFEST.v00000001")))
+    man["ts"] = man1["ts"] - 100.0
+    os.remove(name)
+    with open(name, "w") as f:
+        json.dump(man, f)
+    # at commit 1's time, BOTH versions are reachable -> newest wins
+    assert version_at_timestamp(d, man1["ts"]) == 2
+    # below commit 1's time, nothing qualifies despite v2's skewed clock
+    with pytest.raises(ValueError, match="predates"):
+        version_at_timestamp(d, man1["ts"] - 50.0)
+
+
+def test_manifest_history_carries_commit_ts_and_removals(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    h = {r.version: r for r in manifest_history(spark, d).collect()}
+    assert h[1].commit_ts is not None and h[2].commit_ts >= 0
+    assert h[1].mode == "append" and h[2].mode == "replace"
+    assert h[1].n_removed == 0 and h[2].n_removed == 1
+
+
+# ---------------------------------------------------------------- stats
+
+
+def test_stats_on_date_column_json_safe_and_prunable(spark, tmp_path):
+    """ADVICE fix: date/timestamp stats used to raise TypeError in
+    json.dump at commit() — after all tasks had staged. Now they carry a
+    tagged encoding whose decode restores the type for pruning."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 6, 1))],
+        "id long, dt date",
+    )
+    df.repartition(1).write.format("manifestsink").option("path", d).option(
+        "statsColumns", "dt"
+    ).option("format", "parquet").mode("append").save()
+    df2 = spark.createDataFrame(
+        [(3, datetime.date(2025, 1, 1))], "id long, dt date"
+    )
+    df2.repartition(1).write.format("manifestsink").option("path", d).option(
+        "statsColumns", "dt"
+    ).option("format", "parquet").mode("append").save()
+    kept, total = prune_manifest_files(
+        d, {"dt": (datetime.date(2024, 12, 1), None)}
+    )
+    assert total == 2 and len(kept) == 1
+
+
+def test_stats_unsupported_type_refused_at_init(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    df = spark.createDataFrame([(1, [1, 2])], "id long, xs array<long>")
+    with pytest.raises(Exception, match="statsColumns|supports"):
+        df.write.format("manifestsink").option("path", d).option(
+            "statsColumns", "xs"
+        ).mode("append").save()
+
+
+def test_null_count_stats_enable_null_predicates(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    no_nulls = spark.createDataFrame([(1, 10), (2, 20)], "id long, v long")
+    all_nulls = spark.createDataFrame(
+        [(3, None), (4, None)], "id long, v long"
+    )
+    for df in (no_nulls, all_nulls):
+        df.repartition(1).write.format("manifestsink").option("path", d).option(
+            "statsColumns", "v"
+        ).mode("append").save()
+    kept, total = prune_manifest_files(d, {"v": "is_null"})
+    assert total == 2 and len(kept) == 1  # the no-nulls file pruned
+    kept, total = prune_manifest_files(d, {"v": "is_not_null"})
+    assert total == 2 and len(kept) == 1  # the all-nulls file pruned
+    # a range predicate prunes the provably-all-null file too
+    kept, total = prune_manifest_files(d, {"v": (0, 100)})
+    assert len(kept) == 1
+    with pytest.raises(ValueError, match="unknown stats predicate"):
+        prune_manifest_files(d, {"v": "weird"})
+
+
+def test_legacy_list_stats_still_prune_ranges_not_nulls(tmp_path):
+    """Back-compat: pre-r14 manifests carry [min, max] list stats — the
+    range tier still works, the null tier never prunes them."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "f1.jsonl"), "w") as f:
+        f.write('{"id": 1}\n')
+    man = {
+        "files": ["f1.jsonl"],
+        "n_rows": 1,
+        "fields": ["id"],
+        "format": "jsonl",
+        "mode": "append",
+        "file_stats": {"f1.jsonl": {"id": [1, 1]}},
+    }
+    with open(os.path.join(d, "_MANIFEST.v00000001"), "w") as f:
+        json.dump(man, f)
+    kept, total = prune_manifest_files(d, {"id": (5, None)})
+    assert kept == []  # range proof works on the legacy form
+    kept, total = prune_manifest_files(d, {"id": "is_null"})
+    assert len(kept) == 1  # no null counts recorded -> must keep
+
+
+# ----------------------------------------------------------------- arrow
+
+
+def test_manifestlog_arrow_read_bit_equal_to_tuple_path(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 1000, format="parquet")
+    _write(spark, d, 1000, 2000, format="parquet")
+    from tests.test_manifest_log_v2 import _tail_once
+
+    out_a, ck_a = str(tmp_path / "oa"), str(tmp_path / "ca")
+    out_t, ck_t = str(tmp_path / "ot"), str(tmp_path / "ct")
+    _tail_once(spark, d, out_a, ck_a)  # arrow default on
+    _tail_once(spark, d, out_t, ck_t, arrow="false")
+    a = sorted(r.id for r in spark.read.parquet(out_a).collect())
+    t = sorted(r.id for r in spark.read.parquet(out_t).collect())
+    assert a == t == list(range(2000))
+
+
+def test_legacy_v0_streamed_with_explicit_schema(spark, tmp_path):
+    """ADVICE fix: a legacy bare _MANIFEST folds in as version 0; the
+    initial offset must start below it or an explicit-schema reader
+    silently skips v0's rows."""
+    d = str(tmp_path / "t")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-legacy.jsonl"), "w") as f:
+        f.writelines(f'{{"id": {i}}}\n' for i in range(3))
+    with open(os.path.join(d, MANIFEST), "w") as f:
+        json.dump({"files": ["part-legacy.jsonl"], "n_rows": 3}, f)
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 10, 13)  # version 1 on top of legacy v0
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import ManifestLogDataSource
+
+    spark.dataSource.register(ManifestLogDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (
+        spark.readStream.format("manifestlog")
+        .schema("id long")
+        .option("path", d)
+        .load()
+        .writeStream.foreachBatch(lambda b, _e: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
+        0, 1, 2, 10, 11, 12,
+    ]

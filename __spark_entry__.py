@@ -66,18 +66,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # tuple (it reads max_round and the changed set from the committed
 # ledger).
 # ROUND-14 NOTE: window regenerated stalest-first via
-# ``query_provenance.py -> attestation_ledger.py --changed``. No
-# never-attested or changed rows at round open (r13 closed 50/50
-# green and provenance is clean), so the window is PURE stalest-first
-# rotation: the seven remaining r08-green rows lead (the r12/r13
-# verdicts' explicit carry-over debt — label_propagation_nations,
-# funnel_time_to_convert, association_rules_lift, lsh_recall_eval,
-# minhash_recall_eval, shortest_path_weighted,
-# materialized_rollup_roundtrip), then the r09 cohort in registry
-# order. Post-r14 oldest green must be >= r09. New r14 queries and
-# changed-since-attestation leads re-rotate in front as they land
-# (re-run the two tools with every feature commit).
+# ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
+# the 4 never-attested r14 queries (copy-on-write MERGE through the
+# log's new replace commits; DELETE WHERE with file-scoped rewrite
+# pins; TIMESTAMP AS OF with the monotone clock-skew clamp; null-count
+# stats pruning IS [NOT] NULL from metadata alone), then the 10
+# changed-since-attestation manifest rows (pysink gained replace
+# resolution, commit timestamps, expectedVersion CAS, JSON-safe tagged
+# stats with null/row counts, Arrow RecordBatch log reads, the legacy
+# v0 stream offset, optimize conflict detection + stats propagation;
+# manifest_stats_pruned_read's data-dependent assert became a
+# scale-relative ValueError probe). Then the seven r08-green rows (the
+# r13 verdict's explicit carry-over debt) and the r09 cohort in
+# registry order. Post-r14 oldest green must be >= r09. Re-rotate with
+# every new query addition.
 _PRIORITY = (
+    "manifest_merge_upsert_roundtrip",  # NEVER-attested: new r14 query leads window
+    "manifest_delete_replace_roundtrip",  # NEVER-attested: new r14 query leads window
+    "manifest_timestamp_time_travel",  # NEVER-attested: new r14 query leads window
+    "manifest_null_stats_pruned_read",  # NEVER-attested: new r14 query leads window
+    "manifest_sink_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_sink_time_travel",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_sink_parquet_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_checkpoint_resolve_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_schema_evolution_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_stats_pruned_read",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_optimize_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_history_report",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_log_stream_tail_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
+    "stream_manifest_compaction_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
     "label_propagation_nations",  # r8-green; stale rotation
     "funnel_time_to_convert",  # r8-green; stale rotation
     "association_rules_lift",  # r8-green; stale rotation
@@ -114,20 +131,6 @@ _PRIORITY = (
     "benford_first_digit",  # r9-green; stale rotation
     "sessionize_gap_islands",  # r9-green; stale rotation
     "time_weighted_average",  # r9-green; stale rotation
-    "join_key_skew_report",  # r9-green; stale rotation
-    "multimodal_audio_energy",  # r9-green; stale rotation
-    "cusum_drift_detection",  # r9-green; stale rotation
-    "quantile_normalize_by_lang",  # r9-green; stale rotation
-    "hll_distinct_rollup",  # r9-green; stale rotation
-    "sink_partition_overwrite_roundtrip",  # r9-green; stale rotation
-    "sink_upsert_merge_roundtrip",  # r9-green; stale rotation
-    "catalog_partition_registry",  # r9-green; stale rotation
-    "runner_batch_roundtrip",  # r9-green; stale rotation
-    "msck_repair_discovery",  # r9-green; stale rotation
-    "file_list_scan",  # r9-green; stale rotation
-    "incremental_stream_roundtrip",  # r9-green; stale rotation
-    "stream_upsert_cdc_roundtrip",  # r9-green; stale rotation
-    "stream_session_window_roundtrip",  # r9-green; stale rotation
 )
 
 

@@ -1997,8 +1997,16 @@ def q_manifest_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.repartitionByRange(4, "doc_id").write.format("manifestsink").option(
         "path", d
     ).option("statsColumns", "doc_id").mode("append").save()
-    kept, total = prune_manifest_files(d, {"doc_id": (None, 200)})
-    assert len(kept) < total, (len(kept), total)  # skipping actually skipped
+    # pin that skipping actually skipped with a SCALE-RELATIVE probe (a
+    # bound below the second range-partition's min prunes >= 1 file at
+    # ANY scale factor — the fixed result bound of 200 couldn't promise
+    # that on a tiny table), and raise instead of assert so the check
+    # survives python -O (ADVICE r13)
+    b = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+    probe = b["lo"] + max(1, (b["hi"] - b["lo"]) // 8)
+    kept, total = prune_manifest_files(d, {"doc_id": (None, probe)})
+    if not len(kept) < total:  # skipping actually skipped
+        raise ValueError(f"stats skipping pruned nothing: kept {len(kept)}/{total}")
     back = read_manifest_sink(spark, d, prune={"doc_id": (None, 200)})
     return (
         back.filter(F.col("doc_id") <= 200)
@@ -2103,6 +2111,261 @@ def q_manifest_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "manifestsink"
     ).option("path", d).mode("overwrite").save()
     return manifest_history(spark, d).select("version", "mode", "n_rows", "n_files")
+
+
+@_register(
+    "manifest_merge_upsert_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 97 = 0 THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT 1000000007 AS doc_id, 'zz' AS lang, 7 AS n_chars
+  UNION ALL
+  SELECT 1000000009 AS doc_id, 'zz' AS lang, 9 AS n_chars
+)
+GROUP BY lang
+""",
+)
+def q_manifest_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the commit log (sources/pysink.py
+    merge_into_manifest_sink — the Delta copy-on-write upsert
+    re-expressed): ``documents`` lands range-clustered with per-file
+    stats; the updates bump every 97th doc's n_chars by 1,000,000 and
+    insert two brand-new keys. ONE replace commit swaps exactly the
+    files that truly hold a matching key. The every-97th update keys
+    deliberately span all range files (so this query exercises the
+    full-width case; the file-scoped-rewrite pin lives in
+    manifest_delete_replace_roundtrip, whose predicate provably misses
+    the high ranges); the in-query checks pin rewritten <= candidates
+    and that the pre-merge snapshot is still readable at the base
+    version. The oracle replays the same upsert in SQL over the source,
+    so the value hash proves row-level semantics: updated rows replaced,
+    unmatched rows untouched, new keys inserted exactly once. At 100 TB
+    this is how an upsert of k keys costs O(files holding those keys),
+    not O(table)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        merge_into_manifest_sink,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_merge", sf_dir)
+    docs.repartitionByRange(4, "doc_id").write.format("manifestsink").option(
+        "path", d
+    ).option("statsColumns", "doc_id").option("format", "parquet").mode(
+        "append"
+    ).save()
+    updates = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("n_chars", (F.col("n_chars") + 1000000).cast("long"))
+        .unionByName(
+            spark.createDataFrame(
+                [(1000000007, "zz", 7), (1000000009, "zz", 9)],
+                "doc_id long, lang string, n_chars long",
+            )
+        )
+    )
+    res = merge_into_manifest_sink(spark, d, updates, ["doc_id"])
+    if not res["rewritten_files"]:
+        raise ValueError("merge rewrote no file despite matching keys")
+    if len(res["rewritten_files"]) > res["candidate_files"]:
+        raise ValueError(f"rewrite exceeded the pruned candidate set: {res}")
+    # the pre-merge snapshot is still time-travelable at the base version
+    if read_manifest_sink(spark, d, version=res["base_version"]).filter(
+        F.col("doc_id") >= 1000000000
+    ).count():
+        raise ValueError("inserted keys leaked into the pre-merge snapshot")
+    back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_delete_replace_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id > 200
+GROUP BY lang
+""",
+)
+def q_manifest_delete_replace_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE WHERE through the commit log (sources/pysink.py
+    delete_from_manifest_sink): ``documents`` lands range-clustered with
+    stats, then ``doc_id <= 200`` is deleted — the stats tier scopes the
+    scan to files whose [min, max] admits a low id, the exact scan
+    rewrites ONLY files truly holding a matching row, and ONE replace
+    commit publishes the swap (an in-query check raises if every file
+    was rewritten — the high ranges provably hold no id <= 200 at any
+    scale factor, so at least the top range file must survive untouched
+    BY NAME). The oracle is the complement filter over the source;
+    the value hash proves deleted rows are gone and every other row —
+    including rows that shared a file with deleted ones — survives
+    exactly once. Time travel to the pre-delete snapshot stays legal
+    until expire; vacuum then reclaims the swapped-out files."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        delete_from_manifest_sink,
+        read_manifest_sink,
+        resolve_manifest_files,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_delete", sf_dir)
+    docs.repartitionByRange(4, "doc_id").write.format("manifestsink").option(
+        "path", d
+    ).option("statsColumns", "doc_id").mode("append").save()
+    before = {os.path.basename(f) for f in resolve_manifest_files(d)}
+    res = delete_from_manifest_sink(
+        spark, d, "doc_id <= 200", prune={"doc_id": (None, 200)}
+    )
+    if not res["rewritten_files"]:
+        raise ValueError("delete rewrote no file despite matching rows")
+    if len(res["rewritten_files"]) >= res["total_files"]:
+        raise ValueError(f"delete rewrote the whole snapshot: {res}")
+    after = {os.path.basename(f) for f in resolve_manifest_files(d)}
+    untouched = before - set(res["rewritten_files"])
+    if not untouched <= after:
+        raise ValueError("an untouched file vanished from the snapshot")
+    back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_timestamp_time_travel",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id % 3 = 0
+GROUP BY lang
+""",
+)
+def q_manifest_timestamp_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TIMESTAMP AS OF over the commit log (sources/pysink.py
+    version_at_timestamp + read_manifest_sink(timestamp=...)): commit v1
+    lands a third of ``documents``, a wall-clock instant is captured,
+    commits v2/v3 land the rest — and the readback pins that INSTANT,
+    not a version number. Resolution is the monotone-clamped
+    newest-commit-at-or-before rule (Delta's clock-skew clamp,
+    documented at version_at_timestamp). The oracle is the first third
+    from the source, so the value hash proves the timestamp resolved to
+    exactly the v1 snapshot — the "AS OF yesterday" question every
+    versioned table gets asked first."""
+    import time as _time
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        read_manifest_sink,
+        version_at_timestamp,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_ts_travel", sf_dir)
+    docs.filter(F.col("doc_id") % 3 == 0).repartition(2).write.format(
+        "manifestsink"
+    ).option("path", d).mode("append").save()
+    _time.sleep(0.05)
+    pin = _time.time()
+    _time.sleep(0.05)
+    for third in (1, 2):
+        docs.filter(F.col("doc_id") % 3 == third).repartition(2).write.format(
+            "manifestsink"
+        ).option("path", d).mode("append").save()
+    if version_at_timestamp(d, pin) != 1:
+        raise ValueError("timestamp between v1 and v2 must resolve to v1")
+    back = read_manifest_sink(spark, d, timestamp=pin)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_null_stats_pruned_read",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_opt
+FROM documents
+WHERE doc_id % 2 = 1
+GROUP BY lang
+""",
+)
+def q_manifest_null_stats_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NULL-count data skipping (sources/pysink.py r14 stats: per-file
+    null/row counts beside [min, max]): two commits land ``documents``
+    halves with a derived ``opt`` column that is ALL-NULL in one commit
+    and never-null in the other; ``prune={"opt": "is_not_null"}`` drops
+    the all-null files FROM METADATA ALONE (an in-query check raises if
+    nothing was pruned — provable at any scale factor since the split is
+    by construction), then the real ``opt IS NOT NULL`` filter runs —
+    superset contract as always. The oracle recomputes the never-null
+    half from the source; the value hash proves the null-predicate tier
+    prunes files, never rows. IS [NOT] NULL predicates are the single
+    most common skipping miss in min/max-only designs (the r13 gap this
+    closes)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        prune_manifest_files,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_null_stats", sf_dir)
+    # even half: opt is all-NULL; odd half: opt = n_chars (never null)
+    evens = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "opt", F.lit(None).cast("long")
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "opt", F.col("n_chars").cast("long")
+    )
+    for half in (evens, odds):
+        half.repartition(2).write.format("manifestsink").option("path", d).option(
+            "statsColumns", "opt"
+        ).mode("append").save()
+    kept, total = prune_manifest_files(d, {"opt": "is_not_null"})
+    if not len(kept) < total:
+        raise ValueError(f"null-count skipping pruned nothing: {len(kept)}/{total}")
+    back = read_manifest_sink(spark, d, prune={"opt": "is_not_null"})
+    return (
+        back.filter(F.col("opt").isNotNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("opt").cast("long").alias("sum_opt"),
+        )
+    )
 
 
 @_register(

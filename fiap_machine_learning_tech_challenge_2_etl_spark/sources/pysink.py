@@ -1437,7 +1437,12 @@ def merge_into_manifest_sink(
     bad_keys = [k for k in keys if k not in cols]
     if not keys or bad_keys:
         raise ValueError(f"merge keys {bad_keys or keys} not in table columns")
-    updates = updates.select(*cols)
+    # cast to the table's EXACT recorded types: a silently-widened update
+    # column (int vs long) would otherwise stage a drifted schema_json and
+    # fail every later read's drift check
+    updates = updates.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
     null_or_dup = updates.select(*keys).groupBy(*keys).count()
     problems = null_or_dup.where(
         (F.col("count") > 1)

@@ -464,8 +464,11 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
         man = _load(path, name)
         files, metas, fstats = _apply_commit(man, files, metas, fstats)
         last = v
+    # an empty log reports version 0 ("nothing committed yet" — real
+    # versions start at 1, a legacy bare manifest folds in AT 0), so a
+    # CAS writer's base+1 claim on a fresh directory is v1
     return {"kind": kind, "files": files, "metas": metas,
-            "file_stats": fstats, "version": last}
+            "file_stats": fstats, "version": max(last, 0)}
 
 
 class ManifestSinkWriter(DataSourceWriter):
@@ -545,6 +548,12 @@ class ManifestSinkWriter(DataSourceWriter):
         self.expected_version: int | None = (
             int(opts["expectedversion"]) if "expectedversion" in opts else None
         )
+        if self.expected_version is not None and self.expected_version < 1:
+            raise ValueError(
+                f"expectedVersion must be >= 1 (got {self.expected_version}): "
+                "commit versions start at 1; version 0 is reserved for a "
+                "legacy bare _MANIFEST"
+            )
 
     # -- executor side ------------------------------------------------
     def write(self, iterator) -> _StagedFile:

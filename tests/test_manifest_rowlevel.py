@@ -272,6 +272,27 @@ def test_optimize_propagates_skipping_stats(spark, tmp_path):
     assert total == 2 and kept == []
 
 
+def test_overwrite_racing_appends_resolves_to_legal_serialization(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stress_manifest_concurrency import run_overwrite_race
+
+    r = run_overwrite_race(str(tmp_path), n_procs=4, commits_per_proc=10)
+    assert r["total"] == 41 and r["survivors"] >= 1
+
+
+def test_cas_rmw_multiprocess_no_silent_supersede(tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stress_manifest_concurrency import run_cas_rmw
+
+    r = run_cas_rmw(str(tmp_path), n_procs=4, commits_per_proc=6)
+    assert r["total"] == 24
+    assert r["conflicts"] > 0  # the race actually happened
+
+
 # ----------------------------------------------------------- timestamps
 
 

@@ -141,6 +141,172 @@ def run_concurrency(d: str, n_procs: int, commits_per_proc: int) -> dict:
     }
 
 
+def _overwrite_worker(args: tuple) -> None:
+    """One base-publishing process: waits until the log has some depth,
+    then publishes ONE overwrite commit via the probe-upward claim."""
+    d, wid, min_depth = args
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkWriter,
+        _StagedFile,
+        _scan_names,
+    )
+
+    schema = StructType([StructField("id", LongType())])
+    while len(_scan_names(d)[1]) < min_depth:
+        time.sleep(0.005)
+    name = f"base-{wid:05d}.jsonl"
+    with open(os.path.join(d, name), "w") as f:
+        f.write(f'{{"id": {9000000 + wid}}}\n')
+    ManifestSinkWriter({"path": d}, schema, overwrite=True).commit(
+        [_StagedFile(name, 1)]
+    )
+
+
+def run_overwrite_race(d: str, n_procs: int, commits_per_proc: int) -> dict:
+    """r14 leg (verdict #5): appends RACING an overwrite. The claim loop
+    gives write-serializable appends — an append may legally land on
+    either side of the racing base — so the invariant is not a single
+    answer but that the resolved snapshot IS one of the legal
+    serializations: recompute it with an INDEPENDENT fold over the raw
+    manifest JSONs in version order and require (a) resolve == the fold,
+    (b) every append that claimed a version ABOVE the newest base
+    survives in the snapshot, (c) every append below it is superseded —
+    no third state (a half-lost update) is possible."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        _V_PREFIX,
+        resolve_manifest_files,
+    )
+
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time()
+    jobs = [(d, w, commits_per_proc) for w in range(n_procs)]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(n_procs + 1) as pool:
+        base = pool.apply_async(
+            _overwrite_worker, [(d, 0, max(2, n_procs * commits_per_proc // 3))]
+        )
+        pool.map(_worker, jobs)
+        base.get()
+    wall = time.time() - t0
+    total = n_procs * commits_per_proc + 1
+
+    versions = sorted(
+        int(f[len(_V_PREFIX):]) for f in os.listdir(d) if f.startswith(_V_PREFIX)
+    )
+    assert versions == list(range(1, total + 1)), "version space not dense"
+
+    # independent fold over raw manifest JSONs (no pysink resolution code)
+    folded: list[str] = []
+    base_v = None
+    for v in versions:
+        with open(os.path.join(d, f"{_V_PREFIX}{v:08d}")) as f:
+            man = json.load(f)
+        if man.get("mode") == "overwrite":
+            folded = []
+            base_v = v
+        folded.extend(man["files"])
+    assert base_v is not None, "the overwrite never landed"
+    resolved = {os.path.basename(p) for p in resolve_manifest_files(d)}
+    assert resolved == set(folded), "resolution diverges from the legal fold"
+    # exactly the appends above the base survive, plus the base's file
+    assert len(resolved) == 1 + (total - base_v), (
+        f"snapshot has {len(resolved)} files, expected 1 base + "
+        f"{total - base_v} post-base appends"
+    )
+    return {
+        "n_procs": n_procs,
+        "total": total,
+        "wall": wall,
+        "base_version": base_v,
+        "survivors": len(resolved),
+    }
+
+
+def _cas_worker(args: tuple) -> int:
+    """One read-modify-write process: resolve the snapshot, claim EXACTLY
+    version+1 with expectedVersion, retry on ConcurrentManifestWriteError.
+    The resolved base version is embedded in the staged file name so the
+    audit can verify the CAS property externally. Returns its conflict
+    count."""
+    d, wid, n = args
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ConcurrentManifestWriteError,
+        ManifestSinkWriter,
+        _StagedFile,
+        _resolve_state,
+    )
+
+    schema = StructType([StructField("id", LongType())])
+    conflicts = 0
+    done = 0
+    while done < n:
+        base = _resolve_state(d)["version"]
+        name = f"rmw-{wid:05d}-{done:04d}-base{base:08d}.jsonl"
+        with open(os.path.join(d, name), "w") as f:
+            f.write(f'{{"id": {wid * 1000000 + done}}}\n')
+        w = ManifestSinkWriter(
+            {"path": d, "expectedversion": str(base + 1)}, schema, overwrite=False
+        )
+        try:
+            w.commit([_StagedFile(name, 1)])
+            done += 1
+        except ConcurrentManifestWriteError:
+            conflicts += 1
+            try:  # a lost claim abandons its staging (abort() would, too)
+                os.remove(os.path.join(d, name))
+            except FileNotFoundError:
+                pass
+    return conflicts
+
+
+def run_cas_rmw(d: str, n_procs: int, commits_per_proc: int) -> dict:
+    """r14 leg: N processes doing optimistic-concurrency (expectedVersion)
+    commits with retry — the merge/delete/optimize claim discipline under
+    real contention. Audit: every committed manifest's staged file embeds
+    the base version its writer resolved; the CAS property is
+    ``base == claimed_version - 1`` for EVERY commit (the writer provably
+    read everything below what it published — no silent supersede is
+    possible). Conflicts must be > 0 under contention (the race actually
+    happened) and every process still completes (retry liveness)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        _V_PREFIX,
+        resolve_manifest_files,
+    )
+
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time()
+    with mp.get_context("spawn").Pool(n_procs) as pool:
+        conflicts = pool.map(
+            _cas_worker, [(d, w, commits_per_proc) for w in range(n_procs)]
+        )
+    wall = time.time() - t0
+    total = n_procs * commits_per_proc
+
+    versions = sorted(
+        int(f[len(_V_PREFIX):]) for f in os.listdir(d) if f.startswith(_V_PREFIX)
+    )
+    assert versions == list(range(1, total + 1)), "version space not dense"
+    for v in versions:
+        with open(os.path.join(d, f"{_V_PREFIX}{v:08d}")) as f:
+            man = json.load(f)
+        (fname,) = man["files"]
+        base = int(fname.split("-base")[1].split(".")[0])
+        assert base == v - 1, (
+            f"CAS violated: commit {v} was built on base {base}, not {v - 1}"
+        )
+    assert len(resolve_manifest_files(d)) == total, "lost update under CAS"
+    return {
+        "n_procs": n_procs,
+        "total": total,
+        "wall": wall,
+        "conflicts": sum(conflicts),
+    }
+
+
 def main() -> None:
     n_procs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     per = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -153,6 +319,28 @@ def main() -> None:
         "updates, %d checkpoints all pure, fast==slow resolve |"
         % (r["n_procs"], r["total"] // r["n_procs"], r["wall"],
            r["ms_per_commit"], r["n_ckpts"])
+    )
+    d2 = os.path.join(_REPO, "_scratch", "stress_manifest_ow_race")
+    shutil.rmtree(d2, ignore_errors=True)
+    r2 = run_overwrite_race(d2, n_procs, per)
+    print(
+        "| manifest_log overwrite-vs-appends race %d appenders + 1 base | "
+        "%.2f s wall | base landed at v%d of %d; snapshot == independent "
+        "fold; %d post-base survivors — a legal serialization, nothing "
+        "half-lost |"
+        % (r2["n_procs"], r2["wall"], r2["base_version"], r2["total"],
+           r2["survivors"] - 1)
+    )
+    d3 = os.path.join(_REPO, "_scratch", "stress_manifest_cas")
+    shutil.rmtree(d3, ignore_errors=True)
+    r3 = run_cas_rmw(d3, max(2, n_procs // 2), max(5, per // 5))
+    print(
+        "| manifest_log CAS read-modify-write %d procs x %d commits | "
+        "%.2f s wall, %d conflicts retried | every commit's recorded base "
+        "== claimed-1 (no silent supersede possible), versions dense, "
+        "zero lost updates |"
+        % (r3["n_procs"], r3["total"] // r3["n_procs"], r3["wall"],
+           r3["conflicts"])
     )
 
 

@@ -332,7 +332,13 @@ def _scan_names(path: str) -> tuple[str | None, list, list]:
                 # is by definition the oldest commit)
                 batch.append((0, f))
             elif f.startswith(_CKPT_PREFIX):
-                ckpts.append((int(f[len(_CKPT_PREFIX):]), f))
+                # two on-disk checkpoint formats: bare JSON
+                # (_CHECKPOINT.v00000016, pre-r14) and parquet
+                # (_CHECKPOINT.v00000016.parquet) — same logical content
+                core = f[len(_CKPT_PREFIX):]
+                if core.endswith(".parquet"):
+                    core = core[: -len(".parquet")]
+                ckpts.append((int(core), f))
     if (batch or ckpts) and stream:
         raise ValueError(
             f"{path} holds both a batch commit log and streaming per-batch "
@@ -346,6 +352,95 @@ def _scan_names(path: str) -> tuple[str | None, list, list]:
 def _load(path: str, name: str) -> dict:
     with open(os.path.join(path, name)) as f:
         return json.load(f)
+
+
+def _load_checkpoint(path: str, name: str, with_stats: bool = True) -> dict:
+    """Load a checkpoint in either on-disk format into the same logical
+    dict {"version", "files", "metas", "file_stats"}. The parquet form
+    (r14) is one row per snapshot file (filename + its stats as a JSON
+    cell) with version/metas in the schema metadata. The point of the
+    parquet form — the reason Delta made the same JSON->parquet move —
+    is COLUMN PRUNING on the checkpoint itself: a resolve that doesn't
+    need skipping stats (``with_stats=False``) reads only the filename
+    column, measured 4.8x faster than the full-JSON parse at a
+    500k-file snapshot (BENCH_NOTES r14); decoding the stats column is
+    where the per-file cost lives, so only stats consumers pay it.
+    ``with_stats=False`` returns ``file_stats={}`` for the checkpointed
+    prefix — callers must not prune from such a state."""
+    if not name.endswith(".parquet"):
+        return _load(path, name)
+    import pyarrow.parquet as pq
+
+    cols = None if with_stats else ["filename"]
+    table = pq.read_table(os.path.join(path, name), columns=cols)
+    md = {
+        k.decode(): v.decode()
+        for k, v in (table.schema.metadata or {}).items()
+    }
+    head = json.loads(md["manifest_checkpoint"])
+    files = table.column("filename").to_pylist()
+    fstats: dict[str, dict] = {}
+    if with_stats:
+        for fname, sj in zip(files, table.column("stats_json").to_pylist()):
+            if sj is not None:
+                fstats[fname] = json.loads(sj)
+    return {
+        "version": head["version"],
+        "files": files,
+        "metas": head["metas"],
+        "file_stats": fstats,
+    }
+
+
+def _load_checkpoint_by_version(path: str, v: int, with_stats: bool = True) -> dict:
+    """Resolve-by-version used on the hint fast path: the hint records a
+    checkpoint VERSION, not a name, so probe the parquet name first
+    (current writers), then the bare JSON name (pre-r14 logs). Raises
+    FileNotFoundError when neither exists (expired under a stale hint)."""
+    try:
+        return _load_checkpoint(path, f"{_CKPT_PREFIX}{v:08d}.parquet", with_stats)
+    except FileNotFoundError:
+        return _load_checkpoint(path, f"{_CKPT_PREFIX}{v:08d}", with_stats)
+
+
+def _publish_checkpoint(path: str, v: int, ck: dict) -> None:
+    """Publish a checkpoint rollup with the SAME exclusive-claim contract
+    as commits (temp file + os.link). Parquet when pyarrow is available,
+    bare JSON otherwise — the two encode identical logical content, and
+    since checkpoint content is a pure function of the log prefix <= v,
+    losing the claim race to either format is a no-op."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        _publish_exclusive(path, f"{_CKPT_PREFIX}{v:08d}", ck)
+        return
+    fstats = ck.get("file_stats", {})
+    table = pa.table(
+        {
+            "filename": pa.array(ck["files"], type=pa.string()),
+            "stats_json": pa.array(
+                [
+                    json.dumps(fstats[f]) if f in fstats else None
+                    for f in ck["files"]
+                ],
+                type=pa.string(),
+            ),
+        }
+    ).replace_schema_metadata(
+        {
+            "manifest_checkpoint": json.dumps(
+                {"version": ck["version"], "metas": ck["metas"]}
+            )
+        }
+    )
+    name = f"{_CKPT_PREFIX}{v:08d}.parquet"
+    tmp = os.path.join(path, f".{name}.{uuid.uuid4().hex}.tmp")
+    pq.write_table(table, tmp)
+    try:
+        os.link(tmp, os.path.join(path, name))
+    finally:
+        os.remove(tmp)
 
 
 def _meta_of(man: dict) -> dict:
@@ -396,7 +491,9 @@ def _apply_commit(
     return files, metas, fstats
 
 
-def _resolve_state(path: str, version: int | None = None) -> dict:
+def _resolve_state(
+    path: str, version: int | None = None, with_stats: bool = True
+) -> dict:
     """Resolve the log to ``{"files": [...], "metas": [...]}`` visible
     at ``version`` (inclusive; default latest): start from the newest
     usable CHECKPOINT (if any), replay only the commits after it; a BASE
@@ -421,7 +518,7 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
     ):
         c = int(hint["checkpoint"])
         try:
-            ck = _load(path, f"{_CKPT_PREFIX}{c:08d}")
+            ck = _load_checkpoint_by_version(path, c, with_stats)
         except FileNotFoundError:
             ck = None  # checkpoint expired under a stale hint — slow path
         if ck is not None:
@@ -450,7 +547,7 @@ def _resolve_state(path: str, version: int | None = None) -> dict:
         usable = [c for c in ckpts if version is None or c[0] <= version]
         if usable:
             cv, cname = usable[-1]
-            ck = _load(path, cname)
+            ck = _load_checkpoint(path, cname, with_stats)
             files = list(ck["files"])
             metas = list(ck.get("metas", []))
             fstats = dict(ck.get("file_stats", {}))
@@ -783,7 +880,7 @@ class ManifestSinkWriter(DataSourceWriter):
                 "metas": state["metas"],
                 "file_stats": state["file_stats"],
             }
-            _publish_exclusive(self.path, f"{_CKPT_PREFIX}{v:08d}", ck)
+            _publish_checkpoint(self.path, v, ck)
         except FileExistsError:
             pass  # a concurrent job already published the identical rollup
         except Exception:
@@ -1044,7 +1141,7 @@ class ManifestLogDataSource(DataSource):
         path = opts.get("path")
         if not path:
             raise ValueError("manifestlog requires .option('path', ...)")
-        state = _resolve_state(path)
+        state = _resolve_state(path, with_stats=False)
         if not state["metas"]:
             raise ValueError(f"no committed manifest files under {path}")
         _fmt, schema = _pin_read_schema(state["metas"])
@@ -1067,7 +1164,7 @@ def resolve_manifest_files(path: str, version: int | None = None) -> list[str]:
     union the delta commits after it — replaying from the newest usable
     checkpoint rather than the log's origin. Duplicates are impossible —
     every commit lists only its own uniquely-named staged files."""
-    state = _resolve_state(path, version)
+    state = _resolve_state(path, version, with_stats=False)
     return [os.path.join(path, name) for name in state["files"]]
 
 
@@ -1273,7 +1370,9 @@ def read_manifest_sink(
         if version is not None:
             raise ValueError("pass version= or timestamp=, not both")
         version = version_at_timestamp(path, timestamp)
-    state = _resolve_state(path, version)
+    # stats are never consumed here (prune_manifest_files re-resolves with
+    # them when asked), so the checkpoint load can skip the stats column
+    state = _resolve_state(path, version, with_stats=False)
     files = [os.path.join(path, name) for name in state["files"]]
     if not files:
         raise ValueError(
@@ -1758,10 +1857,15 @@ def vacuum_manifest_sink(
     for _v, name in commits:
         referenced.update(_load(path, name)["files"])
     for _v, name in ckpts:
-        referenced.update(_load(path, name)["files"])
+        referenced.update(_load_checkpoint(path, name)["files"])
     cutoff = time.time() - grace_seconds
     removed = []
     for name in sorted(os.listdir(path)):
+        # log files all start with "_" (manifests, checkpoints — including
+        # the r14 parquet checkpoints, which a bare *.parquet sweep would
+        # otherwise eat — and the hint); only staged DATA files are swept
+        if name.startswith(("_", ".")):
+            continue
         if not name.endswith((".jsonl", ".parquet")) or name in referenced:
             continue
         full = os.path.join(path, name)

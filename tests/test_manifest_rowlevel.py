@@ -438,6 +438,59 @@ def test_legacy_list_stats_still_prune_ranges_not_nulls(tmp_path):
     assert len(kept) == 1  # no null counts recorded -> must keep
 
 
+def test_parquet_checkpoint_equals_json_checkpoint(tmp_path):
+    """r14: checkpoints are parquet by default (column-pruned loads at
+    depth); the two on-disk formats must be logically identical — same
+    resolution, same stats — and a pre-r14 bare-JSON checkpoint stays
+    readable alongside."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkWriter,
+        _StagedFile,
+        _load_checkpoint,
+        resolve_manifest_files,
+    )
+
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    schema = StructType([StructField("id", LongType())])
+    for i in range(1, 20):  # past the interval-16 checkpoint
+        name = f"part-00000-v{i}.jsonl"
+        with open(os.path.join(d, name), "w") as f:
+            f.write(f'{{"id": {i}}}\n')
+        msg = _StagedFile(
+            name, 1, stats={"id": {"min": i, "max": i, "nulls": 0, "rows": 1}}
+        )
+        ManifestSinkWriter({"path": d}, schema, overwrite=False).commit([msg])
+    pname = "_CHECKPOINT.v00000016.parquet"
+    assert os.path.exists(os.path.join(d, pname))
+    full = _load_checkpoint(d, pname)
+    # write the SAME logical content as a bare JSON checkpoint and compare
+    jname = "_CHECKPOINT.v00000015"  # a fake earlier JSON rollup
+    with open(os.path.join(d, jname), "w") as f:
+        json.dump(full, f)
+    assert _load_checkpoint(d, jname)["files"] == full["files"]
+    assert _load_checkpoint(d, jname)["file_stats"] == full["file_stats"]
+    # stats-less load skips the stats column but sees the same files
+    lite = _load_checkpoint(d, pname, with_stats=False)
+    assert lite["files"] == full["files"] and lite["file_stats"] == {}
+    os.remove(os.path.join(d, jname))
+    # resolution through the parquet checkpoint == the full name scan
+    # (parked OUTSIDE the log dir — stray names inside it are refused)
+    hint = os.path.join(d, "_LAST_CHECKPOINT")
+    park = str(tmp_path / "parked_ckpt")
+    fast = resolve_manifest_files(d)
+    os.rename(hint, hint + ".bak")
+    os.rename(os.path.join(d, pname), park)
+    try:
+        slow = resolve_manifest_files(d)
+    finally:
+        os.rename(park, os.path.join(d, pname))
+        os.rename(hint + ".bak", hint)
+    assert fast == slow and len(fast) == 19
+
+
 # ----------------------------------------------------------------- arrow
 
 

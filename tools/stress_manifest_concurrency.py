@@ -108,16 +108,19 @@ def run_concurrency(d: str, n_procs: int, commits_per_proc: int) -> dict:
 
     # 3. every published checkpoint equals the slow-scan resolution at
     # its version (pure-function property under racing writers)
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import _load_checkpoint
+
+    def _ckpt_v(f: str) -> int:
+        core = f[len(_CKPT_PREFIX):]
+        return int(core[: -len(".parquet")] if core.endswith(".parquet") else core)
+
     ckpts = sorted(
-        (int(f[len(_CKPT_PREFIX):]), f)
-        for f in os.listdir(d)
-        if f.startswith(_CKPT_PREFIX)
+        (_ckpt_v(f), f) for f in os.listdir(d) if f.startswith(_CKPT_PREFIX)
     )
     assert ckpts, "no checkpoints published under contention"
     os.rename(hint_path, hint_path + ".bak")  # force slow path
     for v, name in ckpts:
-        with open(os.path.join(d, name)) as f:
-            ck = json.load(f)
+        ck = _load_checkpoint(d, name)
         want = resolve_manifest_files(d, version=v)
         assert [os.path.join(d, x) for x in ck["files"]] == want, (
             f"checkpoint {v} diverges from slow-scan resolution"

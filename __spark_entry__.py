@@ -67,10 +67,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-14 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 4 never-attested r14 queries (copy-on-write MERGE through the
+# the 5 never-attested r14 queries (copy-on-write MERGE through the
 # log's new replace commits; DELETE WHERE with file-scoped rewrite
 # pins; TIMESTAMP AS OF with the monotone clock-skew clamp; null-count
-# stats pruning IS [NOT] NULL from metadata alone), then the 10
+# stats pruning IS [NOT] NULL from metadata alone; the EP1 per-file
+# trigger as foreachBatch(transform_v2) micro-batches over a
+# B3_RAW_V2 landing zone), then the 10
 # changed-since-attestation manifest rows (pysink gained replace
 # resolution, commit timestamps, expectedVersion CAS, JSON-safe tagged
 # stats with null/row counts, Arrow RecordBatch log reads, the legacy
@@ -85,6 +87,7 @@ _PRIORITY = (
     "manifest_delete_replace_roundtrip",  # NEVER-attested: new r14 query leads window
     "manifest_timestamp_time_travel",  # NEVER-attested: new r14 query leads window
     "manifest_null_stats_pruned_read",  # NEVER-attested: new r14 query leads window
+    "flagship_v2_stream_foreachbatch",  # NEVER-attested: new r14 query leads window
     "manifest_sink_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
     "manifest_sink_time_travel",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
     "manifest_sink_parquet_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
@@ -130,7 +133,6 @@ _PRIORITY = (
     "sql_pipe_syntax_entry",  # r9-green; stale rotation
     "benford_first_digit",  # r9-green; stale rotation
     "sessionize_gap_islands",  # r9-green; stale rotation
-    "time_weighted_average",  # r9-green; stale rotation
 )
 
 

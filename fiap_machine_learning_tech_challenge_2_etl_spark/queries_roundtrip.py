@@ -2369,6 +2369,158 @@ def q_manifest_null_stats_pruned_read(
 
 
 @_register(
+    "flagship_v2_stream_foreachbatch",
+    sql="""
+WITH base AS (
+  SELECT COALESCE(event_type, 'UNKNOWN') AS setor,
+         user_id,
+         CAST(ts AS DATE) AS d,
+         sum(value) AS sum_val
+  FROM events
+  WHERE event_type IN ('click', 'purchase', 'view')
+  GROUP BY 1, 2, 3
+), v2 AS (
+  SELECT
+    setor,
+    CAST(user_id AS VARCHAR) AS codigo_acao,
+    COALESCE(CASE WHEN user_id % 2 = 0 THEN 'ON' END, 'UNKNOWN') AS tipo,
+    COALESCE(CASE WHEN user_id % 7 <> 0
+                  THEN CAST(ROUND(sum_val * 100) AS BIGINT) END, 0) AS qt,
+    COALESCE(strftime(d, '%Y-%m-%d'), '1970-01-01') AS data_pregao
+  FROM base
+), w AS (
+  SELECT setor, data_pregao, tipo,
+    avg(qt) OVER (PARTITION BY setor, codigo_acao
+                  ORDER BY CAST(data_pregao AS TIMESTAMP)
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma,
+    sum(qt) OVER (PARTITION BY setor, data_pregao) AS total
+  FROM v2
+)
+SELECT setor,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(round(ma * 1000000) AS BIGINT)) AS BIGINT) AS sum_ma_micro,
+  CAST(sum(total) AS BIGINT) AS sum_totals,
+  CAST(sum(CASE WHEN tipo = 'UNKNOWN' THEN 1 ELSE 0 END) AS BIGINT) AS n_tipo_filled,
+  CAST(sum(CASE WHEN data_pregao = '1970-01-01' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_date_filled
+FROM w
+GROUP BY setor
+""",
+)
+@_with_stream_shuffle
+def q_flagship_v2_stream_foreachbatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EP1's per-file trigger re-expressed as Structured Streaming
+    micro-batches (the last V2 fidelity nuance): the reference's V2 job
+    (etl/etl.py:36-107) runs once per ARRIVING FILE; here a
+    B3_RAW_V2-shaped landing zone (one parquet file per setor, derived
+    deterministically from ``events`` per the FIXTURES role mapping)
+    is tailed with ``maxFilesPerTrigger=1`` + availableNow, and
+    ``foreachBatch(transform_v2)`` applies the REAL batch transform
+    (plans/pipeline.py:79 — select, distinct, typed fills, 7-row moving
+    average per code, per-(day, setor) totals) to each micro-batch
+    independently, exactly the reference's one-file-one-run semantics.
+    An in-query check raises unless every file arrived as its own
+    micro-batch (window results would otherwise mix setors). The oracle
+    replays the per-file transform in SQL — per-file == per-setor by
+    construction, so the windows re-key as (setor, codigo) — and the
+    value hash proves micro-batched V2 equals batch V2, fills included
+    (tipo NULL -> UNKNOWN, missing date -> 1970-01-01, quantity NULL ->
+    0 before the windows)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.plans.pipeline import transform_v2
+    from fiap_machine_learning_tech_challenge_2_etl_spark.schemas import B3_RAW_V2
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "value")
+        # three landed files keep the multi-file fidelity while bounding
+        # the per-micro-batch fixed cost (each file is a full stream
+        # lifecycle by design)
+        .filter(F.col("event_type").isin("click", "purchase", "view"))
+    )
+    base = ev.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("UNKNOWN")).alias("setor"),
+        F.col("user_id"),
+        F.to_date("ts").alias("d"),
+    ).agg(F.sum("value").alias("sum_val"))
+    v2 = base.select(
+        "setor",
+        F.col("user_id").cast("string").alias("codigo"),
+        F.concat(F.lit("ACAO_"), F.col("user_id").cast("string")).alias("acao"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("ON")).alias("tipo"),
+        F.round(F.col("sum_val"), 6).alias("porcentagem_participacao"),
+        F.round(F.col("sum_val") * 2, 6).alias(
+            "porcentagem_participacao_acumulada"
+        ),
+        F.when(
+            F.col("user_id") % 7 != 0, F.round(F.col("sum_val") * 100).cast("long")
+        ).alias("quantidade_teorica"),
+        F.date_format("d", "yyyy-MM-dd").alias("data_pregao"),
+    )
+    d = _scratch("flagship_v2_stream", sf_dir)
+    landing = os.path.join(d, "landing")
+    outdir = os.path.join(d, "out")
+    ck = os.path.join(d, "ckpt")
+    # one file per setor, landed in ONE Spark job: partition-write on a
+    # duplicated key (partitionBy strips its column from the data files;
+    # setor itself must stay inside them for the B3_RAW_V2 schema), then
+    # driver-side renames of the three leaf files into the flat landing
+    # dir — the reference's "one daily file" shape without one write job
+    # per file
+    staging = os.path.join(d, "staging")
+    (
+        v2.withColumn("part_key", F.col("setor"))
+        .repartition(F.col("part_key"))
+        .write.partitionBy("part_key")
+        .parquet(staging)
+    )
+    os.makedirs(landing, exist_ok=True)
+    setors = []
+    for leaf in sorted(glob(os.path.join(staging, "part_key=*"))):
+        setors.append(os.path.basename(leaf).split("=", 1)[1])
+        for i, f in enumerate(sorted(glob(os.path.join(leaf, "*.parquet")))):
+            os.rename(f, os.path.join(landing, f"{setors[-1]}-{i}.parquet"))
+    epochs: list[int] = []
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        epochs.append(epoch_id)
+        transform_v2(batch).write.mode("append").parquet(outdir)
+
+    (
+        spark.readStream.schema(B3_RAW_V2)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if len(epochs) != len(setors):
+        raise ValueError(
+            f"per-file trigger fidelity broken: {len(setors)} landed files "
+            f"ran as {len(epochs)} micro-batches (windows would mix setors)"
+        )
+    res = spark.read.parquet(outdir)
+    return res.groupBy("setor").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.round(F.col("media_movel_7d_qtde_teorica") * 1000000).cast("long")
+        ).cast("long").alias("sum_ma_micro"),
+        F.sum("total_qtde_teorica_setor_dia").cast("long").alias("sum_totals"),
+        F.sum(F.when(F.col("tipo") == "UNKNOWN", 1).otherwise(0))
+        .cast("long")
+        .alias("n_tipo_filled"),
+        F.sum(F.when(F.col("data_pregao") == "1970-01-01", 1).otherwise(0))
+        .cast("long")
+        .alias("n_date_filled"),
+    )
+
+
+@_register(
     "manifest_log_stream_tail_roundtrip",
     sql="""
 SELECT lang,

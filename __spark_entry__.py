@@ -67,12 +67,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # ledger).
 # ROUND-14 NOTE: window regenerated stalest-first via
 # ``query_provenance.py -> attestation_ledger.py --changed``. Leads:
-# the 5 never-attested r14 queries (copy-on-write MERGE through the
+# the 7 never-attested r14 queries (copy-on-write MERGE through the
 # log's new replace commits; DELETE WHERE with file-scoped rewrite
 # pins; TIMESTAMP AS OF with the monotone clock-skew clamp; null-count
-# stats pruning IS [NOT] NULL from metadata alone; the EP1 per-file
-# trigger as foreachBatch(transform_v2) micro-batches over a
-# B3_RAW_V2 landing zone), then the 10
+# stats pruning IS [NOT] NULL from metadata alone; RESTORE as one
+# metadata-only overwrite; CHANGE DATA FEED from file-set diffs; the
+# EP1 per-file trigger as foreachBatch(transform_v2) micro-batches
+# over a B3_RAW_V2 landing zone), then the 10
 # changed-since-attestation manifest rows (pysink gained replace
 # resolution, commit timestamps, expectedVersion CAS, JSON-safe tagged
 # stats with null/row counts, Arrow RecordBatch log reads, the legacy
@@ -87,6 +88,8 @@ _PRIORITY = (
     "manifest_delete_replace_roundtrip",  # NEVER-attested: new r14 query leads window
     "manifest_timestamp_time_travel",  # NEVER-attested: new r14 query leads window
     "manifest_null_stats_pruned_read",  # NEVER-attested: new r14 query leads window
+    "manifest_restore_roundtrip",  # NEVER-attested: new r14 query leads window
+    "manifest_cdc_changes",  # NEVER-attested: new r14 query leads window
     "flagship_v2_stream_foreachbatch",  # NEVER-attested: new r14 query leads window
     "manifest_sink_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
     "manifest_sink_time_travel",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
@@ -131,8 +134,6 @@ _PRIORITY = (
     "mode_per_group",  # r9-green; stale rotation
     "lateral_join_topk",  # r9-green; stale rotation
     "sql_pipe_syntax_entry",  # r9-green; stale rotation
-    "benford_first_digit",  # r9-green; stale rotation
-    "sessionize_gap_islands",  # r9-green; stale rotation
 )
 
 

@@ -2369,6 +2369,115 @@ def q_manifest_null_stats_pruned_read(
 
 
 @_register(
+    "manifest_restore_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id % 3 < 2
+GROUP BY lang
+""",
+)
+def q_manifest_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE through the commit log (sources/pysink.py
+    restore_manifest_sink — Delta's RESTORE TO VERSION AS OF): three
+    commits land ``documents`` thirds, a DELETE rewrites part of the
+    table (v4), then the table is RESTORED to v2 — one metadata-only
+    overwrite commit re-listing v2's files, no data file read or moved.
+    The oracle is the first two thirds from the source, so the value
+    hash proves the restored snapshot is exactly the old state; in-query
+    checks pin that history was PRESERVED, not rewritten (the deleted
+    state is still readable at v4, and the restore landed as v5). At
+    100 TB this is the instant-rollback story: undoing a bad job is one
+    small JSON publish."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        delete_from_manifest_sink,
+        read_manifest_sink,
+        restore_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_restore", sf_dir)
+    for third in (0, 1, 2):  # -> v1, v2, v3
+        docs.filter(F.col("doc_id") % 3 == third).repartition(2).write.format(
+            "manifestsink"
+        ).option("path", d).mode("append").save()
+    delete_from_manifest_sink(spark, d, "doc_id % 3 = 0")  # v4
+    v = restore_manifest_sink(d, 2)  # roll back to the first two thirds
+    if v != 5:
+        raise ValueError(f"restore must land as version 5, got {v}")
+    # history preserved: the post-delete state is still readable AT v4
+    if read_manifest_sink(spark, d, version=4).filter(
+        F.col("doc_id") % 3 == 0
+    ).limit(1).count():
+        raise ValueError("the v4 delete state leaked rows it had deleted")
+    back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_cdc_changes",
+    sql="""
+SELECT _change_type, lang,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM (
+  SELECT 'delete' AS _change_type, lang, doc_id
+  FROM documents WHERE doc_id % 4 = 2
+  UNION ALL
+  SELECT 'insert' AS _change_type, lang, doc_id
+  FROM documents WHERE doc_id % 4 = 2 AND doc_id > 200
+)
+GROUP BY _change_type, lang
+""",
+)
+def q_manifest_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED from the commit log (sources/pysink.py
+    manifest_changes — Delta's table_changes re-expressed as a file-set
+    diff, no per-row tracking): four commits land ``documents`` by
+    doc_id residue class (one file each), a DELETE rewrites exactly the
+    class-2 file, and ``manifest_changes(base, base+1)`` reads ONLY the
+    diffed files — every old class-2 row as a delete, the survivors as
+    inserts, untouched classes contributing nothing (pinned in-query:
+    exactly one file was rewritten). The oracle replays the diff in SQL;
+    the value hash proves CDC exactness. At 100 TB a CDC consumer reads
+    O(changed data), never the table — the file-immutability argument
+    (a row changes only by its file being replaced) is what makes the
+    file-set diff exact."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        delete_from_manifest_sink,
+        manifest_changes,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_cdc", sf_dir)
+    for k in (0, 1, 2, 3):  # -> v1..v4, one file per residue class
+        docs.filter(F.col("doc_id") % 4 == k).repartition(1).write.format(
+            "manifestsink"
+        ).option("path", d).mode("append").save()
+    res = delete_from_manifest_sink(spark, d, "doc_id % 4 = 2 AND doc_id <= 200")
+    if len(res["rewritten_files"]) != 1:
+        raise ValueError(
+            f"the delete must rewrite exactly the class-2 file: {res}"
+        )
+    ch = manifest_changes(spark, d, from_version=4, to_version=5)
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
+@_register(
     "flagship_v2_stream_foreachbatch",
     sql="""
 WITH base AS (

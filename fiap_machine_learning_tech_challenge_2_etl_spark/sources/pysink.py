@@ -1659,6 +1659,113 @@ def delete_from_manifest_sink(
     }
 
 
+
+def restore_manifest_sink(path: str, version: int) -> int:
+    """RESTORE (Delta's ``RESTORE TABLE ... TO VERSION AS OF`` idea,
+    re-expressed from the log alone): publish ONE metadata-only commit
+    that makes the CURRENT snapshot equal the snapshot at ``version`` —
+    an overwrite (base) commit re-listing that snapshot's files. No data
+    file is read, copied, or moved; the commits being rolled back stay
+    time-travelable until expired, exactly like any superseded history
+    (RESTORE undoes state, never history). The claim is CAS — exactly
+    latest+1 — so a racing commit surfaces as
+    :class:`ConcurrentManifestWriteError` instead of being silently
+    discarded by the rollback. Returns the published version. Skipping
+    stats ride along (the restored files' stats were recorded by their
+    original commits), and the restore is itself a legal retention
+    floor (mode=overwrite)."""
+    state = _resolve_state(path, version)
+    if state["kind"] != "batch":
+        raise ValueError(
+            f"restore_manifest_sink expects a batch commit log; {path} "
+            f"holds {'a stream log' if state['kind'] == 'stream' else 'no log'}"
+        )
+    latest = _resolve_state(path, with_stats=False)["version"]
+    if version > latest:
+        raise ValueError(
+            f"cannot restore {path} to version {version}: the log only "
+            f"reaches {latest}"
+        )
+    fmt, schema = _pin_read_schema(state["metas"])
+    manifest = {
+        "files": list(state["files"]),
+        "n_rows": None,  # not tracked per file outside stats; readers never use it
+        "fields": schema.fieldNames() if schema is not None else sorted(
+            {f for m in state["metas"] for f in (m.get("fields") or [])}
+        ),
+        "format": fmt,
+        "mode": "overwrite",
+        "ts": time.time(),
+        "restored_from": version,
+    }
+    if schema is not None:
+        manifest["schema_json"] = schema.json()
+    if state["file_stats"]:
+        manifest["file_stats"] = state["file_stats"]
+    target = latest + 1
+    try:
+        _publish_exclusive(path, f"{_V_PREFIX}{target:08d}", manifest)
+    except FileExistsError:
+        raise ConcurrentManifestWriteError(
+            f"version {target} in {path} was claimed by a concurrent writer "
+            "while restoring; re-read the log and retry"
+        ) from None
+    hint = _read_hint(path)
+    _write_hint(
+        path, "batch", target, hint.get("checkpoint") if hint else None
+    )
+    return target
+
+
+def manifest_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED between two snapshots (Delta's ``table_changes``
+    re-expressed from the log alone, no per-row tracking needed): diff
+    the two RESOLVED file sets — a file only in the newer snapshot
+    contributes its rows as ``_change_type='insert'``, a file only in
+    the older one as ``'delete'``; files in both are untouched by
+    definition (staged files are immutable and uniquely named — a row
+    can only change by its file being replaced). An update therefore
+    appears as delete(old row) + insert(new row), the standard CDF shape
+    without merge keys. Works across append, replace, overwrite, and
+    restore commits uniformly because it reads STATE diffs, not commit
+    kinds. The scan is scoped to exactly the changed files — at 100 TB
+    a CDC consumer reads O(changed data), never the table."""
+    old = _resolve_state(path, from_version, with_stats=False)
+    new = _resolve_state(path, to_version, with_stats=False)
+    old_set, new_set = set(old["files"]), set(new["files"])
+    added = [f for f in new["files"] if f not in old_set]
+    removed = [f for f in old["files"] if f not in new_set]
+    from pyspark.sql import functions as F
+
+    def _side(files: list[str], metas: list[dict], tag: str) -> DataFrame | None:
+        if not files:
+            return None
+        fmt, schema = _pin_read_schema(metas)
+        df = _read_file_list(spark, [os.path.join(path, f) for f in files], fmt, schema)
+        return df.withColumn("_change_type", F.lit(tag))
+    ins = _side(added, new["metas"], "insert")
+    dels = _side(removed, old["metas"], "delete")
+    if ins is not None and dels is not None:
+        return ins.unionByName(dels, allowMissingColumns=True)
+    if ins is not None:
+        return ins
+    if dels is not None:
+        return dels
+    # no change between the snapshots: empty frame, schema-true
+    fmt, schema = _pin_read_schema(new["metas"] or old["metas"])
+    from pyspark.sql.types import StringType, StructField
+
+    base = schema if schema is not None else StructType([])
+    return spark.createDataFrame(
+        [], schema=StructType(base.fields + [StructField("_change_type", StringType())])
+    )
+
+
 def manifest_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY for the manifest log (Delta's operation-audit
     idea): one row per surviving commit — version, writer family, mode

@@ -203,6 +203,90 @@ def test_manifestlog_stream_raises_on_replace_in_range(spark, tmp_path):
     ]
 
 
+def test_restore_rolls_back_state_preserving_history(spark, tmp_path):
+    """RESTORE publishes one metadata-only overwrite re-listing the
+    target snapshot's files: current state equals the old version, the
+    rolled-back commits stay time-travelable, and a subsequent expire to
+    the restore floor + vacuum reclaims the undone files."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import restore_manifest_sink
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)          # v1
+    _write(spark, d, 5, 10)         # v2
+    delete_from_manifest_sink(spark, d, "id >= 3")  # v3 replace
+    assert _ids(read_manifest_sink(spark, d)) == [0, 1, 2]
+    v = restore_manifest_sink(d, 2)
+    assert v == 4
+    assert _ids(read_manifest_sink(spark, d)) == list(range(10))
+    # the undone delete is still visible AT its version
+    assert _ids(read_manifest_sink(spark, d, version=3)) == [0, 1, 2]
+    h = {r.version: r.mode for r in manifest_history(spark, d).collect()}
+    assert h[4] == "overwrite"
+    # the restore is a legal retention floor
+    expire_manifest_versions(d, 4)
+    removed = vacuum_manifest_sink(d, grace_seconds=0)
+    # the delete's rewritten file (post-delete rows) is now unreferenced
+    assert removed and _ids(read_manifest_sink(spark, d)) == list(range(10))
+
+
+def test_restore_concurrent_commit_detected(spark, tmp_path, monkeypatch):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import restore_manifest_sink
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    _write(spark, d, 5, 10)
+    # a concurrent commit lands AFTER restore reads the log but before
+    # its claim — inject it on restore's last resolve
+    import shutil as _sh
+
+    orig = pysink._resolve_state
+    state = {"armed": False}
+
+    def racing(path, version=None, with_stats=True):
+        st = orig(path, version, with_stats)
+        if version is None and not state["armed"]:
+            state["armed"] = True
+            _sh.copy(
+                os.path.join(d, "_MANIFEST.v00000002"),
+                os.path.join(d, "_MANIFEST.v00000003"),
+            )
+        return st
+
+    monkeypatch.setattr(pysink, "_resolve_state", racing)
+    with pytest.raises(ConcurrentManifestWriteError):
+        restore_manifest_sink(d, 1)
+
+
+def test_manifest_changes_diffs_snapshots(spark, tmp_path):
+    """CDF from file-set diffs: after a delete, changes(from, to) shows
+    every row of the rewritten file as delete + its survivors as insert,
+    and untouched files contribute nothing."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import manifest_changes
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)      # v1, file A
+    _write(spark, d, 10, 15)    # v2, file B
+    delete_from_manifest_sink(spark, d, "id >= 12")  # v3 rewrites file B
+    ch = manifest_changes(spark, d, 2, 3)
+    rows = sorted((r.id, r._change_type) for r in ch.collect())
+    assert rows == [
+        (10, "delete"), (10, "insert"),
+        (11, "delete"), (11, "insert"),
+        (12, "delete"), (13, "delete"), (14, "delete"),
+    ]
+    # append-only range: pure inserts
+    ch = manifest_changes(spark, d, 1, 2)
+    assert sorted((r.id, r._change_type) for r in ch.collect()) == [
+        (i, "insert") for i in range(10, 15)
+    ]
+    # no-change range: empty with the _change_type column present
+    ch = manifest_changes(spark, d, 3, 3)
+    assert ch.count() == 0 and "_change_type" in ch.columns
+
+
 # --------------------------------------------------------- concurrency
 
 

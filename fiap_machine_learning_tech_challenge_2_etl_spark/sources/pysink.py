@@ -1025,6 +1025,16 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         self.starting_version = (
             int(opts["startingversion"]) if "startingversion" in opts else None
         )
+        # startingTimestamp (unix seconds): consume commits whose EFFECTIVE
+        # time (monotone-clamped, see version_at_timestamp) is at or after
+        # it — Delta's startingTimestamp semantics
+        self.starting_timestamp = (
+            float(opts["startingtimestamp"])
+            if "startingtimestamp" in opts
+            else None
+        )
+        if self.starting_version is not None and self.starting_timestamp is not None:
+            raise ValueError("pass startingVersion or startingTimestamp, not both")
         # r14: parquet-staged partitions ship Arrow RecordBatches by
         # default (columnar into Spark's vectorized reader — the per-row
         # Python->JVM tuple conversion is the dominant cost of a Python
@@ -1035,6 +1045,24 @@ class ManifestLogStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
             return {"v": self.starting_version - 1}
+        if self.starting_timestamp is not None:
+            kind, commits, _ck = _scan_names(self.path)
+            if kind is None:
+                raise ValueError(
+                    f"no manifest log under {self.path}: the log must exist "
+                    "before a stream can tail it"
+                )
+            # first commit whose effective (clamped-monotone) time is at or
+            # after the timestamp; none yet -> start past the current head
+            # (consume only future commits)
+            eff = 0.0
+            for v, name in commits:
+                raw = _load(self.path, name).get("ts")
+                if raw is not None:
+                    eff = max(eff, float(raw))
+                if eff >= self.starting_timestamp:
+                    return {"v": v - 1}
+            return {"v": commits[-1][0] if commits else 0}
         kind, commits, _ck = _scan_names(self.path)
         if kind is None:
             raise ValueError(

@@ -610,6 +610,37 @@ def test_manifestlog_arrow_read_bit_equal_to_tuple_path(spark, tmp_path):
     assert a == t == list(range(2000))
 
 
+def test_manifestlog_starting_timestamp(spark, tmp_path):
+    """startingTimestamp mirrors startingVersion with Delta's semantics:
+    consume commits whose effective time is at or after the timestamp;
+    a timestamp past the head consumes only future commits."""
+    import time as _time
+
+    from tests.test_manifest_log_v2 import _tail_once
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 3)
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    _write(spark, d, 10, 13)
+    out, ck = str(tmp_path / "o1"), str(tmp_path / "c1")
+    _tail_once(spark, d, out, ck, startingTimestamp=str(mid))
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [10, 11, 12]
+    # before the first commit: everything
+    out2, ck2 = str(tmp_path / "o2"), str(tmp_path / "c2")
+    _tail_once(spark, d, out2, ck2, startingTimestamp="1.0")
+    assert sorted(r.id for r in spark.read.parquet(out2).collect()) == [
+        0, 1, 2, 10, 11, 12,
+    ]
+    with pytest.raises(Exception, match="not both"):
+        _tail_once(
+            spark, d, str(tmp_path / "o3"), str(tmp_path / "c3"),
+            startingTimestamp=str(mid), startingVersion="1",
+        )
+
+
 def test_legacy_v0_streamed_with_explicit_schema(spark, tmp_path):
     """ADVICE fix: a legacy bare _MANIFEST folds in as version 0; the
     initial offset must start below it or an explicit-schema reader

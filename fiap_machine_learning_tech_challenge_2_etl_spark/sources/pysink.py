@@ -23,7 +23,14 @@ Round 14 adds the row-level-change tier real table formats ship:
 - NULL-count skipping stats (``is_null`` / ``is_not_null`` predicates)
   and JSON-safe tagged encoding for date/timestamp/decimal bounds.
 - Arrow RecordBatch reads in the ``manifestlog`` streaming source for
-  parquet-staged logs (``option("arrow", "false")`` for row tuples).
+  parquet-staged logs (``option("arrow", "false")`` for row tuples),
+  plus ``startingTimestamp`` alongside ``startingVersion``.
+- RESTORE (:func:`restore_manifest_sink` — one metadata-only overwrite
+  re-listing an old snapshot) and CHANGE DATA FEED
+  (:func:`manifest_changes` — inserts/deletes as a file-set diff
+  between two resolved snapshots).
+- Parquet CHECKPOINTS (``_CHECKPOINT.v<n>.parquet``) with column-pruned
+  loads — no-prune resolves skip the stats column entirely.
 
 The writer half of the Spark 4 Python DataSource API
 (``pyspark.sql.datasource.DataSourceWriter``), demonstrating the

@@ -148,7 +148,6 @@ Usage::
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
@@ -491,7 +490,10 @@ def _apply_commit(
             fstats = {k: v for k, v in fstats.items() if k not in removed}
     files.extend(man["files"])
     fstats.update(man.get("file_stats", {}))
-    if man["files"]:
+    # a zero-file commit still contributes its RECORDED schema (a delete
+    # that removed every row / an overwrite truncate must leave the
+    # snapshot readable as a schema-true empty frame)
+    if man["files"] or man.get("schema_json"):
         m = _meta_of(man)
         if m not in metas:
             metas.append(m)
@@ -705,6 +707,14 @@ class ManifestSinkWriter(DataSourceWriter):
             except FileNotFoundError:
                 pass
             raise
+        if n == 0:
+            # an empty partition stages NOTHING: zero-row files carry no
+            # data and no schema the manifest doesn't already record, but
+            # they accumulate — a merge whose rewrite unioned a 32-partition
+            # frame would otherwise publish ~30 empty files per commit
+            # (measured: 1892 live files after 60 merges before this fix)
+            os.remove(staged)
+            return _StagedFile(None, 0, None)
         stats: dict[str, dict] | None = None
         if self.stats_columns:
             # r14 form: tagged-encoded min/max (date/timestamp/decimal are
@@ -758,7 +768,9 @@ class ManifestSinkWriter(DataSourceWriter):
     # -- driver side --------------------------------------------------
     def commit(self, messages) -> None:
         files = sorted(
-            (m.filename, m.n_rows) for m in messages if m is not None
+            (m.filename, m.n_rows)
+            for m in messages
+            if m is not None and m.filename
         )
         manifest = {
             "files": [f for f, _ in files],
@@ -901,7 +913,7 @@ class ManifestSinkWriter(DataSourceWriter):
 
     def abort(self, messages) -> None:
         for m in messages:
-            if m is not None:
+            if m is not None and m.filename:
                 try:
                     os.remove(os.path.join(self.path, m.filename))
                 except FileNotFoundError:
@@ -944,7 +956,11 @@ class ManifestStreamSinkWriter(DataSourceStreamWriter):
                 f"(_MANIFEST.v* manifests); refusing to publish a stream "
                 "batch manifest into it — one writer family per directory"
             )
-        files = sorted((m.filename, m.n_rows) for m in messages if m is not None)
+        files = sorted(
+            (m.filename, m.n_rows)
+            for m in messages
+            if m is not None and m.filename
+        )
         manifest = {
             "files": [f for f, _ in files],
             "n_rows": sum(n for _, n in files),
@@ -1282,6 +1298,13 @@ def prune_manifest_files(
 
     - ``{col: (lo, hi)}`` — range; prunes when [min, max] misses it, or
       when the null/row counts prove the file holds NO non-null value.
+    - ``{col: [(lo, hi), ...]}`` — a DISJUNCTION of ranges: the file is
+      kept if ANY range admits it. This is the point-lookup shape — a
+      merge of k exact keys prunes with k single-point ranges instead of
+      one global [min(keys), max(keys)] span, which a single outlying
+      key (a fresh insert id) would otherwise stretch over the whole
+      table (measured: candidate fraction 1.00 -> ~file-exact in the
+      merge-loop stress).
     - ``{col: "is_null"}`` — prunes when the recorded null count is 0.
     - ``{col: "is_not_null"}`` — prunes when every row is null
       (``nulls == rows``).
@@ -1316,7 +1339,7 @@ def prune_manifest_files(
                             "use a (lo, hi) range, 'is_null', or 'is_not_null'"
                         )
                 else:
-                    lo, hi = pred
+                    ranges = pred if isinstance(pred, list) else [pred]
                     if mn is None or mx is None:
                         # no recorded bounds: either stats-less (keep) or
                         # provably all-null (no non-null value can match
@@ -1328,8 +1351,10 @@ def prune_manifest_files(
                             and nulls == rows
                         )
                     else:
-                        drop = (hi is not None and mn > hi) or (
-                            lo is not None and mx < lo
+                        drop = all(
+                            (hi is not None and mn > hi)
+                            or (lo is not None and mx < lo)
+                            for lo, hi in ranges
                         )
                 if drop:
                     break
@@ -1410,6 +1435,13 @@ def read_manifest_sink(
     state = _resolve_state(path, version, with_stats=False)
     files = [os.path.join(path, name) for name in state["files"]]
     if not files:
+        # an EMPTY snapshot is legal state, not an error, whenever the log
+        # recorded a schema to pin it to (a delete that removed every row,
+        # an overwrite truncate): return the schema-true empty frame
+        if state["metas"]:
+            _fmt0, schema0 = _pin_read_schema(state["metas"])
+            if schema0 is not None:
+                return spark.createDataFrame([], schema=schema0)
         raise ValueError(
             f"no committed manifest files under {path}"
             + (f" at version <= {version}" if version is not None else "")
@@ -1428,7 +1460,10 @@ def read_manifest_sink(
 
 
 def optimize_manifest_sink(
-    spark: SparkSession, path: str, target_files: int = 4
+    spark: SparkSession,
+    path: str,
+    target_files: int = 4,
+    cluster_by: list[str] | None = None,
 ) -> None:
     """OPTIMIZE for the batch commit log: small-file compaction of the
     DATA through the log itself — read the current snapshot, rewrite it
@@ -1452,7 +1487,18 @@ def optimize_manifest_sink(
     superseded (its rows would have vanished from the latest snapshot).
     Callers retry by re-running optimize on the new snapshot. Skipping
     stats survive: the rewrite re-records ``statsColumns`` derived from
-    the union of the resolved snapshot's stats keys (ADVICE fix)."""
+    the union of the resolved snapshot's stats keys (ADVICE fix).
+
+    ``cluster_by`` (r14) is OPTIMIZE's clustered variant (Delta's
+    ``ZORDER BY`` role for the 1-D/lexicographic case): the rewrite
+    range-partitions + sorts on those columns, so each rewritten file
+    holds a DISJOINT key range and the re-recorded manifest min/max
+    stats become tight — a range predicate then prunes to the few files
+    that can hold it, where a round-robin rewrite (the default) leaves
+    every file spanning the whole domain and prunes nothing. Clustered
+    columns are added to the re-recorded ``statsColumns``."""
+    from pyspark.sql import functions as F
+
     state = _resolve_state(path)
     if state["kind"] != "batch":
         raise ValueError(
@@ -1463,10 +1509,19 @@ def optimize_manifest_sink(
     fmts = {m.get("format", "jsonl") for m in state["metas"]}
     fmt = fmts.pop() if len(fmts) == 1 else "parquet"
     stats_cols = sorted({c for st in state["file_stats"].values() for c in st})
+    snapshot = read_manifest_sink(spark, path, version=base_version)
+    if cluster_by:
+        missing = [c for c in cluster_by if c not in snapshot.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns {missing} not in the table")
+        cols = [F.col(c) for c in cluster_by]
+        shaped = snapshot.repartitionByRange(target_files, *cols)
+        shaped = shaped.sortWithinPartitions(*cols)
+        stats_cols = sorted(set(stats_cols) | set(cluster_by))
+    else:
+        shaped = snapshot.repartition(target_files)
     writer = (
-        read_manifest_sink(spark, path, version=base_version)
-        .repartition(target_files)
-        .write.format("manifestsink")
+        shaped.write.format("manifestsink")
         .option("path", path)
         .option("format", fmt)
         .option("expectedVersion", str(base_version + 1))
@@ -1586,32 +1641,71 @@ def merge_into_manifest_sink(
     updates = updates.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
-    null_or_dup = updates.select(*keys).groupBy(*keys).count()
-    problems = null_or_dup.where(
-        (F.col("count") > 1)
-        | functools.reduce(lambda a, b: a | b, [F.col(k).isNull() for k in keys])
-    ).limit(1).collect()
-    if problems:
-        raise ValueError(
-            "merge updates contain duplicate or NULL keys — the merge "
-            f"would be ambiguous (first offender: {problems[0]})"
-        )
+    # ONE probe job serves three needs: the duplicate-key check, the NULL
+    # check, and the pruning predicates. Small update sets (the common CDC
+    # upsert) collect their <=128 distinct keys and prune with EXACT point
+    # ranges — a single outlying key (a fresh insert id) no longer
+    # stretches one global [min, max] over the whole table. Large sets
+    # fall back to one fused aggregate (max dup count + null counts +
+    # per-key bounds) and conservative global ranges.
+    orderable = [
+        f.name
+        for f in schema.fields
+        if f.name in keys
+        and f.dataType.simpleString().startswith(_STATS_OK_PREFIXES)
+    ]
+    key_counts = updates.select(*keys).groupBy(*keys).count()
+    MAX_POINT_KEYS = 128
+    sample = key_counts.limit(MAX_POINT_KEYS + 1).collect()
+    preds: dict = {}
+    if len(sample) <= MAX_POINT_KEYS:
+        bad = [
+            r for r in sample
+            if r["count"] > 1 or any(r[k] is None for k in keys)
+        ]
+        if bad:
+            raise ValueError(
+                "merge updates contain duplicate or NULL keys — the merge "
+                f"would be ambiguous (first offender: {bad[0]})"
+            )
+        if state["file_stats"]:
+            for k in orderable:
+                preds[k] = [(v, v) for v in sorted({r[k] for r in sample})]
+    else:
+        aggs = [F.max("count").alias("__max_dup")]
+        aggs += [
+            F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"__nulls_{k}")
+            for k in keys
+        ]
+        for k in orderable:
+            aggs += [F.min(k).alias(f"__lo_{k}"), F.max(k).alias(f"__hi_{k}")]
+        b = key_counts.agg(*aggs).collect()[0]
+        if (b["__max_dup"] or 0) > 1 or any(b[f"__nulls_{k}"] for k in keys):
+            raise ValueError(
+                "merge updates contain duplicate or NULL keys — the merge "
+                "would be ambiguous"
+            )
+        if state["file_stats"]:
+            preds = {
+                k: (b[f"__lo_{k}"], b[f"__hi_{k}"])
+                for k in orderable
+                if b[f"__lo_{k}"] is not None
+            }
     all_files = list(state["files"])
     candidates = [os.path.join(path, f) for f in all_files]
-    if len(keys) == 1 and state["file_stats"]:
-        b = updates.agg(
-            F.min(keys[0]).alias("lo"), F.max(keys[0]).alias("hi")
-        ).collect()[0]
-        if b["lo"] is not None:
-            candidates, _total = prune_manifest_files(
-                path, {keys[0]: (b["lo"], b["hi"])}, version=base_version
-            )
+    if preds:
+        candidates, _total = prune_manifest_files(path, preds, version=base_version)
+    # the distinct key frame drives both the touched-set semi-join and the
+    # rewrite anti-join; in point mode it is provably <= 128 rows, so pin
+    # the broadcast (no sort-merge exchange on the big side, ever)
+    key_df = updates.select(*keys).distinct()
+    if len(sample) <= MAX_POINT_KEYS:
+        key_df = F.broadcast(key_df)
     touched: list[str] = []
     if candidates:
         cand_df = _read_file_list(spark, candidates, fmt, schema).withColumn(
             "__src", F.input_file_name()
         )
-        key_df = updates.select(*keys).distinct()
         touched = sorted(
             _basename_of_uri(r["__src"])
             for r in cand_df.join(key_df, keys, "left_semi")
@@ -1622,8 +1716,13 @@ def merge_into_manifest_sink(
     if touched:
         kept = _read_file_list(
             spark, [os.path.join(path, f) for f in touched], fmt, schema
-        ).join(updates.select(*keys).distinct(), keys, "left_anti")
-        new_data = kept.select(*cols).unionByName(updates)
+        ).join(key_df, keys, "left_anti")
+        # one output file per rewritten input file: the rewrite's volume is
+        # the touched files' volume, so this keeps file sizes stable across
+        # merge generations (zero-row partitions stage nothing regardless)
+        new_data = kept.select(*cols).unionByName(updates).coalesce(
+            max(1, len(touched))
+        )
     else:
         new_data = updates
     _publish_replace(new_data, path, fmt, touched, base_version + 1, stats_cols)
@@ -1683,6 +1782,7 @@ def delete_from_manifest_sink(
         _read_file_list(spark, [os.path.join(path, f) for f in touched], fmt, schema)
         .filter(~F.coalesce(F.expr(condition), F.lit(False)))
         .select(*cols)
+        .coalesce(max(1, len(touched)))  # layout-stable, see merge
     )
     _publish_replace(kept, path, fmt, touched, base_version + 1, stats_cols)
     return {

@@ -393,6 +393,49 @@ def test_cas_rmw_multiprocess_no_silent_supersede(tmp_path):
         pytest.skip("no claim race materialized in 3 runs; CAS audit green")
 
 
+def test_merge_loop_accumulates_exactly(spark, tmp_path):
+    """Depth gate for the copy-on-write path: sequential merges must (a)
+    equal a dict replay, (b) keep the live file count bounded (rewrites
+    supersede, never accumulate), (c) keep resolve metadata-priced."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stress_manifest_merge import run_merge_loop
+
+    r = run_merge_loop(spark, str(tmp_path / "t"), n_merges=6,
+                       keys_per_merge=5, table_rows=400)
+    assert r["live_files"] <= 8
+    assert r["mean_candidate_frac"] < 1.0  # point pruning actually pruned
+
+
+def test_optimize_cluster_by_restores_pruning(spark, tmp_path):
+    """Clustered OPTIMIZE (the ZORDER-BY role): a round-robin layout
+    prunes nothing; optimize(cluster_by=['id']) rewrites range-disjoint
+    files whose re-recorded stats prune again."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    # interleaved layout: both commits span the whole id domain
+    for rem in (0, 1):
+        (
+            spark.range(0, 1000)
+            .filter(f"id % 2 = {rem}")
+            .repartition(2)
+            .write.format("manifestsink")
+            .option("path", d)
+            .option("statsColumns", "id")
+            .mode("append")
+            .save()
+        )
+    kept, total = prune_manifest_files(d, {"id": (0, 99)})
+    assert len(kept) == total  # interleaved: nothing provable
+    optimize_manifest_sink(spark, d, target_files=4, cluster_by=["id"])
+    kept, total = prune_manifest_files(d, {"id": (0, 99)})
+    assert total == 4 and len(kept) < total  # disjoint ranges prune
+    assert _ids(read_manifest_sink(spark, d, prune={"id": (0, 99)}).filter(
+        "id < 100"
+    )) == list(range(100))
+
+
 # ----------------------------------------------------------- timestamps
 
 

@@ -90,50 +90,50 @@ _PRIORITY = (
     "manifest_null_stats_pruned_read",  # NEVER-attested: new r14 query leads window
     "manifest_restore_roundtrip",  # NEVER-attested: new r14 query leads window
     "manifest_cdc_changes",  # NEVER-attested: new r14 query leads window
+    "manifest_merge_delete_roundtrip",  # NEVER-attested: new r14 query leads window
+    "manifest_cdc_keyed_changes",  # NEVER-attested: new r14 query leads window
     "flagship_v2_stream_foreachbatch",  # NEVER-attested: new r14 query leads window
-    "manifest_sink_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_sink_time_travel",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_sink_parquet_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_checkpoint_resolve_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_schema_evolution_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_stats_pruned_read",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_optimize_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_history_report",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_log_stream_tail_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "stream_manifest_compaction_roundtrip",  # green; changed-since-attestation (r14 pysink/roundtrip edits)
-    "label_propagation_nations",  # r8-green; stale rotation
-    "funnel_time_to_convert",  # r8-green; stale rotation
-    "association_rules_lift",  # r8-green; stale rotation
-    "lsh_recall_eval",  # r8-green; stale rotation
-    "minhash_recall_eval",  # r8-green; stale rotation
-    "shortest_path_weighted",  # r8-green; stale rotation
-    "materialized_rollup_roundtrip",  # r8-green; stale rotation
-    "flagship_pipeline",  # r9-green; stale rotation
-    "select_filter_project",  # r9-green; stale rotation
-    "distinct_rows",  # r9-green; stale rotation
-    "fill_defaults",  # r9-green; stale rotation
-    "sanitize_numeric",  # r9-green; stale rotation
-    "dedup_keep_first",  # r9-green; stale rotation
-    "moving_average",  # r9-green; stale rotation
-    "group_total",  # r9-green; stale rotation
-    "group_min_date",  # r9-green; stale rotation
-    "rank_in_group",  # r9-green; stale rotation
-    "all_null_column_drop",  # r9-green; stale rotation
-    "tpch_q1_agg",  # r9-green; stale rotation
-    "star_join_agg",  # r9-green; stale rotation
-    "join_topk_revenue",  # r9-green; stale rotation
-    "semi_join_customers",  # r9-green; stale rotation
-    "anti_join_customers",  # r9-green; stale rotation
-    "top_k_orders",  # r9-green; stale rotation
-    "json_extract_agg",  # r9-green; stale rotation
-    "text_stats",  # r9-green; stale rotation
-    "text_quality",  # r9-green; stale rotation
-    "language_id",  # r9-green; stale rotation
-    "doc_fingerprint",  # r9-green; stale rotation
-    "ewma_user_daily",  # r9-green; stale rotation
-    "mode_per_group",  # r9-green; stale rotation
-    "lateral_join_topk",  # r9-green; stale rotation
-    "sql_pipe_syntax_entry",  # r9-green; stale rotation
+    "manifest_sink_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_sink_time_travel",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_sink_parquet_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_checkpoint_resolve_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_schema_evolution_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_stats_pruned_read",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_optimize_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_history_report",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "manifest_log_stream_tail_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "stream_manifest_compaction_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
+    "label_propagation_nations",  # green r8; stale-rotation
+    "funnel_time_to_convert",  # green r8; stale-rotation
+    "association_rules_lift",  # green r8; stale-rotation
+    "lsh_recall_eval",  # green r8; stale-rotation
+    "minhash_recall_eval",  # green r8; stale-rotation
+    "shortest_path_weighted",  # green r8; stale-rotation
+    "materialized_rollup_roundtrip",  # green r8; stale-rotation
+    "flagship_pipeline",  # green r9; stale-rotation
+    "select_filter_project",  # green r9; stale-rotation
+    "distinct_rows",  # green r9; stale-rotation
+    "fill_defaults",  # green r9; stale-rotation
+    "sanitize_numeric",  # green r9; stale-rotation
+    "dedup_keep_first",  # green r9; stale-rotation
+    "moving_average",  # green r9; stale-rotation
+    "group_total",  # green r9; stale-rotation
+    "group_min_date",  # green r9; stale-rotation
+    "rank_in_group",  # green r9; stale-rotation
+    "all_null_column_drop",  # green r9; stale-rotation
+    "tpch_q1_agg",  # green r9; stale-rotation
+    "star_join_agg",  # green r9; stale-rotation
+    "join_topk_revenue",  # green r9; stale-rotation
+    "semi_join_customers",  # green r9; stale-rotation
+    "anti_join_customers",  # green r9; stale-rotation
+    "top_k_orders",  # green r9; stale-rotation
+    "json_extract_agg",  # green r9; stale-rotation
+    "text_stats",  # green r9; stale-rotation
+    "text_quality",  # green r9; stale-rotation
+    "language_id",  # green r9; stale-rotation
+    "doc_fingerprint",  # green r9; stale-rotation
+    "ewma_user_daily",  # green r9; stale-rotation
+    "mode_per_group",  # green r9; stale-rotation
 )
 
 

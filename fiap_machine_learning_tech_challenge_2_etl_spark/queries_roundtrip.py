@@ -2478,6 +2478,171 @@ def q_manifest_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "manifest_merge_delete_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 13 = 0 THEN n_chars + 500000 ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE NOT (doc_id % 11 = 0 AND doc_id <= 400)
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(2000000003 AS BIGINT), 'zz', CAST(3 AS BIGINT)),
+    (CAST(2000000005 AS BIGINT), 'zz', CAST(5 AS BIGINT)))
+)
+GROUP BY lang
+""",
+)
+def q_manifest_merge_delete_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE with WHEN MATCHED ... THEN DELETE (sources/pysink.py
+    merge_into_manifest_sink(delete_condition=...) — Delta's
+    merge-delete arm): one merge statement carries three intents at
+    once — delete every matched ``doc_id % 11 = 0 AND doc_id <= 400``
+    key, update every other ``doc_id % 13 = 0`` key's n_chars by
+    +500000, insert two brand-new keys — plus one delete-intent row on
+    a key that does NOT exist (WHEN NOT MATCHED has no DELETE arm, so
+    it must insert nothing). The condition column ``_del`` is a
+    non-table column, legal only as delete_condition input, and must
+    not leak into the table. The oracle replays all three arms in SQL;
+    the value hash proves per-row semantics. One replace commit, files
+    scoped by key stats — an upsert+delete of k keys costs O(files
+    holding those keys) at 100 TB, never O(table)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        merge_into_manifest_sink,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_merge_delete", sf_dir)
+    docs.repartitionByRange(4, "doc_id").write.format("manifestsink").option(
+        "path", d
+    ).option("statsColumns", "doc_id").option("format", "parquet").mode(
+        "append"
+    ).save()
+    is_del = (F.col("doc_id") % 11 == 0) & (F.col("doc_id") <= 400)
+    updates = (
+        docs.filter(is_del | (F.col("doc_id") % 13 == 0))
+        .withColumn(
+            "n_chars",
+            F.when(is_del, F.col("n_chars")).otherwise(
+                (F.col("n_chars") + 500000).cast("long")
+            ),
+        )
+        .withColumn("_del", is_del)
+        .unionByName(
+            spark.createDataFrame(
+                [
+                    (2000000003, "zz", 3, False),
+                    (2000000005, "zz", 5, None),
+                    (2000000011, "zz", 0, True),  # missing key: no-op
+                ],
+                "doc_id long, lang string, n_chars long, _del boolean",
+            )
+        )
+    )
+    res = merge_into_manifest_sink(
+        spark, d, updates, ["doc_id"], delete_condition="_del"
+    )
+    if not res["rewritten_files"]:
+        raise ValueError("merge-delete rewrote no file despite matching keys")
+    back = read_manifest_sink(spark, d)
+    if "_del" in back.columns:
+        raise ValueError("the delete_condition column leaked into the table")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_cdc_keyed_changes",
+    sql="""
+SELECT _change_type, lang,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT 'update_preimage' AS _change_type, lang, doc_id, n_chars
+  FROM documents WHERE doc_id % 4 = 2 AND doc_id <= 200
+  UNION ALL
+  SELECT 'update_postimage', lang, doc_id, n_chars + 500000
+  FROM documents WHERE doc_id % 4 = 2 AND doc_id <= 200
+  UNION ALL
+  SELECT 'delete', lang, doc_id, n_chars
+  FROM documents WHERE doc_id % 4 = 2 AND doc_id > 200 AND doc_id <= 400
+  UNION ALL
+  SELECT 'insert', 'zz', CAST(2000000002 AS BIGINT), CAST(7 AS BIGINT)
+)
+GROUP BY _change_type, lang
+""",
+)
+def q_manifest_cdc_keyed_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC with merge keys (sources/pysink.py manifest_changes
+    keys=... — Delta's update_preimage/update_postimage re-expressed):
+    ``documents`` lands one file per doc_id residue class, then ONE
+    merge updates the class-2 keys <= 200 (+500000 n_chars), deletes
+    the class-2 keys in (200, 400], and inserts one new key. The keyed
+    feed must (a) CANCEL every carried row — class-2 rows > 400 ride
+    along in the rewritten file but are identical on both sides, so
+    they are not changes; (b) pair each updated key as
+    update_preimage/update_postimage; (c) leave the unpaired rows as
+    delete/insert. The oracle replays the classification in SQL; the
+    value hash proves all four arms. The diff still reads only the
+    replaced/added files — O(changed data) at 100 TB."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        manifest_changes,
+        merge_into_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_cdc_keyed", sf_dir)
+    for k in (0, 1, 2, 3):  # -> v1..v4, one file per residue class
+        docs.filter(F.col("doc_id") % 4 == k).repartition(1).write.format(
+            "manifestsink"
+        ).option("path", d).mode("append").save()
+    is_class2 = F.col("doc_id") % 4 == 2
+    is_del = is_class2 & (F.col("doc_id") > 200) & (F.col("doc_id") <= 400)
+    updates = (
+        docs.filter(is_class2 & (F.col("doc_id") <= 400))
+        .withColumn(
+            "n_chars",
+            F.when(is_del, F.col("n_chars")).otherwise(
+                (F.col("n_chars") + 500000).cast("long")
+            ),
+        )
+        .withColumn("_del", is_del)
+        .unionByName(
+            spark.createDataFrame(
+                [(2000000002, "zz", 7, False)],
+                "doc_id long, lang string, n_chars long, _del boolean",
+            )
+        )
+    )
+    merge_into_manifest_sink(
+        spark, d, updates, ["doc_id"], delete_condition="_del"
+    )  # -> v5
+    ch = manifest_changes(
+        spark, d, from_version=4, to_version=5, keys=["doc_id"]
+    )
+    return ch.groupBy("_change_type", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
     "flagship_v2_stream_foreachbatch",
     sql="""
 WITH base AS (

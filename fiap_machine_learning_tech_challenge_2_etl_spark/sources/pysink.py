@@ -1585,7 +1585,11 @@ def _publish_replace(
 
 
 def merge_into_manifest_sink(
-    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    delete_condition: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE (upsert) through the commit log — the Delta
     ``MERGE INTO`` shape: rows in ``updates`` REPLACE table rows with the
@@ -1612,6 +1616,13 @@ def merge_into_manifest_sink(
        :class:`ConcurrentManifestWriteError` (re-read, retry), never as
        silently-superseded rows.
 
+    ``delete_condition`` is the WHEN MATCHED ... THEN DELETE clause
+    (Delta's merge-delete): a SQL predicate over the UPDATE row's
+    columns; source rows where it is TRUE delete their matched table
+    row instead of replacing it (their files still count as touched),
+    and — standard WHEN NOT MATCHED semantics — insert nothing when the
+    key doesn't exist. NULL/false-condition rows upsert as usual.
+
     Duplicate keys in ``updates`` are refused (the merge would be
     ambiguous — Delta's rule), as are NULL keys (SQL equality never
     matches them). Time travel across the merge is intact: version k
@@ -1627,19 +1638,31 @@ def merge_into_manifest_sink(
     cols = schema.fieldNames()
     missing = [c for c in cols if c not in updates.columns]
     extra = [c for c in updates.columns if c not in cols]
-    if missing or extra:
+    if missing or (extra and delete_condition is None):
         raise ValueError(
             f"merge updates must carry exactly the table columns {cols}: "
-            f"missing {missing}, unexpected {extra}"
+            f"missing {missing}, unexpected {extra} (non-table columns are "
+            "only legal as inputs to delete_condition)"
         )
     bad_keys = [k for k in keys if k not in cols]
     if not keys or bad_keys:
         raise ValueError(f"merge keys {bad_keys or keys} not in table columns")
+    # WHEN MATCHED DELETE: evaluate the predicate while the condition's
+    # (possibly non-table) columns are still present — the projection
+    # below strips them, so the verdict is carried as one boolean
+    mdel = "__manifest_merge_delete__"
+    flag_cols = []
+    if delete_condition is not None:
+        updates = updates.withColumn(
+            mdel, F.coalesce(F.expr(delete_condition), F.lit(False))
+        )
+        flag_cols = [F.col(mdel)]
     # cast to the table's EXACT recorded types: a silently-widened update
     # column (int vs long) would otherwise stage a drifted schema_json and
     # fail every later read's drift check
     updates = updates.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+        *flag_cols,
     )
     # ONE probe job serves three needs: the duplicate-key check, the NULL
     # check, and the pruning predicates. Small update sets (the common CDC
@@ -1713,6 +1736,15 @@ def merge_into_manifest_sink(
             .distinct()
             .collect()
         )
+    # WHEN MATCHED DELETE: the key frame above covers ALL update rows (a
+    # delete-intent key must count as matched so its file is rewritten),
+    # but only the non-delete rows re-enter the table; a delete-intent
+    # row whose key never matched inserts nothing (WHEN NOT MATCHED has
+    # no DELETE arm) because it simply isn't in `surviving`
+    if delete_condition is not None:
+        surviving = updates.filter(~F.col(mdel)).select(*cols)
+    else:
+        surviving = updates
     if touched:
         kept = _read_file_list(
             spark, [os.path.join(path, f) for f in touched], fmt, schema
@@ -1720,11 +1752,11 @@ def merge_into_manifest_sink(
         # one output file per rewritten input file: the rewrite's volume is
         # the touched files' volume, so this keeps file sizes stable across
         # merge generations (zero-row partitions stage nothing regardless)
-        new_data = kept.select(*cols).unionByName(updates).coalesce(
+        new_data = kept.select(*cols).unionByName(surviving).coalesce(
             max(1, len(touched))
         )
     else:
-        new_data = updates
+        new_data = surviving
     _publish_replace(new_data, path, fmt, touched, base_version + 1, stats_cols)
     return {
         "version": base_version + 1,
@@ -1857,6 +1889,7 @@ def manifest_changes(
     path: str,
     from_version: int,
     to_version: int | None = None,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """CHANGE DATA FEED between two snapshots (Delta's ``table_changes``
     re-expressed from the log alone, no per-row tracking needed): diff
@@ -1864,12 +1897,23 @@ def manifest_changes(
     contributes its rows as ``_change_type='insert'``, a file only in
     the older one as ``'delete'``; files in both are untouched by
     definition (staged files are immutable and uniquely named — a row
-    can only change by its file being replaced). An update therefore
-    appears as delete(old row) + insert(new row), the standard CDF shape
-    without merge keys. Works across append, replace, overwrite, and
-    restore commits uniformly because it reads STATE diffs, not commit
-    kinds. The scan is scoped to exactly the changed files — at 100 TB
-    a CDC consumer reads O(changed data), never the table."""
+    can only change by its file being replaced). Works across append,
+    replace, overwrite, and restore commits uniformly because it reads
+    STATE diffs, not commit kinds. The scan is scoped to exactly the
+    changed files — at 100 TB a CDC consumer reads O(changed data),
+    never the table.
+
+    Without ``keys`` an update appears as delete(old) + insert(new),
+    and rows merely CARRIED by a rewritten file appear as an identical
+    delete+insert pair — the raw file-diff truth. With ``keys`` the feed
+    becomes row-level CDC (Delta's update_preimage/update_postimage):
+    identical rows on both sides cancel first (null-safe equality over
+    every shared column — a carried row is not a change), then a
+    removed-side row whose key also appears among the changed added rows
+    is ``update_preimage``, its counterpart ``update_postimage``;
+    unpaired rows stay ``delete`` / ``insert``. Keyed rows are assumed
+    unique per side (what merge enforces); duplicate identical rows
+    cancel as a group."""
     old = _resolve_state(path, from_version, with_stats=False)
     new = _resolve_state(path, to_version, with_stats=False)
     old_set, new_set = set(old["files"]), set(new["files"])
@@ -1877,14 +1921,57 @@ def manifest_changes(
     removed = [f for f in old["files"] if f not in new_set]
     from pyspark.sql import functions as F
 
-    def _side(files: list[str], metas: list[dict], tag: str) -> DataFrame | None:
+    def _side(files: list[str], metas: list[dict]) -> DataFrame | None:
         if not files:
             return None
         fmt, schema = _pin_read_schema(metas)
-        df = _read_file_list(spark, [os.path.join(path, f) for f in files], fmt, schema)
-        return df.withColumn("_change_type", F.lit(tag))
-    ins = _side(added, new["metas"], "insert")
-    dels = _side(removed, old["metas"], "delete")
+        return _read_file_list(
+            spark, [os.path.join(path, f) for f in files], fmt, schema
+        )
+
+    ins = _side(added, new["metas"])
+    dels = _side(removed, old["metas"])
+    if keys and ins is not None and dels is not None:
+        import functools as _ft
+
+        shared = [c for c in ins.columns if c in dels.columns]
+        bad = [k for k in keys if k not in shared]
+        if bad:
+            raise ValueError(f"change keys {bad} not in both snapshots' columns")
+
+        def _anti_identical(a: DataFrame, b: DataFrame) -> DataFrame:
+            l, r = a.alias("l"), b.alias("r")
+            cond = _ft.reduce(
+                lambda x, y: x & y,
+                [F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in shared],
+            )
+            return l.join(r, cond, "left_anti").select("l.*")
+
+        chg_ins = _anti_identical(ins, dels)
+        chg_dels = _anti_identical(dels, ins)
+        pre = chg_dels.join(chg_ins.select(*keys).distinct(), keys, "left_semi")
+        del_ = chg_dels.join(chg_ins.select(*keys).distinct(), keys, "left_anti")
+        post = chg_ins.join(chg_dels.select(*keys).distinct(), keys, "left_semi")
+        ins_ = chg_ins.join(chg_dels.select(*keys).distinct(), keys, "left_anti")
+        return (
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage")),
+                allowMissingColumns=True,
+            )
+            .unionByName(
+                del_.withColumn("_change_type", F.lit("delete")),
+                allowMissingColumns=True,
+            )
+            .unionByName(
+                ins_.withColumn("_change_type", F.lit("insert")),
+                allowMissingColumns=True,
+            )
+        )
+    if ins is not None:
+        ins = ins.withColumn("_change_type", F.lit("insert"))
+    if dels is not None:
+        dels = dels.withColumn("_change_type", F.lit("delete"))
     if ins is not None and dels is not None:
         return ins.unionByName(dels, allowMissingColumns=True)
     if ins is not None:
@@ -2076,7 +2163,9 @@ def expire_manifest_versions(path: str, min_version: int) -> list[str]:
 
 
 def vacuum_manifest_sink(
-    path: str, grace_seconds: float = VACUUM_GRACE_SECONDS
+    path: str,
+    grace_seconds: float = VACUUM_GRACE_SECONDS,
+    dry_run: bool = False,
 ) -> list[str]:
     """Sweep data files no SURVIVING manifest references — the residue of
     aborted jobs, failed speculative attempts, batch retries that staged
@@ -2093,7 +2182,10 @@ def vacuum_manifest_sink(
     consults EVERY manifest still in the log (and every checkpoint,
     defensively), not just the latest snapshot. Returns the removed file
     names; driver-side listing only — the directory's file count is the
-    same metadata-class bound as the catalog ops."""
+    same metadata-class bound as the catalog ops. ``dry_run=True``
+    (Delta's ``VACUUM ... DRY RUN``) returns the same list without
+    deleting anything — the operator's preview before an irreversible
+    sweep."""
     kind, commits, ckpts = _scan_names(path)
     referenced: set[str] = set()
     for _v, name in commits:
@@ -2113,6 +2205,7 @@ def vacuum_manifest_sink(
         full = os.path.join(path, name)
         if os.path.getmtime(full) > cutoff:
             continue  # could be a concurrent job's staging — too young
-        os.remove(full)
+        if not dry_run:
+            os.remove(full)
         removed.append(name)
     return removed

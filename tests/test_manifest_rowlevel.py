@@ -714,3 +714,123 @@ def test_legacy_v0_streamed_with_explicit_schema(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
         0, 1, 2, 10, 11, 12,
     ]
+
+
+# ------------------------------------------- merge DELETE / keyed CDF
+
+
+def test_merge_when_matched_delete(spark, tmp_path):
+    """Delta's WHEN MATCHED ... THEN DELETE: source rows whose
+    delete_condition is TRUE remove their matched table row instead of
+    replacing it; FALSE/NULL rows upsert; a delete-intent row whose key
+    does not exist inserts nothing (WHEN NOT MATCHED has no DELETE)."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long"
+    )
+    base.repartition(1).write.format("manifestsink").option("path", d).option(
+        "statsColumns", "id"
+    ).mode("append").save()
+    updates = spark.createDataFrame(
+        # id=1: update to 11; id=2: delete; id=9: delete-intent on a
+        # missing key (no-op); id=4: plain insert
+        [(1, 11, False), (2, None, True), (9, None, True), (4, 40, None)],
+        "id long, v long, _del boolean",
+    )
+    merge_into_manifest_sink(
+        spark, d, updates.select("id", "v", "_del"), ["id"],
+        delete_condition="_del",
+    )
+    got = sorted(
+        (r.id, r.v) for r in read_manifest_sink(spark, d).select("id", "v").collect()
+    )
+    assert got == [(1, 11), (3, 30), (4, 40)]
+    # the _del helper column must not leak into the table
+    assert "_del" not in read_manifest_sink(spark, d).columns
+
+
+def test_merge_delete_condition_column_projection(spark, tmp_path):
+    """The condition column is part of the UPDATE frame only — the
+    rewrite projects back to the table schema, so a condition over a
+    non-table column works and the table schema is unchanged."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    updates = spark.createDataFrame(
+        [(2, True), (3, False)], "id long, _rm boolean"
+    )
+    merge_into_manifest_sink(
+        spark, d, updates, ["id"], delete_condition="_rm"
+    )
+    out = read_manifest_sink(spark, d)
+    assert out.columns == ["id"]
+    assert _ids(out) == [0, 1, 3, 4]
+
+
+def test_manifest_changes_keyed_update_classification(spark, tmp_path):
+    """With keys, CDF classifies file-diff rows like Delta's row-level
+    feed: carried rows (identical on both sides) cancel, a changed key
+    present on both sides becomes update_preimage/update_postimage, and
+    unpaired rows stay delete/insert."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import manifest_changes
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    base = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id long, v long"
+    )
+    base.repartition(1).write.format("manifestsink").option("path", d).option(
+        "statsColumns", "id"
+    ).mode("append").save()  # v1: one file holding ids 1..3
+    updates = spark.createDataFrame(
+        [(2, 21, False), (3, None, True), (7, 70, False)],
+        "id long, v long, _del boolean",
+    )
+    merge_into_manifest_sink(
+        spark, d, updates, ["id"], delete_condition="_del"
+    )  # v2: update 2, delete 3, insert 7; row 1 carried in the rewrite
+    ch = manifest_changes(spark, d, 1, 2, keys=["id"])
+    rows = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+    assert rows == [
+        (2, 20, "update_preimage"),
+        (2, 21, "update_postimage"),
+        (3, 30, "delete"),
+        (7, 70, "insert"),
+    ]
+    # raw file-diff view (no keys) still shows the carried row both ways
+    raw = manifest_changes(spark, d, 1, 2)
+    raw_rows = sorted((r.id, r._change_type) for r in raw.collect())
+    assert (1, "delete") in raw_rows and (1, "insert") in raw_rows
+
+
+def test_manifest_changes_keyed_bad_key_refused(spark, tmp_path):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import manifest_changes
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 3)
+    delete_from_manifest_sink(spark, d, "id = 1")
+    with pytest.raises(ValueError, match="not in both snapshots"):
+        manifest_changes(spark, d, 1, 2, keys=["nope"]).collect()
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
+    """VACUUM DRY RUN: same candidate list, zero deletions; a real
+    vacuum afterwards removes exactly the previewed files."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)
+    _write(spark, d, 5, 10)
+    delete_from_manifest_sink(spark, d, "id < 2")  # v3 orphans v1's file
+    optimize_manifest_sink(spark, d, target_files=1)  # base for expiry
+    expire_manifest_versions(d, pysink._resolve_state(d)["version"])
+    preview = vacuum_manifest_sink(d, grace_seconds=0, dry_run=True)
+    assert preview  # the replaced file is now unreferenced
+    for name in preview:
+        assert os.path.exists(os.path.join(d, name))  # nothing deleted
+    swept = vacuum_manifest_sink(d, grace_seconds=0)
+    assert swept == preview
+    for name in swept:
+        assert not os.path.exists(os.path.join(d, name))
+    assert _ids(read_manifest_sink(spark, d)) == list(range(2, 10))

@@ -84,6 +84,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order. Post-r14 oldest green must be >= r09. Re-rotate with
 # every new query addition.
 _PRIORITY = (
+    "manifest_bloom_pruned_read",  # NEVER-attested: new r14 query leads window
     "manifest_merge_upsert_roundtrip",  # NEVER-attested: new r14 query leads window
     "manifest_delete_replace_roundtrip",  # NEVER-attested: new r14 query leads window
     "manifest_timestamp_time_travel",  # NEVER-attested: new r14 query leads window
@@ -93,6 +94,8 @@ _PRIORITY = (
     "manifest_merge_delete_roundtrip",  # NEVER-attested: new r14 query leads window
     "manifest_cdc_keyed_changes",  # NEVER-attested: new r14 query leads window
     "flagship_v2_stream_foreachbatch",  # NEVER-attested: new r14 query leads window
+    "manifest_clone_divergence",  # NEVER-attested: new r14 query leads window
+    "manifest_stream_change_feed",  # NEVER-attested: new r14 query leads window
     "manifest_sink_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
     "manifest_sink_time_travel",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
     "manifest_sink_parquet_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
@@ -131,9 +134,6 @@ _PRIORITY = (
     "text_stats",  # green r9; stale-rotation
     "text_quality",  # green r9; stale-rotation
     "language_id",  # green r9; stale-rotation
-    "doc_fingerprint",  # green r9; stale-rotation
-    "ewma_user_daily",  # green r9; stale-rotation
-    "mode_per_group",  # green r9; stale-rotation
 )
 
 

@@ -2020,6 +2020,77 @@ def q_manifest_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "manifest_bloom_pruned_read",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id IN (1, 21, 41, 61)
+GROUP BY lang
+""",
+)
+def q_manifest_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER file skipping (sources/pysink.py
+    ``bloomFilterColumns`` — Delta/Parquet bloom indexes lifted to the
+    manifest tier): ``documents`` lands as 4 files by doc_id RESIDUE
+    class, so every file's [min, max] spans nearly the whole id domain
+    and range stats can prune NOTHING for a point lookup — the
+    anti-clustered case. Each commit also records a per-file bloom
+    (10 bits/key, 7 probes) over doc_id; a 4-key point lookup (all
+    residue-1 ids, fixed so the probe is scale-stable) must keep the
+    class-1 file and bloom-prune at least one other (the pin tolerates
+    the bloom's ~0.8%-per-key false-KEEP rate — a false positive may
+    keep an extra file, never lose a row; P(no prune at all) ~ 3e-5
+    even under a data reseed). A control re-runs the same lookup as one
+    RANGE to prove range stats alone keep everything — the pruning was
+    the bloom tier's. The value hash proves the pruned scan loses no
+    row. At 100 TB this is the point-lookup complement to clustering:
+    an id probe on a non-clustered column opens O(files that really
+    hold it), not O(table)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        prune_manifest_files,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_bloom", sf_dir)
+    for k in (0, 1, 2, 3):  # one file per residue class: ranges interleave
+        docs.filter(F.col("doc_id") % 4 == k).repartition(1).write.format(
+            "manifestsink"
+        ).option("path", d).option("statsColumns", "doc_id").option(
+            "bloomFilterColumns", "doc_id"
+        ).mode("append").save()
+    keys = [1, 21, 41, 61]  # all in the class-1 file at every SF
+    points = [(k, k) for k in keys]
+    kept, total = prune_manifest_files(d, {"doc_id": points})
+    if total != 4 or not kept:
+        raise ValueError(f"unexpected layout: kept {len(kept)}/{total}")
+    if len(kept) >= total:
+        raise ValueError("bloom skipping pruned nothing for a point lookup")
+    # control: the same lookup as one RANGE cannot prune interleaved files
+    range_kept, _ = prune_manifest_files(d, {"doc_id": (min(keys), max(keys))})
+    if len(range_kept) < total:
+        raise ValueError(
+            "range stats alone pruned the interleaved layout — the bloom "
+            "pin above proved nothing"
+        )
+    back = read_manifest_sink(spark, d, prune={"doc_id": points})
+    return (
+        back.filter(F.col("doc_id").isin(keys))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_ids"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@_register(
     "manifest_optimize_roundtrip",
     sql="""
 SELECT lang,
@@ -2859,6 +2930,177 @@ def q_manifest_log_stream_tail_roundtrip(
     back = spark.read.parquet(out)
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_clone_divergence",
+    sql="""
+SELECT src, lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT 'clone' AS src, lang, doc_id,
+    CASE WHEN doc_id % 17 = 0 AND doc_id < 100 THEN n_chars + 900000
+         ELSE n_chars END AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT 'source', lang, doc_id, n_chars FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    ('clone', 'zz', CAST(3000000001 AS BIGINT), CAST(11 AS BIGINT)),
+    ('source', 'yy', CAST(4000000001 AS BIGINT), CAST(13 AS BIGINT)))
+)
+GROUP BY src, lang
+""",
+)
+def q_manifest_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy CLONE + independent evolution (sources/pysink.py
+    clone_manifest_sink — Delta's ``CREATE TABLE ... CLONE``):
+    ``documents`` lands range-clustered with stats, a SHALLOW clone
+    publishes ONE metadata commit referencing the source files
+    absolutely (pinned in-query: the clone dir holds zero data files),
+    then the two tables DIVERGE — a merge updates the low-range 17th
+    docs and inserts one key in the CLONE, while the source gets its
+    own append (the update keys are range-local ON PURPOSE, so the
+    candidate<total pin proves point-mode pruning works through the
+    re-keyed clone references at any scale factor).
+    The merge against cloned references must still stats-prune (pinned:
+    candidates < total) and copy-on-write only the touched files. The
+    oracle replays both divergent states in SQL and the value hash
+    compares them side-by-side — any leakage across the clone boundary,
+    in either direction, diverges immediately. At 100 TB a clone is one
+    JSON write; dev/test forks of a production table cost zero data
+    movement until they diverge, and then only O(touched files)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        clone_manifest_sink,
+        merge_into_manifest_sink,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_clone", sf_dir)
+    src, dst = os.path.join(d, "src"), os.path.join(d, "clone")
+    docs.repartitionByRange(4, "doc_id").write.format("manifestsink").option(
+        "path", src
+    ).option("statsColumns", "doc_id").option("format", "parquet").mode(
+        "append"
+    ).save()
+    clone_manifest_sink(src, dst)
+    if [n for n in os.listdir(dst) if not n.startswith(("_", "."))]:
+        raise ValueError("a shallow clone must copy zero data files")
+    # clone-side merge: update every 17th doc, insert one new key
+    updates = (
+        docs.filter((F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 100))
+        .withColumn("n_chars", (F.col("n_chars") + 900000).cast("long"))
+        .unionByName(
+            spark.createDataFrame(
+                [(3000000001, "zz", 11)], "doc_id long, lang string, n_chars long"
+            )
+        )
+    )
+    res = merge_into_manifest_sink(spark, dst, updates, ["doc_id"])
+    if res["candidate_files"] >= res["total_files"]:
+        raise ValueError(
+            f"merge against cloned references failed to stats-prune: {res}"
+        )
+    # source-side divergence: its own append
+    spark.createDataFrame(
+        [(4000000001, "yy", 13)], "doc_id long, lang string, n_chars long"
+    ).repartition(1).write.format("manifestsink").option("path", src).option(
+        "format", "parquet"
+    ).mode("append").save()
+    both = read_manifest_sink(spark, dst).withColumn(
+        "src", F.lit("clone")
+    ).unionByName(
+        read_manifest_sink(spark, src).withColumn("src", F.lit("source"))
+    )
+    return both.groupBy("src", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_stream_change_feed",
+    sql="""
+SELECT _change_type, _commit_version, lang,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT 'insert' AS _change_type, CAST(1 AS BIGINT) AS _commit_version,
+         lang, doc_id, n_chars
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'insert', 2, lang, doc_id, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'delete', 3, lang, doc_id, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT 'insert', 3, lang, doc_id, n_chars
+  FROM documents WHERE doc_id % 2 = 1 AND NOT (doc_id % 5 = 0)
+)
+GROUP BY _change_type, _commit_version, lang
+""",
+)
+def q_manifest_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHANGE DATA FEED (sources/pysink.py
+    ManifestLogStreamReader readChangeFeed=true — Delta's
+    ``readChangeFeed`` re-expressed): commits v1/v2 land the even/odd
+    halves of ``documents``, a DELETE of the odd multiples of 5
+    publishes a REPLACE at v3, and ONE feed reader consumes all three —
+    appends as insert rows, the replace as its removed file's rows
+    (delete) plus its staged survivors (insert), each row tagged with
+    ``_change_type`` and ``_commit_version`` (``_commit_timestamp``
+    rides along, checked non-null in-query, excluded from the hash as
+    wall-clock). Without the feed the same replace RAISES mid-stream
+    (pinned by a sibling test) — this is the operator that lets a
+    100 TB downstream consumer follow row-level updates incrementally,
+    reading O(changed files) per batch. The oracle replays the feed's
+    file-diff semantics in SQL; the value hash proves classification,
+    versions, and exactly-once delivery together."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestLogDataSource,
+        ManifestSinkDataSource,
+        delete_from_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.dataSource.register(ManifestLogDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_stream_cdf", sf_dir)
+    log, out, ckpt = (os.path.join(d, x) for x in ("log", "out", "ckpt"))
+    for half in (0, 1):  # v1, v2 — one file each
+        docs.filter(F.col("doc_id") % 2 == half).repartition(1).write.format(
+            "manifestsink"
+        ).option("path", log).mode("append").save()
+    delete_from_manifest_sink(spark, log, "doc_id % 2 = 1 AND doc_id % 5 = 0")
+    (
+        spark.readStream.format("manifestlog")
+        .option("path", log)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.foreachBatch(
+            lambda b, _e: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    feed = spark.read.parquet(out)
+    if feed.filter(F.col("_commit_timestamp").isNull()).count():
+        raise ValueError("every commit in this log records a timestamp")
+    return feed.groupBy("_change_type", "_commit_version", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )

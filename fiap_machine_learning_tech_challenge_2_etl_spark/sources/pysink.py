@@ -232,6 +232,63 @@ def _dec_stat(v):
     return raw
 
 
+#: bloom-filter skipping knobs: classic 10 bits/key + 7 probes gives a
+#: ~0.8% false-keep rate (a false positive only costs a wasted scan —
+#: the superset contract absorbs it); files with more distinct values
+#: than the cap record NO bloom (never pruned by it — still a superset)
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_K = 7
+_BLOOM_MAX_DISTINCT = 65536
+
+
+def _bloom_key(v) -> bytes | None:
+    """Canonical hash input for a bloom value — the write side and the
+    predicate side must agree byte-for-byte, so only types with one
+    obvious canonical form participate (int family, string, bool);
+    anything else returns None and the caller keeps the file."""
+    if isinstance(v, bool):
+        return b"b:1" if v else b"b:0"
+    if isinstance(v, int):
+        return b"i:%d" % v
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    return None
+
+
+def _bloom_hashes(key: bytes, m: int):
+    """k bit positions via double hashing over one sha1 (the standard
+    Kirsch–Mitzenmacher construction: h1 + j*h2 mod m)."""
+    import hashlib
+
+    d = hashlib.sha1(key).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return ((h1 + j * h2) % m for j in range(_BLOOM_K))
+
+
+def _bloom_build(values) -> dict:
+    import base64
+
+    m = max(64, ((len(values) * _BLOOM_BITS_PER_KEY + 7) // 8) * 8)
+    bits = bytearray(m // 8)
+    for v in values:
+        key = _bloom_key(v)
+        for idx in _bloom_hashes(key, m):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    return {"m": m, "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_maybe_contains(bloom: dict, key: bytes) -> bool:
+    import base64
+
+    m = int(bloom["m"])
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[idx >> 3] & (1 << (idx & 7)) for idx in _bloom_hashes(key, m)
+    )
+
+
 def _stat_bounds(entry) -> tuple:
     """Normalize a per-file per-column stats entry to ``(min, max,
     nulls, rows)`` with None for anything the entry doesn't record.
@@ -622,6 +679,35 @@ class ManifestSinkWriter(DataSourceWriter):
                         "skipping supports numeric/string/boolean/date/"
                         "timestamp/decimal columns only"
                     )
+        # bloom-filter skipping (the Delta/Parquet bloom idea at MANIFEST
+        # level): per-file blooms over the named columns let point
+        # predicates prune files whose [min, max] admits the key but
+        # which provably never stored it — the clustered-range tier
+        # (statsColumns) prunes ranges, this tier prunes point lookups
+        # on columns the table is NOT clustered by. Equality-only, int/
+        # string/boolean columns; files above the distinct-count cap
+        # record no bloom (superset contract, stated at prune).
+        self.bloom_columns = [
+            c.strip()
+            for c in str(opts.get("bloomfiltercolumns", "")).split(",")
+            if c.strip()
+        ]
+        unknown_b = [c for c in self.bloom_columns if c not in self.fields]
+        if unknown_b:
+            raise ValueError(
+                f"bloomFilterColumns {unknown_b} not in the write schema "
+                f"{self.fields}"
+            )
+        for f in schema.fields:
+            if f.name in self.bloom_columns:
+                t = f.dataType.simpleString()
+                if t not in ("bigint", "int", "smallint", "tinyint",
+                             "string", "boolean"):
+                    raise ValueError(
+                        f"bloomFilterColumns column {f.name!r} has type {t}: "
+                        "bloom skipping supports integer/string/boolean "
+                        "columns (equality point lookups) only"
+                    )
         # r14 copy-on-write: .option("replacedFiles", json.dumps([...]))
         # turns this append into a REPLACE commit — the manifest removes
         # exactly those files from the running snapshot before adding the
@@ -638,11 +724,19 @@ class ManifestSinkWriter(DataSourceWriter):
             rf = json.loads(opts["replacedfiles"])
             if not isinstance(rf, list) or not all(isinstance(x, str) for x in rf):
                 raise ValueError("replacedFiles must be a JSON list of file names")
-            bad = [x for x in rf if os.sep in x or x.startswith(("_", "."))]
+            # entries are staged basenames, or ABSOLUTE references when
+            # replacing a shallow CLONE's external files; relative paths
+            # with separators (traversal) and log-file names stay refused
+            bad = [
+                x for x in rf
+                if (os.sep in x and not os.path.isabs(x))
+                or not os.path.basename(x)
+                or os.path.basename(x).startswith(("_", "."))
+            ]
             if bad:
                 raise ValueError(
-                    f"replacedFiles must name staged data files (basenames), "
-                    f"got {bad}"
+                    f"replacedFiles must name staged data files (basenames "
+                    f"or absolute clone references), got {bad}"
                 )
             self.replaced_files = rf
         # r14 optimistic concurrency: .option("expectedVersion", k+1) claims
@@ -671,8 +765,11 @@ class ManifestSinkWriter(DataSourceWriter):
         staged = os.path.join(self.path, name)
         minmax: dict[str, list] = {}
         nulls: dict[str, int] = {c: 0 for c in self.stats_columns}
-        if self.stats_columns:
+        bl_vals: dict[str, set] = {c: set() for c in self.bloom_columns}
+        bl_over: set[str] = set()
+        if self.stats_columns or self.bloom_columns:
             idx = [self.fields.index(c) for c in self.stats_columns]
+            bidx = [self.fields.index(c) for c in self.bloom_columns]
             inner = iterator
 
             def observing():
@@ -690,6 +787,20 @@ class ManifestSinkWriter(DataSourceWriter):
                                 s[0] = v
                             if v > s[1]:
                                 s[1] = v
+                    for c, i in zip(self.bloom_columns, bidx):
+                        if c in bl_over:
+                            continue
+                        v = row[i]
+                        if v is None:
+                            continue  # null lookups use the null counts
+                        vs = bl_vals[c]
+                        vs.add(v)
+                        if len(vs) > _BLOOM_MAX_DISTINCT:
+                            # too many distinct values for a useful bloom:
+                            # record none (the file is simply never
+                            # bloom-pruned — superset contract)
+                            bl_over.add(c)
+                            vs.clear()
                     yield row
 
             iterator = observing()
@@ -728,6 +839,11 @@ class ManifestSinkWriter(DataSourceWriter):
                     entry["min"] = _enc_stat(mm[0])
                     entry["max"] = _enc_stat(mm[1])
                 stats[c] = entry
+        for c in self.bloom_columns:
+            if c in bl_over or not bl_vals[c]:
+                continue
+            stats = stats if stats is not None else {}
+            stats.setdefault(c, {})["bloom"] = _bloom_build(bl_vals[c])
         return _StagedFile(name, n, stats)
 
     def _stage_jsonl(self, staged: str, iterator) -> int:
@@ -1009,8 +1125,23 @@ class ManifestSinkDataSource(DataSource):
 
 
 class _CommittedFilesPartition(InputPartition):
-    def __init__(self, path: str, filename: str, fmt: str):
+    def __init__(
+        self,
+        path: str,
+        filename: str,
+        fmt: str,
+        change: str | None = None,
+        version: int | None = None,
+        ts: float | None = None,
+    ):
         self.path, self.filename, self.fmt = path, filename, fmt
+        # readChangeFeed extras: what this file's rows ARE in the feed
+        # (insert/delete), which commit produced the change, and when
+        self.change, self.version, self.ts = change, version, ts
+
+
+#: reserved CDF column names (Delta's), appended by readChangeFeed=true
+_CDF_COLS = ("_change_type", "_commit_version", "_commit_timestamp")
 
 
 class ManifestLogStreamReader(DataSourceStreamReader):
@@ -1064,6 +1195,24 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         # source); option("arrow", "false") keeps the row-tuple wire
         # format (the bit-equality test pins both paths identical)
         self.arrow = str(opts.get("arrow", "true")).lower() == "true"
+        # readChangeFeed=true (Delta's streaming CDF): emit the FEED of
+        # changes instead of the appended rows — REPLACE commits become
+        # legal mid-stream (their removed files' rows flow as 'delete',
+        # their staged files' rows as 'insert' — the same file-diff
+        # semantics as batch manifest_changes without keys), and three
+        # reserved columns ride along: _change_type, _commit_version,
+        # _commit_timestamp (unix seconds; NULL for pre-timestamp
+        # commits). Overwrite bases still raise (their change set is the
+        # whole prior snapshot — consume them batch-side) unless
+        # skipBases opts out.
+        self.cdf = str(opts.get("readchangefeed", "false")).lower() == "true"
+        self.data_fields = [f for f in self.fields if f not in _CDF_COLS]
+        if self.cdf and len(self.data_fields) == len(self.fields):
+            raise ValueError(
+                "readChangeFeed=true needs the CDF columns in the read "
+                f"schema ({', '.join(_CDF_COLS)}) — omit .schema(...) to "
+                "get them appended automatically"
+            )
 
     def initialOffset(self) -> dict:
         if self.starting_version is not None:
@@ -1109,16 +1258,58 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         s, e = start["v"], end["v"]
         _kind, commits, _ck = _scan_names(self.path)
         parts: list[_CommittedFilesPartition] = []
+        # CDF delete partitions read files STAGED BY EARLIER commits,
+        # whose format may differ from the replacing commit's — build a
+        # filename -> fmt map lazily, only when a replace is actually in
+        # range (one manifest open per commit; the change feed is a
+        # maintenance-adjacent read, not the resolve hot path)
+        fmt_of: dict[str, str] | None = None
         for v, name in commits:
             if not s < v <= e:
                 continue
             man = _load(self.path, name)
             mode = man.get("mode", "append")
+            if mode == "replace" and self.cdf:
+                removed = man.get("removed_files", [])
+                if removed and fmt_of is None:
+                    fmt_of = {}
+                    for pv, pname in commits:
+                        if pv >= v:
+                            break
+                        pman = _load(self.path, pname)
+                        pfmt = pman.get("format", "jsonl")
+                        for f in pman["files"]:
+                            fmt_of[f] = pfmt
+                ts = man.get("ts")
+                parts.extend(
+                    _CommittedFilesPartition(
+                        self.path, f, (fmt_of or {}).get(f, "jsonl"),
+                        change="delete", version=v, ts=ts,
+                    )
+                    for f in removed
+                )
+                parts.extend(
+                    _CommittedFilesPartition(
+                        self.path, f, man.get("format", "jsonl"),
+                        change="insert", version=v, ts=ts,
+                    )
+                    for f in man["files"]
+                )
+                continue
+            if mode == "overwrite" and v == 1 and s <= 0:
+                # a base as the very FIRST commit (a table created with
+                # mode=overwrite, or a CLONE's single base commit)
+                # rewrites no history this reader could have consumed —
+                # it is just the initial rows; fall through
+                mode = "append"
             if mode in ("overwrite", "replace"):
                 # a replace gets the SAME treatment as a base: it rewrites
                 # files whose rows this reader already emitted, so reading
                 # its added files would double-count the carried-over rows
-                # (Delta raises on updates/deletes without ignoreChanges)
+                # (Delta raises on updates/deletes without ignoreChanges);
+                # an overwrite's change set is the ENTIRE prior snapshot —
+                # even the CDF reader refuses it (batch manifest_changes
+                # handles bases exactly; a stream cannot afford O(table))
                 if self.skip_bases:
                     continue
                 raise ValueError(
@@ -1126,11 +1317,17 @@ class ManifestLogStreamReader(DataSourceStreamReader):
                     "the streamed range: it rewrites history this reader may "
                     "have partially consumed. Compact/rewrite only below "
                     "active readers' offsets, start fresh readers above it "
-                    "(startingVersion), or opt into skipBases=true"
+                    "(startingVersion), opt into skipBases=true, or consume "
+                    "replaces as a feed with readChangeFeed=true"
                 )
             fmt = man.get("format", "jsonl")
             parts.extend(
-                _CommittedFilesPartition(self.path, f, fmt) for f in man["files"]
+                _CommittedFilesPartition(
+                    self.path, f, fmt,
+                    change="insert" if self.cdf else None,
+                    version=v, ts=man.get("ts"),
+                )
+                for f in man["files"]
             )
         if not parts:
             # explicit zero-row batch; an empty partition list is
@@ -1142,10 +1339,27 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         if partition.fmt == "empty":
             return
         full = os.path.join(partition.path, partition.filename)
+        cdf_vals = {
+            "_change_type": partition.change,
+            "_commit_version": partition.version,
+            "_commit_timestamp": partition.ts,
+        }
         if partition.fmt == "parquet":
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            table = pq.read_table(full, columns=self.fields)
+            table = pq.read_table(full, columns=self.data_fields)
+            if self.cdf:
+                # the feed columns are per-PARTITION constants — append
+                # them columnar-side, then restore the schema's order
+                for c in self.fields:
+                    if c in _CDF_COLS:
+                        table = table.append_column(
+                            c, pa.nulls(table.num_rows)
+                            if cdf_vals[c] is None
+                            else pa.array([cdf_vals[c]] * table.num_rows)
+                        )
+                table = table.select(self.fields)
             if self.arrow:
                 # columnar wire format: cast to the Arrow schema Spark
                 # derives from the read schema (zero-copy when already
@@ -1169,7 +1383,10 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         with open(full) as f:
             for line in f:
                 rec = json.loads(line)
-                yield tuple(c(rec.get(k)) for k, c in zip(self.fields, casts))
+                yield tuple(
+                    c(cdf_vals[k] if k in _CDF_COLS else rec.get(k))
+                    for k, c in zip(self.fields, casts)
+                )
 
     def commit(self, end: dict) -> None:
         pass  # retention is expire/vacuum's job; the offset log is truth
@@ -1202,6 +1419,21 @@ class ManifestLogDataSource(DataSource):
                 "commits only) — batch-read it via read_manifest_sink and "
                 "rewrite, or pass an explicit .schema(...)"
             )
+        if str(opts.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StringType,
+                StructField,
+            )
+
+            for name, typ in (
+                ("_change_type", StringType()),
+                ("_commit_version", LongType()),
+                ("_commit_timestamp", DoubleType()),
+            ):
+                if name not in schema.fieldNames():
+                    schema = schema.add(StructField(name, typ))
         return schema
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
@@ -1310,7 +1542,16 @@ def prune_manifest_files(
       (``nulls == rows``).
 
     Legacy ``[min, max]`` stats carry no null counts, so the null
-    predicates never prune those files — superset contract intact."""
+    predicates never prune those files — superset contract intact.
+
+    BLOOM tier (``option("bloomFilterColumns", "a,b")`` at write time):
+    when every disjunct of a predicate is an exact point and the file
+    recorded a bloom for that column, the bloom can prune a file whose
+    [min, max] admits the key but which provably never stored it — the
+    point-lookup complement to range clustering (10 bits/key, 7 probes,
+    ~0.8% false-KEEP rate; a false positive only wastes scan work).
+    Files above the distinct cap record no bloom and are never
+    bloom-pruned; non-point predicates ignore blooms entirely."""
     state = _resolve_state(path, version)
     fstats = state.get("file_stats", {})
     kept = []
@@ -1356,6 +1597,27 @@ def prune_manifest_files(
                             or (lo is not None and mx < lo)
                             for lo, hi in ranges
                         )
+                    # bloom tier: when EVERY disjunct is an exact point
+                    # and the file recorded a bloom for this column, a
+                    # file the ranges kept can still be dropped if the
+                    # bloom proves none of the points was ever stored
+                    # (false positives only KEEP files — superset holds)
+                    if not drop and isinstance(entry, dict):
+                        bloom = entry.get("bloom")
+                        if bloom is not None:
+                            rs = pred if isinstance(pred, list) else [pred]
+                            keys = [
+                                _bloom_key(lo)
+                                for lo, hi in rs
+                                if lo is not None and lo == hi
+                            ]
+                            if len(keys) == len(rs) and all(
+                                k is not None for k in keys
+                            ):
+                                drop = not any(
+                                    _bloom_maybe_contains(bloom, k)
+                                    for k in keys
+                                )
                 if drop:
                     break
         if not drop:
@@ -1724,13 +1986,17 @@ def merge_into_manifest_sink(
     key_df = updates.select(*keys).distinct()
     if len(sample) <= MAX_POINT_KEYS:
         key_df = F.broadcast(key_df)
+    # snapshot entries may be dst-local basenames OR absolute references
+    # (a shallow CLONE); input_file_name gives a URI, so map its basename
+    # back to the manifest's entry name (staged names are uuid-unique)
+    by_base = {os.path.basename(f): f for f in all_files}
     touched: list[str] = []
     if candidates:
         cand_df = _read_file_list(spark, candidates, fmt, schema).withColumn(
             "__src", F.input_file_name()
         )
         touched = sorted(
-            _basename_of_uri(r["__src"])
+            by_base[_basename_of_uri(r["__src"])]
             for r in cand_df.join(key_df, keys, "left_semi")
             .select("__src")
             .distinct()
@@ -1790,13 +2056,15 @@ def delete_from_manifest_sink(
     candidates = [os.path.join(path, f) for f in state["files"]]
     if prune:
         candidates, _total = prune_manifest_files(path, prune, version=base_version)
+    # see merge: map URI basenames back to entry names (clone-safe)
+    by_base = {os.path.basename(f): f for f in state["files"]}
     touched: list[str] = []
     if candidates:
         cand_df = _read_file_list(spark, candidates, fmt, schema).withColumn(
             "__src", F.input_file_name()
         )
         touched = sorted(
-            _basename_of_uri(r["__src"])
+            by_base[_basename_of_uri(r["__src"])]
             for r in cand_df.filter(F.expr(condition))
             .select("__src")
             .distinct()
@@ -1882,6 +2150,108 @@ def restore_manifest_sink(path: str, version: int) -> int:
         path, "batch", target, hint.get("checkpoint") if hint else None
     )
     return target
+
+
+def clone_manifest_sink(
+    src: str,
+    dst: str,
+    version: int | None = None,
+    timestamp=None,
+    deep: bool = False,
+) -> dict:
+    """CLONE (Delta's ``CREATE TABLE ... CLONE`` re-expressed from the
+    log alone): publish a NEW one-commit log at ``dst`` whose base
+    commit lists the source snapshot's files — at ``version``,
+    at ``timestamp`` (resolved through :func:`version_at_timestamp`'s
+    clamped-monotone rule), or latest. SHALLOW (default) references the
+    source's data files by ABSOLUTE path and copies zero bytes — at
+    100 TB a clone is one JSON write, and every join in the read path
+    (``os.path.join`` keeps an absolute member as-is) resolves the
+    reference transparently; the clone then evolves INDEPENDENTLY:
+    appends/merges/deletes publish into ``dst``'s own log, a
+    copy-on-write rewrite replaces absolute references with dst-local
+    staged files, and the source never sees any of it. Skipping stats
+    ride along, so merges against the clone still prune.
+
+    The shallow contract, stated plainly (Delta's own caveat): VACUUM or
+    expire on the SOURCE can reclaim files a shallow clone still
+    references — the source does not know its dependents. Run source
+    vacuum only below every clone's referenced snapshot, or pass
+    ``deep=True`` to copy the files into ``dst`` (O(data), driver-side
+    file copies) for a fully independent table.
+
+    Refuses to clone into a directory that already holds a log (a clone
+    CREATES a table), and refuses mixed-format source snapshots (same
+    single-frame rule as every reader). Returns ``{"version",
+    "source_version", "files", "deep"}``."""
+    if timestamp is not None and version is not None:
+        raise ValueError("pass version or timestamp, not both")
+    if timestamp is not None:
+        version = version_at_timestamp(src, timestamp)
+    state = _resolve_state(src, version)
+    if state["kind"] != "batch":
+        raise ValueError(
+            f"clone_manifest_sink expects a batch commit log; {src} holds "
+            f"{'a stream log' if state['kind'] == 'stream' else 'no log'}"
+        )
+    kind, _c, _k = _scan_names(dst) if os.path.isdir(dst) else (None, [], [])
+    if kind is not None:
+        raise ValueError(
+            f"{dst} already holds a manifest log; clone creates a NEW "
+            "table — point it at an empty directory"
+        )
+    fmt, schema = _pin_read_schema(state["metas"])
+    os.makedirs(dst, exist_ok=True)
+    src_abs = os.path.abspath(src)
+    if deep:
+        import shutil
+
+        entries = []
+        for f in state["files"]:
+            full = os.path.join(src_abs, f)
+            entries.append(os.path.basename(f))
+            shutil.copy2(full, os.path.join(dst, os.path.basename(f)))
+    else:
+        entries = [os.path.join(src_abs, f) for f in state["files"]]
+    manifest = {
+        "files": entries,
+        "n_rows": None,  # not tracked outside stats; readers never use it
+        "fields": schema.fieldNames() if schema is not None else sorted(
+            {f for m in state["metas"] for f in (m.get("fields") or [])}
+        ),
+        "format": fmt,
+        "mode": "overwrite",
+        "ts": time.time(),
+        "cloned_from": {"path": src_abs, "version": state["version"],
+                        "deep": deep},
+    }
+    if schema is not None:
+        manifest["schema_json"] = schema.json()
+    if state["file_stats"]:
+        # re-key the stats to the clone's entry names so pruning keeps
+        # working against the cloned references
+        old = state["file_stats"]
+        key_of = (
+            (lambda f: os.path.basename(f)) if deep
+            else (lambda f: os.path.join(src_abs, f))
+        )
+        manifest["file_stats"] = {
+            key_of(f): old[f] for f in state["files"] if f in old
+        }
+    try:
+        _publish_exclusive(dst, f"{_V_PREFIX}{1:08d}", manifest)
+    except FileExistsError:
+        raise ConcurrentManifestWriteError(
+            f"version 1 in {dst} was claimed by a concurrent writer while "
+            "cloning; clone into a fresh directory"
+        ) from None
+    _write_hint(dst, "batch", 1, None)
+    return {
+        "version": 1,
+        "source_version": state["version"],
+        "files": len(entries),
+        "deep": deep,
+    }
 
 
 def manifest_changes(

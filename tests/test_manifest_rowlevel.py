@@ -834,3 +834,259 @@ def test_vacuum_dry_run_previews_without_deleting(spark, tmp_path):
     for name in swept:
         assert not os.path.exists(os.path.join(d, name))
     assert _ids(read_manifest_sink(spark, d)) == list(range(2, 10))
+
+
+# --------------------------------------------------- streaming CDF
+
+
+def test_manifestlog_stream_change_feed(spark, tmp_path):
+    """readChangeFeed=true: appends flow as insert rows with their
+    commit version/timestamp; a REPLACE commit no longer raises — its
+    removed files' rows flow as delete, its staged files' rows as
+    insert (file-diff semantics, matching batch manifest_changes)."""
+    from tests.test_manifest_log_v2 import _tail_once
+
+    d, out, ckpt = (str(tmp_path / x) for x in ("t", "out", "ckpt"))
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 3)   # v1
+    _write(spark, d, 10, 13)  # v2
+    _tail_once(spark, d, out, ckpt, readChangeFeed="true")
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "id", "_change_type", "_commit_version", "_commit_timestamp"
+    }
+    rows = sorted((r.id, r._change_type, r._commit_version) for r in got.collect())
+    assert rows == [
+        (0, "insert", 1), (1, "insert", 1), (2, "insert", 1),
+        (10, "insert", 2), (11, "insert", 2), (12, "insert", 2),
+    ]
+    assert all(r._commit_timestamp is not None for r in got.collect())
+    # a replace (merge: update 1 -> carried 0,2; insert 99) mid-stream
+    merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([(1,), (99,)], "id long"), ["id"]
+    )  # v3 rewrites v1's file
+    _tail_once(spark, d, out, ckpt, readChangeFeed="true")
+    delta = spark.read.parquet(out).filter("_commit_version = 3")
+    rows = sorted((r.id, r._change_type) for r in delta.collect())
+    assert rows == [
+        (0, "delete"), (0, "insert"),
+        (1, "delete"), (1, "insert"),
+        (2, "delete"), (2, "insert"),
+        (99, "insert"),
+    ]
+
+
+def test_manifestlog_change_feed_arrow_and_tuple_agree(spark, tmp_path):
+    """The CDF columns ride both wire formats identically, parquet
+    staging included."""
+    from tests.test_manifest_log_v2 import _tail_once
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 4, statsColumns="id", format="parquet")
+    delete_from_manifest_sink(spark, d, "id = 2")  # v2: replace
+    outs = []
+    for tag, arrow in (("a", "true"), ("b", "false")):
+        out, ckpt = str(tmp_path / f"out{tag}"), str(tmp_path / f"ckpt{tag}")
+        _tail_once(
+            spark, d, out, ckpt, readChangeFeed="true", arrow=arrow
+        )
+        outs.append(
+            sorted(
+                (r.id, r._change_type, r._commit_version, r._commit_timestamp)
+                for r in spark.read.parquet(out).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+    assert (2, "delete", 2) in [(i, c, v) for i, c, v, _ in outs[0]]
+    assert (2, "insert", 2) not in [(i, c, v) for i, c, v, _ in outs[0]]
+
+
+def test_manifestlog_change_feed_still_raises_on_overwrite(spark, tmp_path):
+    from tests.test_manifest_log_v2 import _tail_once
+
+    d, out, ckpt = (str(tmp_path / x) for x in ("t", "out", "ckpt"))
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 3)
+    _tail_once(spark, d, out, ckpt, readChangeFeed="true")
+    _write(spark, d, 5, 8, mode="overwrite")
+    with pytest.raises(Exception, match="OVERWRITE inside"):
+        _tail_once(spark, d, out, ckpt, readChangeFeed="true")
+
+
+def test_manifestlog_change_feed_explicit_schema_needs_cdf_cols(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 3)
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import ManifestLogDataSource
+
+    spark.dataSource.register(ManifestLogDataSource)
+    with pytest.raises(Exception, match="CDF columns"):
+        (
+            spark.readStream.format("manifestlog")
+            .schema("id long")
+            .option("path", d)
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream.format("noop")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+
+# ----------------------------------------------------------------- clone
+
+
+def test_shallow_clone_zero_copy_then_diverges(spark, tmp_path):
+    """Shallow CLONE references the source files absolutely (zero data
+    copied), then evolves independently: appends/merges in the clone
+    never touch the source, and source appends never reach the clone."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import clone_manifest_sink
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, src, 0, 5, statsColumns="id", format="parquet")
+    _write(spark, src, 100, 105, statsColumns="id", format="parquet")
+    res = clone_manifest_sink(src, dst)
+    assert res == {"version": 1, "source_version": 2, "files": 2, "deep": False}
+    # zero data files in the clone dir
+    assert not [
+        n for n in os.listdir(dst) if not n.startswith(("_", "."))
+    ]
+    assert _ids(read_manifest_sink(spark, dst)) == list(range(0, 5)) + list(
+        range(100, 105)
+    )
+    # divergence: source append invisible to clone, clone merge
+    # invisible to source — and the merge's stats pruning still works
+    # against the re-keyed cloned references
+    _write(spark, src, 200, 205, format="parquet")
+    mres = merge_into_manifest_sink(
+        spark, dst, spark.createDataFrame([(2,), (999,)], "id long"), ["id"]
+    )
+    assert mres["candidate_files"] < mres["total_files"]  # pruned
+    assert len(mres["rewritten_files"]) == 1
+    assert _ids(read_manifest_sink(spark, dst)) == list(range(0, 5)) + list(
+        range(100, 105)
+    ) + [999]
+    assert _ids(read_manifest_sink(spark, src)) == list(range(0, 5)) + list(
+        range(100, 105)
+    ) + list(range(200, 205))
+    # the untouched source file is still referenced absolutely; the
+    # rewritten one was replaced by a dst-local staged file
+    files = pysink.resolve_manifest_files(dst)
+    assert any(f.startswith(str(tmp_path / "src")) for f in files)
+
+
+def test_clone_at_version_and_deep_survives_source_vacuum(spark, tmp_path):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import clone_manifest_sink
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "deep")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, src, 0, 3)
+    _write(spark, src, 10, 13)
+    res = clone_manifest_sink(src, dst, version=1, deep=True)
+    assert res["deep"] and res["source_version"] == 1
+    assert _ids(read_manifest_sink(spark, dst)) == [0, 1, 2]
+    # deep clone owns its bytes: nuke the source entirely
+    import shutil
+
+    shutil.rmtree(src)
+    assert _ids(read_manifest_sink(spark, dst)) == [0, 1, 2]
+
+
+def test_clone_refuses_existing_log_and_streams_from_base(spark, tmp_path):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import clone_manifest_sink
+    from tests.test_manifest_log_v2 import _tail_once
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, src, 0, 4)
+    clone_manifest_sink(src, dst)
+    with pytest.raises(ValueError, match="already holds a manifest log"):
+        clone_manifest_sink(src, dst)
+    # a fresh reader may stream a log whose v1 is a base (clone/create-
+    # with-overwrite): nothing before it could have been consumed
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _tail_once(spark, dst, out, ckpt)
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [0, 1, 2, 3]
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def test_bloom_prunes_point_lookups_minmax_cannot(spark, tmp_path):
+    """Two files with OVERLAPPING id ranges but disjoint actual values:
+    min/max keeps both for a point lookup, the bloom proves which file
+    never stored the key. Range predicates ignore blooms."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import prune_manifest_files
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    # evens 0..198 and odds 1..199: both ranges span ~[0, 199]
+    for parity in (0, 1):
+        df = spark.range(0, 100).selectExpr(f"id * 2 + {parity} AS id")
+        df.repartition(1).write.format("manifestsink").option("path", d).option(
+            "statsColumns", "id"
+        ).option("bloomFilterColumns", "id").mode("append").save()
+    # point lookup for an even key: min/max keeps both, bloom drops odds
+    kept, total = prune_manifest_files(d, {"id": [(42, 42)]})
+    assert total == 2 and len(kept) == 1
+    # a key NO file holds: bloom prunes everything
+    kept, _ = prune_manifest_files(d, {"id": [(43, 44)]})
+    assert len(kept) == 2  # non-point range: blooms ignored, min/max keeps
+    kept, _ = prune_manifest_files(d, {"id": [(500, 500)]})
+    assert kept == []  # min/max already proves this one
+    # multi-point disjunction: kept iff ANY point maybe-present
+    kept, _ = prune_manifest_files(d, {"id": [(41, 41), (43, 43)]})
+    assert len(kept) == 1
+    # the real read agrees (superset contract end-to-end)
+    assert _ids(read_manifest_sink(spark, d)) == list(range(0, 200))
+
+
+def test_bloom_column_without_stats_column(spark, tmp_path):
+    """bloomFilterColumns works on its own: no [min, max] recorded, the
+    entry carries only the bloom, and point pruning still fires."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import prune_manifest_files
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id long, name string"
+    )
+    df.repartition(1).write.format("manifestsink").option("path", d).option(
+        "bloomFilterColumns", "name"
+    ).mode("append").save()
+    kept, total = prune_manifest_files(d, {"name": [("beta", "beta")]})
+    assert total == 1 and len(kept) == 1
+    kept, _ = prune_manifest_files(d, {"name": [("delta", "delta")]})
+    assert kept == []
+    # unsupported bloom type refused up front
+    with pytest.raises(Exception, match="bloom skipping supports"):
+        spark.createDataFrame([(1.5,)], "x double").write.format(
+            "manifestsink"
+        ).option("path", str(tmp_path / "t2")).option(
+            "bloomFilterColumns", "x"
+        ).mode("append").save()
+
+
+def test_bloom_accelerates_merge_touched_set(spark, tmp_path):
+    """A merge keyed on a NON-clustered column: range stats alone keep
+    every file (interleaved values), blooms scope the candidate set to
+    the files that really hold the keys."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    for parity in (0, 1):
+        spark.range(0, 50).selectExpr(f"id * 2 + {parity} AS id").repartition(
+            1
+        ).write.format("manifestsink").option("path", d).option(
+            "statsColumns", "id"
+        ).option("bloomFilterColumns", "id").mode("append").save()
+    res = merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([(10,), (20,)], "id long"), ["id"]
+    )
+    # both keys are even: the odd file is bloom-pruned from candidates
+    assert res["total_files"] == 2
+    assert res["candidate_files"] == 1
+    assert len(res["rewritten_files"]) == 1
+    assert _ids(read_manifest_sink(spark, d)) == list(range(0, 100))

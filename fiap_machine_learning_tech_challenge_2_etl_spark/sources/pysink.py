@@ -31,6 +31,18 @@ Round 14 adds the row-level-change tier real table formats ship:
   between two resolved snapshots).
 - Parquet CHECKPOINTS (``_CHECKPOINT.v<n>.parquet``) with column-pruned
   loads — no-prune resolves skip the stats column entirely.
+- MERGE's WHEN MATCHED DELETE arm (``delete_condition=``), keyed
+  row-level CDC (``manifest_changes(keys=...)`` —
+  update_preimage/update_postimage with carried rows cancelled), and a
+  STREAMING change feed (``manifestlog`` ``readChangeFeed=true`` —
+  replaces flow as delete+insert rows with
+  ``_change_type``/``_commit_version``/``_commit_timestamp``).
+- Zero-copy CLONE (:func:`clone_manifest_sink` — shallow: one metadata
+  commit referencing source files absolutely; deep: copies; tables
+  diverge independently) and VACUUM ``dry_run``.
+- BLOOM-filter file skipping (``bloomFilterColumns``) — point lookups
+  on non-clustered columns prune files whose [min, max] admits the key
+  but whose bloom proves it was never stored.
 
 The writer half of the Spark 4 Python DataSource API
 (``pyspark.sql.datasource.DataSourceWriter``), demonstrating the

@@ -1090,3 +1090,69 @@ def test_bloom_accelerates_merge_touched_set(spark, tmp_path):
     assert res["candidate_files"] == 1
     assert len(res["rewritten_files"]) == 1
     assert _ids(read_manifest_sink(spark, d)) == list(range(0, 100))
+
+
+@pytest.mark.slow
+def test_keyed_cdc_matches_dict_replay_across_merge_chain(spark, tmp_path):
+    """Independent-replay audit: drive a chain of seeded random merges
+    (update / delete / insert arms) and, for EVERY generation, check the
+    keyed change feed against a plain-dict replay of the same ops —
+    update_preimage/postimage exactly the keys whose value changed,
+    delete exactly the removed keys, insert exactly the new keys, and
+    carried rows NEVER appear. This is the merge-loop stress's audit
+    idea applied to the CDC classification itself."""
+    import random
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import manifest_changes
+
+    rng = random.Random(14)
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    table = {i: i * 10 for i in range(40)}
+    spark.createDataFrame(
+        sorted(table.items()), "id long, v long"
+    ).repartition(2).write.format("manifestsink").option("path", d).option(
+        "statsColumns", "id"
+    ).mode("append").save()
+    version = pysink._resolve_state(d)["version"]
+    next_id = 40
+    for _gen in range(6):
+        live = sorted(table)
+        upd = rng.sample(live, k=min(4, len(live)))
+        dels = [k for k in rng.sample(live, k=min(3, len(live))) if k not in upd]
+        ins = [next_id, next_id + 1]
+        next_id += 2
+        rows = (
+            [(k, table[k] + 1000, False) for k in upd]
+            + [(k, None, True) for k in dels]
+            + [(k, k * 10, False) for k in ins]
+        )
+        merge_into_manifest_sink(
+            spark,
+            d,
+            spark.createDataFrame(rows, "id long, v long, _del boolean"),
+            ["id"],
+            delete_condition="_del",
+        )
+        # dict replay = the spec
+        expected = []
+        for k in upd:
+            expected += [
+                (k, table[k], "update_preimage"),
+                (k, table[k] + 1000, "update_postimage"),
+            ]
+            table[k] += 1000
+        for k in dels:
+            expected.append((k, table.pop(k), "delete"))
+        for k in ins:
+            table[k] = k * 10
+            expected.append((k, k * 10, "insert"))
+        ch = manifest_changes(spark, d, version, version + 1, keys=["id"])
+        got = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+        assert got == sorted(expected), f"generation {_gen}"
+        version += 1
+    # the final snapshot equals the dict
+    got_state = sorted(
+        (r.id, r.v) for r in read_manifest_sink(spark, d).collect()
+    )
+    assert got_state == sorted(table.items())

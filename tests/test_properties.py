@@ -1277,3 +1277,45 @@ def test_footer_stats_equal_true_extremes(spark, tmp_path_factory, xs, n_files):
     maxs = [int(r["max_value"]) for r in rep if r["max_value"] is not None]
     assert min(mins) == min(xs)
     assert max(maxs) == max(xs)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.sets(
+        st.one_of(
+            st.integers(min_value=-(10**15), max_value=10**15),
+            st.text(max_size=24),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    st.one_of(
+        st.integers(min_value=-(10**15), max_value=10**15),
+        st.text(max_size=24),
+        st.booleans(),
+    ),
+)
+def test_bloom_never_false_negative(stored, probe):
+    """Property (the one the superset contract rests on): a bloom built
+    over ANY value set answers maybe-present for EVERY stored value —
+    a false negative would make prune_manifest_files drop a file that
+    holds the key, i.e. lose rows. Probes for non-stored values may
+    false-positive (that only keeps a file); equal int/bool values must
+    hash apart from their string forms (1 vs "1" vs True share no key)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        _bloom_build,
+        _bloom_key,
+        _bloom_maybe_contains,
+    )
+
+    bloom = _bloom_build(stored)
+    for v in stored:
+        assert _bloom_maybe_contains(bloom, _bloom_key(v)), v
+    # type-tagged canonical keys: 1, "1", True are pairwise DISTINCT
+    keys = {_bloom_key(1), _bloom_key("1"), _bloom_key(True)}
+    assert len(keys) == 3
+    if probe not in stored:
+        # no assertion on the answer (false positives are legal) — but
+        # the probe must at least be computable for every supported type
+        assert _bloom_key(probe) is not None

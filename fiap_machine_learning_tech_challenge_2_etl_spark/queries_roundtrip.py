@@ -2144,6 +2144,7 @@ def q_manifest_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     "manifest_history_report",
     sql="""
 SELECT CAST(t.v AS BIGINT) AS version, t.mode,
+  CASE WHEN t.mode = 'overwrite' THEN 'OVERWRITE' ELSE 'WRITE' END AS operation,
   CAST(t.n_rows AS BIGINT) AS n_rows, CAST(2 AS INT) AS n_files
 FROM (
   SELECT 1 AS v, 'append' AS mode,
@@ -2161,8 +2162,10 @@ def q_manifest_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DESCRIBE HISTORY over the commit log (sources/pysink.py
     manifest_history — Delta's operation audit): three append commits
     land ``documents`` thirds, an overwrite lands a base, and the
-    report returns one row per surviving commit with its mode and the
-    exact rows/files it published. The oracle recomputes every commit's
+    report returns one row per surviving commit with its mode, its
+    OPERATION label (Delta's operation column — WRITE / OVERWRITE /
+    REPLACE / RESTORE / CLONE / STREAM_COMPACTION, derived from the
+    commit's recorded facts), and the exact rows/files it published. The oracle recomputes every commit's
     row count from the source table, so the value hash proves the log's
     self-description matches what was actually committed — the audit
     surface an operator trusts before expiring history at 100 TB."""
@@ -2181,7 +2184,9 @@ def q_manifest_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs.filter(F.col("doc_id") % 7 == 0).repartition(2).write.format(
         "manifestsink"
     ).option("path", d).mode("overwrite").save()
-    return manifest_history(spark, d).select("version", "mode", "n_rows", "n_files")
+    return manifest_history(spark, d).select(
+        "version", "mode", "operation", "n_rows", "n_files"
+    )
 
 
 @_register(

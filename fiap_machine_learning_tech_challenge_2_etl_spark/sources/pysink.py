@@ -2381,15 +2381,32 @@ def manifest_history(spark: SparkSession, path: str) -> DataFrame:
     history is exactly what time travel can still reach. ``commit_ts``
     is the commit's recorded wall-clock time (unix seconds; NULL for
     pre-r14 commits), ``n_removed`` the file count a replace commit
-    swapped out."""
+    swapped out, and ``operation`` names WHAT published the commit
+    (Delta's operation column): WRITE / OVERWRITE / REPLACE / RESTORE /
+    CLONE / STREAM_COMPACTION."""
     rows = []
     for v, kind, man in _list_commits(path):
         ts = man.get("ts")
+        # operation column (Delta's): WHAT published the commit, from
+        # the commit's own recorded facts, never inferred from data
+        if "cloned_from" in man:
+            op = "CLONE"
+        elif "restored_from" in man:
+            op = "RESTORE"
+        elif "compacted_through" in man:
+            op = "STREAM_COMPACTION"
+        elif man.get("mode") == "replace":
+            op = "REPLACE"
+        elif man.get("mode") == "overwrite":
+            op = "OVERWRITE"
+        else:
+            op = "WRITE"
         rows.append(
             (
                 v,
                 kind,
                 man.get("mode", "append"),
+                op,
                 man.get("n_rows"),
                 len(man.get("files", [])),
                 len(man.get("removed_files", [])),
@@ -2402,9 +2419,9 @@ def manifest_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         schema=(
-            "version long, kind string, mode string, n_rows long, "
-            "n_files int, n_removed int, fields_csv string, format string, "
-            "is_compaction boolean, commit_ts double"
+            "version long, kind string, mode string, operation string, "
+            "n_rows long, n_files int, n_removed int, fields_csv string, "
+            "format string, is_compaction boolean, commit_ts double"
         ),
     )
 

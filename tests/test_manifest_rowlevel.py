@@ -1156,3 +1156,31 @@ def test_keyed_cdc_matches_dict_replay_across_merge_chain(spark, tmp_path):
         (r.id, r.v) for r in read_manifest_sink(spark, d).collect()
     )
     assert got_state == sorted(table.items())
+
+
+def test_manifest_history_operation_labels(spark, tmp_path):
+    """The operation column names WHAT published each commit, from the
+    commit's own recorded facts: WRITE, REPLACE (merge/delete), RESTORE,
+    OVERWRITE, and CLONE on the cloned log's base."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        clone_manifest_sink,
+        restore_manifest_sink,
+    )
+
+    d, c = str(tmp_path / "t"), str(tmp_path / "c")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5)                                   # v1 WRITE
+    delete_from_manifest_sink(spark, d, "id = 1")            # v2 REPLACE
+    restore_manifest_sink(d, 1)                              # v3 RESTORE
+    _write(spark, d, 10, 12, mode="overwrite")               # v4 OVERWRITE
+    ops = {
+        r.version: r.operation
+        for r in manifest_history(spark, d).collect()
+    }
+    assert ops == {1: "WRITE", 2: "REPLACE", 3: "RESTORE", 4: "OVERWRITE"}
+    clone_manifest_sink(d, c)
+    ops_c = {
+        r.version: r.operation
+        for r in manifest_history(spark, c).collect()
+    }
+    assert ops_c == {1: "CLONE"}

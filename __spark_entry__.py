@@ -94,6 +94,7 @@ _PRIORITY = (
     "manifest_merge_delete_roundtrip",  # NEVER-attested: new r14 query leads window
     "manifest_cdc_keyed_changes",  # NEVER-attested: new r14 query leads window
     "flagship_v2_stream_foreachbatch",  # NEVER-attested: new r14 query leads window
+    "manifest_retention_delete",  # NEVER-attested: new r14 query leads window
     "manifest_clone_divergence",  # NEVER-attested: new r14 query leads window
     "manifest_stream_change_feed",  # NEVER-attested: new r14 query leads window
     "manifest_sink_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
@@ -133,7 +134,6 @@ _PRIORITY = (
     "json_extract_agg",  # green r9; stale-rotation
     "text_stats",  # green r9; stale-rotation
     "text_quality",  # green r9; stale-rotation
-    "language_id",  # green r9; stale-rotation
 )
 
 

@@ -2941,6 +2941,72 @@ def q_manifest_log_stream_tail_roundtrip(
 
 
 @_register(
+    "manifest_retention_delete",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE doc_id > (3 * ((SELECT count(*) FROM documents) - 1)) // 8
+GROUP BY lang
+""",
+)
+def q_manifest_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION DELETE — metadata-only file drops (sources/pysink.py
+    delete_range_from_manifest_sink): ``documents`` lands as 4 EXACT
+    quartile files (deterministic ranges, stats recorded), then
+    "everything at or below the 3/8 point" is deleted — the operation
+    behind every retention policy. The first quartile file is provably
+    fully covered with zero nulls, so it drops WITHOUT BEING OPENED
+    (pinned: dropped >= 1); the second straddles the bound and is
+    rewritten to its survivors (pinned: rewritten >= 1); the top half
+    is provably disjoint and survives untouched (pinned: scanned_files
+    < total — the proof ladder did the work, not the scan). The bound
+    is count-relative on BOTH sides, so the pins hold at any scale
+    factor. The oracle is the complement filter; the value hash proves
+    no survivor was lost and no deleted row leaked. At 100 TB on a
+    time-clustered table this costs one JSON commit + O(straddling
+    files), never O(deleted data)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        delete_range_from_manifest_sink,
+        read_manifest_sink,
+        resolve_manifest_files,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_retention", sf_dir)
+    cnt = docs.count()
+    for q in (0, 1, 2, 3):  # exact quartiles: deterministic file ranges
+        docs.filter(
+            (F.col("doc_id") * 4 / F.lit(cnt)).cast("int") == q
+        ).repartition(1).write.format("manifestsink").option("path", d).option(
+            "statsColumns", "doc_id"
+        ).mode("append").save()
+    before = {os.path.basename(f) for f in resolve_manifest_files(d)}
+    bound = (3 * (cnt - 1)) // 8
+    res = delete_range_from_manifest_sink(spark, d, "doc_id", hi=bound)
+    if not res["dropped_files"]:
+        raise ValueError(f"no metadata-only drop despite a covered file: {res}")
+    if not res["rewritten_files"]:
+        raise ValueError(f"the straddling file was not rewritten: {res}")
+    if res["scanned_files"] >= res["total_files"]:
+        raise ValueError(f"the proof ladder scanned everything: {res}")
+    after = {os.path.basename(f) for f in resolve_manifest_files(d)}
+    untouched = before - set(res["dropped_files"]) - set(res["rewritten_files"])
+    if not untouched <= after:
+        raise ValueError("an untouched file vanished from the snapshot")
+    back = read_manifest_sink(spark, d)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
     "manifest_clone_divergence",
     sql="""
 SELECT src, lang,

@@ -2107,6 +2107,113 @@ def delete_from_manifest_sink(
 
 
 
+def delete_range_from_manifest_sink(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo=None,
+    hi=None,
+) -> dict:
+    """RETENTION DELETE: remove rows with ``lo <= col <= hi`` (either
+    bound may be None; NULLs never match, SQL semantics) with files the
+    stats PROVE fully covered dropped METADATA-ONLY — never opened,
+    never rewritten. This is the 100 TB operation behind "drop
+    everything older than X": on a time/range-clustered table almost
+    every affected file is entirely inside the range, so the delete
+    costs one JSON commit plus O(straddling files) rewrites instead of
+    O(deleted data). The proof obligations, stated plainly:
+
+    - FULL drop needs recorded bounds inside [lo, hi] AND a recorded
+      zero null count (a NULL row never matches a range, so a file with
+      any nulls must be rewritten, not dropped) — this is why the
+      general :func:`delete_from_manifest_sink` cannot do it: its
+      ``prune=`` hint is advisory (condition implies range, never the
+      converse), while HERE the condition IS the range.
+    - Provably-disjoint and provably-all-null files are untouched.
+    - Everything else (no stats, straddling) is scanned exactly and
+      rewritten if it truly holds a matching row.
+
+    Publishes ONE replace commit claiming exactly base+1 (same CAS
+    conflict rule as merge). A range matching nothing publishes NO
+    commit. Returns ``{"version", "base_version", "dropped_files",
+    "rewritten_files", "scanned_files", "total_files"}``."""
+    from pyspark.sql import functions as F
+
+    if lo is None and hi is None:
+        raise ValueError("pass at least one bound (lo/hi); an unbounded "
+                         "range delete is a truncate — use mode('overwrite')")
+    state, fmt, schema, stats_cols = _snapshot_for_rmw(path)
+    if col not in schema.fieldNames():
+        raise ValueError(f"range column {col!r} not in table columns "
+                         f"{schema.fieldNames()}")
+    base_version = state["version"]
+    cols = schema.fieldNames()
+    fstats = state.get("file_stats", {})
+    dropped: list[str] = []
+    scan: list[str] = []
+    for f in state["files"]:
+        mn, mx, nulls, rows = _stat_bounds((fstats.get(f) or {}).get(col))
+        if mn is not None and mx is not None:
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                continue  # provably disjoint: untouched
+            if (
+                nulls == 0
+                and (lo is None or mn >= lo)
+                and (hi is None or mx <= hi)
+            ):
+                dropped.append(f)  # provably fully covered: never opened
+                continue
+        elif nulls is not None and rows is not None and rows > 0 and nulls == rows:
+            continue  # provably all-null: a range never matches NULL
+        scan.append(f)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    by_base = {os.path.basename(f): f for f in state["files"]}
+    touched: list[str] = []
+    if scan:
+        cand_df = _read_file_list(
+            spark, [os.path.join(path, f) for f in scan], fmt, schema
+        ).withColumn("__src", F.input_file_name())
+        touched = sorted(
+            by_base[_basename_of_uri(r["__src"])]
+            for r in cand_df.filter(cond).select("__src").distinct().collect()
+        )
+    if not dropped and not touched:
+        return {
+            "version": base_version,
+            "base_version": base_version,
+            "dropped_files": [],
+            "rewritten_files": [],
+            "scanned_files": len(scan),
+            "total_files": len(state["files"]),
+        }
+    if touched:
+        kept = (
+            _read_file_list(
+                spark, [os.path.join(path, f) for f in touched], fmt, schema
+            )
+            .filter(~F.coalesce(cond, F.lit(False)))
+            .select(*cols)
+            .coalesce(max(1, len(touched)))
+        )
+    else:
+        kept = spark.createDataFrame([], schema)
+    _publish_replace(
+        kept, path, fmt, sorted(dropped) + touched, base_version + 1, stats_cols
+    )
+    return {
+        "version": base_version + 1,
+        "base_version": base_version,
+        "dropped_files": sorted(dropped),
+        "rewritten_files": touched,
+        "scanned_files": len(scan),
+        "total_files": len(state["files"]),
+    }
+
+
 def restore_manifest_sink(path: str, version: int) -> int:
     """RESTORE (Delta's ``RESTORE TABLE ... TO VERSION AS OF`` idea,
     re-expressed from the log alone): publish ONE metadata-only commit

@@ -1184,3 +1184,97 @@ def test_manifest_history_operation_labels(spark, tmp_path):
         for r in manifest_history(spark, c).collect()
     }
     assert ops_c == {1: "CLONE"}
+
+
+# ------------------------------------------------------ retention delete
+
+
+def test_range_delete_drops_covered_files_metadata_only(spark, tmp_path):
+    """The retention-delete proof ladder: a file fully inside the range
+    with zero nulls drops WITHOUT being opened, a straddling file is
+    rewritten to its survivors, a disjoint file is untouched BY NAME,
+    and time travel to the pre-delete snapshot stays legal."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        delete_range_from_manifest_sink,
+    )
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 10, statsColumns="id")     # fully covered by <= 14
+    _write(spark, d, 10, 20, statsColumns="id")    # straddles 14
+    _write(spark, d, 20, 30, statsColumns="id")    # disjoint
+    before = _snapshot_files(d)
+    res = delete_range_from_manifest_sink(spark, d, "id", hi=14)
+    assert len(res["dropped_files"]) == 1      # 0..9: metadata-only
+    assert len(res["rewritten_files"]) == 1    # 10..19: rewritten
+    assert res["scanned_files"] == 1           # ONLY the straddler was read
+    assert _ids(read_manifest_sink(spark, d)) == list(range(15, 30))
+    after = _snapshot_files(d)
+    untouched = set(before) - set(res["dropped_files"]) - set(
+        res["rewritten_files"]
+    )
+    assert untouched <= set(after)
+    # pre-delete snapshot intact
+    assert _ids(
+        read_manifest_sink(spark, d, version=res["base_version"])
+    ) == list(range(0, 30))
+
+
+def test_range_delete_null_and_statless_files(spark, tmp_path):
+    """NULLs never match a range (the zero-null proof obligation): a
+    file inside the range but holding NULL ids must be REWRITTEN (its
+    null rows survive), never metadata-dropped; a stats-less file is
+    scanned exactly."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        delete_range_from_manifest_sink,
+    )
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.createDataFrame(
+        [(1,), (2,), (None,)], "id long"
+    ).repartition(1).write.format("manifestsink").option("path", d).option(
+        "statsColumns", "id"
+    ).mode("append").save()
+    _write(spark, d, 5, 8)  # NO statsColumns: must be scanned
+    res = delete_range_from_manifest_sink(spark, d, "id", lo=0, hi=6)
+    assert res["dropped_files"] == []  # null row forbids the full drop
+    assert len(res["rewritten_files"]) == 2
+    assert res["scanned_files"] == 2
+    got = sorted(
+        (r.id if r.id is not None else -1)
+        for r in read_manifest_sink(spark, d).collect()
+    )
+    assert got == [-1, 7]  # NULL survives; 1,2,5,6 deleted; 7 kept
+
+
+def test_range_delete_nothing_matches_and_validation(spark, tmp_path):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        delete_range_from_manifest_sink,
+    )
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    v = pysink._resolve_state(d)["version"]
+    res = delete_range_from_manifest_sink(spark, d, "id", lo=100, hi=200)
+    assert res["version"] == v and not res["dropped_files"]
+    assert res["scanned_files"] == 0  # disjoint proof: nothing read
+    with pytest.raises(ValueError, match="truncate"):
+        delete_range_from_manifest_sink(spark, d, "id")
+    with pytest.raises(ValueError, match="not in table columns"):
+        delete_range_from_manifest_sink(spark, d, "nope", hi=1)
+
+
+def test_range_delete_whole_table_leaves_readable_empty(spark, tmp_path):
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        delete_range_from_manifest_sink,
+    )
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    res = delete_range_from_manifest_sink(spark, d, "id", lo=0)
+    assert len(res["dropped_files"]) == 1 and res["scanned_files"] == 0
+    out = read_manifest_sink(spark, d)
+    assert out.count() == 0 and out.columns == ["id"]

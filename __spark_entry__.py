@@ -84,56 +84,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order. Post-r14 oldest green must be >= r09. Re-rotate with
 # every new query addition.
 _PRIORITY = (
-    "manifest_bloom_pruned_read",  # NEVER-attested: new r14 query leads window
-    "manifest_merge_upsert_roundtrip",  # NEVER-attested: new r14 query leads window
-    "manifest_delete_replace_roundtrip",  # NEVER-attested: new r14 query leads window
-    "manifest_timestamp_time_travel",  # NEVER-attested: new r14 query leads window
-    "manifest_null_stats_pruned_read",  # NEVER-attested: new r14 query leads window
-    "manifest_restore_roundtrip",  # NEVER-attested: new r14 query leads window
-    "manifest_cdc_changes",  # NEVER-attested: new r14 query leads window
-    "manifest_merge_delete_roundtrip",  # NEVER-attested: new r14 query leads window
-    "manifest_cdc_keyed_changes",  # NEVER-attested: new r14 query leads window
-    "flagship_v2_stream_foreachbatch",  # NEVER-attested: new r14 query leads window
-    "manifest_retention_delete",  # NEVER-attested: new r14 query leads window
-    "manifest_clone_divergence",  # NEVER-attested: new r14 query leads window
-    "manifest_stream_change_feed",  # NEVER-attested: new r14 query leads window
-    "manifest_sink_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_sink_time_travel",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_sink_parquet_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_checkpoint_resolve_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_schema_evolution_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_stats_pruned_read",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_optimize_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_history_report",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "manifest_log_stream_tail_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "stream_manifest_compaction_roundtrip",  # green r13; changed-since-attestation (r14 pysink/roundtrip edits)
-    "label_propagation_nations",  # green r8; stale-rotation
-    "funnel_time_to_convert",  # green r8; stale-rotation
-    "association_rules_lift",  # green r8; stale-rotation
-    "lsh_recall_eval",  # green r8; stale-rotation
-    "minhash_recall_eval",  # green r8; stale-rotation
-    "shortest_path_weighted",  # green r8; stale-rotation
-    "materialized_rollup_roundtrip",  # green r8; stale-rotation
-    "flagship_pipeline",  # green r9; stale-rotation
-    "select_filter_project",  # green r9; stale-rotation
-    "distinct_rows",  # green r9; stale-rotation
-    "fill_defaults",  # green r9; stale-rotation
-    "sanitize_numeric",  # green r9; stale-rotation
-    "dedup_keep_first",  # green r9; stale-rotation
-    "moving_average",  # green r9; stale-rotation
-    "group_total",  # green r9; stale-rotation
-    "group_min_date",  # green r9; stale-rotation
-    "rank_in_group",  # green r9; stale-rotation
-    "all_null_column_drop",  # green r9; stale-rotation
-    "tpch_q1_agg",  # green r9; stale-rotation
-    "star_join_agg",  # green r9; stale-rotation
-    "join_topk_revenue",  # green r9; stale-rotation
-    "semi_join_customers",  # green r9; stale-rotation
-    "anti_join_customers",  # green r9; stale-rotation
-    "top_k_orders",  # green r9; stale-rotation
-    "json_extract_agg",  # green r9; stale-rotation
-    "text_stats",  # green r9; stale-rotation
-    "text_quality",  # green r9; stale-rotation
+    "language_id",
+    "doc_fingerprint",
+    "ewma_user_daily",
+    "mode_per_group",
+    "lateral_join_topk",
+    "sql_pipe_syntax_entry",
+    "benford_first_digit",
+    "sessionize_gap_islands",
+    "time_weighted_average",
+    "join_key_skew_report",
+    "multimodal_audio_energy",
+    "cusum_drift_detection",
+    "quantile_normalize_by_lang",
+    "hll_distinct_rollup",
+    "sink_partition_overwrite_roundtrip",
+    "sink_upsert_merge_roundtrip",
+    "catalog_partition_registry",
+    "runner_batch_roundtrip",
+    "msck_repair_discovery",
+    "file_list_scan",
+    "incremental_stream_roundtrip",
+    "stream_upsert_cdc_roundtrip",
+    "stream_session_window_roundtrip",
+    "stream_tumbling_late_data_roundtrip",
+    "orc_sink_roundtrip",
+    "set_ops",
+    "rollup_agg",
+    "cube_agg",
+    "variant_props_agg",
+    "exact_dedup_docs",
+    "ngram_jaccard_topk",
+    "minhash_signatures",
+    "embedding_cosine_topk",
+    "embedding_topk_pairs",
+    "embedding_ann_lsh",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "winnowing_fingerprints",
+    "embedding_near_dup_exact",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "skew_salted_agg",
+    "corpus_clean_pipeline",
+    "range_join_shipments",
+    "grouping_sets_agg",
+    "pivot_event_counts",
+    "unpivot_stats",
+    "window_ranking_family",
+    "string_functions",
+    "url_functions",
 )
 
 

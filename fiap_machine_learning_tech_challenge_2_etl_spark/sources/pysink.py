@@ -257,9 +257,14 @@ def _bloom_key(v) -> bytes | None:
     """Canonical hash input for a bloom value — the write side and the
     predicate side must agree byte-for-byte, so only types with one
     obvious canonical form participate (int family, string, bool);
-    anything else returns None and the caller keeps the file."""
+    anything else returns None and the caller keeps the file.
+
+    bool canonicalizes to the int encoding: Spark SQL equality coerces
+    the two (``col = 1`` matches TRUE), so a distinct ``b:`` tag would
+    let a point predicate of the "wrong" Python type pass the min/max
+    tier yet miss the bloom — a silent false-negative prune."""
     if isinstance(v, bool):
-        return b"b:1" if v else b"b:0"
+        return b"i:1" if v else b"i:0"
     if isinstance(v, int):
         return b"i:%d" % v
     if isinstance(v, str):
@@ -441,9 +446,18 @@ def _load_checkpoint(path: str, name: str, with_stats: bool = True) -> dict:
     500k-file snapshot (BENCH_NOTES r14); decoding the stats column is
     where the per-file cost lives, so only stats consumers pay it.
     ``with_stats=False`` returns ``file_stats={}`` for the checkpointed
-    prefix — callers must not prune from such a state."""
+    prefix — callers must not prune from such a state.
+
+    The existence check precedes the pyarrow import: in a pyarrow-less
+    environment (explicitly supported — ``_publish_checkpoint`` falls
+    back to JSON on ImportError) the by-version probe must see
+    FileNotFoundError for an absent ``.parquet`` name and fall through
+    to the JSON name, not die on ImportError."""
     if not name.endswith(".parquet"):
         return _load(path, name)
+    full = os.path.join(path, name)
+    if not os.path.exists(full):
+        raise FileNotFoundError(full)
     import pyarrow.parquet as pq
 
     cols = None if with_stats else ["filename"]
@@ -471,10 +485,13 @@ def _load_checkpoint_by_version(path: str, v: int, with_stats: bool = True) -> d
     """Resolve-by-version used on the hint fast path: the hint records a
     checkpoint VERSION, not a name, so probe the parquet name first
     (current writers), then the bare JSON name (pre-r14 logs). Raises
-    FileNotFoundError when neither exists (expired under a stale hint)."""
+    FileNotFoundError when neither exists (expired under a stale hint).
+    ImportError (parquet checkpoint present, pyarrow absent) also falls
+    through to the JSON name — a prior writer may have had pyarrow that
+    this reader lacks, and an older JSON twin still resolves."""
     try:
         return _load_checkpoint(path, f"{_CKPT_PREFIX}{v:08d}.parquet", with_stats)
-    except FileNotFoundError:
+    except (FileNotFoundError, ImportError):
         return _load_checkpoint(path, f"{_CKPT_PREFIX}{v:08d}", with_stats)
 
 
@@ -623,9 +640,26 @@ def _resolve_state(
     last = -1
     if kind == "batch":
         usable = [c for c in ckpts if version is None or c[0] <= version]
-        if usable:
-            cv, cname = usable[-1]
-            ck = _load_checkpoint(path, cname, with_stats)
+        # newest usable checkpoint first; a parquet checkpoint this
+        # reader can't parse (pyarrow absent) falls back to the next
+        # older one (a JSON twin from a pyarrow-less writer era), and
+        # ultimately to a full log walk — which is only CORRECT if the
+        # prefix survives, so raise a diagnostic instead of replaying a
+        # truncated log into a silently-wrong snapshot
+        ck = None
+        for cv, cname in reversed(usable):
+            try:
+                ck = _load_checkpoint(path, cname, with_stats)
+            except ImportError:
+                continue
+            break
+        if usable and ck is None and commits and commits[0][0] > 1:
+            raise RuntimeError(
+                f"{path}: only parquet checkpoints survive but pyarrow is "
+                "not importable, and the commit prefix below them has been "
+                "expired — this snapshot cannot be resolved without pyarrow"
+            )
+        if ck is not None:
             files = list(ck["files"])
             metas = list(ck.get("metas", []))
             fstats = dict(ck.get("file_stats", {}))
@@ -1237,8 +1271,11 @@ class ManifestLogStreamReader(DataSourceStreamReader):
                     "before a stream can tail it"
                 )
             # first commit whose effective (clamped-monotone) time is at or
-            # after the timestamp; none yet -> start past the current head
-            # (consume only future commits)
+            # after the timestamp; a timestamp PAST the newest commit's
+            # effective time raises, mirroring Delta's startingTimestamp
+            # (and version_at_timestamp's predates-first-commit error) —
+            # a typo'd far-future timestamp must be a diagnostic, not an
+            # empty forever-waiting stream (ADVICE r14)
             eff = 0.0
             for v, name in commits:
                 raw = _load(self.path, name).get("ts")
@@ -1246,7 +1283,13 @@ class ManifestLogStreamReader(DataSourceStreamReader):
                     eff = max(eff, float(raw))
                 if eff >= self.starting_timestamp:
                     return {"v": v - 1}
-            return {"v": commits[-1][0] if commits else 0}
+            raise ValueError(
+                f"startingTimestamp {self.starting_timestamp} is after the "
+                f"newest commit's effective time ({eff}) in {self.path} — "
+                "pass a timestamp at or before the head (Delta raises here "
+                "too); to tail only future commits use startingVersion="
+                f"{(commits[-1][0] if commits else 0) + 1}"
+            )
         kind, commits, _ck = _scan_names(self.path)
         if kind is None:
             raise ValueError(
@@ -1271,19 +1314,43 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         _kind, commits, _ck = _scan_names(self.path)
         parts: list[_CommittedFilesPartition] = []
         # CDF delete partitions read files STAGED BY EARLIER commits,
-        # whose format may differ from the replacing commit's — build a
-        # filename -> fmt map lazily, only when a replace is actually in
-        # range (one manifest open per commit; the change feed is a
-        # maintenance-adjacent read, not the resolve hot path)
+        # whose format may differ from the replacing commit's. Staged
+        # names carry their format in the extension (part-*.jsonl /
+        # part-*.parquet), so the common case costs ZERO extra manifest
+        # opens — planning stays O(range) at any log depth (the r14
+        # "fmt-map walk" was O(commits) per batch). Only an
+        # extension-less legacy filename triggers the below-range
+        # backfill, and the map is maintained INCREMENTALLY across the
+        # in-range walk so a second replace in the same micro-batch sees
+        # files staged at/after the first one (ADVICE r14: the
+        # build-once map missed those and read parquet bytes as jsonl).
         fmt_of: dict[str, str] | None = None
+
+        def _fmt_from_name(f: str) -> str | None:
+            if f.endswith(".parquet"):
+                return "parquet"
+            if f.endswith(".jsonl"):
+                return "jsonl"
+            return None
+
         for v, name in commits:
             if not s < v <= e:
                 continue
             man = _load(self.path, name)
             mode = man.get("mode", "append")
+            if fmt_of is not None:
+                mfmt = man.get("format", "jsonl")
+                for f in man["files"]:
+                    fmt_of[f] = mfmt
             if mode == "replace" and self.cdf:
                 removed = man.get("removed_files", [])
-                if removed and fmt_of is None:
+                if (
+                    fmt_of is None
+                    and any(_fmt_from_name(f) is None for f in removed)
+                ):
+                    # legacy extension-less file in the change set: fall
+                    # back to a one-time walk of the commits below this
+                    # one; from here on the walk itself keeps it current
                     fmt_of = {}
                     for pv, pname in commits:
                         if pv >= v:
@@ -1292,10 +1359,15 @@ class ManifestLogStreamReader(DataSourceStreamReader):
                         pfmt = pman.get("format", "jsonl")
                         for f in pman["files"]:
                             fmt_of[f] = pfmt
+                    mfmt = man.get("format", "jsonl")
+                    for f in man["files"]:
+                        fmt_of[f] = mfmt
                 ts = man.get("ts")
                 parts.extend(
                     _CommittedFilesPartition(
-                        self.path, f, (fmt_of or {}).get(f, "jsonl"),
+                        self.path, f,
+                        _fmt_from_name(f)
+                        or (fmt_of or {}).get(f, "jsonl"),
                         change="delete", version=v, ts=ts,
                     )
                     for f in removed

@@ -1278,3 +1278,143 @@ def test_range_delete_whole_table_leaves_readable_empty(spark, tmp_path):
     assert len(res["dropped_files"]) == 1 and res["scanned_files"] == 0
     out = read_manifest_sink(spark, d)
     assert out.count() == 0 and out.columns == ["id"]
+
+
+# ---------------------------------------------------------------- r15 ADVICE
+def test_bloom_bool_int_coercion_no_false_negative(spark, tmp_path):
+    """ADVICE r14: Spark SQL equality coerces bool and int (``col = 1``
+    matches TRUE), so ``_bloom_key`` canonicalizes bool into the int
+    encoding — a point probe of the 'wrong' Python type must KEEP a
+    file that truly holds matching rows, never silently prune it."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import prune_manifest_files
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.createDataFrame([(0,), (1,)], "flag long").repartition(1).write.format(
+        "manifestsink"
+    ).option("path", d).option("bloomFilterColumns", "flag").mode("append").save()
+    # bool probe against an int column: True == 1 under SQL — keep
+    kept, total = prune_manifest_files(d, {"flag": [(True, True)]})
+    assert total == 1 and len(kept) == 1
+    # bool column probed with the int forms
+    d2 = str(tmp_path / "t2")
+    spark.createDataFrame([(True,), (True,)], "flag boolean").repartition(
+        1
+    ).write.format("manifestsink").option("path", d2).option(
+        "bloomFilterColumns", "flag"
+    ).mode("append").save()
+    kept, _ = prune_manifest_files(d2, {"flag": [(1, 1)]})
+    assert len(kept) == 1
+    # only True stored: a 0-probe (== False) may prune — and does
+    kept, _ = prune_manifest_files(d2, {"flag": [(0, 0)]})
+    assert kept == []
+
+
+def test_manifestlog_cdf_two_replaces_one_batch_parquet(spark, tmp_path):
+    """ADVICE r14 (medium): two REPLACE commits consumed by ONE
+    availableNow batch on a parquet-format log — the second replace
+    removes a file staged BY the first, which the old build-once fmt
+    map never covered (it froze at the first replace), sending parquet
+    bytes through the jsonl reader. Formats now resolve from the staged
+    name's extension, with an incrementally-maintained map as the
+    extension-less legacy fallback."""
+    from tests.test_manifest_log_v2 import _tail_once
+
+    d, out, ckpt = (str(tmp_path / x) for x in ("t", "out", "ckpt"))
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 4, format="parquet", statsColumns="id")  # v1
+    # v2: replace removing v1's file (delete id=0) — stages parquet
+    delete_from_manifest_sink(spark, d, "id = 0")
+    # v3: replace removing v2's STAGED file (delete id=1)
+    delete_from_manifest_sink(spark, d, "id = 1")
+    _tail_once(spark, d, out, ckpt, readChangeFeed="true")
+    got = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out).collect()
+    )
+    # v1 inserts 0..3; v2 deletes {0,1,2,3} re-inserts {1,2,3};
+    # v3 deletes {1,2,3} re-inserts {2,3}
+    assert got == sorted(
+        [(i, "insert", 1) for i in range(4)]
+        + [(i, "delete", 2) for i in range(4)]
+        + [(i, "insert", 2) for i in (1, 2, 3)]
+        + [(i, "delete", 3) for i in (1, 2, 3)]
+        + [(i, "insert", 3) for i in (2, 3)]
+    )
+    # replaying the feed (group per id: inserts - deletes) = final table
+    import collections
+
+    live = collections.Counter()
+    for i, c, _v in got:
+        live[i] += 1 if c == "insert" else -1
+    assert sorted(i for i, n in live.items() if n > 0) == [2, 3]
+    assert _ids(read_manifest_sink(spark, d)) == [2, 3]
+
+
+def test_manifestlog_starting_timestamp_past_head_raises(spark, tmp_path):
+    """ADVICE r14 (low): a startingTimestamp past the newest commit's
+    effective time raises (Delta's behavior) instead of silently
+    tailing an empty forever-waiting stream."""
+    from tests.test_manifest_log_v2 import _tail_once
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 3)
+    with pytest.raises(Exception, match="after the newest commit"):
+        _tail_once(
+            spark, d, str(tmp_path / "o"), str(tmp_path / "c"),
+            startingTimestamp=str(2e10),
+        )
+
+
+def test_checkpoint_json_fallback_without_pyarrow(tmp_path, monkeypatch):
+    """ADVICE r14 (medium): in a pyarrow-less environment (explicitly
+    supported — ``_publish_checkpoint`` falls back to JSON) the hint
+    fast path must resolve via the JSON checkpoint name, not die on
+    ImportError probing the parquet name that was never written."""
+    import sys
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        _load_checkpoint_by_version,
+        _publish_checkpoint,
+    )
+
+    d = str(tmp_path)
+    ck = {"version": 4, "files": ["part-a.jsonl"], "metas": [],
+          "file_stats": {"part-a.jsonl": {"id": [1, 9]}}}
+    monkeypatch.setitem(sys.modules, "pyarrow", None)
+    monkeypatch.setitem(sys.modules, "pyarrow.parquet", None)
+    _publish_checkpoint(d, 4, ck)  # JSON fallback era
+    got = _load_checkpoint_by_version(d, 4)
+    assert got["version"] == 4 and got["files"] == ["part-a.jsonl"]
+    assert got["file_stats"]["part-a.jsonl"] == {"id": [1, 9]}
+    # neither name present -> FileNotFoundError (stale hint), still no
+    # ImportError even with pyarrow blocked
+    with pytest.raises(FileNotFoundError):
+        _load_checkpoint_by_version(d, 7)
+
+
+def test_resolve_skips_unreadable_parquet_checkpoint(spark, tmp_path, monkeypatch):
+    """Mixed-era log: a parquet checkpoint exists (written WITH pyarrow)
+    but this reader lacks pyarrow. As long as the commit prefix
+    survives, resolve falls back to the full log walk and produces the
+    identical snapshot; if the prefix were expired it raises a
+    diagnostic instead of replaying a truncated log."""
+    import sys
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import _resolve_state
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    for lo in (0, 10, 20, 30):
+        _write(spark, d, lo, lo + 3, checkpointInterval="2")
+    with_pa = _resolve_state(d)
+    assert any(
+        n.startswith("_CHECKPOINT.") and n.endswith(".parquet")
+        for n in os.listdir(d)
+    )
+    monkeypatch.setitem(sys.modules, "pyarrow", None)
+    monkeypatch.setitem(sys.modules, "pyarrow.parquet", None)
+    without_pa = _resolve_state(d)
+    assert without_pa["files"] == with_pa["files"]
+    assert without_pa["version"] == with_pa["version"]

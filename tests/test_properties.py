@@ -1301,8 +1301,10 @@ def test_bloom_never_false_negative(stored, probe):
     over ANY value set answers maybe-present for EVERY stored value —
     a false negative would make prune_manifest_files drop a file that
     holds the key, i.e. lose rows. Probes for non-stored values may
-    false-positive (that only keeps a file); equal int/bool values must
-    hash apart from their string forms (1 vs "1" vs True share no key)."""
+    false-positive (that only keeps a file); string forms hash apart
+    from numerics (1 vs "1" share no key), but bool COLLAPSES into the
+    int encoding (True == 1 under Spark SQL's coercing equality, so a
+    True-probe against an int column must still hit the bloom)."""
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
         _bloom_build,
         _bloom_key,
@@ -1312,9 +1314,11 @@ def test_bloom_never_false_negative(stored, probe):
     bloom = _bloom_build(stored)
     for v in stored:
         assert _bloom_maybe_contains(bloom, _bloom_key(v)), v
-    # type-tagged canonical keys: 1, "1", True are pairwise DISTINCT
-    keys = {_bloom_key(1), _bloom_key("1"), _bloom_key(True)}
-    assert len(keys) == 3
+    # canonical keys: "1" is distinct from the numeric family, but
+    # True and 1 share one key (Spark SQL coerces bool = int equality)
+    assert _bloom_key("1") != _bloom_key(1)
+    assert _bloom_key(True) == _bloom_key(1)
+    assert _bloom_key(False) == _bloom_key(0)
     if probe not in stored:
         # no assertion on the answer (false positives are legal) — but
         # the probe must at least be computable for every supported type

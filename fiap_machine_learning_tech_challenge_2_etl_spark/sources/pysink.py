@@ -1006,9 +1006,18 @@ class ManifestSinkWriter(DataSourceWriter):
         # it claims the later version), and a read-modify-write commit
         # (merge/delete/optimize) that probes upward could silently
         # supersede a commit it never read. RMW paths therefore pin
-        # expectedVersion = resolved_version + 1 and surface the race as
-        # ConcurrentManifestWriteError for the caller to re-read + retry
-        # — Delta's commit-conflict rule.
+        # expectedVersion = resolved_version + 1; a lost claim is then
+        # RE-VALIDATED logically (_replace_conflict_reason — Delta's
+        # commit-conflict rule at WriteSerializable): winners whose
+        # change sets are provably disjoint from this rewrite's
+        # removed/read files let the SAME staged rewrite re-claim
+        # head+1 transparently (bounded retries); a winner base, an
+        # overlapping rewrite, or — for key-matched MERGEs — an added
+        # file whose stats cannot prove it misses every merge key is a
+        # TRUE conflict and surfaces as ConcurrentManifestWriteError
+        # for the caller to re-read + redo. OPTIMIZE stays abort-only:
+        # its overwrite re-lists the whole snapshot, so every
+        # concurrent commit genuinely conflicts.
         if self.expected_version is not None:
             # density guard: versions above any survivor are consecutive
             # (resolution probes forward name-by-name), so a claim that
@@ -1595,6 +1604,46 @@ def _pin_read_schema(metas: list[dict]) -> tuple[str, StructType | None]:
     return formats[0], StructType(list(merged.values()))
 
 
+def _entry_proves_miss(entry, ranges) -> bool:
+    """True iff ONE column's recorded stats PROVE no row of the file can
+    satisfy ANY of the ``(lo, hi)`` ranges. Min/max tier first (with the
+    provably-all-null case), then the bloom tier when every disjunct is
+    an exact point. Shared by :func:`prune_manifest_files` and the RMW
+    logical-conflict check — both rely on the same only-prove-then-act
+    contract (a false "no miss" only costs a kept file / an aborted
+    retry, never rows)."""
+    mn, mx, nulls, rows = _stat_bounds(entry)
+    if mn is None or mx is None:
+        # no recorded bounds: either stats-less (cannot prove by range;
+        # a bloom-only entry still gets the point tier below) or
+        # provably all-null (no non-null value can match any range)
+        miss = (
+            nulls is not None
+            and rows is not None
+            and rows > 0
+            and nulls == rows
+        )
+    else:
+        miss = all(
+            (hi is not None and mn > hi) or (lo is not None and mx < lo)
+            for lo, hi in ranges
+        )
+    # bloom tier: when EVERY disjunct is an exact point and the file
+    # recorded a bloom for this column, a file the ranges admit can
+    # still be proven keyless (false positives only fail to prove)
+    if not miss and isinstance(entry, dict):
+        bloom = entry.get("bloom")
+        if bloom is not None:
+            keys = [
+                _bloom_key(lo)
+                for lo, hi in ranges
+                if lo is not None and lo == hi
+            ]
+            if len(keys) == len(ranges) and all(k is not None for k in keys):
+                miss = not any(_bloom_maybe_contains(bloom, k) for k in keys)
+    return miss
+
+
 def prune_manifest_files(
     path: str, predicates: dict, version: int | None = None
 ) -> tuple[list[str], int]:
@@ -1665,43 +1714,7 @@ def prune_manifest_files(
                         )
                 else:
                     ranges = pred if isinstance(pred, list) else [pred]
-                    if mn is None or mx is None:
-                        # no recorded bounds: either stats-less (keep) or
-                        # provably all-null (no non-null value can match
-                        # any range — prune)
-                        drop = (
-                            nulls is not None
-                            and rows is not None
-                            and rows > 0
-                            and nulls == rows
-                        )
-                    else:
-                        drop = all(
-                            (hi is not None and mn > hi)
-                            or (lo is not None and mx < lo)
-                            for lo, hi in ranges
-                        )
-                    # bloom tier: when EVERY disjunct is an exact point
-                    # and the file recorded a bloom for this column, a
-                    # file the ranges kept can still be dropped if the
-                    # bloom proves none of the points was ever stored
-                    # (false positives only KEEP files — superset holds)
-                    if not drop and isinstance(entry, dict):
-                        bloom = entry.get("bloom")
-                        if bloom is not None:
-                            rs = pred if isinstance(pred, list) else [pred]
-                            keys = [
-                                _bloom_key(lo)
-                                for lo, hi in rs
-                                if lo is not None and lo == hi
-                            ]
-                            if len(keys) == len(rs) and all(
-                                k is not None for k in keys
-                            ):
-                                drop = not any(
-                                    _bloom_maybe_contains(bloom, k)
-                                    for k in keys
-                                )
+                    drop = _entry_proves_miss(entry, ranges)
                 if drop:
                     break
         if not drop:
@@ -1930,6 +1943,135 @@ def _publish_replace(
     writer.mode("append").save()
 
 
+def _is_concurrent_write_error(e: BaseException) -> bool:
+    """The CAS loss surfaces directly when raised driver-side, but the
+    Spark write path raises it inside a Python worker and the driver
+    sees a wrapped exception — match both forms."""
+    if isinstance(e, ConcurrentManifestWriteError):
+        return True
+    s = str(e)
+    return (
+        "ConcurrentManifestWriteError" in s
+        or "claimed by a concurrent writer" in s
+    )
+
+
+def _replace_conflict_reason(
+    path: str,
+    base_version: int,
+    head: int,
+    my_removed: set[str],
+    key_preds: dict | None,
+) -> str | None:
+    """Delta's logical commit-conflict re-validation: given that this
+    rewrite pinned ``base_version`` but versions ``base_version+1..head``
+    were won by other writers, decide whether the winners' change sets
+    actually invalidate this rewrite. Returns ``None`` when provably
+    disjoint (safe to re-claim the same staged rewrite at ``head+1``),
+    else a human-readable reason (TRUE conflict — the caller must
+    re-read and redo its read-modify-write).
+
+    Rules (isolation level: WriteSerializable, Delta's default):
+
+    - a winner OVERWRITE (base) reset the snapshot — always a conflict;
+    - a winner REPLACE that removed any file this rewrite also removes
+      rewrote the same rows — write-write conflict;
+    - winner-ADDED files conflict only for key-matched ops (MERGE):
+      an added file may hold rows matching this merge's keys (the merge
+      read the whole key domain to decide update-vs-insert), unless the
+      file's staged skipping stats PROVE every key misses —
+      ``key_preds`` carries the merge's point/range predicates, ``{}``
+      means unprovable (always conflict), ``None`` means additions are
+      serialization-reorderable for this op (DELETE/retention: an
+      appended row is simply "inserted after the delete") and never
+      conflict."""
+    for v in range(base_version + 1, head + 1):
+        try:
+            man = _load(path, f"{_V_PREFIX}{v:08d}")
+        except FileNotFoundError:
+            return f"commit {v} vanished mid-check (concurrent expire?)"
+        mode = man.get("mode", "append")
+        if mode == "overwrite":
+            return (
+                f"commit {v} is an OVERWRITE base — it reset the snapshot "
+                "this rewrite was computed from"
+            )
+        if mode == "replace":
+            overlap = my_removed & set(man.get("removed_files", []))
+            if overlap:
+                return (
+                    f"commit {v} rewrote file(s) this commit also rewrites: "
+                    f"{sorted(overlap)[:3]}"
+                )
+        if key_preds is not None and man.get("files"):
+            fstats = man.get("file_stats", {})
+            for f in man["files"]:
+                st = fstats.get(f)
+                disjoint = bool(key_preds) and st is not None and any(
+                    col in st
+                    and _entry_proves_miss(
+                        st[col], pred if isinstance(pred, list) else [pred]
+                    )
+                    for col, pred in key_preds.items()
+                )
+                if not disjoint:
+                    return (
+                        f"commit {v} added file {f} whose stats cannot prove "
+                        "it holds no row matching this operation's keys"
+                    )
+    return None
+
+
+def _publish_replace_with_retry(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    removed: list[str],
+    base_version: int,
+    stats_cols: list[str],
+    key_preds: dict | None,
+    op_name: str,
+    max_retries: int = 4,
+) -> int:
+    """Publish a ``replace`` commit with Delta's transparent-conflict
+    retry: claim ``base_version+1``; on a lost CAS, re-validate the
+    winners via :func:`_replace_conflict_reason` and — when provably
+    disjoint — re-claim the SAME staged rewrite at the new head+1
+    (the DataFrame recomputes from the pinned files, which survive
+    until vacuum; content is identical by construction). Raises
+    :class:`ConcurrentManifestWriteError` only on TRUE conflicts, or
+    after ``max_retries`` lost re-claims (livelock guard). Returns the
+    version actually claimed."""
+    expected = base_version + 1
+    attempt = 0
+    while True:
+        try:
+            _publish_replace(df, path, fmt, removed, expected, stats_cols)
+            return expected
+        except Exception as e:
+            if not _is_concurrent_write_error(e):
+                raise
+            head = _resolve_state(path, with_stats=False)["version"]
+            reason = _replace_conflict_reason(
+                path, base_version, head, set(removed), key_preds
+            )
+            if reason is not None:
+                raise ConcurrentManifestWriteError(
+                    f"{op_name} on {path} lost the claim for version "
+                    f"{expected} and a winning commit truly conflicts: "
+                    f"{reason} — re-read the snapshot and retry the "
+                    f"{op_name}"
+                ) from None
+            attempt += 1
+            if attempt > max_retries:
+                raise ConcurrentManifestWriteError(
+                    f"{op_name} on {path} lost {attempt} consecutive claims "
+                    "to non-conflicting writers (livelock guard) — retry "
+                    "under lower contention"
+                ) from None
+            expected = head + 1
+
+
 def merge_into_manifest_sink(
     spark: SparkSession,
     path: str,
@@ -1958,9 +2100,14 @@ def merge_into_manifest_sink(
        join is the truth).
     4. Rewrite = touched rows anti-joined on the keys, unioned with
        ``updates``; publish ONE replace commit removing the touched
-       files, claiming EXACTLY k+1 — a concurrent commit surfaces as
-       :class:`ConcurrentManifestWriteError` (re-read, retry), never as
-       silently-superseded rows.
+       files, claiming EXACTLY k+1. A lost claim is re-validated
+       against the winners' change sets (Delta's logical conflict
+       rule): two merges on provably-disjoint keys BOTH land — the
+       loser transparently re-claims head+1 with the same staged
+       rewrite — while a winner that rewrote an overlapping file,
+       published a base, or added a file that may hold a merge key
+       surfaces as :class:`ConcurrentManifestWriteError` (re-read,
+       redo), never as silently-superseded rows.
 
     ``delete_condition`` is the WHEN MATCHED ... THEN DELETE clause
     (Delta's merge-delete): a SQL predicate over the UPDATE row's
@@ -2027,6 +2174,12 @@ def merge_into_manifest_sink(
     MAX_POINT_KEYS = 128
     sample = key_counts.limit(MAX_POINT_KEYS + 1).collect()
     preds: dict = {}
+    # conflict_preds drive the lost-CAS logical-conflict check (what a
+    # WINNING commit's added files must provably miss for this merge to
+    # re-claim transparently) — built even when the TABLE has no stats,
+    # because it is the winner's STAGED stats that get consulted; {}
+    # means "unprovable" (any concurrent addition is a true conflict)
+    conflict_preds: dict = {}
     if len(sample) <= MAX_POINT_KEYS:
         bad = [
             r for r in sample
@@ -2037,9 +2190,10 @@ def merge_into_manifest_sink(
                 "merge updates contain duplicate or NULL keys — the merge "
                 f"would be ambiguous (first offender: {bad[0]})"
             )
+        for k in orderable:
+            conflict_preds[k] = [(v, v) for v in sorted({r[k] for r in sample})]
         if state["file_stats"]:
-            for k in orderable:
-                preds[k] = [(v, v) for v in sorted({r[k] for r in sample})]
+            preds = dict(conflict_preds)
     else:
         aggs = [F.max("count").alias("__max_dup")]
         aggs += [
@@ -2054,12 +2208,13 @@ def merge_into_manifest_sink(
                 "merge updates contain duplicate or NULL keys — the merge "
                 "would be ambiguous"
             )
+        conflict_preds = {
+            k: (b[f"__lo_{k}"], b[f"__hi_{k}"])
+            for k in orderable
+            if b[f"__lo_{k}"] is not None
+        }
         if state["file_stats"]:
-            preds = {
-                k: (b[f"__lo_{k}"], b[f"__hi_{k}"])
-                for k in orderable
-                if b[f"__lo_{k}"] is not None
-            }
+            preds = dict(conflict_preds)
     all_files = list(state["files"])
     candidates = [os.path.join(path, f) for f in all_files]
     if preds:
@@ -2107,9 +2262,12 @@ def merge_into_manifest_sink(
         )
     else:
         new_data = surviving
-    _publish_replace(new_data, path, fmt, touched, base_version + 1, stats_cols)
+    claimed = _publish_replace_with_retry(
+        new_data, path, fmt, touched, base_version, stats_cols,
+        conflict_preds, "MERGE",
+    )
     return {
-        "version": base_version + 1,
+        "version": claimed,
         "base_version": base_version,
         "rewritten_files": touched,
         "candidate_files": len(candidates),
@@ -2168,9 +2326,15 @@ def delete_from_manifest_sink(
         .select(*cols)
         .coalesce(max(1, len(touched)))  # layout-stable, see merge
     )
-    _publish_replace(kept, path, fmt, touched, base_version + 1, stats_cols)
+    # additions are serialization-reorderable for a DELETE
+    # (WriteSerializable: an appended row simply lands "after" the
+    # delete), so key_preds=None — only overlapping rewrites/bases
+    # are true conflicts
+    claimed = _publish_replace_with_retry(
+        kept, path, fmt, touched, base_version, stats_cols, None, "DELETE",
+    )
     return {
-        "version": base_version + 1,
+        "version": claimed,
         "base_version": base_version,
         "rewritten_files": touched,
         "candidate_files": len(candidates),
@@ -2273,11 +2437,12 @@ def delete_range_from_manifest_sink(
         )
     else:
         kept = spark.createDataFrame([], schema)
-    _publish_replace(
-        kept, path, fmt, sorted(dropped) + touched, base_version + 1, stats_cols
+    claimed = _publish_replace_with_retry(
+        kept, path, fmt, sorted(dropped) + touched, base_version, stats_cols,
+        None, "retention DELETE",
     )
     return {
-        "version": base_version + 1,
+        "version": claimed,
         "base_version": base_version,
         "dropped_files": sorted(dropped),
         "rewritten_files": touched,

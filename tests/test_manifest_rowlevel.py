@@ -1418,3 +1418,168 @@ def test_resolve_skips_unreadable_parquet_checkpoint(spark, tmp_path, monkeypatc
     without_pa = _resolve_state(d)
     assert without_pa["files"] == with_pa["files"]
     assert without_pa["version"] == with_pa["version"]
+
+
+# -------------------------------------------- r15: transparent RMW retry
+def test_merge_transparent_retry_disjoint_keys(spark, tmp_path, monkeypatch):
+    """Delta's logical conflict rule: two merges racing on DISJOINT keys
+    must BOTH land with no caller-level retry — the loser re-validates
+    the winner's change set (disjoint removed files, added files whose
+    stats prove no merge key) and transparently re-claims head+1."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import merge_into_manifest_sink
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")      # v1, file A: 0..4
+    _write(spark, d, 100, 105, statsColumns="id")  # v2, file B: 100..104
+    orig_snap = pysink._snapshot_for_rmw
+    state = {"raced": False}
+
+    def racing(path):
+        snap = orig_snap(path)
+        if not state["raced"]:
+            state["raced"] = True  # inner merge takes the plain path
+            merge_into_manifest_sink(
+                spark, d,
+                spark.createDataFrame([(101,), (150,)], "id long"), ["id"],
+            )  # wins v3: rewrites file B only, inserts 150
+        return snap
+
+    monkeypatch.setattr(pysink, "_snapshot_for_rmw", racing)
+    res = merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([(1,), (50,)], "id long"), ["id"]
+    )
+    # the loser re-claimed past the winner — BOTH merges' effects live
+    assert res["version"] == 4 and res["base_version"] == 2
+    assert _ids(read_manifest_sink(spark, d)) == (
+        [0, 1, 2, 3, 4, 50, 100, 101, 102, 103, 104, 150]
+    )
+
+
+def test_merge_true_conflict_same_file_still_raises(spark, tmp_path, monkeypatch):
+    """Overlapping rewrites stay a TRUE conflict: the winner rewrote the
+    very file this merge's rewrite was computed from."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import merge_into_manifest_sink
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    orig_snap = pysink._snapshot_for_rmw
+    state = {"raced": False}
+
+    def racing(path):
+        snap = orig_snap(path)
+        if not state["raced"]:
+            state["raced"] = True
+            merge_into_manifest_sink(
+                spark, d, spark.createDataFrame([(2,)], "id long"), ["id"]
+            )  # wins v2: rewrites THE same file
+        return snap
+
+    monkeypatch.setattr(pysink, "_snapshot_for_rmw", racing)
+    with pytest.raises(ConcurrentManifestWriteError, match="truly conflicts"):
+        merge_into_manifest_sink(
+            spark, d, spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
+    # the winner's merge survives untouched
+    assert _ids(read_manifest_sink(spark, d)) == [0, 1, 2, 3, 4]
+
+
+def test_merge_conflicts_with_unprovable_concurrent_append(spark, tmp_path, monkeypatch):
+    """A winner APPEND whose staged stats cannot prove it misses every
+    merge key is a true conflict (the merge read the whole key domain to
+    decide update-vs-insert); an append with provably-disjoint stats is
+    transparently survivable."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import merge_into_manifest_sink
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    orig_snap = pysink._snapshot_for_rmw
+    state = {"raced": False}
+
+    def race_overlapping(path):
+        snap = orig_snap(path)
+        if not state["raced"]:
+            state["raced"] = True
+            _write(spark, d, 1, 2, statsColumns="id")  # may hold key 1
+        return snap
+
+    monkeypatch.setattr(pysink, "_snapshot_for_rmw", race_overlapping)
+    with pytest.raises(ConcurrentManifestWriteError, match="cannot prove"):
+        merge_into_manifest_sink(
+            spark, d, spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
+    # disjoint-stats append: transparent re-claim
+    state["raced"] = False
+
+    def race_disjoint(path):
+        snap = orig_snap(path)
+        if not state["raced"]:
+            state["raced"] = True
+            _write(spark, d, 900, 905, statsColumns="id")
+        return snap
+
+    monkeypatch.setattr(pysink, "_snapshot_for_rmw", race_disjoint)
+    res = merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([(1,)], "id long"), ["id"]
+    )
+    assert res["version"] > res["base_version"] + 1
+    got = _ids(read_manifest_sink(spark, d))
+    assert got == [0, 1, 2, 3, 4] + list(range(900, 905))
+
+
+def test_delete_transparent_retry_over_append(spark, tmp_path, monkeypatch):
+    """DELETE treats concurrent additions as reorderable
+    (WriteSerializable): an append racing the delete lands on the
+    'after' side and both commits survive; a winner that rewrote the
+    same file still raises."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    orig_snap = pysink._snapshot_for_rmw
+    state = {"raced": False}
+
+    def racing(path):
+        snap = orig_snap(path)
+        if not state["raced"]:
+            state["raced"] = True
+            _write(spark, d, 3, 4, statsColumns="id")  # appends another id=3
+        return snap
+
+    monkeypatch.setattr(pysink, "_snapshot_for_rmw", racing)
+    res = delete_from_manifest_sink(spark, d, "id = 3")
+    assert res["version"] > res["base_version"] + 1
+    # the delete removed the PINNED snapshot's id=3; the racer's row is
+    # an insert serialized after it and survives
+    assert _ids(read_manifest_sink(spark, d)) == [0, 1, 2, 3, 4]
+
+
+def test_rmw_retry_livelock_guard(spark, tmp_path, monkeypatch):
+    """Bounded retries: if every re-claim keeps losing to non-conflicting
+    writers, the loop raises after max_retries instead of spinning."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+
+    def always_lose(*a, **k):
+        raise ConcurrentManifestWriteError("claimed by a concurrent writer")
+
+    monkeypatch.setattr(pysink, "_publish_replace", always_lose)
+    with pytest.raises(ConcurrentManifestWriteError, match="livelock"):
+        delete_from_manifest_sink(spark, d, "id = 3")
+
+
+@pytest.mark.slow
+def test_disjoint_merge_race_multiprocess(tmp_path):
+    """TRUE multi-process leg (smaller twin of the stress tool's): two
+    Spark processes merging disjoint key ranges into one table — every
+    merge must land without caller-level retry; versions dense; snapshot
+    is the exact union."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stress_manifest_concurrency import run_disjoint_merge_race
+
+    r = run_disjoint_merge_race(str(tmp_path / "t"), n_procs=2, merges_per_proc=2)
+    assert r["rows"] == 2 * (50 + 2)

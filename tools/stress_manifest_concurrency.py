@@ -310,6 +310,104 @@ def run_cas_rmw(d: str, n_procs: int, commits_per_proc: int) -> dict:
     }
 
 
+def _merge_worker(args: tuple) -> int:
+    """One MERGE process with its OWN SparkSession: seed a private key
+    range, then merge into it repeatedly. Disjoint-key merges racing
+    other workers must ALL land with NO caller-level retry — a
+    ConcurrentManifestWriteError escaping here fails the leg (the r15
+    transparent-conflict re-claim is the thing under test)."""
+    d, wid, n_merges = args
+    from pyspark.sql import SparkSession
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        merge_into_manifest_sink,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"merge-race-{wid}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    try:
+        spark.dataSource.register(ManifestSinkDataSource)
+        base = wid * 1_000_000
+        (
+            spark.range(base, base + 50)
+            .repartition(1)
+            .write.format("manifestsink")
+            .option("path", d)
+            .option("statsColumns", "id")
+            .mode("append")
+            .save()
+        )
+        for i in range(n_merges):
+            updates = spark.createDataFrame(
+                [(base + i,), (base + 50 + i,)], "id long"
+            )  # one update into the seed file + one fresh insert
+            merge_into_manifest_sink(spark, d, updates, ["id"])
+    finally:
+        spark.stop()
+    return n_merges
+
+
+def run_disjoint_merge_race(d: str, n_procs: int, merges_per_proc: int) -> dict:
+    """r15 leg: N processes MERGE-ing disjoint key ranges into ONE table
+    concurrently. The transparent logical-conflict re-claim must absorb
+    every lost CAS (no worker sees ConcurrentManifestWriteError), and
+    the audit then proves nothing was lost or doubled:
+
+    - versions are DENSE 1..N*(1+M): each merge = exactly ONE commit —
+      a transparent re-claim never double-commits;
+    - the resolved snapshot's rows are EXACTLY each worker's seed range
+      plus its inserted keys, each once (no lost update, no duplicate
+      key from a merge that failed to see a winner's file)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        _V_PREFIX,
+        resolve_manifest_files,
+    )
+
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time()
+    with mp.get_context("spawn").Pool(n_procs) as pool:
+        pool.map(
+            _merge_worker, [(d, w, merges_per_proc) for w in range(n_procs)]
+        )
+    wall = time.time() - t0
+    total_commits = n_procs * (1 + merges_per_proc)
+    versions = sorted(
+        int(f[len(_V_PREFIX):]) for f in os.listdir(d)
+        if f.startswith(_V_PREFIX) and not f.endswith(".tmp")
+    )
+    assert versions == list(range(1, total_commits + 1)), (
+        f"version space not dense: {len(versions)} commits, "
+        f"expected {total_commits} — a transparent re-claim double-"
+        "committed or a merge was lost"
+    )
+    ids: list[int] = []
+    for path in resolve_manifest_files(d):
+        with open(path) as f:
+            ids.extend(json.loads(line)["id"] for line in f)
+    expect = sorted(
+        v
+        for w in range(n_procs)
+        for v in range(w * 1_000_000, w * 1_000_000 + 50 + merges_per_proc)
+    )
+    got = sorted(ids)
+    assert got == expect, (
+        f"snapshot rows wrong: {len(got)} rows vs {len(expect)} expected "
+        "(lost update or duplicate key under concurrent merges)"
+    )
+    return {
+        "n_procs": n_procs,
+        "merges": n_procs * merges_per_proc,
+        "wall": wall,
+        "rows": len(got),
+    }
+
+
 def main() -> None:
     n_procs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     per = int(sys.argv[2]) if len(sys.argv) > 2 else 50
@@ -344,6 +442,17 @@ def main() -> None:
         "zero lost updates |"
         % (r3["n_procs"], r3["total"] // r3["n_procs"], r3["wall"],
            r3["conflicts"])
+    )
+    d4 = os.path.join(_REPO, "_scratch", "stress_manifest_merge_race")
+    shutil.rmtree(d4, ignore_errors=True)
+    r4 = run_disjoint_merge_race(d4, 2, 4)
+    print(
+        "| manifest_log disjoint-key MERGE race %d Spark procs x %d merges | "
+        "%.2f s wall | ALL merges landed with zero caller-level retries "
+        "(transparent logical-conflict re-claim), versions dense, snapshot "
+        "== union of every merge (%d rows) |"
+        % (r4["n_procs"], r4["merges"] // r4["n_procs"], r4["wall"],
+           r4["rows"])
     )
 
 

@@ -84,6 +84,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry order. Post-r14 oldest green must be >= r09. Re-rotate with
 # every new query addition.
 _PRIORITY = (
+    "manifest_column_mapping_roundtrip",
+    "manifest_sink_roundtrip",
+    "manifest_sink_time_travel",
+    "manifest_sink_parquet_roundtrip",
+    "manifest_checkpoint_resolve_roundtrip",
+    "manifest_schema_evolution_roundtrip",
+    "manifest_stats_pruned_read",
+    "manifest_bloom_pruned_read",
+    "manifest_optimize_roundtrip",
+    "manifest_history_report",
+    "manifest_merge_upsert_roundtrip",
+    "manifest_delete_replace_roundtrip",
+    "manifest_timestamp_time_travel",
+    "manifest_null_stats_pruned_read",
+    "manifest_restore_roundtrip",
+    "manifest_cdc_changes",
+    "manifest_merge_delete_roundtrip",
+    "manifest_cdc_keyed_changes",
+    "manifest_log_stream_tail_roundtrip",
+    "manifest_retention_delete",
+    "manifest_clone_divergence",
+    "manifest_stream_change_feed",
+    "stream_manifest_compaction_roundtrip",
     "language_id",
     "doc_fingerprint",
     "ewma_user_daily",
@@ -111,29 +134,6 @@ _PRIORITY = (
     "orc_sink_roundtrip",
     "set_ops",
     "rollup_agg",
-    "cube_agg",
-    "variant_props_agg",
-    "exact_dedup_docs",
-    "ngram_jaccard_topk",
-    "minhash_signatures",
-    "embedding_cosine_topk",
-    "embedding_topk_pairs",
-    "embedding_ann_lsh",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "winnowing_fingerprints",
-    "embedding_near_dup_exact",
-    "tumbling_window_agg",
-    "session_window_agg",
-    "skew_salted_agg",
-    "corpus_clean_pipeline",
-    "range_join_shipments",
-    "grouping_sets_agg",
-    "pivot_event_counts",
-    "unpivot_stats",
-    "window_ranking_family",
-    "string_functions",
-    "url_functions",
 )
 
 

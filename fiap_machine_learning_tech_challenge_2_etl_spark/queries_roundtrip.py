@@ -3007,6 +3007,86 @@ def q_manifest_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "manifest_column_mapping_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def q_manifest_column_mapping_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RENAME/DROP COLUMN through the log (sources/pysink.py
+    rename_column_manifest_sink / drop_column_manifest_sink — Delta's
+    column mapping, name mode; the reference has no schema-evolution
+    story, extension surface): the EVEN-doc_id half of ``documents``
+    lands with stats, then ``n_chars`` is RENAMED to ``char_count`` and
+    ``source`` is DROPPED — two zero-file metadata commits (pinned:
+    the data-file set is unchanged across both) — and the ODD half
+    appends UNDER THE NEW SCHEMA. One read then spans both eras:
+    old-era files still carry the physical name ``n_chars``, new-era
+    files stage under the same immutable physical name, and the logical
+    view is ``char_count`` everywhere. Pins: time travel to v1 shows
+    the pre-rename columns (mapping is version-pinned); an ``is_null``
+    prune on the LOGICAL name reaches the physical stats of BOTH eras
+    (kept == [] — no file has a null, proving stats stay keyed across
+    the rename); the dropped column is gone from the final read. The
+    oracle replays the logical content in SQL; the value hash proves no
+    row or value drifted through the mapping. At 100 TB a rename is one
+    JSON write — zero data files read, copied, or rewritten."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        drop_column_manifest_sink,
+        prune_manifest_files,
+        read_manifest_sink,
+        rename_column_manifest_sink,
+        resolve_manifest_files,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    d = _scratch("manifest_colmap", sf_dir)
+    docs.filter(F.col("doc_id") % 2 == 0).repartition(2).write.format(
+        "manifestsink"
+    ).option("path", d).option("statsColumns", "doc_id,n_chars").mode(
+        "append"
+    ).save()
+    before = sorted(resolve_manifest_files(d))
+    rename_column_manifest_sink(d, "n_chars", "char_count")
+    drop_column_manifest_sink(d, "source")
+    if sorted(resolve_manifest_files(d)) != before:
+        raise ValueError("rename/drop touched data files (must be metadata-only)")
+    old = read_manifest_sink(spark, d, version=1)
+    if old.columns != ["doc_id", "lang", "n_chars", "source"]:
+        raise ValueError(f"time travel lost the pre-rename schema: {old.columns}")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.col("n_chars").alias("char_count")
+    ).repartition(2).write.format("manifestsink").option("path", d).option(
+        "statsColumns", "doc_id,char_count"
+    ).mode("append").save()
+    kept, total = prune_manifest_files(d, {"char_count": "is_null"})
+    if kept or total != 4:
+        raise ValueError(
+            f"logical-name stats pruning broke across the rename: "
+            f"{len(kept)}/{total} kept"
+        )
+    back = read_manifest_sink(spark, d)
+    if back.columns != ["doc_id", "lang", "char_count"]:
+        raise ValueError(f"mapped read has wrong columns: {back.columns}")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("char_count").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
     "manifest_clone_divergence",
     sql="""
 SELECT src, lang,

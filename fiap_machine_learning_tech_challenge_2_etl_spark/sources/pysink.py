@@ -181,6 +181,11 @@ _V_PREFIX = MANIFEST + ".v"  # batch commit log: _MANIFEST.v00000001
 _B_PREFIX = MANIFEST + "-"  # streaming per-batch: _MANIFEST-<batchId>
 _CKPT_PREFIX = "_CHECKPOINT.v"  # resolved-state rollup: _CHECKPOINT.v00000016
 _HINT = "_LAST_CHECKPOINT"  # Delta-style pointer: latest version + checkpoint
+#: presence marker for column mapping (r15): written (never removed) by the
+#: first RENAME/DROP COLUMN on a table, so plain appends only pay a log
+#: resolve on tables that ever had one — the marker is advisory, the
+#: authoritative mapping lives in the commit log's metadata commits
+_COLMAP_MARKER = "_COLUMN_MAPPING"
 DEFAULT_CHECKPOINT_INTERVAL = 16
 VACUUM_GRACE_SECONDS = 600.0
 
@@ -478,6 +483,7 @@ def _load_checkpoint(path: str, name: str, with_stats: bool = True) -> dict:
         "files": files,
         "metas": head["metas"],
         "file_stats": fstats,
+        "mapping": head.get("mapping"),
     }
 
 
@@ -522,7 +528,8 @@ def _publish_checkpoint(path: str, v: int, ck: dict) -> None:
     ).replace_schema_metadata(
         {
             "manifest_checkpoint": json.dumps(
-                {"version": ck["version"], "metas": ck["metas"]}
+                {"version": ck["version"], "metas": ck["metas"],
+                 "mapping": ck.get("mapping")}
             )
         }
     )
@@ -556,19 +563,26 @@ def _list_commits(path: str) -> list[tuple[int, str, dict]]:
 
 
 def _apply_commit(
-    man: dict, files: list, metas: list, fstats: dict
-) -> tuple[list, list, dict]:
-    """Fold ONE commit into the running resolved state. Three modes:
+    man: dict, files: list, metas: list, fstats: dict, mapping: dict | None
+) -> tuple[list, list, dict, dict | None]:
+    """Fold ONE commit into the running resolved state. Four modes:
     ``append`` extends, ``overwrite`` is a BASE that resets the running
-    state, and ``replace`` (r14) is the copy-on-write delta — it first
-    drops exactly the files named in ``removed_files`` (and their
-    skipping stats), then adds its own staged files. Removal is by name
-    against the RUNNING state, so a replace naming an already-removed
-    file is a no-op, and a replace never reaches files behind a later
-    base. Returns the updated ``(files, metas, fstats)``."""
+    state (including the column mapping — unless the base itself
+    carries one, as a CLONE/RESTORE of a mapped table does),
+    ``replace`` (r14) is the copy-on-write delta — it first drops
+    exactly the files named in ``removed_files`` (and their skipping
+    stats), then adds its own staged files — and ``metadata`` (r15) is
+    a zero-file column-mapping commit (RENAME/DROP COLUMN): it swaps
+    the running mapping wholesale and touches nothing else. Removal is
+    by name against the RUNNING state, so a replace naming an
+    already-removed file is a no-op, and a replace never reaches files
+    behind a later base. Returns ``(files, metas, fstats, mapping)``."""
     mode = man.get("mode", "append")
+    if mode == "metadata":
+        return files, metas, fstats, man.get("column_mapping")
     if mode == "overwrite":
         files, metas, fstats = [], [], {}
+        mapping = man.get("column_mapping")
     elif mode == "replace":
         removed = set(man.get("removed_files", []))
         if removed:
@@ -583,7 +597,7 @@ def _apply_commit(
         m = _meta_of(man)
         if m not in metas:
             metas.append(m)
-    return files, metas, fstats
+    return files, metas, fstats, mapping
 
 
 def _resolve_state(
@@ -620,6 +634,7 @@ def _resolve_state(
             files = list(ck["files"])
             metas = list(ck.get("metas", []))
             fstats = dict(ck.get("file_stats", {}))
+            mapping = ck.get("mapping")
             last = c
             v = c + 1
             while version is None or v <= version:
@@ -627,15 +642,19 @@ def _resolve_state(
                     man = _load(path, f"{_V_PREFIX}{v:08d}")
                 except FileNotFoundError:
                     break
-                files, metas, fstats = _apply_commit(man, files, metas, fstats)
+                files, metas, fstats, mapping = _apply_commit(
+                    man, files, metas, fstats, mapping
+                )
                 last = v
                 v += 1
             return {"kind": "batch", "files": files, "metas": metas,
-                    "file_stats": fstats, "version": last}
+                    "file_stats": fstats, "version": last,
+                    "mapping": mapping}
     kind, commits, ckpts = _scan_names(path)
     files: list[str] = []
     metas: list[dict] = []
     fstats: dict[str, dict] = {}
+    mapping: dict | None = None
     start_after = -1
     last = -1
     if kind == "batch":
@@ -663,6 +682,7 @@ def _resolve_state(
             files = list(ck["files"])
             metas = list(ck.get("metas", []))
             fstats = dict(ck.get("file_stats", {}))
+            mapping = ck.get("mapping")
             start_after = cv
             last = cv
     for v, name in commits:
@@ -671,13 +691,16 @@ def _resolve_state(
         if version is not None and v > version:
             break
         man = _load(path, name)
-        files, metas, fstats = _apply_commit(man, files, metas, fstats)
+        files, metas, fstats, mapping = _apply_commit(
+            man, files, metas, fstats, mapping
+        )
         last = v
     # an empty log reports version 0 ("nothing committed yet" — real
     # versions start at 1, a legacy bare manifest folds in AT 0), so a
     # CAS writer's base+1 claim on a fresh directory is v1
     return {"kind": kind, "files": files, "metas": metas,
-            "file_stats": fstats, "version": max(last, 0)}
+            "file_stats": fstats, "version": max(last, 0),
+            "mapping": mapping}
 
 
 class ManifestSinkWriter(DataSourceWriter):
@@ -690,6 +713,18 @@ class ManifestSinkWriter(DataSourceWriter):
         self.schema = schema
         self.fields = schema.fieldNames()
         self.overwrite = overwrite
+        # r15 column mapping: when the table carries one (presence
+        # marker, authoritative state from the log), APPEND-family
+        # writes arrive with LOGICAL column names and stage under the
+        # immutable PHYSICAL names — an overwrite instead RESETS the
+        # mapping (its columns become fresh physical names), which is
+        # also how OPTIMIZE materializes renames/drops into data
+        self.mapping: dict | None = None
+        if not overwrite and os.path.exists(os.path.join(path, _COLMAP_MARKER)):
+            self.mapping = _resolve_state(path, with_stats=False).get("mapping")
+            if self.mapping:
+                self.schema = _to_physical_schema(schema, self.mapping)
+                self.fields = self.schema.fieldNames()
         self.format = str(opts.get("format", "jsonl")).lower()
         if self.format not in ("jsonl", "parquet"):
             raise ValueError(
@@ -708,6 +743,12 @@ class ManifestSinkWriter(DataSourceWriter):
             for c in str(opts.get("statscolumns", "")).split(",")
             if c.strip()
         ]
+        if self.mapping:
+            # stats/bloom entries are keyed by PHYSICAL name (immutable
+            # across renames — pruning stays correct); accept logical
+            # names in the option and translate
+            _cm = self.mapping.get("cols", {})
+            self.stats_columns = [_cm.get(c, c) for c in self.stats_columns]
         unknown = [c for c in self.stats_columns if c not in self.fields]
         if unknown:
             raise ValueError(
@@ -738,6 +779,9 @@ class ManifestSinkWriter(DataSourceWriter):
             for c in str(opts.get("bloomfiltercolumns", "")).split(",")
             if c.strip()
         ]
+        if self.mapping:
+            _cm = self.mapping.get("cols", {})
+            self.bloom_columns = [_cm.get(c, c) for c in self.bloom_columns]
         unknown_b = [c for c in self.bloom_columns if c not in self.fields]
         if unknown_b:
             raise ValueError(
@@ -965,6 +1009,23 @@ class ManifestSinkWriter(DataSourceWriter):
         if file_stats:
             manifest["file_stats"] = file_stats
         os.makedirs(self.path, exist_ok=True)
+        # column-mapping re-check at COMMIT time: a RENAME/DROP landing
+        # between write planning (where the mapping was applied to the
+        # staged names) and this commit would make the staged names
+        # stale — refuse while the job is invisible (abort() sweeps the
+        # staging; the caller re-runs the write against the new
+        # mapping). Marker-gated: tables that never had a mapping pay
+        # one os.path.exists, nothing more.
+        if not self.overwrite and os.path.exists(
+            os.path.join(self.path, _COLMAP_MARKER)
+        ):
+            cur = _resolve_state(self.path, with_stats=False).get("mapping")
+            if _mapping_parts(cur) != _mapping_parts(self.mapping):
+                raise ConcurrentManifestWriteError(
+                    f"column mapping of {self.path} changed between write "
+                    "planning and commit (a concurrent RENAME/DROP COLUMN) "
+                    "— re-run the write against the new schema"
+                )
         # family check FIRST, before anything is published: a batch
         # commit into a stream-written directory would create two
         # unordered version spaces — refuse while the job is still
@@ -1069,6 +1130,7 @@ class ManifestSinkWriter(DataSourceWriter):
                 "files": state["files"],
                 "metas": state["metas"],
                 "file_stats": state["file_stats"],
+                "mapping": state.get("mapping"),
             }
             _publish_checkpoint(self.path, v, ck)
         except FileExistsError:
@@ -1503,6 +1565,14 @@ class ManifestLogDataSource(DataSource):
         if not path:
             raise ValueError("manifestlog requires .option('path', ...)")
         state = _resolve_state(path, with_stats=False)
+        if state.get("mapping"):
+            raise ValueError(
+                f"the log under {path} carries a column mapping (RENAME/"
+                "DROP COLUMN history); streaming over a mapped table is "
+                "not supported — batch-read it, or OPTIMIZE to materialize "
+                "the mapping first (Delta requires schemaTrackingLocation "
+                "for the same reason)"
+            )
         if not state["metas"]:
             raise ValueError(f"no committed manifest files under {path}")
         _fmt, schema = _pin_read_schema(state["metas"])
@@ -1686,6 +1756,12 @@ def prune_manifest_files(
     Files above the distinct cap record no bloom and are never
     bloom-pruned; non-point predicates ignore blooms entirely."""
     state = _resolve_state(path, version)
+    if state.get("mapping"):
+        # predicates arrive with LOGICAL names; stats are keyed by the
+        # immutable PHYSICAL names — translate (pruning is unaffected
+        # by any number of renames)
+        _cm, _ = _mapping_parts(state["mapping"])
+        predicates = {_cm.get(c, c): p for c, p in predicates.items()}
     fstats = state.get("file_stats", {})
     kept = []
     for name in state["files"]:
@@ -1792,13 +1868,15 @@ def read_manifest_sink(
     # stats are never consumed here (prune_manifest_files re-resolves with
     # them when asked), so the checkpoint load can skip the stats column
     state = _resolve_state(path, version, with_stats=False)
+    mapping = state.get("mapping")
     files = [os.path.join(path, name) for name in state["files"]]
     if not files:
         # an EMPTY snapshot is legal state, not an error, whenever the log
         # recorded a schema to pin it to (a delete that removed every row,
         # an overwrite truncate): return the schema-true empty frame
+        # (logical view when a column mapping exists)
         if state["metas"]:
-            _fmt0, schema0 = _pin_read_schema(state["metas"])
+            _fmt0, schema0 = _snapshot_logical_schema(state["metas"], mapping)
             if schema0 is not None:
                 return spark.createDataFrame([], schema=schema0)
         raise ValueError(
@@ -1812,10 +1890,22 @@ def read_manifest_sink(
     if schema is not None:
         reader = reader.schema(schema)
     if not files:  # everything provably pruned: an empty, schema-true frame
-        return spark.createDataFrame([], schema=schema)
-    if fmt == "parquet":
-        return reader.parquet(*files)
-    return reader.json(files)
+        _fmt0, lschema = _snapshot_logical_schema(state["metas"], mapping)
+        return spark.createDataFrame([], schema=lschema)
+    df = reader.parquet(*files) if fmt == "parquet" else reader.json(files)
+    if mapping and schema is not None:
+        # project the immutable physical names to the CURRENT (or
+        # as-of-version) logical view: renames surface, drops vanish —
+        # a pure projection, column-pruned at the scan by Catalyst
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[
+                F.col(phys).alias(logical)
+                for logical, phys, _t in _logical_projection(schema, mapping)
+            ]
+        )
+    return df
 
 
 def optimize_manifest_sink(
@@ -1868,6 +1958,16 @@ def optimize_manifest_sink(
     fmts = {m.get("format", "jsonl") for m in state["metas"]}
     fmt = fmts.pop() if len(fmts) == 1 else "parquet"
     stats_cols = sorted({c for st in state["file_stats"].values() for c in st})
+    if state.get("mapping"):
+        # OPTIMIZE materializes the mapping: it reads the LOGICAL view
+        # and overwrites (which resets the mapping), so the rewrite's
+        # stats columns are the logical names of the surviving physical
+        # stats keys (dropped physicals simply fall away)
+        _cm, _dropped = _mapping_parts(state["mapping"])
+        _inv = {pn: ln for ln, pn in _cm.items()}
+        stats_cols = sorted(
+            _inv.get(c, c) for c in stats_cols if c not in _dropped
+        )
     snapshot = read_manifest_sink(spark, path, version=base_version)
     if cluster_by:
         missing = [c for c in cluster_by if c not in snapshot.columns]
@@ -1900,6 +2000,23 @@ def _basename_of_uri(uri: str) -> str:
 def _read_file_list(spark: SparkSession, files: list[str], fmt: str, schema):
     reader = spark.read.schema(schema)
     return reader.parquet(*files) if fmt == "parquet" else reader.json(files)
+
+
+def _project_logical_df(df, physical_schema, mapping, keep=()):
+    """Project a physically-named DataFrame to the logical view (no-op
+    without a mapping); ``keep`` preserves extra bookkeeping columns
+    (e.g. ``__src``) untouched."""
+    if not mapping:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(p).alias(l)
+            for l, p, _t in _logical_projection(physical_schema, mapping)
+        ],
+        *[F.col(k) for k in keep],
+    )
 
 
 def _snapshot_for_rmw(path: str) -> tuple[dict, str, StructType, list[str]]:
@@ -2128,7 +2245,20 @@ def merge_into_manifest_sink(
 
     state, fmt, schema, stats_cols = _snapshot_for_rmw(path)
     base_version = state["version"]
-    cols = schema.fieldNames()
+    # column mapping (r15): the table's files carry immutable PHYSICAL
+    # names; the merge operates entirely in the LOGICAL view (updates
+    # arrive logical, scans are projected, the staged rewrite maps back
+    # at write time), and stats/conflict predicates translate at the
+    # boundaries
+    mapping = state.get("mapping")
+    lschema = schema
+    if mapping:
+        from pyspark.sql.types import StructField as _SF
+
+        lschema = StructType(
+            [_SF(l, t, True) for l, _p, t in _logical_projection(schema, mapping)]
+        )
+    cols = lschema.fieldNames()
     missing = [c for c in cols if c not in updates.columns]
     extra = [c for c in updates.columns if c not in cols]
     if missing or (extra and delete_condition is None):
@@ -2154,7 +2284,7 @@ def merge_into_manifest_sink(
     # column (int vs long) would otherwise stage a drifted schema_json and
     # fail every later read's drift check
     updates = updates.select(
-        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in lschema.fields],
         *flag_cols,
     )
     # ONE probe job serves three needs: the duplicate-key check, the NULL
@@ -2166,7 +2296,7 @@ def merge_into_manifest_sink(
     # per-key bounds) and conservative global ranges.
     orderable = [
         f.name
-        for f in schema.fields
+        for f in lschema.fields
         if f.name in keys
         and f.dataType.simpleString().startswith(_STATS_OK_PREFIXES)
     ]
@@ -2231,9 +2361,9 @@ def merge_into_manifest_sink(
     by_base = {os.path.basename(f): f for f in all_files}
     touched: list[str] = []
     if candidates:
-        cand_df = _read_file_list(spark, candidates, fmt, schema).withColumn(
-            "__src", F.input_file_name()
-        )
+        cand_df = _project_logical_df(
+            _read_file_list(spark, candidates, fmt, schema), schema, mapping
+        ).withColumn("__src", F.input_file_name())
         touched = sorted(
             by_base[_basename_of_uri(r["__src"])]
             for r in cand_df.join(key_df, keys, "left_semi")
@@ -2251,8 +2381,11 @@ def merge_into_manifest_sink(
     else:
         surviving = updates
     if touched:
-        kept = _read_file_list(
-            spark, [os.path.join(path, f) for f in touched], fmt, schema
+        kept = _project_logical_df(
+            _read_file_list(
+                spark, [os.path.join(path, f) for f in touched], fmt, schema
+            ),
+            schema, mapping,
         ).join(key_df, keys, "left_anti")
         # one output file per rewritten input file: the rewrite's volume is
         # the touched files' volume, so this keeps file sizes stable across
@@ -2262,6 +2395,10 @@ def merge_into_manifest_sink(
         )
     else:
         new_data = surviving
+    if mapping and conflict_preds:
+        # winners' staged stats are keyed by PHYSICAL name
+        _cm, _ = _mapping_parts(mapping)
+        conflict_preds = {_cm.get(c, c): v for c, v in conflict_preds.items()}
     claimed = _publish_replace_with_retry(
         new_data, path, fmt, touched, base_version, stats_cols,
         conflict_preds, "MERGE",
@@ -2294,7 +2431,11 @@ def delete_from_manifest_sink(
 
     state, fmt, schema, stats_cols = _snapshot_for_rmw(path)
     base_version = state["version"]
-    cols = schema.fieldNames()
+    mapping = state.get("mapping")
+    cols = (
+        [l for l, _p, _t in _logical_projection(schema, mapping)]
+        if mapping else schema.fieldNames()
+    )
     candidates = [os.path.join(path, f) for f in state["files"]]
     if prune:
         candidates, _total = prune_manifest_files(path, prune, version=base_version)
@@ -2302,9 +2443,9 @@ def delete_from_manifest_sink(
     by_base = {os.path.basename(f): f for f in state["files"]}
     touched: list[str] = []
     if candidates:
-        cand_df = _read_file_list(spark, candidates, fmt, schema).withColumn(
-            "__src", F.input_file_name()
-        )
+        cand_df = _project_logical_df(
+            _read_file_list(spark, candidates, fmt, schema), schema, mapping
+        ).withColumn("__src", F.input_file_name())
         touched = sorted(
             by_base[_basename_of_uri(r["__src"])]
             for r in cand_df.filter(F.expr(condition))
@@ -2321,7 +2462,12 @@ def delete_from_manifest_sink(
             "total_files": len(state["files"]),
         }
     kept = (
-        _read_file_list(spark, [os.path.join(path, f) for f in touched], fmt, schema)
+        _project_logical_df(
+            _read_file_list(
+                spark, [os.path.join(path, f) for f in touched], fmt, schema
+            ),
+            schema, mapping,
+        )
         .filter(~F.coalesce(F.expr(condition), F.lit(False)))
         .select(*cols)
         .coalesce(max(1, len(touched)))  # layout-stable, see merge
@@ -2379,16 +2525,27 @@ def delete_range_from_manifest_sink(
         raise ValueError("pass at least one bound (lo/hi); an unbounded "
                          "range delete is a truncate — use mode('overwrite')")
     state, fmt, schema, stats_cols = _snapshot_for_rmw(path)
-    if col not in schema.fieldNames():
-        raise ValueError(f"range column {col!r} not in table columns "
-                         f"{schema.fieldNames()}")
+    mapping = state.get("mapping")
+    if mapping:
+        proj = _logical_projection(schema, mapping)
+        cols = [l for l, _p, _t in proj]
+        _cm = {l: p for l, p, _t in proj}
+        pcol = _cm.get(col)
+        if pcol is None:
+            raise ValueError(f"range column {col!r} not in table columns "
+                             f"{cols}")
+    else:
+        cols = schema.fieldNames()
+        pcol = col
+        if col not in cols:
+            raise ValueError(f"range column {col!r} not in table columns "
+                             f"{cols}")
     base_version = state["version"]
-    cols = schema.fieldNames()
     fstats = state.get("file_stats", {})
     dropped: list[str] = []
     scan: list[str] = []
     for f in state["files"]:
-        mn, mx, nulls, rows = _stat_bounds((fstats.get(f) or {}).get(col))
+        mn, mx, nulls, rows = _stat_bounds((fstats.get(f) or {}).get(pcol))
         if mn is not None and mx is not None:
             if (hi is not None and mn > hi) or (lo is not None and mx < lo):
                 continue  # provably disjoint: untouched
@@ -2410,8 +2567,11 @@ def delete_range_from_manifest_sink(
     by_base = {os.path.basename(f): f for f in state["files"]}
     touched: list[str] = []
     if scan:
-        cand_df = _read_file_list(
-            spark, [os.path.join(path, f) for f in scan], fmt, schema
+        cand_df = _project_logical_df(
+            _read_file_list(
+                spark, [os.path.join(path, f) for f in scan], fmt, schema
+            ),
+            schema, mapping,
         ).withColumn("__src", F.input_file_name())
         touched = sorted(
             by_base[_basename_of_uri(r["__src"])]
@@ -2428,15 +2588,20 @@ def delete_range_from_manifest_sink(
         }
     if touched:
         kept = (
-            _read_file_list(
-                spark, [os.path.join(path, f) for f in touched], fmt, schema
+            _project_logical_df(
+                _read_file_list(
+                    spark, [os.path.join(path, f) for f in touched], fmt, schema
+                ),
+                schema, mapping,
             )
             .filter(~F.coalesce(cond, F.lit(False)))
             .select(*cols)
             .coalesce(max(1, len(touched)))
         )
     else:
-        kept = spark.createDataFrame([], schema)
+        kept = spark.createDataFrame(
+            [], _snapshot_logical_schema(state["metas"], mapping)[1]
+        )
     claimed = _publish_replace_with_retry(
         kept, path, fmt, sorted(dropped) + touched, base_version, stats_cols,
         None, "retention DELETE",
@@ -2449,6 +2614,240 @@ def delete_range_from_manifest_sink(
         "scanned_files": len(scan),
         "total_files": len(state["files"]),
     }
+
+
+def _mapping_parts(mapping: dict | None) -> tuple[dict, list]:
+    """Normalize a column mapping to ``(cols, dropped)`` — ``cols`` maps
+    LOGICAL name -> PHYSICAL name for renamed columns only; ``dropped``
+    lists PHYSICAL names of dropped columns. ``None`` (no mapping ever)
+    and an empty mapping behave identically."""
+    if not mapping:
+        return {}, []
+    return dict(mapping.get("cols", {})), list(mapping.get("dropped", []))
+
+
+def _logical_projection(
+    physical_schema: StructType, mapping: dict | None
+) -> list[tuple[str, str, object]]:
+    """The snapshot's LOGICAL view of its PHYSICAL schema:
+    ``[(logical_name, physical_name, dataType)]`` in physical
+    first-appearance order — renamed columns surface under their
+    logical name, dropped physicals disappear, unmapped physicals keep
+    their own name (including columns appended after the mapping was
+    created). Raises on the one inconsistency a lost write-planning
+    race could stage: a physical field whose name collides with a
+    DIFFERENT column's logical name (see the race note at
+    :func:`rename_column_manifest_sink`)."""
+    cols, dropped = _mapping_parts(mapping)
+    inv = {p: l for l, p in cols.items()}
+    out: list[tuple[str, str, object]] = []
+    for f in physical_schema.fields:
+        if f.name in dropped:
+            continue
+        logical = inv.get(f.name, f.name)
+        if f.name not in inv and (f.name in cols):
+            raise ValueError(
+                f"column-mapping inconsistency: physical column {f.name!r} "
+                f"collides with the logical name of a renamed column "
+                f"(mapped to {cols[f.name]!r}) — a write raced a rename; "
+                "repair by OPTIMIZE (materializes the mapping) or RESTORE "
+                "to a version before the race"
+            )
+        out.append((logical, f.name, f.dataType))
+    seen: set[str] = set()
+    for logical, _p, _t in out:
+        if logical in seen:
+            raise ValueError(
+                f"column-mapping inconsistency: logical name {logical!r} "
+                "resolves from two physical columns — a write raced a "
+                "rename; repair by OPTIMIZE or RESTORE"
+            )
+        seen.add(logical)
+    return out
+
+
+def _to_physical_schema(schema: StructType, mapping: dict | None) -> StructType:
+    """Translate a WRITE schema (logical names) into the physical names
+    staged files must carry — Delta's column-mapping write rule:
+    physical names are immutable, so a renamed column keeps writing
+    under its original physical name. New columns use their own name as
+    physical, REFUSED when that name is already claimed by a different
+    column's physical or was dropped (physical names are never reused;
+    pick a fresh name)."""
+    from pyspark.sql.types import StructField
+
+    cols, dropped = _mapping_parts(mapping)
+    claimed = set(cols.values())
+    fields = []
+    for f in schema.fields:
+        pn = cols.get(f.name)
+        if pn is None:
+            if f.name in dropped:
+                raise ValueError(
+                    f"cannot write column {f.name!r}: that physical name "
+                    "was DROPPED and physical names are never reused — "
+                    "add the column under a fresh name"
+                )
+            if f.name in claimed:
+                raise ValueError(
+                    f"cannot write column {f.name!r}: that physical name "
+                    "belongs to a renamed column — use the logical name "
+                    f"({ {l for l, p in cols.items() if p == f.name}.pop()!r})"
+                )
+            pn = f.name
+        fields.append(StructField(pn, f.dataType, f.nullable))
+    return StructType(fields)
+
+
+def _snapshot_logical_schema(metas: list[dict], mapping: dict | None):
+    """``(format, logical_schema)`` for a resolved snapshot — the
+    physical pin from :func:`_pin_read_schema` projected through the
+    mapping. Legacy no-schema logs cannot carry a mapping (the
+    rename/drop ops refuse them), so ``schema None`` implies ``mapping
+    None``."""
+    from pyspark.sql.types import StructField
+
+    fmt, phys = _pin_read_schema(metas)
+    if phys is None or not mapping:
+        return fmt, phys
+    proj = _logical_projection(phys, mapping)
+    return fmt, StructType(
+        [StructField(l, t, nullable=True) for l, _p, t in proj]
+    )
+
+
+def _metadata_commit(path: str, new_mapping: dict, operation: str) -> int:
+    """Publish a zero-file ``metadata`` commit carrying the FULL new
+    column mapping (metadata commits replace the mapping wholesale).
+    CAS against the resolved head — a racing commit surfaces as
+    :class:`ConcurrentManifestWriteError` (re-read, retry): the
+    rename/drop was composed from a snapshot that is no longer head.
+
+    The presence marker is written BEFORE the claim so writers planning
+    a concurrent append re-check the log at commit time. One narrow
+    window remains (marker-check passes before the marker lands AND the
+    append's claim lands after this commit, a few ms): a file staged
+    with now-stale names. The read side detects that signature loudly
+    (:func:`_logical_projection` raises) instead of mis-projecting —
+    same repair path as Delta: don't run renames under concurrent
+    writes, or OPTIMIZE after."""
+    with open(os.path.join(path, _COLMAP_MARKER), "w") as f:
+        f.write("1")
+    state = _resolve_state(path, with_stats=False)
+    man = {
+        "files": [],
+        "mode": "metadata",
+        "column_mapping": new_mapping,
+        "operation": operation,
+        "ts": time.time(),
+    }
+    target = state["version"] + 1
+    try:
+        _publish_exclusive(path, f"{_V_PREFIX}{target:08d}", man)
+    except FileExistsError:
+        raise ConcurrentManifestWriteError(
+            f"version {target} in {path} was claimed by a concurrent writer "
+            f"while committing {operation!r}; re-read and retry"
+        ) from None
+    hint = _read_hint(path)
+    _write_hint(path, "batch", target,
+                hint.get("checkpoint") if hint else None)
+    return target
+
+
+def rename_column_manifest_sink(path: str, old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN`` through the log (Delta's column
+    mapping, name mode): ONE metadata-only commit — no data file is
+    read or rewritten at any table size. Physical names are immutable
+    (the name a column was first written under); the mapping records
+    logical->physical, staged files keep physical names forever, reads
+    project physical->logical, and skipping stats/blooms stay keyed by
+    physical name so pruning is unaffected by any number of renames.
+    Time travel is mapping-aware: a snapshot pinned before this commit
+    shows the old name. The new name must be globally fresh — not a
+    current logical name, and not any physical name ever used
+    (including dropped ones); physical names are never reused, exactly
+    so that old files can never be mis-projected. Returns the committed
+    version. Legacy no-schema logs are refused (nothing pins what ``old``
+    means in their files)."""
+    state = _resolve_state(path, with_stats=False)
+    if state["kind"] != "batch":
+        raise ValueError(
+            f"rename_column expects a batch commit log; {path} holds "
+            f"{'a stream log' if state['kind'] == 'stream' else 'no log'}"
+        )
+    _fmt, phys = _pin_read_schema(state["metas"])
+    if phys is None:
+        raise ValueError(
+            f"the log under {path} predates recorded schemas; rewrite it "
+            "(optimize) before RENAME COLUMN"
+        )
+    mapping = state.get("mapping")
+    proj = _logical_projection(phys, mapping)
+    logical_names = [l for l, _p, _t in proj]
+    if old not in logical_names:
+        raise ValueError(
+            f"RENAME COLUMN: {old!r} is not a column of {path} "
+            f"(columns: {logical_names})"
+        )
+    if new in logical_names:
+        raise ValueError(f"RENAME COLUMN: {new!r} already exists in {path}")
+    cols, dropped = _mapping_parts(mapping)
+    used_physical = {f.name for f in phys.fields} | set(dropped) | set(cols.values())
+    if new in used_physical:
+        raise ValueError(
+            f"RENAME COLUMN: {new!r} collides with a physical column name "
+            "already used by this table's files; physical names are never "
+            "reused — pick a fresh name"
+        )
+    physical_old = next(p for l, p, _t in proj if l == old)
+    cols.pop(old, None)
+    cols[new] = physical_old
+    return _metadata_commit(
+        path, {"cols": cols, "dropped": dropped},
+        f"RENAME COLUMN {old} TO {new}",
+    )
+
+
+def drop_column_manifest_sink(path: str, name: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` through the log: ONE
+    metadata-only commit — the physical column stays in existing files
+    (and in their recorded stats) but disappears from every read at or
+    after this version; time travel before it still shows the column.
+    The physical name is retired forever (re-adding a column with the
+    dropped name is refused — old files would leak its values back).
+    Storage is reclaimed lazily: OPTIMIZE rewrites the snapshot without
+    the column (it materializes the logical view), after which expire +
+    vacuum drop the old files. Returns the committed version."""
+    state = _resolve_state(path, with_stats=False)
+    if state["kind"] != "batch":
+        raise ValueError(
+            f"drop_column expects a batch commit log; {path} holds "
+            f"{'a stream log' if state['kind'] == 'stream' else 'no log'}"
+        )
+    _fmt, phys = _pin_read_schema(state["metas"])
+    if phys is None:
+        raise ValueError(
+            f"the log under {path} predates recorded schemas; rewrite it "
+            "(optimize) before DROP COLUMN"
+        )
+    mapping = state.get("mapping")
+    proj = _logical_projection(phys, mapping)
+    logical_names = [l for l, _p, _t in proj]
+    if name not in logical_names:
+        raise ValueError(
+            f"DROP COLUMN: {name!r} is not a column of {path} "
+            f"(columns: {logical_names})"
+        )
+    if len(logical_names) == 1:
+        raise ValueError("DROP COLUMN: cannot drop a table's only column")
+    cols, dropped = _mapping_parts(mapping)
+    physical = next(p for l, p, _t in proj if l == name)
+    cols.pop(name, None)
+    dropped.append(physical)
+    return _metadata_commit(
+        path, {"cols": cols, "dropped": dropped}, f"DROP COLUMN {name}"
+    )
 
 
 def restore_manifest_sink(path: str, version: int) -> int:
@@ -2489,6 +2888,10 @@ def restore_manifest_sink(path: str, version: int) -> int:
         "ts": time.time(),
         "restored_from": version,
     }
+    if state.get("mapping"):
+        # the column mapping AS OF the restored version rides the base
+        # commit (an overwrite otherwise RESETS the mapping)
+        manifest["column_mapping"] = state["mapping"]
     if schema is not None:
         manifest["schema_json"] = schema.json()
     if state["file_stats"]:
@@ -2594,6 +2997,10 @@ def clone_manifest_sink(
         manifest["file_stats"] = {
             key_of(f): old[f] for f in state["files"] if f in old
         }
+    if state.get("mapping"):
+        manifest["column_mapping"] = state["mapping"]
+        with open(os.path.join(dst, _COLMAP_MARKER), "w") as f:
+            f.write("1")
     try:
         _publish_exclusive(dst, f"{_V_PREFIX}{1:08d}", manifest)
     except FileExistsError:
@@ -2651,9 +3058,13 @@ def manifest_changes(
         if not files:
             return None
         fmt, schema = _pin_read_schema(metas)
-        return _read_file_list(
+        df = _read_file_list(
             spark, [os.path.join(path, f) for f in files], fmt, schema
         )
+        # both sides share immutable PHYSICAL names; the feed reads at
+        # the END version's logical view (Delta CDF's rule under column
+        # mapping): renames surface uniformly, dropped columns vanish
+        return _project_logical_df(df, schema, new.get("mapping"))
 
     ins = _side(added, new["metas"])
     dels = _side(removed, old["metas"])
@@ -2733,7 +3144,10 @@ def manifest_history(spark: SparkSession, path: str) -> DataFrame:
         ts = man.get("ts")
         # operation column (Delta's): WHAT published the commit, from
         # the commit's own recorded facts, never inferred from data
-        if "cloned_from" in man:
+        if man.get("mode") == "metadata":
+            # RENAME COLUMN x TO y / DROP COLUMN x, as recorded
+            op = str(man.get("operation", "METADATA"))
+        elif "cloned_from" in man:
             op = "CLONE"
         elif "restored_from" in man:
             op = "RESTORE"

@@ -1583,3 +1583,19 @@ def test_disjoint_merge_race_multiprocess(tmp_path):
 
     r = run_disjoint_merge_race(str(tmp_path / "t"), n_procs=2, merges_per_proc=2)
     assert r["rows"] == 2 * (50 + 2)
+
+
+@pytest.mark.slow
+def test_cdf_planning_flat_at_depth(tmp_path, monkeypatch):
+    """r15 gate: CDF replace-batch planning opens exactly ONE manifest
+    per in-range commit at any log depth (extension-carried formats);
+    the assertions live inside run_cdf_planning — including the legacy
+    extension-less backfill still opening depth+1."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from stress_bloom_cdf import run_cdf_planning
+
+    r = run_cdf_planning(300)
+    assert r["modern_replace_opens"] == 1
+    assert r["legacy_replace_opens"] == 301

@@ -110,6 +110,15 @@ def run_bloom(n_files: int, per_file: int) -> dict:
 
 
 def run_cdf_planning(depth: int) -> dict:
+    """r15: CDF planning is O(range), not O(commits) — staged names
+    carry their format in the extension, so a replace batch's delete
+    partitions need NO backfill walk. Proven DETERMINISTICALLY by
+    counting manifest opens (monkeypatched ``_load``): a one-commit
+    replace batch opens exactly ONE manifest at ANY depth (the r14 code
+    opened depth+1 — the "fmt-map walk"). The legacy leg (extension-
+    less filenames, pre-sink logs) still pays the one-time backfill,
+    measured separately; wall-times ride along for BENCH_NOTES."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources import pysink
     from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
         ManifestLogStreamReader,
     )
@@ -117,41 +126,69 @@ def run_cdf_planning(depth: int) -> dict:
         DoubleType, LongType, StringType, StructField, StructType,
     )
 
-    d = os.path.join(_REPO, "_scratch", "stress_cdf_plan")
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    for v in range(1, depth + 1):
-        open(os.path.join(d, f"f{v:05d}.jsonl"), "w").close()
-        _commit(d, v, f"f{v:05d}.jsonl", {})
-    # one replace at the tip: its delete partitions need the fmt map
-    open(os.path.join(d, f"f{depth + 1:05d}.jsonl"), "w").close()
-    _commit(d, depth + 1, f"f{depth + 1:05d}.jsonl", {}, mode="replace",
-            removed=["f00001.jsonl"])
     schema = StructType([
         StructField("id", LongType()),
         StructField("_change_type", StringType()),
         StructField("_commit_version", LongType()),
         StructField("_commit_timestamp", DoubleType()),
     ])
-    reader = ManifestLogStreamReader(
-        {"path": d, "readchangefeed": "true"}, schema
-    )
-    t0 = time.perf_counter()
-    parts = list(reader.partitions({"v": depth}, {"v": depth + 1}))
-    plan_ms = (time.perf_counter() - t0) * 1e3
-    assert {(p.filename, p.change) for p in parts} == {
-        ("f00001.jsonl", "delete"), (f"f{depth + 1:05d}.jsonl", "insert"),
-    }
-    # an append-only batch at the same depth needs NO fmt map
-    t0 = time.perf_counter()
-    list(reader.partitions({"v": depth - 1}, {"v": depth}))
-    plan_append_ms = (time.perf_counter() - t0) * 1e3
-    shutil.rmtree(d, ignore_errors=True)
-    return {
-        "depth": depth,
-        "replace_plan_ms": round(plan_ms, 2),
-        "append_plan_ms": round(plan_append_ms, 2),
-    }
+    opens = {"n": 0}
+    real_load = pysink._load
+
+    def counting_load(path, name):
+        opens["n"] += 1
+        return real_load(path, name)
+
+    out = {"depth": depth}
+    for tag, ext in (("modern", ".jsonl"), ("legacy", "")):
+        d = os.path.join(_REPO, "_scratch", f"stress_cdf_plan_{tag}")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        for v in range(1, depth + 1):
+            open(os.path.join(d, f"f{v:05d}{ext}"), "w").close()
+            _commit(d, v, f"f{v:05d}{ext}", {})
+        open(os.path.join(d, f"f{depth + 1:05d}{ext}"), "w").close()
+        _commit(d, depth + 1, f"f{depth + 1:05d}{ext}", {}, mode="replace",
+                removed=[f"f00001{ext}"])
+        reader = ManifestLogStreamReader(
+            {"path": d, "readchangefeed": "true"}, schema
+        )
+        pysink._load = counting_load
+        try:
+            opens["n"] = 0
+            t0 = time.perf_counter()
+            parts = list(reader.partitions({"v": depth}, {"v": depth + 1}))
+            plan_ms = (time.perf_counter() - t0) * 1e3
+            replace_opens = opens["n"]
+            assert {(p.filename, p.change) for p in parts} == {
+                (f"f00001{ext}", "delete"),
+                (f"f{depth + 1:05d}{ext}", "insert"),
+            }
+            opens["n"] = 0
+            t0 = time.perf_counter()
+            list(reader.partitions({"v": depth - 1}, {"v": depth}))
+            plan_append_ms = (time.perf_counter() - t0) * 1e3
+            append_opens = opens["n"]
+        finally:
+            pysink._load = real_load
+        if tag == "modern":
+            # THE flatness proof: one in-range commit -> ONE manifest
+            # open, regardless of the log's depth (r14: depth+1 opens)
+            assert replace_opens == 1, (
+                f"modern CDF replace planning opened {replace_opens} "
+                f"manifests at depth {depth}; must be 1 (O(range))"
+            )
+            assert append_opens == 1
+        else:
+            assert replace_opens == depth + 1, (
+                "legacy backfill should open every commit below the "
+                f"replace once: {replace_opens} != {depth + 1}"
+            )
+        out[f"{tag}_replace_plan_ms"] = round(plan_ms, 2)
+        out[f"{tag}_replace_opens"] = replace_opens
+        out[f"{tag}_append_plan_ms"] = round(plan_append_ms, 2)
+        shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def main() -> None:
@@ -167,8 +204,11 @@ def main() -> None:
     )
     print(
         f"| CDF stream planning at depth {c['depth']} | replace batch "
-        f"{c['replace_plan_ms']} ms (fmt map walk, O(commits), feed-only) | "
-        f"append batch {c['append_plan_ms']} ms (no walk) |"
+        f"{c['modern_replace_plan_ms']} ms, {c['modern_replace_opens']} "
+        f"manifest open (O(range) — r14 opened depth+1) | append "
+        f"{c['modern_append_plan_ms']} ms | legacy extension-less backfill "
+        f"{c['legacy_replace_plan_ms']} ms, {c['legacy_replace_opens']} "
+        f"opens |"
     )
 
 

@@ -354,3 +354,91 @@ def test_partitioned_writer_rejects_non_columnar_format(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id long, p string")
     with pytest.raises(ValueError, match="parquet.*orc"):
         write_partitioned_parquet(df, str(tmp_path / "x"), ["p"], fmt="csv")
+
+
+def test_v2_stream_foreachbatch_per_file_micro_batches(spark, tmp_path):
+    """Unit net for the flagship_v2_stream_foreachbatch oracle row (r14's
+    one test-less addition): EP1's one-file-one-run fidelity as
+    Structured Streaming. Pins (a) N landed files -> N micro-batches
+    under maxFilesPerTrigger=1, (b) the coalescing guard fires when
+    files DO share a batch, and (c) the per-file micro-batched
+    transform_v2 equals batch transform_v2 run per file — fills
+    included (NULL tipo -> UNKNOWN, missing date -> 1970-01-01)."""
+    import glob as _glob
+
+    rows_by_setor = {
+        "ENERGY": [
+            ("ENERGY", "PETR4", "PETROBRAS", "PN", 1.0, 1.0, 100, "2024-01-01"),
+            ("ENERGY", "PETR4", "PETROBRAS", "PN", 2.0, 2.0, 300, "2024-01-02"),
+            ("ENERGY", "ELET3", "ELETROBRAS", None, None, None, None, None),
+        ],
+        "MINING": [
+            ("MINING", "VALE3", "VALE", "ON", 5.0, 5.0, 500, "2024-01-01"),
+        ],
+        "BANKS": [
+            ("BANKS", "ITUB4", "ITAU", "PN", 3.0, 3.0, 200, "2024-01-01"),
+            ("BANKS", "BBDC4", "BRADESCO", "PN", 4.0, 4.0, 250, "2024-01-01"),
+        ],
+    }
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for setor, rows in rows_by_setor.items():
+        df = spark.createDataFrame(rows, schema=B3_RAW_V2).coalesce(1)
+        staged = str(tmp_path / f"stage_{setor}")
+        df.write.parquet(staged)
+        (part,) = _glob.glob(os.path.join(staged, "*.parquet"))
+        os.rename(part, os.path.join(landing, f"{setor}.parquet"))
+
+    def run_stream(max_files: str | None, out: str, ck: str) -> list[int]:
+        epochs: list[int] = []
+
+        def sink(batch, epoch_id):
+            if batch.isEmpty():
+                return
+            epochs.append(epoch_id)
+            transform_v2(batch).write.mode("append").parquet(out)
+
+        reader = spark.readStream.schema(B3_RAW_V2)
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        (
+            reader.parquet(landing)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+        return epochs
+
+    # (a) per-file micro-batching: 3 files -> 3 non-empty batches
+    out1, ck1 = str(tmp_path / "out1"), str(tmp_path / "ck1")
+    epochs = run_stream("1", out1, ck1)
+    assert len(epochs) == len(rows_by_setor)
+    # (b) without the option files coalesce -> the fidelity guard fires
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    epochs2 = run_stream(None, out2, ck2)
+    assert len(epochs2) < len(rows_by_setor)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="micro-batch"):
+        if len(epochs2) != len(rows_by_setor):
+            raise ValueError(
+                f"per-file trigger fidelity broken: {len(rows_by_setor)} "
+                f"landed files ran as {len(epochs2)} micro-batches"
+            )
+    # (c) parity: per-file streaming == batch transform_v2 per file,
+    # fills included
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out1).collect()
+    )
+    want = []
+    for setor, rows in rows_by_setor.items():
+        df = spark.createDataFrame(rows, schema=B3_RAW_V2)
+        want.extend(tuple(r) for r in transform_v2(df).collect())
+    assert got == sorted(want)
+    filled = {
+        (r["nome_acao"], r["tipo"], r["data_pregao"])
+        for r in spark.read.parquet(out1).collect()
+    }
+    assert ("ELETROBRAS", "UNKNOWN", "1970-01-01") in filled

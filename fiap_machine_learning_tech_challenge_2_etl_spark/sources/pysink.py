@@ -814,19 +814,21 @@ class ManifestSinkWriter(DataSourceWriter):
             rf = json.loads(opts["replacedfiles"])
             if not isinstance(rf, list) or not all(isinstance(x, str) for x in rf):
                 raise ValueError("replacedFiles must be a JSON list of file names")
-            # entries are staged basenames, or ABSOLUTE references when
-            # replacing a shallow CLONE's external files; relative paths
-            # with separators (traversal) and log-file names stay refused
+            # entries are staged basenames, or ABSOLUTE / dst-RELATIVE
+            # references when replacing a shallow CLONE's external files
+            # (relative=True clones store "../src/f" refs); log-file
+            # names stay refused. replacedFiles only removes NAMES from
+            # metadata — it never unlinks anything — so a stray path is
+            # inert, not a traversal
             bad = [
                 x for x in rf
-                if (os.sep in x and not os.path.isabs(x))
-                or not os.path.basename(x)
+                if not os.path.basename(x)
                 or os.path.basename(x).startswith(("_", "."))
             ]
             if bad:
                 raise ValueError(
                     f"replacedFiles must name staged data files (basenames "
-                    f"or absolute clone references), got {bad}"
+                    f"or clone references), got {bad}"
                 )
             self.replaced_files = rf
         # r14 optimistic concurrency: .option("expectedVersion", k+1) claims
@@ -2917,6 +2919,7 @@ def clone_manifest_sink(
     version: int | None = None,
     timestamp=None,
     deep: bool = False,
+    relative: bool = False,
 ) -> dict:
     """CLONE (Delta's ``CREATE TABLE ... CLONE`` re-expressed from the
     log alone): publish a NEW one-commit log at ``dst`` whose base
@@ -2939,6 +2942,14 @@ def clone_manifest_sink(
     ``deep=True`` to copy the files into ``dst`` (O(data), driver-side
     file copies) for a fully independent table.
 
+    ``relative=True`` (r15, shallow only) stores the references
+    RELATIVE to the clone directory (``../src/part-...``) instead of
+    absolute — moving any common ancestor of source and clone (a
+    relocated data root, a renamed mount) keeps the clone readable,
+    where absolute refs dangle. The trade: the clone must keep its
+    position relative to the source; moving ONLY one of the two breaks
+    the refs either way.
+
     Refuses to clone into a directory that already holds a log (a clone
     CREATES a table), and refuses mixed-format source snapshots (same
     single-frame rule as every reader). Returns ``{"version",
@@ -2959,9 +2970,13 @@ def clone_manifest_sink(
             f"{dst} already holds a manifest log; clone creates a NEW "
             "table — point it at an empty directory"
         )
+    if relative and deep:
+        raise ValueError("relative=True is a shallow-clone option; a deep "
+                         "clone copies files and has no external references")
     fmt, schema = _pin_read_schema(state["metas"])
     os.makedirs(dst, exist_ok=True)
     src_abs = os.path.abspath(src)
+    dst_abs = os.path.abspath(dst)
     if deep:
         import shutil
 
@@ -2970,6 +2985,19 @@ def clone_manifest_sink(
             full = os.path.join(src_abs, f)
             entries.append(os.path.basename(f))
             shutil.copy2(full, os.path.join(dst, os.path.basename(f)))
+    elif relative:
+        # r15: store refs RELATIVE to the clone directory ("../src/f"),
+        # resolved by the same os.path.join every read already does —
+        # moving any common ancestor of src and dst (a relocated data
+        # root, a renamed mount) keeps the clone alive, where absolute
+        # refs break. Source entries that are themselves absolute (a
+        # clone of a clone) re-relativize against THIS dst.
+        entries = [
+            os.path.relpath(
+                f if os.path.isabs(f) else os.path.join(src_abs, f), dst_abs
+            )
+            for f in state["files"]
+        ]
     else:
         entries = [os.path.join(src_abs, f) for f in state["files"]]
     manifest = {
@@ -2982,7 +3010,7 @@ def clone_manifest_sink(
         "mode": "overwrite",
         "ts": time.time(),
         "cloned_from": {"path": src_abs, "version": state["version"],
-                        "deep": deep},
+                        "deep": deep, "relative": relative},
     }
     if schema is not None:
         manifest["schema_json"] = schema.json()
@@ -2990,10 +3018,14 @@ def clone_manifest_sink(
         # re-key the stats to the clone's entry names so pruning keeps
         # working against the cloned references
         old = state["file_stats"]
-        key_of = (
-            (lambda f: os.path.basename(f)) if deep
-            else (lambda f: os.path.join(src_abs, f))
-        )
+        if deep:
+            key_of = os.path.basename
+        elif relative:
+            key_of = lambda f: os.path.relpath(  # noqa: E731
+                f if os.path.isabs(f) else os.path.join(src_abs, f), dst_abs
+            )
+        else:
+            key_of = lambda f: os.path.join(src_abs, f)  # noqa: E731
         manifest["file_stats"] = {
             key_of(f): old[f] for f in state["files"] if f in old
         }

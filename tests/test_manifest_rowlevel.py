@@ -1599,3 +1599,47 @@ def test_cdf_planning_flat_at_depth(tmp_path, monkeypatch):
     r = run_cdf_planning(300)
     assert r["modern_replace_opens"] == 1
     assert r["legacy_replace_opens"] == 301
+
+
+# ------------------------------------------------- r15: relative CLONE
+def test_relative_clone_survives_moving_the_shared_root(spark, tmp_path):
+    """clone(relative=True) stores dst-relative refs ('../t/...'): moving
+    the COMMON root keeps the clone readable (absolute refs would
+    dangle); merges on the relative clone still copy-on-write locally."""
+    import shutil as _sh
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import clone_manifest_sink
+
+    root = tmp_path / "root"
+    d = str(root / "t")
+    c = str(root / "clones" / "c")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    clone_manifest_sink(d, c, relative=True)
+    st = pysink._resolve_state(c)
+    assert all(not os.path.isabs(f) and f.startswith("..") for f in st["files"])
+    # stats re-keyed to the relative names -> pruning works on the clone
+    kept, total = prune_manifest_files(c, {"id": (100, 200)})
+    assert kept == [] and total == 1
+    assert _ids(read_manifest_sink(spark, c)) == [0, 1, 2, 3, 4]
+    # move the shared root: the clone must still read
+    moved = str(tmp_path / "relocated")
+    _sh.move(str(root), moved)
+    c2 = os.path.join(moved, "clones", "c")
+    assert _ids(read_manifest_sink(spark, c2)) == [0, 1, 2, 3, 4]
+    # copy-on-write on the moved clone: merge replaces the relative ref
+    # with a dst-local staged file; the source is untouched
+    res = merge_into_manifest_sink(
+        spark, c2, spark.createDataFrame([(2,), (9,)], "id long"), ["id"]
+    )
+    assert res["rewritten_files"] and res["rewritten_files"][0].startswith("..")
+    assert _ids(read_manifest_sink(spark, c2)) == [0, 1, 2, 3, 4, 9]
+    assert _ids(read_manifest_sink(spark, os.path.join(moved, "t"))) == [
+        0, 1, 2, 3, 4,
+    ]
+    # the rewritten file is dst-LOCAL (a basename); untouched refs stay
+    # relative — the clone heals toward locality one copy-on-write at a time
+    st2 = pysink._resolve_state(c2)
+    assert any(os.sep not in f for f in st2["files"])
+    with pytest.raises(ValueError, match="shallow-clone option"):
+        clone_manifest_sink(c2, str(tmp_path / "x"), deep=True, relative=True)

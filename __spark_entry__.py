@@ -85,6 +85,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # every new query addition.
 _PRIORITY = (
     "manifest_column_mapping_roundtrip",
+    "manifest_partition_values_pruned_read",
     "manifest_sink_roundtrip",
     "manifest_sink_time_travel",
     "manifest_sink_parquet_roundtrip",
@@ -133,7 +134,6 @@ _PRIORITY = (
     "stream_tumbling_late_data_roundtrip",
     "orc_sink_roundtrip",
     "set_ops",
-    "rollup_agg",
 )
 
 

@@ -3087,6 +3087,87 @@ def q_manifest_column_mapping_roundtrip(
 
 
 @_register(
+    "manifest_partition_values_pruned_read",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE lang = (SELECT min(lang) FROM documents)
+GROUP BY lang
+""",
+)
+def q_manifest_partition_values_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-values tier in the manifest log (sources/pysink.py
+    ``option("partitionColumns", ...)`` — the Hive/Delta partition-
+    pruning idea carried in the LOG, no directory layout needed; the
+    reference's Glue partition registry is the catalog-level cousin,
+    SURVEY §2 G1-G7): ``documents`` lands one file per ``lang``, the
+    writer PROVING the one-value-per-file layout at stage time and
+    recording the exact value. Every file spans the full ``doc_id``
+    domain ON PURPOSE, so the min/max tier keeps everything (pinned
+    in-query: a doc_id range prunes nothing) while a ``lang`` point
+    predicate prunes to EXACTLY ONE file from metadata alone (pinned:
+    kept == 1 of n_langs, and the pruned read returns precisely that
+    partition's rows — superset contract end-to-end with the real
+    filter applied on top). The oracle computes the same
+    smallest-lang slice in SQL; the value hash proves the pruned read
+    lost and leaked nothing. At 100 TB ``WHERE date = X`` on a
+    date-partitioned table is a metadata operation — O(files-of-X)
+    scanned, not O(table) — independent of how wide each file's data
+    columns range."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        prune_manifest_files,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_partvals", sf_dir)
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    for lang in langs:  # one file per partition value, proven at staging
+        docs.filter(F.col("lang") == lang).repartition(1).write.format(
+            "manifestsink"
+        ).option("path", d).option("statsColumns", "doc_id").option(
+            "partitionColumns", "lang"
+        ).mode("append").save()
+    target = langs[0]
+    # the range tier alone CANNOT isolate one file on this layout: the
+    # interquartile doc_id span keeps several files (every lang spreads
+    # over the id domain), where the partition tier below keeps ONE
+    lo_hi = docs.agg(
+        F.expr("percentile(doc_id, 0.25)").alias("lo"),
+        F.expr("percentile(doc_id, 0.75)").alias("hi"),
+    ).collect()[0]
+    kept_range, total = prune_manifest_files(
+        d, {"doc_id": (int(lo_hi["lo"]), int(lo_hi["hi"]))}
+    )
+    if total != len(langs) or len(kept_range) < 2:
+        raise ValueError(
+            f"doc_id ranges should overlap across files: "
+            f"{len(kept_range)}/{total} kept"
+        )
+    # the partition tier prunes to exactly the holder
+    kept, _ = prune_manifest_files(d, {"lang": [(target, target)]})
+    if len(kept) != 1:
+        raise ValueError(
+            f"partition-value pruning kept {len(kept)} files for one lang"
+        )
+    back = read_manifest_sink(
+        spark, d, prune={"lang": [(target, target)]}
+    ).filter(F.col("lang") == target)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
     "manifest_clone_divergence",
     sql="""
 SELECT src, lang,

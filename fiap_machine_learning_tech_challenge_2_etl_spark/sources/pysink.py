@@ -314,12 +314,21 @@ def _bloom_maybe_contains(bloom: dict, key: bytes) -> bool:
 def _stat_bounds(entry) -> tuple:
     """Normalize a per-file per-column stats entry to ``(min, max,
     nulls, rows)`` with None for anything the entry doesn't record.
-    Two on-disk generations: the legacy ``[min, max]`` list (raw JSON
-    values, no null counts) and the r14 dict ``{"min", "max", "nulls",
-    "rows"}`` with tagged encoding and null/row counts."""
+    Three on-disk generations: the legacy ``[min, max]`` list (raw JSON
+    values, no null counts), the r14 dict ``{"min", "max", "nulls",
+    "rows"}`` with tagged encoding and null/row counts, and the r15
+    PARTITION-VALUE form ``{"pv": v, "rows": n}`` — the writer proved
+    every row of the file holds exactly the one non-null value ``v``
+    (Hive-style partition column), which normalizes to the EXACT bounds
+    ``(v, v, 0, rows)``: every consumer (range pruning, bloom-free
+    point pruning, retention full-drop proofs, merge conflict checks)
+    then prunes on an exact fact, not a min/max estimate."""
     if isinstance(entry, list):
         return _dec_stat(entry[0]), _dec_stat(entry[1]), None, None
     if isinstance(entry, dict):
+        if "pv" in entry:
+            v = _dec_stat(entry["pv"])
+            return v, v, 0, entry.get("rows")
         return (
             _dec_stat(entry.get("min")),
             _dec_stat(entry.get("max")),
@@ -798,6 +807,40 @@ class ManifestSinkWriter(DataSourceWriter):
                         "bloom skipping supports integer/string/boolean "
                         "columns (equality point lookups) only"
                     )
+        # r15 partition-values tier (Hive-style partition columns in
+        # the MANIFEST): .option("partitionColumns", "a,b") records, per
+        # staged file, the single EXACT value each named column holds —
+        # the writer PROVES the one-value-per-file layout during staging
+        # (a second distinct value raises: repartition by the partition
+        # columns first). Readers prune on an exact fact where min/max
+        # on data columns may be arbitrarily wide; an all-null column
+        # records the all-null form (Hive's default partition), prunable
+        # by IS [NOT] NULL.
+        self.partition_columns = [
+            c.strip()
+            for c in str(opts.get("partitioncolumns", "")).split(",")
+            if c.strip()
+        ]
+        if self.mapping:
+            _cm = self.mapping.get("cols", {})
+            self.partition_columns = [
+                _cm.get(c, c) for c in self.partition_columns
+            ]
+        unknown_p = [c for c in self.partition_columns if c not in self.fields]
+        if unknown_p:
+            raise ValueError(
+                f"partitionColumns {unknown_p} not in the write schema "
+                f"{self.fields}"
+            )
+        for f in schema.fields:
+            if f.name in self.partition_columns:
+                t = f.dataType.simpleString()
+                if not t.startswith(_STATS_OK_PREFIXES):
+                    raise ValueError(
+                        f"partitionColumns column {f.name!r} has type {t}: "
+                        "partition values support numeric/string/boolean/"
+                        "date/timestamp/decimal columns only"
+                    )
         # r14 copy-on-write: .option("replacedFiles", json.dumps([...]))
         # turns this append into a REPLACE commit — the manifest removes
         # exactly those files from the running snapshot before adding the
@@ -859,13 +902,44 @@ class ManifestSinkWriter(DataSourceWriter):
         nulls: dict[str, int] = {c: 0 for c in self.stats_columns}
         bl_vals: dict[str, set] = {c: set() for c in self.bloom_columns}
         bl_over: set[str] = set()
-        if self.stats_columns or self.bloom_columns:
+        pvals: dict[str, object] = {}
+        pnulls: dict[str, int] = {c: 0 for c in self.partition_columns}
+        if self.stats_columns or self.bloom_columns or self.partition_columns:
             idx = [self.fields.index(c) for c in self.stats_columns]
             bidx = [self.fields.index(c) for c in self.bloom_columns]
+            pidx = [self.fields.index(c) for c in self.partition_columns]
             inner = iterator
 
             def observing():
                 for row in inner:
+                    for c, i in zip(self.partition_columns, pidx):
+                        v = row[i]
+                        if v is None:
+                            if c in pvals:
+                                raise ValueError(
+                                    f"partitionColumns column {c!r} mixes "
+                                    "NULL and non-NULL rows in one staged "
+                                    "file — repartition by the partition "
+                                    "columns so each file holds one value"
+                                )
+                            pnulls[c] += 1
+                        else:
+                            if pnulls[c]:
+                                raise ValueError(
+                                    f"partitionColumns column {c!r} mixes "
+                                    "NULL and non-NULL rows in one staged "
+                                    "file — repartition by the partition "
+                                    "columns so each file holds one value"
+                                )
+                            if c in pvals and pvals[c] != v:
+                                raise ValueError(
+                                    f"partitionColumns column {c!r} holds "
+                                    f"two values ({pvals[c]!r}, {v!r}) in "
+                                    "one staged file — repartition by the "
+                                    "partition columns so each file holds "
+                                    "one value"
+                                )
+                            pvals[c] = v
                     for c, i in zip(self.stats_columns, idx):
                         v = row[i]
                         if v is None:
@@ -936,6 +1010,16 @@ class ManifestSinkWriter(DataSourceWriter):
                 continue
             stats = stats if stats is not None else {}
             stats.setdefault(c, {})["bloom"] = _bloom_build(bl_vals[c])
+        for c in self.partition_columns:
+            stats = stats if stats is not None else {}
+            if c in pvals:
+                # proven single non-null value: the EXACT tier ("pv"
+                # wins over any min/max recorded for the same column)
+                stats[c] = {"pv": _enc_stat(pvals[c]), "rows": n}
+            else:
+                # all rows null: Hive's default partition — the all-null
+                # stats form, prunable by IS [NOT] NULL
+                stats[c] = {"nulls": pnulls[c], "rows": n}
         return _StagedFile(name, n, stats)
 
     def _stage_jsonl(self, staged: str, iterator) -> int:

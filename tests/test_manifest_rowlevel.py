@@ -1643,3 +1643,86 @@ def test_relative_clone_survives_moving_the_shared_root(spark, tmp_path):
     assert any(os.sep not in f for f in st2["files"])
     with pytest.raises(ValueError, match="shallow-clone option"):
         clone_manifest_sink(c2, str(tmp_path / "x"), deep=True, relative=True)
+
+
+# -------------------------------------------- r15: partition-values tier
+def test_partition_values_exact_pruning(spark, tmp_path):
+    """partitionColumns records the ONE exact value per file: on a
+    layout where every file's doc-id range overlaps (range stats keep
+    all), a partition-key point predicate prunes to exactly the holder
+    — from metadata alone, superset contract intact."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    for i, lang in enumerate(("aa", "bb", "cc")):
+        # ids 0..9 in EVERY file: the range tier is useless by design
+        spark.createDataFrame(
+            [(j, lang) for j in range(10)], "id long, lang string"
+        ).coalesce(1).write.format("manifestsink").option("path", d).option(
+            "statsColumns", "id"
+        ).option("partitionColumns", "lang").mode("append").save()
+    st = pysink._resolve_state(d)
+    assert all("pv" in s["lang"] for s in st["file_stats"].values())
+    # id range keeps all three (overlapping ranges prove nothing)
+    kept, total = prune_manifest_files(d, {"id": (3, 5)})
+    assert total == 3 and len(kept) == 3
+    # the partition tier prunes to the exact holder
+    kept, _ = prune_manifest_files(d, {"lang": [("bb", "bb")]})
+    assert len(kept) == 1
+    kept, _ = prune_manifest_files(d, {"lang": [("zz", "zz")]})
+    assert kept == []
+    # combined: partition point + id range
+    kept, _ = prune_manifest_files(d, {"lang": [("cc", "cc")], "id": (3, 5)})
+    assert len(kept) == 1
+    # is_null prunes every file exactly (pv implies zero nulls)
+    kept, _ = prune_manifest_files(d, {"lang": "is_null"})
+    assert kept == []
+    # retention delete full-drops by the exact value, never opening it
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        delete_range_from_manifest_sink,
+    )
+
+    res = delete_range_from_manifest_sink(spark, d, "lang", lo="bb", hi="bb")
+    assert len(res["dropped_files"]) == 1 and res["scanned_files"] == 0
+    assert sorted({r.lang for r in read_manifest_sink(spark, d).collect()}) == [
+        "aa", "cc",
+    ]
+
+
+def test_partition_values_one_value_per_file_enforced(spark, tmp_path):
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    with pytest.raises(Exception, match="repartition by the partition"):
+        spark.createDataFrame(
+            [(1, "aa"), (2, "bb")], "id long, lang string"
+        ).coalesce(1).write.format("manifestsink").option("path", d).option(
+            "partitionColumns", "lang"
+        ).mode("append").save()
+    with pytest.raises(Exception, match="mixes"):
+        spark.createDataFrame(
+            [(1, "aa"), (2, None)], "id long, lang string"
+        ).coalesce(1).write.format("manifestsink").option(
+            "path", str(tmp_path / "t2")
+        ).option("partitionColumns", "lang").mode("append").save()
+
+
+def test_partition_values_null_default_partition(spark, tmp_path):
+    """An all-null partition column is Hive's default partition: the
+    file records the all-null form and IS [NOT] NULL prunes exactly."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.createDataFrame(
+        [(1, "aa"), (2, "aa")], "id long, lang string"
+    ).coalesce(1).write.format("manifestsink").option("path", d).option(
+        "partitionColumns", "lang"
+    ).mode("append").save()
+    spark.createDataFrame(
+        [(3, None), (4, None)], "id long, lang string"
+    ).coalesce(1).write.format("manifestsink").option("path", d).option(
+        "partitionColumns", "lang"
+    ).mode("append").save()
+    kept, total = prune_manifest_files(d, {"lang": "is_null"})
+    assert total == 2 and len(kept) == 1  # only the null file survives
+    kept, _ = prune_manifest_files(d, {"lang": "is_not_null"})
+    assert len(kept) == 1  # only the aa file
+    kept, _ = prune_manifest_files(d, {"lang": [("aa", "aa")]})
+    assert len(kept) == 1

@@ -86,6 +86,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = (
     "manifest_column_mapping_roundtrip",
     "manifest_partition_values_pruned_read",
+    "manifest_stream_merge_roundtrip",
+    "manifest_describe_detail_report",
     "manifest_sink_roundtrip",
     "manifest_sink_time_travel",
     "manifest_sink_parquet_roundtrip",
@@ -132,8 +134,6 @@ _PRIORITY = (
     "stream_upsert_cdc_roundtrip",
     "stream_session_window_roundtrip",
     "stream_tumbling_late_data_roundtrip",
-    "orc_sink_roundtrip",
-    "set_ops",
 )
 
 

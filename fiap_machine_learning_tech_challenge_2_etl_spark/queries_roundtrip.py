@@ -3168,6 +3168,224 @@ def q_manifest_partition_values_pruned_read(
 
 
 @_register(
+    "manifest_stream_merge_roundtrip",
+    sql="""
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id // w.w = 0 THEN n_chars + 1000000
+         WHEN doc_id // w.w = 1 THEN n_chars + 2000000
+         WHEN doc_id // w.w = 2 THEN n_chars + 3000000
+         ELSE n_chars END AS n_chars
+  FROM documents,
+       (SELECT LEAST(100, count(*) // 4) AS w FROM documents) w
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(2000000000 AS BIGINT), 'zz', CAST(1000 AS BIGINT)),
+    (CAST(2000000001 AS BIGINT), 'zz', CAST(1001 AS BIGINT)),
+    (CAST(2000000002 AS BIGINT), 'zz', CAST(1002 AS BIGINT)))
+)
+GROUP BY lang
+""",
+)
+def q_manifest_stream_merge_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming MERGE end-to-end — the CDC-ingest-to-lakehouse loop
+    every real pipeline runs (Delta's foreachBatch-merge pattern,
+    composing r15's transparent conflict retry): a landing zone of
+    keyed-update files is tailed with ``maxFilesPerTrigger=1`` +
+    availableNow, and each micro-batch is MERGEd into a range-clustered
+    manifest table (``merge_into_manifest_sink`` inside
+    ``foreachBatch``) — batch k updates the ``doc_id % 7 == k`` slice
+    and inserts one fresh key, so every merge exercises both arms
+    (update + insert).
+    Pins, in-query: (1) each landed file ran as its OWN merge commit
+    (len(versions) == n_files, versions strictly increasing); (2)
+    crash→restart replay is IDEMPOTENT — re-merging the LAST batch's
+    file verbatim (what a restarted stream would do after a crash
+    between merge and offset commit) leaves the one-row table aggregate
+    bit-identical; (3) each merge is exactly ONE consecutively-claimed
+    commit that PRUNED (candidates < total — each batch's contiguous
+    ≤100-key slice keeps the merge in exact point-predicate mode, so a
+    streamed CDC merge costs O(files-holding-its-keys) at every scale;
+    the full-width arm lives in manifest_merge_upsert_roundtrip). The
+    oracle replays the final state in SQL —
+    the update slices are disjoint so replay order is irrelevant — and
+    the value hash proves the streamed merges equal the set-based
+    truth. At 100 TB each micro-batch merge costs O(files holding its
+    keys), and a lost CAS to a concurrent writer re-claims
+    transparently instead of crashing the stream."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        merge_into_manifest_sink,
+        read_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    base = _scratch("manifest_stream_merge", sf_dir)
+    d = os.path.join(base, "table")
+    landing = os.path.join(base, "landing")
+    ck = os.path.join(base, "ckpt")
+    docs.repartitionByRange(4, "doc_id").write.format("manifestsink").option(
+        "path", d
+    ).option("statsColumns", "doc_id").option("format", "parquet").mode(
+        "append"
+    ).save()
+    os.makedirs(landing, exist_ok=True)
+    # contiguous <=100-key slices (count-relative at tiny SFs): each
+    # batch stays in the merge's EXACT point-predicate mode at every
+    # scale, so pruning is outlier-immune and candidates < total is a
+    # stable pin (the full-width arm is manifest_merge_upsert_roundtrip).
+    # All three batch files land in ONE partitioned write job
+    # (partitionBy strips the batch key from the data files), then
+    # driver-side renames flatten them into the landing zone — the same
+    # one-job landing trick as flagship_v2_stream_foreachbatch.
+    w = min(100, docs.count() // 4)
+    batches = [
+        docs.filter(
+            (F.col("doc_id") >= k * w) & (F.col("doc_id") < (k + 1) * w)
+        )
+        .withColumn(
+            "n_chars", (F.col("n_chars") + 1000000 * (k + 1)).cast("long")
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(2000000000 + k, "zz", 1000 + k)],
+                "doc_id long, lang string, n_chars long",
+            )
+        )
+        .withColumn("batch", F.lit(k))
+        for k in range(3)
+    ]
+    allupd = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    staging = os.path.join(base, "staging")
+    allupd.repartition(F.col("batch")).write.partitionBy("batch").parquet(
+        staging
+    )
+    for k in range(3):
+        (part,) = glob(os.path.join(staging, f"batch={k}", "*.parquet"))
+        os.rename(part, os.path.join(landing, f"updates-{k:03d}.parquet"))
+    merges: list[dict] = []
+
+    def sink(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        merges.append(merge_into_manifest_sink(spark, d, batch, ["doc_id"]))
+
+    (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    if len(merges) != 3:
+        raise ValueError(f"3 landed files ran as {len(merges)} merge batches")
+    versions = [m["version"] for m in merges]
+    # each micro-batch = exactly ONE commit, consecutively claimed (a
+    # transparent re-claim never double-commits); the %7 slices span
+    # every range file by design, so the full-width case is exercised
+    # here and the pruning pin lives in manifest_merge_upsert_roundtrip
+    if versions != list(range(versions[0], versions[0] + 3)):
+        raise ValueError(f"merge commits not consecutive: {versions}")
+    if any(m["candidate_files"] >= m["total_files"] for m in merges):
+        raise ValueError(
+            f"a range-local merge pruned nothing on the clustered layout: "
+            f"{merges}"
+        )
+    back = read_manifest_sink(spark, d)
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("si"),
+        F.sum("n_chars").cast("long").alias("sc"),
+    ]
+    before = back.agg(*agg_cols).collect()
+    # crash→restart replay: the engine re-runs the LAST micro-batch when
+    # it crashed between the merge and the offset commit — re-merging
+    # the same updates must be a no-op on the table's CONTENT
+    replay = spark.read.parquet(os.path.join(landing, "updates-002.parquet"))
+    merge_into_manifest_sink(spark, d, replay, ["doc_id"])
+    after = read_manifest_sink(spark, d).agg(*agg_cols).collect()
+    if before != after:
+        raise ValueError(
+            f"replaying the last merge batch changed the table: "
+            f"{before} -> {after}"
+        )
+    return read_manifest_sink(spark, d).groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+@_register(
+    "manifest_describe_detail_report",
+    sql="""
+SELECT CAST(4 AS BIGINT) AS version,
+  3 AS n_files,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  'doc_id,lang,char_count' AS columns_csv,
+  'char_count,doc_id' AS stats_columns_csv,
+  'lang' AS partition_columns_csv,
+  1 AS n_renamed_columns,
+  CAST(count(DISTINCT lang) + 1 AS BIGINT) AS n_commits
+FROM documents
+WHERE lang IN (SELECT lang FROM documents GROUP BY lang ORDER BY lang LIMIT 3)
+""",
+)
+def q_manifest_describe_detail_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE DETAIL (sources/pysink.py describe_manifest_detail —
+    Delta's one-row table summary): the three smallest ``lang``
+    partitions of ``documents`` land one file each (partition values +
+    doc_id/n_chars stats recorded), ``n_chars`` is renamed to
+    ``char_count``, and the detail row must report the resolved truth:
+    version, file count, TOTAL ROWS summed from per-file stats row
+    counts (the oracle recomputes it from the source — proving the
+    metadata row count equals the data), the LOGICAL column list and
+    tier coverage under post-rename names, and the mapping counts.
+    Location/size/checkpoint columns are projected away (machine-local
+    by nature); everything kept is a pure function of the data and the
+    op sequence. Metadata-class: the detail never opens a data file."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        ManifestSinkDataSource,
+        describe_manifest_detail,
+        rename_column_manifest_sink,
+    )
+
+    spark.dataSource.register(ManifestSinkDataSource)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    d = _scratch("manifest_detail", sf_dir)
+    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())[:3]
+    for lang in langs:
+        docs.filter(F.col("lang") == lang).repartition(1).write.format(
+            "manifestsink"
+        ).option("path", d).option("statsColumns", "doc_id,n_chars").option(
+            "partitionColumns", "lang"
+        ).mode("append").save()
+    rename_column_manifest_sink(d, "n_chars", "char_count")
+    return describe_manifest_detail(spark, d).select(
+        "version",
+        "n_files",
+        "n_rows",
+        "columns_csv",
+        "stats_columns_csv",
+        "partition_columns_csv",
+        "n_renamed_columns",
+        F.col("n_commits").cast("long").alias("n_commits"),
+    )
+
+
+@_register(
     "manifest_clone_divergence",
     sql="""
 SELECT src, lang,

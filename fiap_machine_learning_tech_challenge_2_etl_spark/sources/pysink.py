@@ -3241,6 +3241,91 @@ def manifest_changes(
     )
 
 
+def describe_manifest_detail(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE DETAIL for the manifest log (Delta's one-row table
+    summary, rounding out the maintenance console next to DESCRIBE
+    HISTORY): resolve the CURRENT snapshot and report — version,
+    format, file count, total rows (summed from per-file stats row
+    counts; NULL when any live file predates row counts — honest,
+    never a partial sum), total size in bytes (os.stat over the live
+    files — metadata-class, no file opened), the logical column list,
+    which columns carry min/max stats / blooms / exact partition
+    values, the newest surviving checkpoint version (NULL if none), the
+    column-mapping state (renamed/dropped counts), and the count of
+    surviving commits. One driver pass over the resolved state plus one
+    stat() per live file; nothing is scanned."""
+    state = _resolve_state(path)
+    if state["kind"] is None:
+        raise ValueError(f"no manifest log under {path}")
+    mapping = state.get("mapping")
+    fmt, lschema = _snapshot_logical_schema(state["metas"], mapping)
+    cols_csv = ",".join(lschema.fieldNames()) if lschema is not None else None
+    fstats = state.get("file_stats", {})
+    # physical->logical for reporting which LOGICAL columns are covered
+    inv = {}
+    if mapping:
+        inv = {p: l for l, p in _mapping_parts(mapping)[0].items()}
+    stats_cols: set[str] = set()
+    bloom_cols: set[str] = set()
+    pv_cols: set[str] = set()
+    n_rows_total: int | None = 0
+    for f in state["files"]:
+        st = fstats.get(f) or {}
+        rows_here = None
+        for c, entry in st.items():
+            logical = inv.get(c, c)
+            if isinstance(entry, dict):
+                if "pv" in entry:
+                    pv_cols.add(logical)
+                if "min" in entry or "max" in entry:
+                    stats_cols.add(logical)
+                if "bloom" in entry:
+                    bloom_cols.add(logical)
+                if entry.get("rows") is not None:
+                    rows_here = entry["rows"]
+            elif isinstance(entry, list):
+                stats_cols.add(logical)
+        if n_rows_total is not None:
+            n_rows_total = (
+                n_rows_total + rows_here if rows_here is not None else None
+            )
+    size = 0
+    for f in state["files"]:
+        try:
+            size += os.stat(os.path.join(path, f)).st_size
+        except FileNotFoundError:
+            pass  # a reclaimed shallow-clone ref: size is best-effort
+    _kind, commits, ckpts = _scan_names(path)
+    renamed = len(_mapping_parts(mapping)[0]) if mapping else 0
+    dropped = len(_mapping_parts(mapping)[1]) if mapping else 0
+    row = (
+        os.path.abspath(path),
+        int(state["version"]),
+        fmt,
+        len(state["files"]),
+        n_rows_total,
+        int(size),
+        cols_csv,
+        ",".join(sorted(stats_cols)) or None,
+        ",".join(sorted(bloom_cols)) or None,
+        ",".join(sorted(pv_cols)) or None,
+        (max(v for v, _n in ckpts) if ckpts else None),
+        renamed,
+        dropped,
+        len(commits),
+    )
+    return spark.createDataFrame(
+        [row],
+        schema=(
+            "location string, version long, format string, n_files int, "
+            "n_rows long, size_bytes long, columns_csv string, "
+            "stats_columns_csv string, bloom_columns_csv string, "
+            "partition_columns_csv string, checkpoint_version long, "
+            "n_renamed_columns int, n_dropped_columns int, n_commits int"
+        ),
+    )
+
+
 def manifest_history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY for the manifest log (Delta's operation-audit
     idea): one row per surviving commit — version, writer family, mode

@@ -1726,3 +1726,91 @@ def test_partition_values_null_default_partition(spark, tmp_path):
     assert len(kept) == 1  # only the aa file
     kept, _ = prune_manifest_files(d, {"lang": [("aa", "aa")]})
     assert len(kept) == 1
+
+
+# ------------------------------------------------ r15: DESCRIBE DETAIL
+def test_describe_manifest_detail(spark, tmp_path):
+    """One-row table summary pinned against the resolved state: counts,
+    rows from per-file stats, real byte size, tier coverage, checkpoint
+    version, mapping counts."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        describe_manifest_detail,
+        rename_column_manifest_sink,
+    )
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id", bloomFilterColumns="id",
+           checkpointInterval="2")
+    _write(spark, d, 5, 9, statsColumns="id", checkpointInterval="2")
+    rename_column_manifest_sink(d, "id", "doc")
+    det = describe_manifest_detail(spark, d).collect()[0]
+    assert det.version == 3 and det.n_files == 2 and det.n_commits == 3
+    assert det.n_rows == 9
+    assert det.columns_csv == "doc"
+    assert det.stats_columns_csv == "doc"  # reported under the LOGICAL name
+    assert det.bloom_columns_csv == "doc"
+    assert det.partition_columns_csv is None
+    assert det.checkpoint_version == 2
+    assert det.n_renamed_columns == 1 and det.n_dropped_columns == 0
+    assert det.size_bytes == sum(
+        os.path.getsize(os.path.join(d, f))
+        for f in os.listdir(d) if f.endswith(".jsonl")
+    ) and det.size_bytes > 0
+    assert det.format == "jsonl"
+    # a stats-less table reports honest NULL rows, zero tier coverage
+    d2 = str(tmp_path / "t2")
+    _write(spark, d2, 0, 3)
+    det2 = describe_manifest_detail(spark, d2).collect()[0]
+    assert det2.n_rows is None and det2.stats_columns_csv is None
+    assert det2.checkpoint_version is None
+    with pytest.raises(ValueError, match="no manifest log"):
+        describe_manifest_detail(spark, str(tmp_path / "nope"))
+
+
+def test_stream_merge_foreachbatch_unit(spark, tmp_path):
+    """Unit net for manifest_stream_merge_roundtrip: per-file merge
+    micro-batches upsert into the table in order, and replaying the
+    last batch (crash between merge and offset commit) is a content
+    no-op."""
+    import glob as _glob
+
+    d = str(tmp_path / "table")
+    landing = str(tmp_path / "landing")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 6, statsColumns="id")
+    os.makedirs(landing)
+    for k in range(2):
+        staged = str(tmp_path / f"s{k}")
+        spark.createDataFrame(
+            [(k, ), (10 + k,)], "id long"
+        ).coalesce(1).write.parquet(staged)
+        (part,) = _glob.glob(os.path.join(staged, "*.parquet"))
+        os.rename(part, os.path.join(landing, f"u{k}.parquet"))
+    merges = []
+
+    def sink(batch, epoch_id):
+        if batch.isEmpty():
+            return
+        merges.append(merge_into_manifest_sink(spark, d, batch, ["id"]))
+
+    (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert len(merges) == 2
+    assert [m["version"] for m in merges] == [2, 3]
+    want = [0, 1, 2, 3, 4, 5, 10, 11]
+    assert _ids(read_manifest_sink(spark, d)) == want
+    # crash replay of the last batch: content no-op, one more version
+    merge_into_manifest_sink(
+        spark, d, spark.read.parquet(os.path.join(landing, "u1.parquet")),
+        ["id"],
+    )
+    assert _ids(read_manifest_sink(spark, d)) == want

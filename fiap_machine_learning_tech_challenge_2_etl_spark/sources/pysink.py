@@ -1378,6 +1378,17 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         self.schema = schema
         self.fields = schema.fieldNames()
         self.types = [f.dataType.simpleString() for f in schema.fields]
+        # column mapping, PINNED for the stream's lifetime: files carry
+        # immutable physical names; every read projects physical ->
+        # logical through this map (identity for unmapped columns, so
+        # unmapped tables and explicit .schema(...) readers cost nothing)
+        try:
+            _m = _resolve_state(path, with_stats=False).get("mapping")
+        except Exception:
+            _m = None
+        self.phys_of: dict[str, str] = {}
+        if _m:
+            self.phys_of = dict(_mapping_parts(_m)[0])
         self.skip_bases = str(opts.get("skipbases", "false")).lower() == "true"
         self.starting_version = (
             int(opts["startingversion"]) if "startingversion" in opts else None
@@ -1588,8 +1599,28 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         if partition.fmt == "parquet":
             import pyarrow as pa
             import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
 
-            table = pq.read_table(full, columns=self.data_fields)
+            aschema = to_arrow_schema(self.schema)
+            phys_of = self.phys_of
+            want = [(f, phys_of.get(f, f)) for f in self.data_fields]
+            avail = set(pq.ParquetFile(full).schema_arrow.names)
+            table = pq.read_table(
+                full, columns=[p for _f, p in want if p in avail]
+            )
+            # project to the LOGICAL field list: rename mapped physicals,
+            # null-fill columns this file predates (additive evolution —
+            # an old file simply lacks a later column)
+            table = pa.table(
+                {
+                    f: (
+                        table.column(p)
+                        if p in avail
+                        else pa.nulls(table.num_rows, type=aschema.field(f).type)
+                    )
+                    for f, p in want
+                }
+            )
             if self.cdf:
                 # the feed columns are per-PARTITION constants — append
                 # them columnar-side, then restore the schema's order
@@ -1606,9 +1637,7 @@ class ManifestLogStreamReader(DataSourceStreamReader):
                 # derives from the read schema (zero-copy when already
                 # equal — the staged footer was written from the same
                 # Spark schema) and hand over whole RecordBatches
-                from pyspark.sql.pandas.types import to_arrow_schema
-
-                yield from table.cast(to_arrow_schema(self.schema)).to_batches()
+                yield from table.cast(aschema).to_batches()
                 return
             for row in table.to_pylist():
                 yield tuple(row[f] for f in self.fields)
@@ -1621,11 +1650,16 @@ class ManifestLogStreamReader(DataSourceStreamReader):
                 casts.append(lambda x: None if x is None else float(x))
             else:
                 casts.append(lambda x: x)
+        phys_of = self.phys_of
         with open(full) as f:
             for line in f:
                 rec = json.loads(line)
                 yield tuple(
-                    c(cdf_vals[k] if k in _CDF_COLS else rec.get(k))
+                    c(
+                        cdf_vals[k]
+                        if k in _CDF_COLS
+                        else rec.get(phys_of.get(k, k))
+                    )
                     for k, c in zip(self.fields, casts)
                 )
 
@@ -1651,17 +1685,16 @@ class ManifestLogDataSource(DataSource):
         if not path:
             raise ValueError("manifestlog requires .option('path', ...)")
         state = _resolve_state(path, with_stats=False)
-        if state.get("mapping"):
-            raise ValueError(
-                f"the log under {path} carries a column mapping (RENAME/"
-                "DROP COLUMN history); streaming over a mapped table is "
-                "not supported — batch-read it, or OPTIMIZE to materialize "
-                "the mapping first (Delta requires schemaTrackingLocation "
-                "for the same reason)"
-            )
         if not state["metas"]:
             raise ValueError(f"no committed manifest files under {path}")
-        _fmt, schema = _pin_read_schema(state["metas"])
+        # column-mapped tables stream under their LOGICAL schema: the
+        # mapping is PINNED at stream construction and physical names
+        # are immutable, so a mid-stream RENAME cannot shift what any
+        # file read returns (Delta needs schemaTrackingLocation because
+        # its readers re-derive schema per batch; ours never does)
+        _fmt, schema = _snapshot_logical_schema(
+            state["metas"], state.get("mapping")
+        )
         if schema is None:
             raise ValueError(
                 f"the log under {path} predates recorded schemas (legacy "

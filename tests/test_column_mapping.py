@@ -252,21 +252,68 @@ def test_checkpoint_carries_mapping(spark, tmp_path):
     assert len(got.collect()) == 5
 
 
-def test_streaming_refuses_mapped_table(spark, tmp_path):
+def test_streaming_mapped_table_logical_view(spark, tmp_path):
+    """Streaming over a column-mapped table (r15): the log source serves
+    the LOGICAL schema, pinned at stream construction — files staged
+    before AND after the rename emit under the logical names (physical
+    names are immutable, so no schemaTrackingLocation analogue is
+    needed), and a mid-stream rename cannot shift what a running
+    reader's file reads return."""
+    from tests.test_manifest_log_v2 import _tail_once
+
     d = str(tmp_path / "t")
     spark.dataSource.register(ManifestSinkDataSource)
-    _write_df(spark, d, [(1, 1.0)], "id long, val double")
-    rename_column_manifest_sink(d, "val", "x")
-    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import ManifestLogDataSource
+    _write_df(spark, d, [(1, 10.0)], "id long, val double")        # era 1
+    rename_column_manifest_sink(d, "val", "amount")
+    _write_df(spark, d, [(2, 20.0)], "id long, amount double")     # era 2
+    out, ck = str(tmp_path / "o"), str(tmp_path / "c")
+    _tail_once(spark, d, out, ck)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "amount"}
+    assert sorted((r.id, r.amount) for r in got.collect()) == [
+        (1, 10.0), (2, 20.0),
+    ]
+    # incremental continuation across ANOTHER rename: the new batch's
+    # rows arrive under the checkpointed stream's pinned logical view
+    rename_column_manifest_sink(d, "amount", "money")
+    _write_df(spark, d, [(3, 30.0)], "id long, money double")
+    _tail_once(spark, d, out, ck)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "amount"}
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
 
-    spark.dataSource.register(ManifestLogDataSource)
-    with pytest.raises(Exception, match="column mapping"):
-        (
-            spark.readStream.format("manifestlog").option("path", d).load()
-            .writeStream.format("noop")
-            .option("checkpointLocation", str(tmp_path / "ck"))
-            .trigger(availableNow=True).start().awaitTermination()
-        )
+
+def test_streaming_mapped_table_parquet_cdf_and_drop(spark, tmp_path):
+    """Parquet staging + CDF over a mapped table with a DROPPED column:
+    both wire formats agree, the dropped column is absent, and era-1
+    files (which physically still hold it) project it away."""
+    from tests.test_manifest_log_v2 import _tail_once
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write_df(spark, d, [(1, 10.0, "x")], "id long, val double, junk string",
+              format="parquet")
+    rename_column_manifest_sink(d, "val", "amount")
+    drop_column_manifest_sink(d, "junk")
+    _write_df(spark, d, [(2, 20.0)], "id long, amount double",
+              format="parquet")
+    outs = []
+    for tag, arrow in (("a", "true"), ("b", "false")):
+        out, ck = str(tmp_path / f"o{tag}"), str(tmp_path / f"c{tag}")
+        _tail_once(spark, d, out, ck, readChangeFeed="true", arrow=arrow)
+        df = spark.read.parquet(out)
+        assert set(df.columns) == {
+            "id", "amount", "_change_type", "_commit_version",
+            "_commit_timestamp",
+        }
+        outs.append(sorted(
+            (r.id, r.amount, r._change_type, r._commit_version)
+            for r in df.collect()
+        ))
+    assert outs[0] == outs[1]
+    assert [(i, a, c) for i, a, c, _v in outs[0]] == [
+        (1, 10.0, "insert"), (2, 20.0, "insert"),
+    ]
 
 
 def test_history_and_cdf_across_rename(spark, tmp_path):

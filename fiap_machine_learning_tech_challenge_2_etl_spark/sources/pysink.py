@@ -258,6 +258,22 @@ _BLOOM_K = 7
 _BLOOM_MAX_DISTINCT = 65536
 
 
+def _bloom_key_variants(v) -> list[bytes]:
+    """All on-disk encodings a stored-equal value may have been hashed
+    under: the canonical key plus the legacy ``b:`` bool tag (pre-r15
+    blooms over boolean columns used it; r15 canonicalized bool into the
+    int encoding). Probing every variant can only KEEP extra files —
+    the superset contract absorbs it — while probing only the new form
+    would silently false-negative-prune files written by older code."""
+    k = _bloom_key(v)
+    if k is None:
+        return []
+    out = [k]
+    if (isinstance(v, bool) or (isinstance(v, int) and v in (0, 1))):
+        out.append(b"b:1" if v else b"b:0")
+    return out
+
+
 def _bloom_key(v) -> bytes | None:
     """Canonical hash input for a bloom value — the write side and the
     predicate side must agree byte-for-byte, so only types with one
@@ -681,11 +697,23 @@ def _resolve_state(
             except ImportError:
                 continue
             break
-        if usable and ck is None and commits and commits[0][0] > 1:
+        if (
+            usable
+            and ck is None
+            and commits
+            and commits[0][0] > 1
+            and _load(path, commits[0][1]).get("mode") != "overwrite"
+        ):
+            # expire only ever floors the log on an overwrite BASE, so a
+            # base-first log replays correctly without any checkpoint;
+            # raise only when the surviving prefix is truly deltas-on-
+            # expired-history (should be unreachable via expire, but a
+            # hand-damaged log must fail loudly, not resolve wrong)
             raise RuntimeError(
                 f"{path}: only parquet checkpoints survive but pyarrow is "
-                "not importable, and the commit prefix below them has been "
-                "expired — this snapshot cannot be resolved without pyarrow"
+                "not importable, and the surviving commits are deltas on "
+                "expired history — this snapshot cannot be resolved "
+                "without pyarrow"
             )
         if ck is not None:
             files = list(ck["files"])
@@ -766,7 +794,7 @@ class ManifestSinkWriter(DataSourceWriter):
         # validate stats types UP FRONT (init runs before any task stages
         # anything): a stats value json.dump can't carry would otherwise
         # fail the job at commit(), after all the work ran
-        for f in schema.fields:
+        for f in self.schema.fields:
             if f.name in self.stats_columns:
                 t = f.dataType.simpleString()
                 if not t.startswith(_STATS_OK_PREFIXES):
@@ -797,7 +825,7 @@ class ManifestSinkWriter(DataSourceWriter):
                 f"bloomFilterColumns {unknown_b} not in the write schema "
                 f"{self.fields}"
             )
-        for f in schema.fields:
+        for f in self.schema.fields:
             if f.name in self.bloom_columns:
                 t = f.dataType.simpleString()
                 if t not in ("bigint", "int", "smallint", "tinyint",
@@ -832,7 +860,7 @@ class ManifestSinkWriter(DataSourceWriter):
                 f"partitionColumns {unknown_p} not in the write schema "
                 f"{self.fields}"
             )
-        for f in schema.fields:
+        for f in self.schema.fields:
             if f.name in self.partition_columns:
                 t = f.dataType.simpleString()
                 if not t.startswith(_STATS_OK_PREFIXES):
@@ -1382,10 +1410,7 @@ class ManifestLogStreamReader(DataSourceStreamReader):
         # immutable physical names; every read projects physical ->
         # logical through this map (identity for unmapped columns, so
         # unmapped tables and explicit .schema(...) readers cost nothing)
-        try:
-            _m = _resolve_state(path, with_stats=False).get("mapping")
-        except Exception:
-            _m = None
+        _m = _resolve_state(path, with_stats=False).get("mapping")
         self.phys_of: dict[str, str] = {}
         if _m:
             self.phys_of = dict(_mapping_parts(_m)[0])
@@ -1823,13 +1848,19 @@ def _entry_proves_miss(entry, ranges) -> bool:
     if not miss and isinstance(entry, dict):
         bloom = entry.get("bloom")
         if bloom is not None:
-            keys = [
-                _bloom_key(lo)
+            key_sets = [
+                _bloom_key_variants(lo)
                 for lo, hi in ranges
                 if lo is not None and lo == hi
             ]
-            if len(keys) == len(ranges) and all(k is not None for k in keys):
-                miss = not any(_bloom_maybe_contains(bloom, k) for k in keys)
+            if len(key_sets) == len(ranges) and all(key_sets):
+                # a point is maybe-present if ANY of its on-disk key
+                # variants hits (legacy b: blooms included)
+                miss = not any(
+                    _bloom_maybe_contains(bloom, k)
+                    for ks in key_sets
+                    for k in ks
+                )
     return miss
 
 
@@ -2156,6 +2187,13 @@ def _snapshot_for_rmw(path: str) -> tuple[dict, str, StructType, list[str]]:
             "(optimize after one schema-recording commit) before MERGE/DELETE"
         )
     stats_cols = sorted({c for st in state["file_stats"].values() for c in st})
+    if state.get("mapping"):
+        # a DROPPED column's physical stats keys linger in old files'
+        # entries; re-recording them would name a column the rewrite's
+        # physical schema no longer carries (writer init would refuse —
+        # every merge/delete on the table would fail until OPTIMIZE)
+        _dropped = set(_mapping_parts(state["mapping"])[1])
+        stats_cols = [c for c in stats_cols if c not in _dropped]
     return state, fmt, schema, stats_cols
 
 
@@ -3146,13 +3184,24 @@ def clone_manifest_sink(
         manifest["file_stats"] = {
             key_of(f): old[f] for f in state["files"] if f in old
         }
+    wrote_marker = False
     if state.get("mapping"):
         manifest["column_mapping"] = state["mapping"]
         with open(os.path.join(dst, _COLMAP_MARKER), "w") as f:
             f.write("1")
+        wrote_marker = True
     try:
         _publish_exclusive(dst, f"{_V_PREFIX}{1:08d}", manifest)
     except FileExistsError:
+        if wrote_marker and _resolve_state(dst).get("mapping") is None:
+            # lost the creation race to a winner WITHOUT a mapping: our
+            # advisory marker would tax every future append with a log
+            # resolve for nothing — clean it up (the marker is purely
+            # advisory, so removing it from an unmapped table is safe)
+            try:
+                os.remove(os.path.join(dst, _COLMAP_MARKER))
+            except FileNotFoundError:
+                pass
         raise ConcurrentManifestWriteError(
             f"version 1 in {dst} was claimed by a concurrent writer while "
             "cloning; clone into a fresh directory"

@@ -1814,3 +1814,117 @@ def test_stream_merge_foreachbatch_unit(spark, tmp_path):
         ["id"],
     )
     assert _ids(read_manifest_sink(spark, d)) == want
+
+
+# --------------------------------------------- r15: self-review fixes
+def test_merge_after_drop_of_stats_column(spark, tmp_path):
+    """A DROPPED column's physical stats keys linger in old files'
+    entries; RMW rewrites must not try to re-record them (writer init
+    would refuse the unknown column and every merge/delete would fail
+    until OPTIMIZE)."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        drop_column_manifest_sink,
+    )
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], "id long, n long, s string"
+    ).repartition(1).write.format("manifestsink").option("path", d).option(
+        "statsColumns", "id,n"
+    ).mode("append").save()
+    drop_column_manifest_sink(d, "n")
+    res = merge_into_manifest_sink(
+        spark, d,
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, s string"),
+        ["id"],
+    )
+    assert res["rewritten_files"]
+    got = sorted((r.id, r.s) for r in read_manifest_sink(spark, d).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
+    delete_from_manifest_sink(spark, d, "id = 1")
+    assert sorted(r.id for r in read_manifest_sink(spark, d).collect()) == [2, 3]
+
+
+def test_legacy_bool_bloom_keys_still_probed(spark, tmp_path):
+    """Pre-r15 blooms over boolean columns hashed b:1/b:0; the r15
+    canonicalization (bool -> int encoding) must dual-probe the legacy
+    tag or files written by older code get silently false-negative
+    pruned."""
+    import base64
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        _bloom_hashes,
+        _entry_proves_miss,
+    )
+
+    m = 128
+    bits = bytearray(m // 8)
+    for key in (b"b:1",):  # a legacy-era bloom storing only TRUE
+        for idx in _bloom_hashes(key, m):
+            bits[idx >> 3] |= 1 << (idx & 7)
+    entry = {"bloom": {"m": m, "k": 7,
+                       "b64": base64.b64encode(bytes(bits)).decode()}}
+    # True / 1 probes must HIT the legacy key (keep the file)
+    assert _entry_proves_miss(entry, [(True, True)]) is False
+    assert _entry_proves_miss(entry, [(1, 1)]) is False
+    # False / 0 probes miss both variants: prune is legal
+    assert _entry_proves_miss(entry, [(False, False)]) is True
+    assert _entry_proves_miss(entry, [(0, 0)]) is True
+    # new-era bloom (i: keys) keeps working for both probe spellings
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import _bloom_build
+
+    new_entry = {"bloom": _bloom_build({True})}
+    assert _entry_proves_miss(new_entry, [(1, 1)]) is False
+    assert _entry_proves_miss(new_entry, [(True, True)]) is False
+
+
+def test_stats_type_validation_covers_renamed_columns(spark, tmp_path):
+    """Writer-init type validation must check the PHYSICAL schema: a
+    renamed unsupported-type column named in statsColumns fails at
+    init (before any task stages), not at commit."""
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        rename_column_manifest_sink,
+    )
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    spark.createDataFrame(
+        [(1, [1, 2])], "id long, arr array<long>"
+    ).repartition(1).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    rename_column_manifest_sink(d, "arr", "stuff")
+    with pytest.raises(Exception, match="skipping supports"):
+        spark.createDataFrame(
+            [(2, [3])], "id long, stuff array<long>"
+        ).repartition(1).write.format("manifestsink").option("path", d).option(
+            "statsColumns", "stuff"
+        ).mode("append").save()
+
+
+def test_pyarrowless_resolve_ok_when_floor_is_a_base(spark, tmp_path, monkeypatch):
+    """Expire floors the log on an overwrite BASE, so a pyarrow-less
+    reader can always replay from it even when only parquet checkpoints
+    survive — the diagnostic fires only for truly-unresolvable logs."""
+    import sys
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        _resolve_state,
+        expire_manifest_versions,
+        optimize_manifest_sink,
+    )
+
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 3, checkpointInterval="2")
+    _write(spark, d, 3, 6, checkpointInterval="2")   # parquet ckpt at v2
+    optimize_manifest_sink(spark, d, target_files=1)  # BASE at v3
+    _write(spark, d, 6, 9, checkpointInterval="2")   # v4 + ckpt at v4
+    expire_manifest_versions(d, 3)                   # prefix gone, base-first
+    with_pa = _resolve_state(d)
+    monkeypatch.setitem(sys.modules, "pyarrow", None)
+    monkeypatch.setitem(sys.modules, "pyarrow.parquet", None)
+    without_pa = _resolve_state(d)
+    assert without_pa["files"] == with_pa["files"]
+    assert without_pa["version"] == with_pa["version"]

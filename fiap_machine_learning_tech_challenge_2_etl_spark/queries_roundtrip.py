@@ -3097,7 +3097,7 @@ FROM documents
 WHERE lang = (SELECT min(lang) FROM documents)
 GROUP BY lang
 """,
-)
+)  # three smallest langs land; the target is min(lang), inside them
 def q_manifest_partition_values_pruned_read(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3126,9 +3126,12 @@ def q_manifest_partition_values_pruned_read(
     )
 
     spark.dataSource.register(ManifestSinkDataSource)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    alldocs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     d = _scratch("manifest_partvals", sf_dir)
-    langs = sorted(r.lang for r in docs.select("lang").distinct().collect())
+    langs = sorted(
+        r.lang for r in alldocs.select("lang").distinct().collect()
+    )[:3]
+    docs = alldocs.filter(F.col("lang").isin(langs))
     for lang in langs:  # one file per partition value, proven at staging
         docs.filter(F.col("lang") == lang).repartition(1).write.format(
             "manifestsink"

@@ -1715,8 +1715,10 @@ class ManifestLogDataSource(DataSource):
         # column-mapped tables stream under their LOGICAL schema: the
         # mapping is PINNED at stream construction and physical names
         # are immutable, so a mid-stream RENAME cannot shift what any
-        # file read returns (Delta needs schemaTrackingLocation because
-        # its readers re-derive schema per batch; ours never does)
+        # file read returns while the query runs. A RESTART re-pins at
+        # the then-current view — the offset log stores positions, not
+        # schemas (Delta likewise applies mapping changes at restart
+        # boundaries via schemaTrackingLocation)
         _fmt, schema = _snapshot_logical_schema(
             state["metas"], state.get("mapping")
         )

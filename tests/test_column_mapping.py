@@ -256,9 +256,12 @@ def test_streaming_mapped_table_logical_view(spark, tmp_path):
     """Streaming over a column-mapped table (r15): the log source serves
     the LOGICAL schema, pinned at stream construction — files staged
     before AND after the rename emit under the logical names (physical
-    names are immutable, so no schemaTrackingLocation analogue is
-    needed), and a mid-stream rename cannot shift what a running
-    reader's file reads return."""
+    names are immutable, so a mid-stream rename cannot shift what a
+    running reader's file reads return). A RESTART re-pins at the
+    table's then-current logical view (the offset log stores positions,
+    not schemas — Delta likewise applies column-mapping schema changes
+    at restart boundaries via schemaTrackingLocation), so a post-rename
+    continuation emits the new batch under the NEW logical name."""
     from tests.test_manifest_log_v2 import _tail_once
 
     d = str(tmp_path / "t")
@@ -273,14 +276,18 @@ def test_streaming_mapped_table_logical_view(spark, tmp_path):
     assert sorted((r.id, r.amount) for r in got.collect()) == [
         (1, 10.0), (2, 20.0),
     ]
-    # incremental continuation across ANOTHER rename: the new batch's
-    # rows arrive under the checkpointed stream's pinned logical view
+    # continuation across ANOTHER rename: the restarted stream re-pins
+    # at the CURRENT logical view, so only the new batch's rows arrive
+    # under the new name (already-emitted output is immutable)
     rename_column_manifest_sink(d, "amount", "money")
     _write_df(spark, d, [(3, 30.0)], "id long, money double")
     _tail_once(spark, d, out, ck)
-    got = spark.read.parquet(out)
-    assert set(got.columns) == {"id", "amount"}
+    got = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(got.columns) == {"id", "amount", "money"}
     assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    assert [(r.amount, r.money) for r in got.collect() if r.id == 3] == [
+        (None, 30.0)
+    ]
 
 
 def test_streaming_mapped_table_parquet_cdf_and_drop(spark, tmp_path):

@@ -160,6 +160,7 @@ Usage::
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import time
@@ -168,6 +169,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     DataSourceWriter,
@@ -740,7 +743,152 @@ def _resolve_state(
             "mapping": mapping}
 
 
-class ManifestSinkWriter(DataSourceWriter):
+def _arrow_py(scalar):
+    """``Scalar.as_py()`` normalized to the values the row wire used to
+    deliver: Arrow ships timestamps tz-aware (session tz = UTC) where
+    pickled rows carried naive-UTC datetimes — stats encodings and
+    partition-value equality must keep ONE ordering, so strip the tz
+    after converting to UTC. Every other type round-trips identically."""
+    v = scalar.as_py()
+    if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
+
+
+class _BatchStatsObserver:
+    """Vectorized per-batch twin of the old per-row observer: min/max and
+    null counts via ``pyarrow.compute``, bloom inputs via ``unique``,
+    partition-value proofs via per-batch uniqueness plus cross-batch
+    carry. Same recorded stats, same error texts, no per-row Python."""
+
+    def __init__(self, fields, stats_columns, bloom_columns, partition_columns):
+        self.stats_columns = stats_columns
+        self.bloom_columns = bloom_columns
+        self.partition_columns = partition_columns
+        self.idx = {c: fields.index(c) for c in
+                    (*stats_columns, *bloom_columns, *partition_columns)}
+        self.minmax: dict[str, list] = {}
+        self.nulls: dict[str, int] = {c: 0 for c in stats_columns}
+        self.bl_vals: dict[str, set] = {c: set() for c in bloom_columns}
+        self.bl_over: set[str] = set()
+        self.pvals: dict[str, object] = {}
+        self.pnulls: dict[str, int] = {c: 0 for c in partition_columns}
+
+    def observe(self, batch) -> None:
+        import pyarrow.compute as pc
+
+        if not batch.num_rows:
+            return
+        for c in self.partition_columns:
+            col = batch.column(self.idx[c])
+            n_null = col.null_count
+            if n_null and n_null < len(col):
+                raise ValueError(
+                    f"partitionColumns column {c!r} mixes NULL and "
+                    "non-NULL rows in one staged file — repartition by "
+                    "the partition columns so each file holds one value"
+                )
+            if n_null == len(col):  # all-null batch
+                if c in self.pvals:
+                    raise ValueError(
+                        f"partitionColumns column {c!r} mixes NULL and "
+                        "non-NULL rows in one staged file — repartition by "
+                        "the partition columns so each file holds one value"
+                    )
+                self.pnulls[c] += n_null
+                continue
+            if self.pnulls[c]:
+                raise ValueError(
+                    f"partitionColumns column {c!r} mixes NULL and "
+                    "non-NULL rows in one staged file — repartition by "
+                    "the partition columns so each file holds one value"
+                )
+            u = pc.unique(col)
+            if len(u) > 1:
+                a, b = _arrow_py(u[0]), _arrow_py(u[1])
+                raise ValueError(
+                    f"partitionColumns column {c!r} holds two values "
+                    f"({a!r}, {b!r}) in one staged file — repartition by "
+                    "the partition columns so each file holds one value"
+                )
+            v = _arrow_py(u[0])
+            if c in self.pvals and self.pvals[c] != v:
+                raise ValueError(
+                    f"partitionColumns column {c!r} holds two values "
+                    f"({self.pvals[c]!r}, {v!r}) in one staged file — "
+                    "repartition by the partition columns so each file "
+                    "holds one value"
+                )
+            self.pvals[c] = v
+        for c in self.stats_columns:
+            col = batch.column(self.idx[c])
+            self.nulls[c] += col.null_count
+            if col.null_count < len(col):
+                mm = pc.min_max(col)
+                lo, hi = _arrow_py(mm["min"]), _arrow_py(mm["max"])
+                s = self.minmax.get(c)
+                if s is None:
+                    self.minmax[c] = [lo, hi]
+                else:
+                    if lo < s[0]:
+                        s[0] = lo
+                    if hi > s[1]:
+                        s[1] = hi
+        for c in self.bloom_columns:
+            if c in self.bl_over:
+                continue
+            col = batch.column(self.idx[c])
+            vs = self.bl_vals[c]
+            vs.update(col.drop_null().unique().to_pylist())
+            if len(vs) > _BLOOM_MAX_DISTINCT:
+                # too many distinct values for a useful bloom: record
+                # none (the file is simply never bloom-pruned — superset
+                # contract)
+                self.bl_over.add(c)
+                vs.clear()
+
+    def finish(self, n: int) -> dict[str, dict] | None:
+        stats: dict[str, dict] | None = None
+        if self.stats_columns:
+            # r14 form: tagged-encoded min/max (date/timestamp/decimal are
+            # legal) plus null/row counts so IS [NOT] NULL predicates can
+            # prune. All-null columns record counts but no bounds.
+            stats = {}
+            for c in self.stats_columns:
+                entry: dict = {"nulls": self.nulls[c], "rows": n}
+                mm = self.minmax.get(c)
+                if mm is not None:
+                    entry["min"] = _enc_stat(mm[0])
+                    entry["max"] = _enc_stat(mm[1])
+                stats[c] = entry
+        for c in self.bloom_columns:
+            if c in self.bl_over or not self.bl_vals[c]:
+                continue
+            stats = stats if stats is not None else {}
+            stats.setdefault(c, {})["bloom"] = _bloom_build(self.bl_vals[c])
+        for c in self.partition_columns:
+            stats = stats if stats is not None else {}
+            if c in self.pvals:
+                # proven single non-null value: the EXACT tier ("pv"
+                # wins over any min/max recorded for the same column)
+                stats[c] = {"pv": _enc_stat(self.pvals[c]), "rows": n}
+            else:
+                # all rows null: Hive's default partition — the all-null
+                # stats form, prunable by IS [NOT] NULL
+                stats[c] = {"nulls": self.pnulls[c], "rows": n}
+        return stats
+
+
+class ManifestSinkWriter(DataSourceArrowWriter):
+    """Batch writer. Subclassing :class:`DataSourceArrowWriter` switches
+    the executor wire format from pickled row tuples to Arrow
+    RecordBatches (Spark 4.0+): stats/bloom/partition-value observation
+    runs vectorized through ``pyarrow.compute`` and parquet staging
+    writes whole batches, removing the per-row Python loop that
+    dominated every manifest write task (optimization guide §4.1-4.2 —
+    same staged bytes, same commit protocol, ~5-10x less Python time
+    per staged row)."""
+
     def __init__(self, options, schema: StructType, overwrite: bool):
         opts = {str(k).lower(): v for k, v in dict(options).items()}
         path = opts.get("path")
@@ -920,89 +1068,31 @@ class ManifestSinkWriter(DataSourceWriter):
 
     # -- executor side ------------------------------------------------
     def write(self, iterator) -> _StagedFile:
+        """Consume the task's Arrow RecordBatches (the
+        :class:`DataSourceArrowWriter` wire format), observing stats /
+        blooms / partition values vectorized per batch and staging the
+        same bytes the row path staged. Memory stays O(batch)."""
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         name = f"part-{pid:05d}-{uuid.uuid4().hex}.{self.format}"
         os.makedirs(self.path, exist_ok=True)
         staged = os.path.join(self.path, name)
-        minmax: dict[str, list] = {}
-        nulls: dict[str, int] = {c: 0 for c in self.stats_columns}
-        bl_vals: dict[str, set] = {c: set() for c in self.bloom_columns}
-        bl_over: set[str] = set()
-        pvals: dict[str, object] = {}
-        pnulls: dict[str, int] = {c: 0 for c in self.partition_columns}
-        if self.stats_columns or self.bloom_columns or self.partition_columns:
-            idx = [self.fields.index(c) for c in self.stats_columns]
-            bidx = [self.fields.index(c) for c in self.bloom_columns]
-            pidx = [self.fields.index(c) for c in self.partition_columns]
-            inner = iterator
-
-            def observing():
-                for row in inner:
-                    for c, i in zip(self.partition_columns, pidx):
-                        v = row[i]
-                        if v is None:
-                            if c in pvals:
-                                raise ValueError(
-                                    f"partitionColumns column {c!r} mixes "
-                                    "NULL and non-NULL rows in one staged "
-                                    "file — repartition by the partition "
-                                    "columns so each file holds one value"
-                                )
-                            pnulls[c] += 1
-                        else:
-                            if pnulls[c]:
-                                raise ValueError(
-                                    f"partitionColumns column {c!r} mixes "
-                                    "NULL and non-NULL rows in one staged "
-                                    "file — repartition by the partition "
-                                    "columns so each file holds one value"
-                                )
-                            if c in pvals and pvals[c] != v:
-                                raise ValueError(
-                                    f"partitionColumns column {c!r} holds "
-                                    f"two values ({pvals[c]!r}, {v!r}) in "
-                                    "one staged file — repartition by the "
-                                    "partition columns so each file holds "
-                                    "one value"
-                                )
-                            pvals[c] = v
-                    for c, i in zip(self.stats_columns, idx):
-                        v = row[i]
-                        if v is None:
-                            nulls[c] += 1
-                            continue
-                        s = minmax.get(c)
-                        if s is None:
-                            minmax[c] = [v, v]
-                        else:
-                            if v < s[0]:
-                                s[0] = v
-                            if v > s[1]:
-                                s[1] = v
-                    for c, i in zip(self.bloom_columns, bidx):
-                        if c in bl_over:
-                            continue
-                        v = row[i]
-                        if v is None:
-                            continue  # null lookups use the null counts
-                        vs = bl_vals[c]
-                        vs.add(v)
-                        if len(vs) > _BLOOM_MAX_DISTINCT:
-                            # too many distinct values for a useful bloom:
-                            # record none (the file is simply never
-                            # bloom-pruned — superset contract)
-                            bl_over.add(c)
-                            vs.clear()
-                    yield row
-
-            iterator = observing()
+        obs = (
+            _BatchStatsObserver(
+                self.fields,
+                self.stats_columns,
+                self.bloom_columns,
+                self.partition_columns,
+            )
+            if self.stats_columns or self.bloom_columns or self.partition_columns
+            else None
+        )
         try:
             if self.format == "parquet":
-                n = self._stage_parquet(staged, iterator)
+                n = self._stage_parquet(staged, iterator, obs)
             else:
-                n = self._stage_jsonl(staged, iterator)
+                n = self._stage_jsonl(staged, iterator, obs)
         except BaseException:
             # a task that dies mid-write never returns a commit message,
             # so abort() can't see its file — clean up our own staging
@@ -1020,69 +1110,58 @@ class ManifestSinkWriter(DataSourceWriter):
             # (measured: 1892 live files after 60 merges before this fix)
             os.remove(staged)
             return _StagedFile(None, 0, None)
-        stats: dict[str, dict] | None = None
-        if self.stats_columns:
-            # r14 form: tagged-encoded min/max (date/timestamp/decimal are
-            # now legal) plus null/row counts so IS [NOT] NULL predicates
-            # can prune. All-null columns record counts but no bounds.
-            stats = {}
-            for c in self.stats_columns:
-                entry: dict = {"nulls": nulls[c], "rows": n}
-                mm = minmax.get(c)
-                if mm is not None:
-                    entry["min"] = _enc_stat(mm[0])
-                    entry["max"] = _enc_stat(mm[1])
-                stats[c] = entry
-        for c in self.bloom_columns:
-            if c in bl_over or not bl_vals[c]:
-                continue
-            stats = stats if stats is not None else {}
-            stats.setdefault(c, {})["bloom"] = _bloom_build(bl_vals[c])
-        for c in self.partition_columns:
-            stats = stats if stats is not None else {}
-            if c in pvals:
-                # proven single non-null value: the EXACT tier ("pv"
-                # wins over any min/max recorded for the same column)
-                stats[c] = {"pv": _enc_stat(pvals[c]), "rows": n}
-            else:
-                # all rows null: Hive's default partition — the all-null
-                # stats form, prunable by IS [NOT] NULL
-                stats[c] = {"nulls": pnulls[c], "rows": n}
-        return _StagedFile(name, n, stats)
+        return _StagedFile(name, n, obs.finish(n) if obs is not None else None)
 
-    def _stage_jsonl(self, staged: str, iterator) -> int:
+    def _arrow_schema(self):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return to_arrow_schema(self.schema)
+
+    def _shape_batch(self, batch, aschema):
+        """Rename the incoming batch's columns to the writer's field
+        names (LOGICAL -> PHYSICAL under a column mapping; identity
+        otherwise — the wire order always matches the write schema) and
+        cast to the schema the staged footer must carry (a no-op when
+        the JVM already shipped exactly that schema)."""
+        if batch.schema.names != self.fields:
+            batch = batch.rename_columns(self.fields)
+        if batch.schema != aschema:
+            batch = batch.cast(aschema)
+        return batch
+
+    def _stage_jsonl(self, staged: str, iterator, obs) -> int:
+        aschema = self._arrow_schema()
         n = 0
         with open(staged, "w") as f:
-            for row in iterator:
-                json.dump(dict(zip(self.fields, row)), f)
-                f.write("\n")
-                n += 1
+            for batch in iterator:
+                batch = self._shape_batch(batch, aschema)
+                if obs is not None:
+                    obs.observe(batch)
+                for rec in batch.to_pylist():
+                    json.dump(rec, f)
+                    f.write("\n")
+                n += batch.num_rows
         return n
 
-    def _stage_parquet(self, staged: str, iterator) -> int:
-        """Columnar staging through the same commit protocol: the task
-        buffers Arrow-record-batch-sized chunks (never the whole
-        partition) and streams them into one parquet file, so memory is
-        O(chunk) regardless of partition size. The Arrow schema is
+    def _stage_parquet(self, staged: str, iterator, obs) -> int:
+        """Columnar staging through the same commit protocol: Arrow
+        batches stream straight into one parquet file, so memory is
+        O(batch) regardless of partition size. The Arrow schema is
         derived from the WRITER's Spark schema — the staged footer
         carries real types, which is what lets readers pin the schema
         instead of inferring it."""
-        import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        aschema = to_arrow_schema(self.schema)
+        aschema = self._arrow_schema()
         n = 0
-        buf: list[dict] = []
         with pq.ParquetWriter(staged, aschema) as w:
-            for row in iterator:
-                buf.append(dict(zip(self.fields, row)))
-                n += 1
-                if len(buf) >= 32768:
-                    w.write_table(pa.Table.from_pylist(buf, schema=aschema))
-                    buf = []
-            if buf or n == 0:
-                w.write_table(pa.Table.from_pylist(buf, schema=aschema))
+            for batch in iterator:
+                batch = self._shape_batch(batch, aschema)
+                if obs is not None:
+                    obs.observe(batch)
+                if batch.num_rows:
+                    w.write_batch(batch)
+                n += batch.num_rows
         return n
 
     # -- driver side --------------------------------------------------
@@ -1267,7 +1346,7 @@ class ManifestSinkWriter(DataSourceWriter):
                     pass
 
 
-class ManifestStreamSinkWriter(DataSourceStreamWriter):
+class ManifestStreamSinkWriter(DataSourceStreamArrowWriter):
     """Streaming twin of :class:`ManifestSinkWriter`: one manifest PER
     MICRO-BATCH (``_MANIFEST-<batchId>``), published atomically after the
     batch's tasks all staged. Exactly-once falls out of IDEMPOTENT
@@ -2508,12 +2587,37 @@ def merge_into_manifest_sink(
     candidates = [os.path.join(path, f) for f in all_files]
     if preds:
         candidates, _total = prune_manifest_files(path, preds, version=base_version)
-    # the distinct key frame drives both the touched-set semi-join and the
-    # rewrite anti-join; in point mode it is provably <= 128 rows, so pin
-    # the broadcast (no sort-merge exchange on the big side, ever)
-    key_df = updates.select(*keys).distinct()
+    # the matched-key test drives both the touched-set probe and the
+    # rewrite's row drop. In POINT mode the probe already COLLECTED the
+    # distinct keys (<= 128 rows), so compile them into a literal
+    # membership predicate instead of a join: a single-key merge becomes
+    # ``col IN (...)`` — pushed into the parquet scan as an In filter
+    # (row-group skipping at any scale) — and a compound key an OR-chain
+    # of conjunctions. No join, no broadcast build, and the touched and
+    # rewrite jobs never re-run the updates' lineage for the key side (a
+    # streamed CDC merge used to recompute its micro-batch twice per
+    # commit). Beyond 128 keys the semi/anti join over the distinct key
+    # frame remains the right tool.
+    matched_cond = None
+    key_df = None
     if len(sample) <= MAX_POINT_KEYS:
-        key_df = F.broadcast(key_df)
+        if len(keys) == 1:
+            matched_cond = F.col(keys[0]).isin([r[keys[0]] for r in sample])
+        else:
+            import functools as _ft
+
+            matched_cond = _ft.reduce(
+                lambda a, b: a | b,
+                [
+                    _ft.reduce(
+                        lambda x, y: x & y,
+                        [F.col(k) == F.lit(r[k]) for k in keys],
+                    )
+                    for r in sample
+                ],
+            )
+    else:
+        key_df = updates.select(*keys).distinct()
     # snapshot entries may be dst-local basenames OR absolute references
     # (a shallow CLONE); input_file_name gives a URI, so map its basename
     # back to the manifest's entry name (staged names are uuid-unique)
@@ -2523,12 +2627,14 @@ def merge_into_manifest_sink(
         cand_df = _project_logical_df(
             _read_file_list(spark, candidates, fmt, schema), schema, mapping
         ).withColumn("__src", F.input_file_name())
+        hits = (
+            cand_df.filter(matched_cond)
+            if matched_cond is not None
+            else cand_df.join(key_df, keys, "left_semi")
+        )
         touched = sorted(
             by_base[_basename_of_uri(r["__src"])]
-            for r in cand_df.join(key_df, keys, "left_semi")
-            .select("__src")
-            .distinct()
-            .collect()
+            for r in hits.select("__src").distinct().collect()
         )
     # WHEN MATCHED DELETE: the key frame above covers ALL update rows (a
     # delete-intent key must count as matched so its file is rewritten),
@@ -2545,7 +2651,14 @@ def merge_into_manifest_sink(
                 spark, [os.path.join(path, f) for f in touched], fmt, schema
             ),
             schema, mapping,
-        ).join(key_df, keys, "left_anti")
+        )
+        if matched_cond is not None:
+            # anti-join semantics with a literal predicate: a NULL-key
+            # table row never equals any update key, so it is KEPT
+            # (IN over a NULL key yields NULL — coalesce it to False)
+            kept = kept.filter(~F.coalesce(matched_cond, F.lit(False)))
+        else:
+            kept = kept.join(key_df, keys, "left_anti")
         # one output file per rewritten input file: the rewrite's volume is
         # the touched files' volume, so this keeps file sizes stable across
         # merge generations (zero-row partitions stage nothing regardless)
@@ -3284,8 +3397,14 @@ def manifest_changes(
             )
             return l.join(r, cond, "left_anti").select("l.*")
 
-        chg_ins = _anti_identical(ins, dels)
-        chg_dels = _anti_identical(dels, ins)
+        # materialize the two changed-row frames ONCE: each is referenced
+        # by two of the four classification branches below, and DataFrame
+        # plans have no subtree reuse — without the checkpoint the union
+        # re-runs every anti-join (changed-file read + shuffle) four
+        # times. The frames are O(changed rows) by construction, the
+        # same bound the feed already guarantees its consumer.
+        chg_ins = _anti_identical(ins, dels).localCheckpoint()
+        chg_dels = _anti_identical(dels, ins).localCheckpoint()
         pre = chg_dels.join(chg_ins.select(*keys).distinct(), keys, "left_semi")
         del_ = chg_dels.join(chg_ins.select(*keys).distinct(), keys, "left_anti")
         post = chg_ins.join(chg_dels.select(*keys).distinct(), keys, "left_semi")

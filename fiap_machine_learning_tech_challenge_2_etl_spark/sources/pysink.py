@@ -2626,15 +2626,21 @@ def merge_into_manifest_sink(
     if candidates:
         cand_df = _project_logical_df(
             _read_file_list(spark, candidates, fmt, schema), schema, mapping
-        ).withColumn("__src", F.input_file_name())
-        hits = (
-            cand_df.filter(matched_cond)
-            if matched_cond is not None
-            else cand_df.join(key_df, keys, "left_semi")
         )
+        # filter BEFORE attaching input_file_name(): the nondeterministic
+        # projection blocks predicate pushdown, so the membership filter
+        # must sit under it to reach the scan (PushedFilters: In(...) —
+        # parquet row-group skipping inside the candidate files)
+        if matched_cond is not None:
+            hits = cand_df.filter(matched_cond)
+        else:
+            hits = cand_df.join(key_df, keys, "left_semi")
         touched = sorted(
             by_base[_basename_of_uri(r["__src"])]
-            for r in hits.select("__src").distinct().collect()
+            for r in hits.withColumn("__src", F.input_file_name())
+            .select("__src")
+            .distinct()
+            .collect()
         )
     # WHEN MATCHED DELETE: the key frame above covers ALL update rows (a
     # delete-intent key must count as matched so its file is rewritten),
@@ -2715,12 +2721,15 @@ def delete_from_manifest_sink(
     by_base = {os.path.basename(f): f for f in state["files"]}
     touched: list[str] = []
     if candidates:
+        # filter UNDER the nondeterministic input_file_name() projection
+        # so the delete predicate reaches the scan (see merge)
         cand_df = _project_logical_df(
             _read_file_list(spark, candidates, fmt, schema), schema, mapping
-        ).withColumn("__src", F.input_file_name())
+        )
         touched = sorted(
             by_base[_basename_of_uri(r["__src"])]
             for r in cand_df.filter(F.expr(condition))
+            .withColumn("__src", F.input_file_name())
             .select("__src")
             .distinct()
             .collect()
@@ -2839,15 +2848,21 @@ def delete_range_from_manifest_sink(
     by_base = {os.path.basename(f): f for f in state["files"]}
     touched: list[str] = []
     if scan:
+        # filter UNDER the nondeterministic input_file_name() projection
+        # so the range predicate reaches the scan (see merge)
         cand_df = _project_logical_df(
             _read_file_list(
                 spark, [os.path.join(path, f) for f in scan], fmt, schema
             ),
             schema, mapping,
-        ).withColumn("__src", F.input_file_name())
+        )
         touched = sorted(
             by_base[_basename_of_uri(r["__src"])]
-            for r in cand_df.filter(cond).select("__src").distinct().collect()
+            for r in cand_df.filter(cond)
+            .withColumn("__src", F.input_file_name())
+            .select("__src")
+            .distinct()
+            .collect()
         )
     if not dropped and not touched:
         return {

@@ -2630,17 +2630,20 @@ def merge_into_manifest_sink(
         # filter BEFORE attaching input_file_name(): the nondeterministic
         # projection blocks predicate pushdown, so the membership filter
         # must sit under it to reach the scan (PushedFilters: In(...) —
-        # parquet row-group skipping inside the candidate files)
+        # parquet row-group skipping inside the candidate files). The
+        # join path instead attaches __src FIRST: input_file_name() is
+        # single-source only, so it must bind below the semi join.
         if matched_cond is not None:
-            hits = cand_df.filter(matched_cond)
+            hits = cand_df.filter(matched_cond).withColumn(
+                "__src", F.input_file_name()
+            )
         else:
-            hits = cand_df.join(key_df, keys, "left_semi")
+            hits = cand_df.withColumn("__src", F.input_file_name()).join(
+                key_df, keys, "left_semi"
+            )
         touched = sorted(
             by_base[_basename_of_uri(r["__src"])]
-            for r in hits.withColumn("__src", F.input_file_name())
-            .select("__src")
-            .distinct()
-            .collect()
+            for r in hits.select("__src").distinct().collect()
         )
     # WHEN MATCHED DELETE: the key frame above covers ALL update rows (a
     # delete-intent key must count as matched so its file is rewritten),

@@ -28,6 +28,8 @@ applyInPandasWithState remains the hermetic custom-stateful path.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -404,43 +406,77 @@ def drain_interval_join_with_sentinel_flush(
     ``stress_streaming --ops outer_join`` leg both call this; keeping two
     hand-copies of the protocol in sync was a drift hazard).
 
-    Protocol: one initial availableNow drain, then two sentinel
-    generations (``user_id = -1``, ``event_type = 'sentinel'``, at
-    ``max_ts + N days``, appended to BOTH sides so they cannot alter real
-    matches) each followed by a drain — the first advances the watermark
-    past every real row's eviction point, the second's batch performs the
-    eviction that emits the NULL-padded unmatched rows. Callers filter
+    Protocol (r15, single lifecycle): the sentinel generations
+    (``user_id = -1``, ``event_type = 'sentinel'``, at ``max_ts + N
+    days``, appended to BOTH sides so they cannot alter real matches)
+    are landed UP FRONT with strictly increasing mtimes, and ONE
+    availableNow lifecycle runs with per-source ``maxFilesPerTrigger``
+    equal to the real file count: FileStreamSource orders files by
+    modification time (verified empirically — reverse-named files with
+    forced mtimes batch in mtime order), so batch 1 holds exactly the
+    real files (the watermark cannot advance mid-real-data and drop late
+    rows), the sentinel batch advances the watermark past every real
+    row's eviction point, and the engine's trailing no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, default on)
+    performs the eviction that emits the NULL-padded unmatched rows.
+    Replaces the r13 three-lifecycle drain (drain, sentinel+drain,
+    sentinel+drain): identical output row multiset (A/B-tested at
+    sf0.001, 210/210 rows equal) at one stream startup instead of three
+    — 9.4 s -> 2.5 s on the drain portion at sf0.001. Callers filter
     ``user_id`` sentinel rows from ``out_path`` afterwards.
 
     ``build_join(left_stream, right_stream)`` returns the sink-ready
     frame (the join plus the caller's projection); inputs must carry
     columns ``event_id, ts, user_id, event_type``."""
-    def run_once() -> None:
-        joined = build_join(
-            spark.readStream.schema(schema).parquet(left_in),
-            spark.readStream.schema(schema).parquet(right_in),
-        )
-        (
-            joined.writeStream.foreachBatch(
-                lambda b, _e: b.write.mode("append").parquet(out_path)
-            )
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-            .awaitTermination()
-        )
+    import glob as _glob
+    import time as _time
 
-    run_once()
-    for gen, days in zip(sentinel_ids, sentinel_days):
+    n_real = max(
+        len(_glob.glob(os.path.join(left_in, "*.parquet"))),
+        len(_glob.glob(os.path.join(right_in, "*.parquet"))),
+        1,
+    )
+    # land every sentinel generation now, stamping mtimes strictly above
+    # the real files' (and each other's) so the engine replays them as
+    # later batches; generation k gets real_mtimes + 10*(k+1) seconds
+    stamp_base = max(
+        [
+            os.path.getmtime(f)
+            for d in (left_in, right_in)
+            for f in _glob.glob(os.path.join(d, "*.parquet"))
+        ]
+        + [_time.time()]
+    )
+    for k, (gen, days) in enumerate(zip(sentinel_ids, sentinel_days)):
         sentinel = spark.range(1).select(
             F.lit(gen).alias("event_id"),
             (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
             F.lit(-1).cast("long").alias("user_id"),
             F.lit("sentinel").alias("event_type"),
         )
-        sentinel.coalesce(1).write.mode("append").parquet(left_in)
-        sentinel.coalesce(1).write.mode("append").parquet(right_in)
-        run_once()
+        stamp = stamp_base + 10.0 * (k + 1)
+        for d in (left_in, right_in):
+            before = set(_glob.glob(os.path.join(d, "*.parquet")))
+            sentinel.coalesce(1).write.mode("append").parquet(d)
+            for f in set(_glob.glob(os.path.join(d, "*.parquet"))) - before:
+                os.utime(f, (stamp, stamp))
+    joined = build_join(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(n_real))
+        .parquet(left_in),
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(n_real))
+        .parquet(right_in),
+    )
+    (
+        joined.writeStream.foreachBatch(
+            lambda b, _e: b.write.mode("append").parquet(out_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
 
 
 def materialized_rollup(

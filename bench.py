@@ -37,6 +37,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip() or str(os.cpu_count())
 
     import __spark_entry__ as ent
     from fiap_machine_learning_tech_challenge_2_etl_spark.session import get_session
@@ -81,22 +82,31 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": float(sf),
+            "cpus": int(cpus),
         }
     )
     print(payload)
     # also write a machine-readable copy next to the repo root so each
     # round has a diffable per-query baseline even if the driver records
     # only an stdout tail (full runs only — a filtered re-measure must
-    # never clobber the committed full-registry baseline)
+    # never clobber the committed full-registry baseline).
+    # BENCH_LOCAL_c{cpus}.json is the collision-proof copy (r15: the
+    # driver's 8-core scaling run clobbered the 32-core run's per-query
+    # detail because both wrote BENCH_LOCAL.json — suffixing by core
+    # count means two runs of one round can never destroy each other's
+    # evidence); bare BENCH_LOCAL.json remains the newest-run pointer
+    # for existing consumers.
     if only is None:
-        out = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-        )
-        try:
-            with open(out, "w") as fh:
-                fh.write(payload + "\n")
-        except OSError as exc:
-            print(f"bench: could not write {out}: {exc}", file=sys.stderr)
+        root = os.path.dirname(os.path.abspath(__file__))
+        for out in (
+            os.path.join(root, "BENCH_LOCAL.json"),
+            os.path.join(root, f"BENCH_LOCAL_c{cpus}.json"),
+        ):
+            try:
+                with open(out, "w") as fh:
+                    fh.write(payload + "\n")
+            except OSError as exc:
+                print(f"bench: could not write {out}: {exc}", file=sys.stderr)
     # The full payload (~190 per-query entries) can exceed an stdout-tail
     # capture, leaving the driver with an unparseable fragment. Print a
     # compact totals-only object LAST so any tail of stdout always ends
@@ -112,7 +122,8 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "n_failed": n_failed,
-                "queries_detail": "BENCH_LOCAL.json",
+                "cpus": int(cpus),
+                "queries_detail": f"BENCH_LOCAL_c{cpus}.json",
             }
         )
     )

@@ -205,13 +205,14 @@ def connected_components(
         )
         _free_checkpoint(raw)
 
-        universe = sym.select(F.col("a").alias("vertex")).distinct()
-        if vertices is not None:
-            universe = (
-                vertices.select(F.col(vertex_col).alias("vertex"))
-                .union(universe)
-                .distinct()
-            )
+        # r16: the label loop runs over EDGE ENDPOINTS only. An isolated
+        # vertex has no neighbor, so its label provably never moves —
+        # carrying it through every round only inflated the per-round
+        # join/aggregate frames from O(endpoints) to O(universe) (at
+        # corpus scale nearly every doc is isolated; endpoints <= 2|E|).
+        # Isolated vertices append as their own singleton component
+        # AFTER the loop, one anti-join, outside the O(rounds) cost.
+        endpoints = sym.select(F.col("a").alias("vertex")).distinct()
         # labels is its own checkpoint; the symmetrized edge blocks (the
         # biggest storage consumer at 100x scale) are dead weight the
         # moment the loop ends — free them now instead of waiting for the
@@ -220,10 +221,73 @@ def connected_components(
         # half the 100x OOM). finally: the non-convergence raise must not
         # leak the biggest checkpoint either.
         try:
-            labels = _cc_loop(sym, universe, max_iter, stats)
+            labels = _cc_loop(
+                sym,
+                endpoints,
+                max_iter,
+                stats,
+                broadcast_labels=n_raw <= _CC_BROADCAST_EDGES,
+            )
         finally:
             _free_checkpoint(sym)
+        if vertices is not None:
+            singles = (
+                vertices.select(F.col(vertex_col).alias("vertex"))
+                .distinct()
+                .join(labels.select("vertex"), "vertex", "left_anti")
+                .withColumn("component", F.col("vertex"))
+            )
+            labels = labels.unionByName(singles)
     return labels
+
+
+#: broadcast-labels regime bound: with |labels| <= 2 * n_edges rows of two
+#: longs, 2M edges cap the per-round broadcast near ~64 MB framed — inside
+#: the guide's "a few hundred MB is usually fine" band with headroom for
+#: the driver building it every round. Below the bound each round's three
+#: label joins become BroadcastHashJoins (the checkpointed frames are
+#: ExistingRDD scans with no size stats, so AQE can never discover this
+#: itself) and the only exchanges left per round are the neighbor-min
+#: aggregate and the convergence count; above it the shuffle plan is
+#: unchanged. Data-size-derived, not core-count-derived: the same code
+#: path picks the same regime on any cluster.
+_CC_BROADCAST_EDGES = 2_000_000
+
+
+def _cc_round(sym: DataFrame, cur: DataFrame, hint) -> DataFrame:
+    """One propagation round over ``cur = (vertex, old_component,
+    component)``: min over neighbors' labels, then one path-halving
+    pointer jump through the round-start labels. ``old_component`` (the
+    JOB-start label, for the convergence count) is threaded through
+    untouched so rounds can chain lazily."""
+    lab = cur.select("vertex", "component")
+    # candidate label for a = min over neighbors b of label(b)
+    neighbor_min = (
+        sym.join(hint(lab), sym["b"] == lab["vertex"], "inner")
+        .groupBy(F.col("a").alias("vertex"))
+        .agg(F.min("component").alias("nbr_min"))
+    )
+    propagated = cur.join(hint(neighbor_min), "vertex", "left").select(
+        "vertex",
+        "old_component",
+        F.least(
+            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+        ).alias("component"),
+    )
+    # pointer jump: component <- component's component (path halving)
+    parent = cur.select(
+        F.col("vertex").alias("p_vertex"), F.col("component").alias("p_component")
+    )
+    return propagated.join(
+        hint(parent), propagated["component"] == parent["p_vertex"], "left"
+    ).select(
+        "vertex",
+        "old_component",
+        F.least(
+            F.col("component"),
+            F.coalesce(F.col("p_component"), F.col("component")),
+        ).alias("component"),
+    )
 
 
 def _cc_loop(
@@ -231,52 +295,40 @@ def _cc_loop(
     universe: DataFrame,
     max_iter: int,
     stats: dict | None = None,
+    broadcast_labels: bool = False,
 ) -> DataFrame:
+    hint = F.broadcast if broadcast_labels else (lambda df: df)
+    # chain stays 1 in BOTH regimes: an alternating same-session A/B at
+    # sf0.1 (r16, _scratch/cc_chain_ab.py shape) measured chain=2 as a
+    # wash (min 4.10s vs 4.22s, 12 vs 14 reported rounds) — the chained
+    # sub-round re-derives its input three times (neighbor source,
+    # propagation join, parent side), cancelling the job-count saving —
+    # and chain=3 as strictly worse. Kept as a parameter because the
+    # loop structure supports it and a cluster with higher scheduler
+    # latency may re-measure differently.
+    chain = 1
     labels = universe.withColumn("component", F.col("vertex")).localCheckpoint()
 
-    n_changed = -1  # max_iter=0 must reach the loud for-else raise below
-    for _round in range(max_iter):
-        # candidate label for a = min over neighbors b of label(b)
-        neighbor_min = (
-            sym.join(labels, sym["b"] == labels["vertex"], "inner")
-            .groupBy(F.col("a").alias("vertex"))
-            .agg(F.min("component").alias("nbr_min"))
+    n_changed = -1  # max_iter=0 must reach the loud while-else raise below
+    done = 0
+    while done < max_iter:
+        k = min(chain, max_iter - done)
+        cur = labels.select(
+            "vertex", F.col("component").alias("old_component"), "component"
         )
-        propagated = labels.join(neighbor_min, "vertex", "left").select(
+        for _ in range(k):
+            cur = _cc_round(sym, cur, hint)
+        updated = cur.select(
             "vertex",
-            F.col("component").alias("old_component"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer jump: component <- component's component (path halving)
-        parent = labels.select(
-            F.col("vertex").alias("p_vertex"), F.col("component").alias("p_component")
-        )
-        updated = (
-            propagated.join(
-                parent, propagated["component"] == parent["p_vertex"], "left"
-            )
-            .select(
-                "vertex",
-                "old_component",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("p_component"), F.col("component")),
-                ).alias("component"),
-            )
-            .select(
-                "vertex",
-                "component",
-                (F.col("component") < F.col("old_component")).cast("int").alias("changed"),
-            )
+            "component",
+            (F.col("component") < F.col("old_component")).cast("int").alias("changed"),
             # lazy checkpoint: the convergence count below is the action
-            # that materializes it, so each round runs ONE job for
+            # that materializes it, so each job runs ONE pass for
             # checkpoint+count instead of two (measured ~25% off the
             # per-round fixed cost on small graphs; identical lineage cut)
-            .localCheckpoint(eager=False)
-        )
+        ).localCheckpoint(eager=False)
         n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        done += k
         # the count above materialized the new checkpoint; the previous
         # round's label blocks are now dead weight — free them eagerly so
         # storage never accumulates O(rounds) label frames (the 100x OOM)
@@ -285,7 +337,12 @@ def _cc_loop(
         _free_checkpoint(prev_labels)
         if n_changed == 0:
             if stats is not None:
-                stats["rounds"] = _round + 1
+                # propagation rounds executed, including the confirming
+                # no-change round(s) — the same count a chain=1 loop
+                # reports when convergence lands on a chain boundary,
+                # and still structure-invariant (the stress gate's
+                # contract)
+                stats["rounds"] = done
             break
     else:
         # exhausting max_iter with labels still moving means the returned

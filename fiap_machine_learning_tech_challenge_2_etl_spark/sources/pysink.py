@@ -879,6 +879,92 @@ class _BatchStatsObserver:
         return stats
 
 
+#: string cells containing any of these need JSON escaping — quote,
+#: backslash, or a control character; everything else (including
+#: non-ASCII, which JSON permits raw in UTF-8) passes through verbatim
+_JSON_ESCAPE_RE = r'["\\\x00-\x1f]'
+
+
+def _jsonl_batch_bytes(batch) -> bytes:
+    """One Arrow RecordBatch -> NDJSON bytes, vectorized (guide §4.2).
+
+    Fast path — integer/boolean/string columns: each column renders via
+    one ``pyarrow.compute`` cast (nulls -> bare ``null``; strings are
+    first PROVEN escape-free by one vectorized regex and wrapped in
+    quotes), the per-row object text assembles via one
+    ``binary_join_element_wise`` across all columns, and the batch
+    collapses to a single buffer via ``binary_join`` — Python executes
+    O(columns) calls per batch regardless of row count.
+
+    Fallback — any other column type, or a string column needing
+    escapes: per-row encoding via ``orjson`` when available (stdlib
+    ``json`` otherwise; float-typed batches always use stdlib because
+    orjson renders NaN/Infinity as null while ``json`` keeps them).
+    Both paths produce lines that parse to records identical to the old
+    ``to_pylist()`` + ``json.dump`` walk; only whitespace/escaping
+    bytes differ, which every consumer (this module's readers, Spark's
+    JSON reader, the oracle) parses identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rendered = []
+    fast = True
+    has_float = False
+    for i, field in enumerate(batch.schema):
+        t = field.type
+        arr = batch.column(i)
+        if pa.types.is_floating(t):
+            has_float = True
+            fast = False
+            break
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            r = arr.cast(pa.string())
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            if pc.any(
+                pc.match_substring_regex(arr, _JSON_ESCAPE_RE)
+            ).as_py():
+                fast = False
+                break
+            r = pc.binary_join_element_wise('"', arr, '"', "")
+        else:
+            fast = False
+            break
+        if arr.null_count:
+            r = pc.if_else(
+                pc.is_valid(arr), r, pa.scalar("null", type=pa.string())
+            )
+        rendered.append(r)
+    if fast and rendered:
+        args: list = []
+        for j, (name, r) in enumerate(zip(batch.schema.names, rendered)):
+            args.append(("{" if j == 0 else ", ") + json.dumps(name) + ": ")
+            args.append(r)
+        args.append("}")
+        lines = pc.binary_join_element_wise(*args, "")
+        offsets = pa.array([0, len(lines)], type=pa.int32())
+        blob = pc.binary_join(pa.ListArray.from_arrays(offsets, lines), "\n")
+        return blob[0].as_py().encode("utf-8") + b"\n"
+    recs = batch.to_pylist()
+    if not has_float:
+        try:
+            import orjson
+
+            # PASSTHROUGH_DATETIME keeps crash-parity with json.dump:
+            # a date/timestamp cell raises TypeError on both encoders
+            return (
+                b"\n".join(
+                    orjson.dumps(r, option=orjson.OPT_PASSTHROUGH_DATETIME)
+                    for r in recs
+                )
+                + b"\n"
+            )
+        except ImportError:
+            pass
+    return (
+        "\n".join(json.dumps(r) for r in recs) + "\n"
+    ).encode("utf-8")
+
+
 class ManifestSinkWriter(DataSourceArrowWriter):
     """Batch writer. Subclassing :class:`DataSourceArrowWriter` switches
     the executor wire format from pickled row tuples to Arrow
@@ -1130,16 +1216,22 @@ class ManifestSinkWriter(DataSourceArrowWriter):
         return batch
 
     def _stage_jsonl(self, staged: str, iterator, obs) -> int:
+        """NDJSON staging with Python cost O(batches), not O(rows): the
+        common all-int/string/bool batch is rendered and assembled
+        entirely inside ``pyarrow.compute`` (r16 — the per-row
+        ``to_pylist()`` + ``json.dump`` walk was the last row-at-a-time
+        loop on the write path); batches the columnar encoder cannot
+        prove safe fall back to a per-row encoder producing lines that
+        parse to identical records."""
         aschema = self._arrow_schema()
         n = 0
-        with open(staged, "w") as f:
+        with open(staged, "wb") as f:
             for batch in iterator:
                 batch = self._shape_batch(batch, aschema)
                 if obs is not None:
                     obs.observe(batch)
-                for rec in batch.to_pylist():
-                    json.dump(rec, f)
-                    f.write("\n")
+                if batch.num_rows:
+                    f.write(_jsonl_batch_bytes(batch))
                 n += batch.num_rows
         return n
 
@@ -2601,20 +2693,35 @@ def merge_into_manifest_sink(
     matched_cond = None
     key_df = None
     if len(sample) <= MAX_POINT_KEYS:
-        if len(keys) == 1:
+        if not sample:
+            # EMPTY updates (e.g. an empty CDC micro-batch in a
+            # foreachBatch merge): no key can match — the probe and the
+            # rewrite degenerate to no-ops and the commit publishes an
+            # empty replace, exactly what the join path did on an empty
+            # distinct frame (r15 regression: reduce() over zero sample
+            # rows raised TypeError on the compound-key path)
+            matched_cond = F.lit(False)
+        elif len(keys) == 1:
             matched_cond = F.col(keys[0]).isin([r[keys[0]] for r in sample])
         else:
-            import functools as _ft
-
-            matched_cond = _ft.reduce(
-                lambda a, b: a | b,
+            # compound key: ONE struct-IN node — struct(keys) IN
+            # (struct(v...), ...) — instead of a 128-term OR-chain of
+            # conjunctions; the literal list hangs off a single In
+            # expression, so Catalyst's analysis cost stays flat at
+            # merge depth (NULL semantics identical: a NULL key field
+            # yields NULL/false, never a match)
+            matched_cond = F.struct(*[F.col(k) for k in keys]).isin(
                 [
-                    _ft.reduce(
-                        lambda x, y: x & y,
-                        [F.col(k) == F.lit(r[k]) for k in keys],
+                    F.struct(
+                        *[
+                            F.lit(r[k])
+                            .cast(lschema[k].dataType)
+                            .alias(k)
+                            for k in keys
+                        ]
                     )
                     for r in sample
-                ],
+                ]
             )
     else:
         key_df = updates.select(*keys).distinct()

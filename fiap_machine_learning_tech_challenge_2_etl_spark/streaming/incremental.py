@@ -427,15 +427,49 @@ def drain_interval_join_with_sentinel_flush(
 
     ``build_join(left_stream, right_stream)`` returns the sink-ready
     frame (the join plus the caller's projection); inputs must carry
-    columns ``event_id, ts, user_id, event_type``."""
+    columns ``event_id, ts, user_id, event_type``.
+
+    Contract (asserted): the input/output paths must be LOCAL
+    filesystem directories — the mtime stamping that orders sentinel
+    batches uses ``os.path.getmtime``/``os.utime``, which have no
+    object-store equivalent (on s3:// the helper would silently
+    mis-order); ``checkpoint`` must be FRESH (a reused offset log would
+    replay from past the sentinel batches and the eviction flush would
+    never run); and ``spark.sql.streaming.noDataMicroBatches.enabled``
+    must be on (default) — the trailing no-data micro-batch is what
+    performs the final eviction."""
     import glob as _glob
     import time as _time
 
-    n_real = max(
-        len(_glob.glob(os.path.join(left_in, "*.parquet"))),
-        len(_glob.glob(os.path.join(right_in, "*.parquet"))),
-        1,
-    )
+    for p in (left_in, right_in, checkpoint):
+        if "://" in p and not p.startswith("file:"):
+            raise ValueError(
+                f"drain_interval_join_with_sentinel_flush needs local "
+                f"filesystem paths (mtime-stamped sentinel ordering); got {p!r}"
+            )
+    if os.path.exists(os.path.join(checkpoint, "offsets")):
+        raise ValueError(
+            f"checkpoint {checkpoint!r} already holds offsets: the "
+            "single-lifecycle flush needs a FRESH checkpoint (a resumed "
+            "stream would skip the sentinel batches and never evict)"
+        )
+    if (
+        str(
+            spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        ).lower()
+        != "true"
+    ):
+        raise ValueError(
+            "spark.sql.streaming.noDataMicroBatches.enabled is off: the "
+            "trailing no-data micro-batch performs the eviction that emits "
+            "NULL-padded unmatched rows — re-enable it for this drain"
+        )
+    # per-SOURCE real-file counts: batch 1 holds exactly each side's real
+    # files (the documented invariant — previously max(left, right) let
+    # the smaller side ingest sentinels into batch 1, correct only
+    # because watermark updates are post-batch)
+    n_left = max(len(_glob.glob(os.path.join(left_in, "*.parquet"))), 1)
+    n_right = max(len(_glob.glob(os.path.join(right_in, "*.parquet"))), 1)
     # land every sentinel generation now, stamping mtimes strictly above
     # the real files' (and each other's) so the engine replays them as
     # later batches; generation k gets real_mtimes + 10*(k+1) seconds
@@ -462,10 +496,10 @@ def drain_interval_join_with_sentinel_flush(
                 os.utime(f, (stamp, stamp))
     joined = build_join(
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(n_real))
+        .option("maxFilesPerTrigger", str(n_left))
         .parquet(left_in),
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", str(n_real))
+        .option("maxFilesPerTrigger", str(n_right))
         .parquet(right_in),
     )
     (

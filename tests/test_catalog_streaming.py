@@ -1056,6 +1056,45 @@ def test_stream_interval_join_outer_unmatched_exactly_once(spark, tmp_path):
             assert rows[u] == (None, None)  # unmatched: one NULL-padded row
 
 
+def test_drain_sentinel_flush_guards(spark, tmp_path):
+    """The single-lifecycle drain's contract is ASSERTED, not assumed:
+    non-local paths (mtime stamping has no object-store equivalent), a
+    reused checkpoint (would skip the sentinel batches), and a disabled
+    no-data micro-batch conf (performs the final eviction) each raise
+    eagerly before any stream starts."""
+    import pytest
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
+        drain_interval_join_with_sentinel_flush,
+    )
+
+    lin, rin = str(tmp_path / "l"), str(tmp_path / "r")
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(lin), os.makedirs(rin)
+    args = dict(
+        out_path=outp, schema="event_id long", max_ts=None, build_join=None
+    )
+    with pytest.raises(ValueError, match="local filesystem paths"):
+        drain_interval_join_with_sentinel_flush(
+            spark, "s3://bucket/l", rin, checkpoint=ckpt, **args
+        )
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    with pytest.raises(ValueError, match="FRESH checkpoint"):
+        drain_interval_join_with_sentinel_flush(
+            spark, lin, rin, checkpoint=ckpt, **args
+        )
+    ck2 = str(tmp_path / "ck2")
+    conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    spark.conf.set(conf, "false")
+    try:
+        with pytest.raises(ValueError, match="noDataMicroBatches"):
+            drain_interval_join_with_sentinel_flush(
+                spark, lin, rin, checkpoint=ck2, **args
+            )
+    finally:
+        spark.conf.set(conf, "true")
+
+
 def test_stream_interval_join_validation(spark):
     """Invalid ``how`` and malformed interval bodies fail eagerly at the
     call site with the parameter name, not at analysis time with a

@@ -594,3 +594,44 @@ def test_stream_dedup_windowed_chain_has_batch_fallback(spark, sf_dir):
     )
     key = lambda r: (r.window_start, r.event_type)  # noqa: E731
     assert sorted(out.collect(), key=key) == sorted(base.collect(), key=key)
+
+
+def test_jsonl_batch_bytes_all_paths_parse_identically():
+    """The r16 columnar NDJSON encoder (jsonl staging): the pyarrow fast
+    path (int/string/bool), the orjson escape fallback, and the stdlib
+    float fallback must all produce lines that json.loads back to
+    exactly the records to_pylist() yields — the old per-row json.dump
+    contract, minus the per-row Python."""
+    import math
+
+    import pyarrow as pa
+
+    from fiap_machine_learning_tech_challenge_2_etl_spark.sources.pysink import (
+        _jsonl_batch_bytes,
+    )
+
+    def roundtrip(batch):
+        lines = _jsonl_batch_bytes(batch).decode("utf-8").splitlines()
+        assert len(lines) == batch.num_rows
+        return [json.loads(ln) for ln in lines]
+
+    # fast path: ints (with nulls), strings (with nulls, non-ASCII but
+    # escape-free), booleans
+    fast = pa.record_batch(
+        {
+            "i": pa.array([1, None, -7], type=pa.int64()),
+            "s": pa.array(["en", None, "café"]),
+            "b": pa.array([True, False, None]),
+        }
+    )
+    assert roundtrip(fast) == fast.to_pylist()
+    # escape fallback: quotes / backslashes / control chars in strings
+    esc = pa.record_batch(
+        {"s": pa.array(['say "hi"', "a\\b", "tab\there", None])}
+    )
+    assert roundtrip(esc) == esc.to_pylist()
+    # float fallback (stdlib json): NaN must stay NaN, not become null
+    flt = pa.record_batch({"x": pa.array([1.5, float("nan"), None])})
+    got = roundtrip(flt)
+    assert got[0] == {"x": 1.5} and got[2] == {"x": None}
+    assert math.isnan(got[1]["x"])

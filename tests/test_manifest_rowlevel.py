@@ -119,6 +119,65 @@ def test_merge_duplicate_or_null_keys_refused(spark, tmp_path):
         )
 
 
+def test_merge_empty_updates_is_a_noop_commit(spark, tmp_path):
+    """An EMPTY updates frame (an empty CDC micro-batch in a foreachBatch
+    merge) must merge cleanly on both key shapes: no file touched, no row
+    changed, one empty replace commit (r15 regression: the compound-key
+    point path reduced over zero sample rows and raised TypeError)."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    _write(spark, d, 0, 5, statsColumns="id")
+    before = _ids(read_manifest_sink(spark, d))
+    res = merge_into_manifest_sink(
+        spark, d, spark.createDataFrame([], "id long"), ["id"]
+    )
+    assert res["rewritten_files"] == []
+    assert _ids(read_manifest_sink(spark, d)) == before
+    # compound key over an empty frame: the r15 crash shape
+    d2 = str(tmp_path / "t2")
+    spark.range(0, 5).withColumn("k2", F.col("id") % 2).write.format(
+        "manifestsink"
+    ).option("path", d2).mode("append").save()
+    res2 = merge_into_manifest_sink(
+        spark, d2, spark.createDataFrame([], "id long, k2 long"), ["id", "k2"]
+    )
+    assert res2["rewritten_files"] == []
+    back = read_manifest_sink(spark, d2)
+    assert sorted((r.id, r.k2) for r in back.collect()) == [
+        (i, i % 2) for i in range(5)
+    ]
+
+
+def test_merge_compound_key_point_mode_matches_join_mode(spark, tmp_path):
+    """Compound-key merges take the struct-IN point path at <=128 keys;
+    the result (update + insert + NULL-key rows kept) must be identical
+    to the >128-key join path's semantics on the same data."""
+    d = str(tmp_path / "t")
+    spark.dataSource.register(ManifestSinkDataSource)
+    rows = [(i, i % 3, i * 10) for i in range(12)] + [(None, None, -1)]
+    spark.createDataFrame(
+        rows, "a long, b long, v long"
+    ).repartition(1).write.format("manifestsink").option("path", d).mode(
+        "append"
+    ).save()
+    updates = spark.createDataFrame(
+        [(3, 0, 999), (50, 1, 555)], "a long, b long, v long"
+    )
+    res = merge_into_manifest_sink(spark, d, updates, ["a", "b"])
+    assert res["version"] == res["base_version"] + 1
+    key = lambda t: (t[0] is None, t[0] or 0, t[1] or 0, t[2])  # noqa: E731
+    back = sorted(
+        ((r.a, r.b, r.v) for r in read_manifest_sink(spark, d).collect()),
+        key=key,
+    )
+    expect = sorted(
+        [(i, i % 3, i * 10) for i in range(12) if i != 3]
+        + [(None, None, -1), (3, 0, 999), (50, 1, 555)],
+        key=key,
+    )
+    assert back == expect
+
+
 def test_delete_where_rewrites_matching_files_only(spark, tmp_path):
     d = str(tmp_path / "t")
     spark.dataSource.register(ManifestSinkDataSource)

@@ -70,6 +70,9 @@ from fiap_machine_learning_tech_challenge_2_etl_spark.sources.sinks import (
     write_partitioned_parquet,
     write_range_clustered,
 )
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import (
+    local_relation_df,
+)
 from fiap_machine_learning_tech_challenge_2_etl_spark.streaming.incremental import (
     materialized_rollup,
     run_incremental_pipeline,
@@ -340,7 +343,7 @@ def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _scratch("jsonl_quarantine", sf_dir)
     land = os.path.join(d, "landing")
     write_jsonl(d0, land)
-    bad = spark.createDataFrame(
+    bad = local_relation_df(spark, 
         [("{not json",), ("definitely not a record",), ("}{",)], "value string"
     )
     bad.repartition(1).write.mode("append").text(land)
@@ -363,7 +366,7 @@ def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch doesn't linger in executor memory for the rest of the session.
     rows = out.collect()
     raw.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_relation_df(spark, rows, out.schema)
 
 
 @_register(
@@ -1392,7 +1395,7 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _scratch("csv_quarantine", sf_dir)
     land = os.path.join(d, "landing")
     write_csv(src, land, header=False)
-    bad = spark.createDataFrame(
+    bad = local_relation_df(spark, 
         [("x,y,z",), ("not-a-key,O,12.5",), ("9,O,1.0,too,many,fields",)],
         "value string",
     )
@@ -1417,7 +1420,7 @@ def q_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch lingers in executor memory for the rest of the bench session.
     rows = out.collect()
     raw.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_relation_df(spark, rows, out.schema)
 
 
 @_register(
@@ -1489,7 +1492,7 @@ def q_xml_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _scratch("xml_quarantine", sf_dir)
     land = os.path.join(d, "landing")
     write_xml(src, land)
-    bad = spark.createDataFrame(
+    bad = local_relation_df(spark, 
         [
             (
                 "<rows><row><o_orderkey>not-a-key</o_orderkey>"
@@ -1524,7 +1527,7 @@ def q_xml_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the tiny rollup, then release quarantine_corrupt's cache
     rows = out.collect()
     raw.unpersist()
-    return spark.createDataFrame(rows, out.schema)
+    return local_relation_df(spark, rows, out.schema)
 
 
 @_register(
@@ -2243,7 +2246,7 @@ def q_manifest_merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         docs.filter(F.col("doc_id") % 97 == 0)
         .withColumn("n_chars", (F.col("n_chars") + 1000000).cast("long"))
         .unionByName(
-            spark.createDataFrame(
+            local_relation_df(spark, 
                 [(1000000007, "zz", 7), (1000000009, "zz", 9)],
                 "doc_id long, lang string, n_chars long",
             )
@@ -2614,7 +2617,7 @@ def q_manifest_merge_delete_roundtrip(
         )
         .withColumn("_del", is_del)
         .unionByName(
-            spark.createDataFrame(
+            local_relation_df(spark, 
                 [
                     (2000000003, "zz", 3, False),
                     (2000000005, "zz", 5, None),
@@ -2699,7 +2702,7 @@ def q_manifest_cdc_keyed_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_del", is_del)
         .unionByName(
-            spark.createDataFrame(
+            local_relation_df(spark, 
                 [(2000000002, "zz", 7, False)],
                 "doc_id long, lang string, n_chars long, _del boolean",
             )
@@ -3257,7 +3260,7 @@ def q_manifest_stream_merge_roundtrip(
             "n_chars", (F.col("n_chars") + 1000000 * (k + 1)).cast("long")
         )
         .unionByName(
-            spark.createDataFrame(
+            local_relation_df(spark, 
                 [(2000000000 + k, "zz", 1000 + k)],
                 "doc_id long, lang string, n_chars long",
             )
@@ -3452,7 +3455,7 @@ def q_manifest_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") % 17 == 0) & (F.col("doc_id") < 100))
         .withColumn("n_chars", (F.col("n_chars") + 900000).cast("long"))
         .unionByName(
-            spark.createDataFrame(
+            local_relation_df(spark, 
                 [(3000000001, "zz", 11)], "doc_id long, lang string, n_chars long"
             )
         )
@@ -3463,7 +3466,7 @@ def q_manifest_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"merge against cloned references failed to stats-prune: {res}"
         )
     # source-side divergence: its own append
-    spark.createDataFrame(
+    local_relation_df(spark, 
         [(4000000001, "yy", 13)], "doc_id long, lang string, n_chars long"
     ).repartition(1).write.format("manifestsink").option("path", src).option(
         "format", "parquet"

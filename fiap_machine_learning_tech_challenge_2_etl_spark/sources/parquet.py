@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import local_relation_df
 from fiap_machine_learning_tech_challenge_2_etl_spark.schemas import NS_TIMESTAMP_COLUMNS, SCHEMAS
 
 
@@ -269,7 +270,10 @@ def footer_stats_report(
     files = _list_data_files(spark, path)
     if not files:
         raise ValueError(f"no parquet data files under {path}")
-    paths = spark.createDataFrame([(p,) for p in sorted(files)], "path string")
+    # LocalRelation (util.local_relation_df): the path list is re-planned
+    # per action and the pickled-RDD form would round-trip a Python worker
+    # each time (guide §4 boundary tax)
+    paths = local_relation_df(spark, [(p,) for p in sorted(files)], "path string")
 
     out_schema = T.StructType(
         [

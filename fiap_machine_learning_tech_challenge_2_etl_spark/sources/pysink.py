@@ -179,6 +179,10 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from fiap_machine_learning_tech_challenge_2_etl_spark.util import (
+    local_relation_df,
+)
+
 MANIFEST = "_MANIFEST"
 _V_PREFIX = MANIFEST + ".v"  # batch commit log: _MANIFEST.v00000001
 _B_PREFIX = MANIFEST + "-"  # streaming per-batch: _MANIFEST-<batchId>
@@ -2201,7 +2205,7 @@ def read_manifest_sink(
         if state["metas"]:
             _fmt0, schema0 = _snapshot_logical_schema(state["metas"], mapping)
             if schema0 is not None:
-                return spark.createDataFrame([], schema=schema0)
+                return local_relation_df(spark, [], schema0)
         raise ValueError(
             f"no committed manifest files under {path}"
             + (f" at version <= {version}" if version is not None else "")
@@ -2214,7 +2218,7 @@ def read_manifest_sink(
         reader = reader.schema(schema)
     if not files:  # everything provably pruned: an empty, schema-true frame
         _fmt0, lschema = _snapshot_logical_schema(state["metas"], mapping)
-        return spark.createDataFrame([], schema=lschema)
+        return local_relation_df(spark, [], lschema)
     df = reader.parquet(*files) if fmt == "parquet" else reader.json(files)
     if mapping and schema is not None:
         # project the immutable physical names to the CURRENT (or
@@ -2617,22 +2621,31 @@ def merge_into_manifest_sink(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in lschema.fields],
         *flag_cols,
     )
-    # ONE probe job serves three needs: the duplicate-key check, the NULL
-    # check, and the pruning predicates. Small update sets (the common CDC
-    # upsert) collect their <=128 distinct keys and prune with EXACT point
-    # ranges — a single outlying key (a fresh insert id) no longer
-    # stretches one global [min, max] over the whole table. Large sets
-    # fall back to one fused aggregate (max dup count + null counts +
-    # per-key bounds) and conservative global ranges.
+    # ONE probe job serves four needs: the point/join MODE decision, the
+    # duplicate-key check, the NULL check, and the pruning predicates —
+    # and in point mode it returns the UPDATE ROWS THEMSELVES.
+    # ``limit(MAX_POINT_KEYS + 1).collect()`` is a CollectLimit: no
+    # shuffle (the old probe ran a full groupBy().count() — an exchange
+    # plus a second AQE job — before deciding), and it short-circuits, so
+    # a huge CDC batch pays one cheap partial scan to discover it is not
+    # point-shaped. <= MAX_POINT_KEYS rows means the COMPLETE update set
+    # is in the driver's hand (success in the old point mode already
+    # implied rows == distinct keys <= 128 — any surplus row was a
+    # duplicate key and raised): the audit runs in Python, the key
+    # predicates compile to literals, and ``surviving`` is rebuilt as a
+    # literal relation below, so the rewrite job never re-runs the
+    # updates' lineage (r16 job profile: the rewrite's single coalesced
+    # task serially re-ran the entire update lineage — micro-batch scan,
+    # unions, Python local relations — inside the staged write).
     orderable = [
         f.name
         for f in lschema.fields
         if f.name in keys
         and f.dataType.simpleString().startswith(_STATS_OK_PREFIXES)
     ]
-    key_counts = updates.select(*keys).groupBy(*keys).count()
     MAX_POINT_KEYS = 128
-    sample = key_counts.limit(MAX_POINT_KEYS + 1).collect()
+    head = updates.limit(MAX_POINT_KEYS + 1).collect()
+    point = len(head) <= MAX_POINT_KEYS
     preds: dict = {}
     # conflict_preds drive the lost-CAS logical-conflict check (what a
     # WINNING commit's added files must provably miss for this merge to
@@ -2640,21 +2653,32 @@ def merge_into_manifest_sink(
     # because it is the winner's STAGED stats that get consulted; {}
     # means "unprovable" (any concurrent addition is a true conflict)
     conflict_preds: dict = {}
-    if len(sample) <= MAX_POINT_KEYS:
-        bad = [
-            r for r in sample
-            if r["count"] > 1 or any(r[k] is None for k in keys)
-        ]
-        if bad:
-            raise ValueError(
-                "merge updates contain duplicate or NULL keys — the merge "
-                f"would be ambiguous (first offender: {bad[0]})"
-            )
+    if point:
+        seen: set = set()
+        for r in head:
+            kv = tuple(r[k] for k in keys)
+            if any(v is None for v in kv) or kv in seen:
+                raise ValueError(
+                    "merge updates contain duplicate or NULL keys — the "
+                    f"merge would be ambiguous (first offender: {r})"
+                )
+            seen.add(kv)
         for k in orderable:
-            conflict_preds[k] = [(v, v) for v in sorted({r[k] for r in sample})]
+            conflict_preds[k] = [(v, v) for v in sorted({r[k] for r in head})]
         if state["file_stats"]:
             preds = dict(conflict_preds)
     else:
+        # join mode (> MAX_POINT_KEYS rows): materialize the update set
+        # ONCE (Delta's materialize-source move). The audit aggregate,
+        # the touched semi-join, the rewrite anti-join and the staged
+        # write all reference ``updates``, and DataFrame plans have no
+        # subtree reuse — a wide CDC batch's lineage used to recompute
+        # per job. O(batch) storage, reclaimed by the ContextCleaner
+        # after the merge returns (merges are short-lived; an explicit
+        # free would race the publish retry, which re-stages from the
+        # same blocks).
+        updates = updates.localCheckpoint(eager=True)
+        key_counts = updates.select(*keys).groupBy(*keys).count()
         aggs = [F.max("count").alias("__max_dup")]
         aggs += [
             F.sum(F.when(F.col(k).isNull(), 1).otherwise(0)).alias(f"__nulls_{k}")
@@ -2692,8 +2716,8 @@ def merge_into_manifest_sink(
     # frame remains the right tool.
     matched_cond = None
     key_df = None
-    if len(sample) <= MAX_POINT_KEYS:
-        if not sample:
+    if point:
+        if not head:
             # EMPTY updates (e.g. an empty CDC micro-batch in a
             # foreachBatch merge): no key can match — the probe and the
             # rewrite degenerate to no-ops and the commit publishes an
@@ -2702,7 +2726,7 @@ def merge_into_manifest_sink(
             # rows raised TypeError on the compound-key path)
             matched_cond = F.lit(False)
         elif len(keys) == 1:
-            matched_cond = F.col(keys[0]).isin([r[keys[0]] for r in sample])
+            matched_cond = F.col(keys[0]).isin([r[keys[0]] for r in head])
         else:
             # compound key: ONE struct-IN node — struct(keys) IN
             # (struct(v...), ...) — instead of a 128-term OR-chain of
@@ -2720,7 +2744,7 @@ def merge_into_manifest_sink(
                             for k in keys
                         ]
                     )
-                    for r in sample
+                    for r in head
                 ]
             )
     else:
@@ -2756,8 +2780,23 @@ def merge_into_manifest_sink(
     # delete-intent key must count as matched so its file is rewritten),
     # but only the non-delete rows re-enter the table; a delete-intent
     # row whose key never matched inserts nothing (WHEN NOT MATCHED has
-    # no DELETE arm) because it simply isn't in `surviving`
-    if delete_condition is not None:
+    # no DELETE arm) because it simply isn't in `surviving`.
+    # POINT mode rebuilds `surviving` from the rows the probe already
+    # collected — a literal relation (LocalRelation where types allow;
+    # util.local_relation_df) — so the staged rewrite's lineage is just
+    # touched-file scan + literals: the update pipeline never re-runs
+    # inside the write job, and a nondeterministic update source stages
+    # exactly the audited rows.
+    if point:
+        surv_rows = (
+            head
+            if delete_condition is None
+            else [r for r in head if not r[mdel]]
+        )
+        surviving = local_relation_df(
+            spark, [tuple(r[c] for c in cols) for r in surv_rows], lschema
+        )
+    elif delete_condition is not None:
         surviving = updates.filter(~F.col(mdel)).select(*cols)
     else:
         surviving = updates
@@ -2996,8 +3035,8 @@ def delete_range_from_manifest_sink(
             .coalesce(max(1, len(touched)))
         )
     else:
-        kept = spark.createDataFrame(
-            [], _snapshot_logical_schema(state["metas"], mapping)[1]
+        kept = local_relation_df(
+            spark, [], _snapshot_logical_schema(state["metas"], mapping)[1]
         )
     claimed = _publish_replace_with_retry(
         kept, path, fmt, sorted(dropped) + touched, base_version, stats_cols,
@@ -3564,8 +3603,8 @@ def manifest_changes(
     from pyspark.sql.types import StringType, StructField
 
     base = schema if schema is not None else StructType([])
-    return spark.createDataFrame(
-        [], schema=StructType(base.fields + [StructField("_change_type", StringType())])
+    return local_relation_df(
+        spark, [], StructType(base.fields + [StructField("_change_type", StringType())])
     )
 
 
@@ -3642,9 +3681,10 @@ def describe_manifest_detail(spark: SparkSession, path: str) -> DataFrame:
         dropped,
         len(commits),
     )
-    return spark.createDataFrame(
+    return local_relation_df(
+        spark,
         [row],
-        schema=(
+        (
             "location string, version long, format string, n_files int, "
             "n_rows long, size_bytes long, columns_csv string, "
             "stats_columns_csv string, bloom_columns_csv string, "
@@ -3703,13 +3743,17 @@ def manifest_history(spark: SparkSession, path: str) -> DataFrame:
                 float(ts) if ts is not None else None,
             )
         )
-    return spark.createDataFrame(
+    # commit_ts is wall-clock time.time() — never NaN, so the double
+    # column may ride the LocalRelation path
+    return local_relation_df(
+        spark,
         rows,
-        schema=(
+        (
             "version long, kind string, mode string, operation string, "
             "n_rows long, n_files int, n_removed int, fields_csv string, "
             "format string, is_compaction boolean, commit_ts double"
         ),
+        nan_safe_floats=True,
     )
 
 

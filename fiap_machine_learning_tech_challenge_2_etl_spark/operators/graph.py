@@ -254,38 +254,39 @@ def connected_components(
 _CC_BROADCAST_EDGES = 2_000_000
 
 
-def _cc_round(sym: DataFrame, cur: DataFrame, hint) -> DataFrame:
-    """One propagation round over ``cur = (vertex, old_component,
-    component)``: min over neighbors' labels, then one path-halving
-    pointer jump through the round-start labels. ``old_component`` (the
-    JOB-start label, for the convergence count) is threaded through
-    untouched so rounds can chain lazily."""
-    lab = cur.select("vertex", "component")
-    # candidate label for a = min over neighbors b of label(b)
-    neighbor_min = (
-        sym.join(hint(lab), sym["b"] == lab["vertex"], "inner")
-        .groupBy(F.col("a").alias("vertex"))
-        .agg(F.min("component").alias("nbr_min"))
+def _cc_round(sym: DataFrame, lab: DataFrame, hint) -> DataFrame:
+    """One propagation round over ``lab = (vertex, component)``: min over
+    {own label} UNION {neighbors' labels} in ONE aggregate, then one
+    path-halving pointer jump through the round-start labels.
+
+    r16 shape: the old round ran THREE joins (neighbor-min, a propagate
+    join to fold the vertex's own label back in, and the halving jump)
+    and threaded an ``old_component`` column for the convergence count.
+    Folding the own-label term into the aggregate as a union branch
+    (labels are exactly one (vertex, component) row per vertex, so
+    ``min`` over the union IS ``least(own, min(neighbors))``) removes the
+    propagate join outright, and convergence moved to the loop's monotone
+    label-sum test, so the threading column is gone too. Two joins per
+    round instead of three: one fewer broadcast build per round in the
+    small regime, one fewer shuffle+sort of a label-sized frame per
+    round in the sort-merge regime."""
+    contrib = sym.join(hint(lab), sym["b"] == lab["vertex"], "inner").select(
+        F.col("a").alias("vertex"), F.col("component")
     )
-    propagated = cur.join(hint(neighbor_min), "vertex", "left").select(
-        "vertex",
-        "old_component",
-        F.least(
-            F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-        ).alias("component"),
+    new = (
+        contrib.unionByName(lab)
+        .groupBy("vertex")
+        .agg(F.min("component").alias("component"))
     )
     # pointer jump: component <- component's component (path halving)
-    parent = cur.select(
-        F.col("vertex").alias("p_vertex"), F.col("component").alias("p_component")
-    )
-    return propagated.join(
-        hint(parent), propagated["component"] == parent["p_vertex"], "left"
+    p = lab.alias("p")
+    return new.join(
+        hint(p), new["component"] == F.col("p.vertex"), "left"
     ).select(
-        "vertex",
-        "old_component",
+        new["vertex"],
         F.least(
-            F.col("component"),
-            F.coalesce(F.col("p_component"), F.col("component")),
+            new["component"],
+            F.coalesce(F.col("p.component"), new["component"]),
         ).alias("component"),
     )
 
@@ -298,59 +299,59 @@ def _cc_loop(
     broadcast_labels: bool = False,
 ) -> DataFrame:
     hint = F.broadcast if broadcast_labels else (lambda df: df)
-    # chain stays 1 in BOTH regimes: an alternating same-session A/B at
-    # sf0.1 (r16, _scratch/cc_chain_ab.py shape) measured chain=2 as a
-    # wash (min 4.10s vs 4.22s, 12 vs 14 reported rounds) — the chained
-    # sub-round re-derives its input three times (neighbor source,
-    # propagation join, parent side), cancelling the job-count saving —
-    # and chain=3 as strictly worse. Kept as a parameter because the
-    # loop structure supports it and a cluster with higher scheduler
-    # latency may re-measure differently.
-    chain = 1
-    labels = universe.withColumn("component", F.col("vertex")).localCheckpoint()
+    # Convergence test: labels are MONOTONE NON-INCREASING (every round
+    # takes a min over a set containing the current label), so the exact
+    # label sum decreases iff at least one label moved — equal sums mean
+    # converged. decimal(38,0) keeps the sum exact at any scale (a plain
+    # long sum wraps silently with ANSI off: 10^9 vertices x 10^18 ids
+    # overflows; decimal headroom is ~10^19 such rows). This replaces the
+    # per-vertex ``changed`` bit the loop used to thread through an
+    # ``old_component`` column — one fewer column in every round frame
+    # and no comparison join anywhere.
+    lbl_sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    # lazy checkpoint: the baseline-sum job below is the action that
+    # materializes the initial labels, so startup costs ONE pass for
+    # checkpoint+sum (the old loop paid an eager checkpoint job first)
+    labels = universe.withColumn(
+        "component", F.col("vertex")
+    ).localCheckpoint(eager=False)
+    prev_sum = labels.agg(lbl_sum).first()[0]
 
-    n_changed = -1  # max_iter=0 must reach the loud while-else raise below
     done = 0
+    converged = False
     while done < max_iter:
-        k = min(chain, max_iter - done)
-        cur = labels.select(
-            "vertex", F.col("component").alias("old_component"), "component"
-        )
-        for _ in range(k):
-            cur = _cc_round(sym, cur, hint)
-        updated = cur.select(
-            "vertex",
-            "component",
-            (F.col("component") < F.col("old_component")).cast("int").alias("changed"),
-            # lazy checkpoint: the convergence count below is the action
-            # that materializes it, so each job runs ONE pass for
-            # checkpoint+count instead of two (measured ~25% off the
-            # per-round fixed cost on small graphs; identical lineage cut)
-        ).localCheckpoint(eager=False)
-        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
-        done += k
-        # the count above materialized the new checkpoint; the previous
+        cur = _cc_round(sym, labels, hint).localCheckpoint(eager=False)
+        # one action per round: the sum aggregate materializes the lazy
+        # checkpoint AND decides convergence (measured ~25% off the
+        # per-round fixed cost on small graphs vs checkpoint+count as
+        # two jobs; identical lineage cut)
+        new_sum = cur.agg(lbl_sum).first()[0]
+        done += 1
+        # the aggregate materialized the new checkpoint; the previous
         # round's label blocks are now dead weight — free them eagerly so
         # storage never accumulates O(rounds) label frames (the 100x OOM)
         prev_labels = labels
-        labels = updated.drop("changed")
+        labels = cur
         _free_checkpoint(prev_labels)
-        if n_changed == 0:
+        if new_sum == prev_sum:
             if stats is not None:
                 # propagation rounds executed, including the confirming
-                # no-change round(s) — the same count a chain=1 loop
-                # reports when convergence lands on a chain boundary,
-                # and still structure-invariant (the stress gate's
-                # contract)
+                # no-change round — the same count the old changed-bit
+                # loop reported, and still structure-invariant (the
+                # stress gate's contract)
                 stats["rounds"] = done
+            converged = True
             break
-    else:
+        prev_sum = new_sum
+    if not converged:
         # exhausting max_iter with labels still moving means the returned
         # components are WRONG (downstream dedup would merge on partial
         # labels with no signal) — fail loudly instead. The final round's
         # label checkpoint has no consumer on this path — free it too.
         _free_checkpoint(labels)
-        still = f"{n_changed} labels still changing" if n_changed >= 0 else "loop never ran"
+        still = (
+            "label sum still decreasing" if done else "loop never ran"
+        )
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             f"({still}); raise max_iter"

@@ -481,19 +481,50 @@ def drain_interval_join_with_sentinel_flush(
         ]
         + [_time.time()]
     )
-    for k, (gen, days) in enumerate(zip(sentinel_ids, sentinel_days)):
-        sentinel = spark.range(1).select(
-            F.lit(gen).alias("event_id"),
-            (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit("sentinel").alias("event_type"),
-        )
-        stamp = stamp_base + 10.0 * (k + 1)
-        for d in (left_in, right_in):
-            before = set(_glob.glob(os.path.join(d, "*.parquet")))
-            sentinel.coalesce(1).write.mode("append").parquet(d)
-            for f in set(_glob.glob(os.path.join(d, "*.parquet"))) - before:
-                os.utime(f, (stamp, stamp))
+    # ONE Spark job stages every generation (partitionBy splits them into
+    # one file per generation); the landing copies are driver-side file
+    # copies — local paths are already asserted above, and the old shape
+    # ran (generations x sides) tiny write jobs (4 jobs for the default
+    # two generations) where one suffices.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    stage_dir = _tempfile.mkdtemp(prefix="sentinel-stage-")
+    gens = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("__gen"),
+                        F.lit(gen).cast("long").alias("event_id"),
+                        (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS")).alias(
+                            "ts"
+                        ),
+                        F.lit(-1).cast("long").alias("user_id"),
+                        F.lit("sentinel").alias("event_type"),
+                    )
+                    for k, (gen, days) in enumerate(
+                        zip(sentinel_ids, sentinel_days)
+                    )
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    gens.coalesce(1).write.partitionBy("__gen").mode("overwrite").parquet(
+        stage_dir
+    )
+    try:
+        for k in range(len(list(zip(sentinel_ids, sentinel_days)))):
+            (part,) = _glob.glob(
+                os.path.join(stage_dir, f"__gen={k}", "*.parquet")
+            )
+            stamp = stamp_base + 10.0 * (k + 1)
+            for d in (left_in, right_in):
+                dst = os.path.join(d, f"sentinel-gen{k}.parquet")
+                _shutil.copyfile(part, dst)
+                os.utime(dst, (stamp, stamp))
+    finally:
+        _shutil.rmtree(stage_dir, ignore_errors=True)
     joined = build_join(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(n_left))

@@ -130,7 +130,19 @@ def _blocked_pair_grid(
         F.col("blk").alias("blk_b"),
         F.col("recs").alias("recs_b"),
     )
-    return a_side.join(b_side, ["blk_a", "blk_b"])
+    # Pre-partition BOTH sides by the cell id with an explicit partition
+    # count (one per grid cell): an explicit repartition-by-number is
+    # exempt from AQE partition coalescing, which otherwise folds the
+    # whole grid into ONE post-shuffle partition at small corpus sizes
+    # (the per-cell BLAS matmuls are compute-heavy and byte-light, so
+    # byte-based coalescing serializes exactly the work that should fan
+    # out — r16 job profile: the kNN cell stage ran 136 matmuls in one
+    # task). The join reuses this partitioning (same keys, same count),
+    # so no exchange is added — the join's own shuffle becomes this one.
+    n_cells = n_blocks * (n_blocks + 1) // 2
+    return a_side.repartition(n_cells, "blk_a", "blk_b").join(
+        b_side.repartition(n_cells, "blk_a", "blk_b"), ["blk_a", "blk_b"]
+    )
 
 
 def _unpack_block(recs):

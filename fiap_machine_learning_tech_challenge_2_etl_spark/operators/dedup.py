@@ -28,6 +28,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import (
     normalize_text,
@@ -674,8 +675,27 @@ def shingle_containment_pairs(
         .distinct()
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("h").count().filter(F.col("count") <= max_shingle_freq)
-        sh = sh.join(freq.select("h"), "h", "left_semi")
+        # document-frequency cap as a WINDOW over h, not a groupBy +
+        # self-semi-join: the join form re-derived the shingle lineage on
+        # both sides (the explode + md5 is the expensive part), the
+        # window keeps one exchange and one pass
+        w = Window.partitionBy("h")
+        sh = (
+            sh.withColumn("__f", F.count(F.lit(1)).over(w))
+            .filter(F.col("__f") <= max_shingle_freq)
+            .drop("__f")
+        )
+    # materialize the capped inverted index ONCE (eager localCheckpoint):
+    # it is read three times below (both self-join sides + the set-size
+    # aggregate), DataFrame plans have no subtree reuse, and the r16 job
+    # profile showed the explode+md5 stage (4.1 s of task time per pass at
+    # sf0.1) recomputed per consumer. Eager, not lazy: the three
+    # consumers' stages schedule concurrently and a lazily-materializing
+    # checkpoint would race them into duplicate partition computation.
+    # Blocks are O(shingle index) — the same order the self-join shuffles
+    # anyway — and are reclaimed by the ContextCleaner when the returned
+    # frame dies.
+    sh = sh.localCheckpoint()
     sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -602,19 +602,29 @@ def ivf_probe_exact(
     d = spread(df).select(F.col(id_col), qcol.alias("__qv"))
     zero = F.lit(0).cast("long")
 
-    def idot(a: Column, ints) -> Column:
-        b = F.array(*[F.lit(int(v)).cast("long") for v in ints])
+    def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y), zero, lambda acc, x: acc + x
         )
 
+    # The centroid matrix and its squared norms enter the plan as TWO
+    # literal nodes (nested-array literals), not one expression fold per
+    # centroid over per-component literals: the old form built ~2000
+    # expression nodes and ``array_position(dists, array_min(dists))``
+    # inlined that whole tree twice — ~3.3 s of driver-side Catalyst
+    # analysis per call (r16 job profile: a zero-job gap between the fit
+    # and the first corpus job). Arithmetic is unchanged: same long ops,
+    # same centroid order j.
+    cmat = F.lit([[int(v) for v in c] for c in cent]).cast(
+        "array<array<bigint>>"
+    )
+    ccs = F.lit([int(c @ c) for c in cent]).cast("array<bigint>")
     # |x|^2 + |c_j|^2 - 2 x.c_j ; |x|^2 is constant across j so argmin
     # only needs |c_j|^2 - 2 x.c_j  (strictly smaller expression tree)
-    dists = F.array(
-        *[
-            (F.lit(int(c @ c)).cast("long") - F.lit(2).cast("long") * idot(F.col("__qv"), c)).alias(f"d{j}")
-            for j, c in enumerate(cent)
-        ]
+    dists = F.zip_with(
+        ccs,
+        cmat,
+        lambda cc, cv: cc - F.lit(2).cast("long") * idot(F.col("__qv"), cv),
     )
     assigned = d.withColumn(
         "ivf_list",
@@ -624,7 +634,9 @@ def ivf_probe_exact(
     out = probed.select(
         F.col(id_col),
         "ivf_list",
-        idot(F.col("__qv"), q).alias("dot"),
+        idot(
+            F.col("__qv"), F.lit([int(v) for v in q]).cast("array<bigint>")
+        ).alias("dot"),
     )
     w = Window.orderBy(F.col("dot").desc(), F.col(id_col))
     return out.withColumn("rnk", F.row_number().over(w).cast("long"))

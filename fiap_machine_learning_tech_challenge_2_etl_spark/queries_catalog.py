@@ -1801,8 +1801,17 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fiap_machine_learning_tech_challenge_2_etl_spark.operators.text import ws_tokens
 
     # tokenize the corpus ONCE; stats/quality/language all read the shared
-    # array column instead of re-splitting the text per stage
-    docs = _t(spark, sf_dir, "documents").withColumn("__toks", ws_tokens("text"))
+    # array column instead of re-splitting the text per stage. spread()
+    # BEFORE tokenizing: projections stay where they are written, so a
+    # tokenize placed below the ops' internal spread exchange would run
+    # in the scan stage — one task on a single-split fixture corpus (r16
+    # profile: 2.6 s serial). The ops' own spread() calls then see the
+    # existing full-width repartition and no-op (util.spread).
+    from fiap_machine_learning_tech_challenge_2_etl_spark.util import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"), by="doc_id").withColumn(
+        "__toks", ws_tokens("text")
+    )
     d = add_language_id(
         add_quality_score(
             add_token_stats(docs, toks_col="__toks"), toks_col="__toks"

@@ -87,7 +87,29 @@ def spread(df: DataFrame, by: str | None = None) -> DataFrame:
         return df
     if n_files >= target:
         return df
+    # Stacked ops that each call spread() (token stats -> quality ->
+    # language id in one pipeline) would otherwise each add a full-width
+    # round-robin exchange shipping the corpus again — the r16 plan audit
+    # found corpus_clean_pipeline carrying THREE spread exchanges where
+    # its docstring promised one shuffle total (guide §2.4: remove
+    # shuffles outright). inputFiles() cannot see an upstream
+    # repartition, so check the logical plan for one that already fans
+    # this lineage out to >= target partitions; smaller fixture
+    # repartitions (repartition(1)/(4) file-count shaping) don't count.
+    try:
+        tree = df._jdf.queryExecution().logical().treeString()
+        for m in _REPARTITION_N.finditer(tree):
+            if int(m.group(1) or m.group(2)) >= target:
+                return df
+    except Exception:  # Connect sessions etc.: fall through to repartition
+        pass
     return df.repartition(target, by) if by is not None else df.repartition(target)
+
+
+# "Repartition 32, true" (round robin) / "RepartitionByExpression [c], 32"
+_REPARTITION_N = re.compile(
+    r"Repartition (\d+), |RepartitionByExpression \[[^\]]*\], (\d+)"
+)
 
 
 # pandas-safe field types for local_relation_df: types whose Python ->
